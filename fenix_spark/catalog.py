@@ -1,0 +1,79 @@
+"""Parquet-backed table catalog mirroring fenix's directory layout
+(reference: src/fenix/io/table/table.py:9-56):
+
+    <root>/sources/<name>/        parquet table        (ref: .arrow file)
+    <root>/codings/<name>/        centroid table       (ref: .torch pickle)
+    <root>/indexes/<source>/<column>/<coding>/   indexed source
+                                                 (ref: positional sidecar)
+
+Differences forced by Spark's execution model (SURVEY.md §1.3): the
+reference h-stacks a row-aligned sidecar column; Spark has no stable row
+order, so an index here is the source CO-WRITTEN with its ``__CODED_ID__``
+column, partitioned by that column — which turns IVF probe pruning into
+physical partition pruning at any scale.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterator, Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _sources_dir(root: str) -> str:
+    return os.path.join(root, "sources")
+
+
+def source_path(root: str, name: str) -> str:
+    return os.path.join(root, "sources", name)
+
+
+def coding_path(root: str, name: str) -> str:
+    return os.path.join(root, "codings", name)
+
+
+def index_path(root: str, source: str, column: str, coding: str) -> str:
+    return os.path.join(root, "indexes", source, column, coding)
+
+
+def make(root: str, name: str, df: DataFrame, partition_by: Sequence[str] = ()) -> None:
+    """Create/replace a named table (ref: table.make, table.py:24-26)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(source_path(root, name))
+
+
+def load(spark: SparkSession, root: str, name: str | Sequence[str]) -> DataFrame:
+    """Load one table, or union-all a list of tables by column name
+    (ref: table.load multi-source v-stack, table.py:12-21,29-35)."""
+    if isinstance(name, str):
+        return spark.read.parquet(source_path(root, name))
+    dfs = [spark.read.parquet(source_path(root, n)) for n in name]
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=False), dfs)
+
+
+def list_tables(root: str) -> Iterator[str]:
+    """Enumerate table names (ref: table.list, table.py:46-49)."""
+    base = _sources_dir(root)
+    if not os.path.isdir(base):
+        return
+    for entry in sorted(os.listdir(base)):
+        if os.path.isdir(os.path.join(base, entry)):
+            yield entry
+
+
+def drop(root: str, name: str) -> None:
+    """Drop a table (ref: table.drop, table.py:52-56)."""
+    path = source_path(root, name)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+
+
+def remove(root: str) -> None:
+    """Remove the whole store (ref: flight.py:102-103 'remove' action)."""
+    if os.path.isdir(root):
+        shutil.rmtree(root)

@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` but every setting here
+is chosen to also hold on a 1000-executor cluster:
+
+- AQE on: runtime coalescing of shuffle partitions and skew-join
+  splitting replace hand-tuned partition counts at 100 TB.
+- Arrow execution on: pandas UDFs (the only Python that ever touches
+  data) move batches, not rows.
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB oracle and are cluster-location independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(app_name: str = "fenix_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 2)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply fenix_spark runtime confs to an externally created session
+    (the driver hands us its own SparkSession in ``__spark_entry__``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass  # immutable on some deployments; defaults are acceptable
+    return spark

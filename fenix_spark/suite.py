@@ -1,0 +1,526 @@
+"""The oracle-checked query corpus: every entry pairs a PySpark
+DataFrame program with an equivalent DuckDB SQL string over the same
+parquet tables (driver contract, __spark_entry__.py).
+
+Determinism rules (SURVEY.md §7 risks, FIXTURES.md §6):
+
+- Every float output column is rounded identically on both engines
+  (6dp for distances/averages, 2dp for money sums) so low-bit
+  float-associativity differences can't break the value hash.
+- Every top-k orders by the ROUNDED value + an id tiebreak on both
+  engines, so the selected row set is identical even at ties.
+- Timestamps are read as TIMESTAMP_NTZ and compared against NTZ
+  literals — pure wall-clock semantics matching DuckDB's naive
+  TIMESTAMP, independent of the driver session's timezone, while
+  keeping cutoffs foldable so parquet predicate pushdown applies.
+- No raw timestamps in outputs — epoch millis (bigint) or formatted
+  date strings instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fenix_spark.functions.metrics import distance, query_literal, vec_double
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table, forcing TIMESTAMP_NTZ for timestamp
+    columns.
+
+    The parquet timestamps are timezone-naive (isAdjustedToUTC=false).
+    Reading them as NTZ and comparing against NTZ literals gives pure
+    wall-clock semantics — identical to DuckDB's naive TIMESTAMP — no
+    matter what ``spark.sql.session.timeZone`` or
+    ``spark.sql.parquet.inferTimestampNTZ.enabled`` the driver session
+    uses. (Reading them as LTZ makes every date cutoff shift with the
+    session timezone; caught by a verification probe, see
+    tests/test_suite_oracle.py.)
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if any(f.dataType.typeName() == "timestamp" for f in df.schema.fields):
+        forced = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T.TimestampNTZType() if f.dataType.typeName() == "timestamp" else f.dataType,
+                    f.nullable,
+                )
+                for f in df.schema.fields
+            ]
+        )
+        df = spark.read.schema(forced).parquet(path)
+    return df
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with ``ts_ms`` (epoch millis, bigint).
+
+    ``events.ts`` is NANOSECOND-precision parquet, which Spark 4 rejects
+    by default; ``nanosAsLong`` reads it as a raw int64. Conversion to
+    millis uses integer DIV — nanos since epoch (~1.7e18) overflow the
+    exact double range, so float division would corrupt low bits.
+    Matches DuckDB ``epoch_ms(ts)`` truncation exactly.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts_ms", F.expr("ts DIV 1000000"))
+
+
+def ts_lit(date: str):
+    """Foldable TIMESTAMP_NTZ literal from a 'YYYY-MM-DD' string.
+
+    NTZ column vs NTZ literal is a wall-clock comparison with no
+    session-timezone involvement on either side, and it stays a
+    foldable literal so parquet predicate pushdown still applies.
+    """
+    return F.lit(f"{date} 00:00:00").cast("timestamp_ntz")
+
+
+def duck_ts(date: str) -> str:
+    """The same wall-clock instant for DuckDB (naive TIMESTAMP)."""
+    return f"TIMESTAMP '{date} 00:00:00'"
+
+
+# --------------------------------------------------------------------------
+# KNN search family (reference C1: src/fenix/io/index/index.py:81-170)
+# --------------------------------------------------------------------------
+
+_DUCK_DOT = "list_sum(list_transform(list_zip(embedding::DOUBLE[], qv), z -> z[1]*z[2]))"
+_DUCK_L2 = (
+    "sqrt(list_sum(list_transform(list_zip(embedding::DOUBLE[], qv),"
+    " z -> (z[1]-z[2])*(z[1]-z[2]))))"
+)
+_DUCK_NORM_E = "sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))"
+_DUCK_NORM_Q = "sqrt(list_sum(list_transform(qv, x -> x*x)))"
+_DUCK_METRIC = {
+    "l2": _DUCK_L2,
+    "euclidean": _DUCK_L2,
+    "cosine": f"0.5 - 0.5 * {_DUCK_DOT} / ({_DUCK_NORM_E} * {_DUCK_NORM_Q})",
+    "dot": f"-{_DUCK_DOT}",
+    "inner_product": f"-{_DUCK_DOT}",
+}
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+def _knn_spark(
+    metric: str,
+    k: int = 10,
+    where: str | None = None,
+    select: Sequence[str] = ("vec_id", "label"),
+) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        emb = table(spark, sf_dir, "embeddings")
+        target = query_literal(_query_vector(spark, sf_dir))
+        out = emb.where(where) if where is not None else emb
+        out = out.select(
+            *select,
+            F.round(distance(metric, vec_double("embedding"), target), 6).alias("dist"),
+        )
+        return out.orderBy("dist", "vec_id").limit(k)
+
+    return fn
+
+
+def _knn_oracle(metric: str, k: int = 10, where: str = "", select: str = "vec_id, label") -> str:
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT {select}, round({_DUCK_METRIC[metric]}, 6) AS dist
+    FROM embeddings, q
+    {where}
+    ORDER BY dist, vec_id
+    LIMIT {k}
+    """
+
+
+# --------------------------------------------------------------------------
+# Relational corpus (Spark-native capability over the TPC-H-ish tables)
+# --------------------------------------------------------------------------
+
+
+def _scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2: filtered, projected scan — filters and the 4-column
+    projection both reach the parquet reader (pushdown verified in
+    tests/test_plans.py)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= ts_lit("1997-01-01"))
+        & (F.col("l_shipdate") < ts_lit("1997-02-01"))
+        & (F.col("l_quantity") < 10)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+    )
+
+
+_SCAN_FILTER_PROJECT_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       round(l_extendedprice * (1 - l_discount), 2) AS net_price
+FROM lineitem
+WHERE l_shipdate >= {duck_ts("1997-01-01")} AND l_shipdate < {duck_ts("1997-02-01")}
+  AND l_quantity < 10
+"""
+
+
+def _union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 v-stack: multi-source load = unionByName
+    (ref: src/fenix/io/table/table.py:29-35)."""
+    cust = table(spark, sf_dir, "customer")
+    a = cust.where(F.col("c_mktsegment") == "BUILDING")
+    b = cust.where(F.col("c_mktsegment") == "MACHINERY")
+    return a.unionByName(b).select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
+    )
+
+
+_UNION_ALL_SQL = """
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+FROM customer WHERE c_mktsegment = 'MACHINERY'
+"""
+
+
+def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: partial (map-side) aggregation on a
+    2-value × 2-value grouping key — the shuffle moves only
+    |groups|·|partitions| rows regardless of input scale."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= ts_lit("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_TPCH_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= {duck_ts("2000-09-02")}
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: two key joins + agg + top-10.
+    customer is tiny → broadcast; orders⋈lineitem shuffles on
+    l_orderkey (the natural key at any scale)."""
+    cust = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < ts_lit("1998-01-01"))
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > ts_lit("1998-01-01"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                 "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_TPCH_Q3_SQL = f"""
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < {duck_ts("1998-01-01")}
+  AND l_shipdate > {duck_ts("1998-01-01")}
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local supplier volume: 6-way join; all dimension tables
+    broadcast, the single shuffle is lineitem⋈orders."""
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts_lit("1996-01-01")) & (F.col("o_orderdate") < ts_lit("1997-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+_TPCH_Q5_SQL = f"""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= {duck_ts("1996-01-01")} AND o_orderdate < {duck_ts("1997-01-01")}
+GROUP BY n_name
+"""
+
+
+def _tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue: pure scan-filter-agg, fully
+    pushed-down predicates, no shuffle beyond the final 1-row reduce."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= ts_lit("1997-01-01"))
+            & (F.col("l_shipdate") < ts_lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+_TPCH_Q6_SQL = f"""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= {duck_ts("1997-01-01")} AND l_shipdate < {duck_ts("1998-01-01")}
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def _group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-n per group (§2.5): rank orders by totalprice within
+    each priority class."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+_GROUP_TOPN_SQL = """
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Events: JSON extraction + sessionization (SURVEY.md §7 phase 5)
+# --------------------------------------------------------------------------
+
+
+def _events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        )
+    )
+
+
+_EVENTS_JSON_SQL = """
+SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+FROM events WHERE event_type = 'click'
+"""
+
+_SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    flag → running sum = session id → per-session aggregates. Two
+    window passes over the same (user_id, ts) partitioning — one
+    shuffle total, Spark reuses the partitioning for the second window
+    and the groupBy."""
+    ev = events_table(spark, sf_dir).select("user_id", "event_id", "ts_ms", "value")
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts_ms").over(w).isNull()
+            | ((F.col("ts_ms") - F.lag("ts_ms").over(w)) > _SESSION_GAP_MS),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_ms").alias("start_ms"),
+        F.max("ts_ms").alias("end_ms"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+_SESSIONIZE_SQL = f"""
+WITH base AS (
+    SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events
+), flagged AS (
+    SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                     OR ts_ms - lag(ts_ms) OVER w > {_SESSION_GAP_MS}
+              THEN 1 ELSE 0 END AS new_s
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), sess AS (
+    SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+       round(sum(value), 4) AS sum_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Documents: dedup + text stats (LLM-pipeline operators)
+# --------------------------------------------------------------------------
+
+
+def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by full text equality: hash-groupBy keeps the lowest
+    doc_id per distinct text. At 100 TB this groups on xxhash64(text)
+    first to avoid shuffling full documents; text equality is the
+    oracle-checkable semantic either way."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("kept_doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    ).select("kept_doc_id", "dup_count")
+
+
+_EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS kept_doc_id, count(*) AS dup_count
+FROM documents GROUP BY text
+"""
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_TEXT_STATS_SQL = """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "knn_l2": _knn_spark("l2"),
+    "knn_cosine": _knn_spark("cosine"),
+    "knn_dot": _knn_spark("dot"),
+    "knn_filtered": _knn_spark("l2", where="label = 3"),
+    "knn_select": _knn_spark("cosine", select=("vec_id",)),
+    "scan_filter_project": _scan_filter_project,
+    "union_all": _union_all,
+    "tpch_q1": _tpch_q1,
+    "tpch_q3": _tpch_q3,
+    "tpch_q5": _tpch_q5,
+    "tpch_q6": _tpch_q6,
+    "group_topn": _group_topn,
+    "events_json": _events_json,
+    "sessionize": _sessionize,
+    "exact_dedup": _exact_dedup,
+    "text_stats": _text_stats,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "knn_l2": _knn_oracle("l2"),
+    "knn_cosine": _knn_oracle("cosine"),
+    "knn_dot": _knn_oracle("dot"),
+    "knn_filtered": _knn_oracle("l2", where="WHERE label = 3"),
+    "knn_select": _knn_oracle("cosine", select="vec_id"),
+    "scan_filter_project": _SCAN_FILTER_PROJECT_SQL,
+    "union_all": _UNION_ALL_SQL,
+    "tpch_q1": _TPCH_Q1_SQL,
+    "tpch_q3": _TPCH_Q3_SQL,
+    "tpch_q5": _TPCH_Q5_SQL,
+    "tpch_q6": _TPCH_Q6_SQL,
+    "group_topn": _GROUP_TOPN_SQL,
+    "events_json": _EVENTS_JSON_SQL,
+    "sessionize": _SESSIONIZE_SQL,
+    "exact_dedup": _EXACT_DEDUP_SQL,
+    "text_stats": _TEXT_STATS_SQL,
+}

@@ -1,0 +1,58 @@
+"""Metric semantics vs numpy ground truth — fenix conventions exactly
+(0.5-0.5cos for cosine, negated dot; reference coder.py:38-50)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fenix_spark.functions.metrics import METRICS, distance, query_literal, vec_double
+
+RNG = np.random.default_rng(7)
+VECS = RNG.normal(size=(20, 8)).astype("float32")
+Q = RNG.normal(size=8).astype("float32")
+
+
+def numpy_distance(metric: str, u: np.ndarray, v: np.ndarray) -> float:
+    u64, v64 = u.astype("float64"), v.astype("float64")
+    if metric in ("l2", "euclidean"):
+        return float(np.linalg.norm(u64 - v64))
+    if metric == "cosine":
+        return float(0.5 - 0.5 * (u64 @ v64) / (np.linalg.norm(u64) * np.linalg.norm(v64)))
+    return float(-(u64 @ v64))
+
+
+@pytest.mark.parametrize("metric", METRICS)
+def test_distance_matches_numpy(spark, metric):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in VECS[i]]) for i in range(len(VECS))], "id int, vec array<float>"
+    )
+    got = {
+        r["id"]: r["d"]
+        for r in df.select(
+            "id", distance(metric, vec_double("vec"), query_literal(Q)).alias("d")
+        ).collect()
+    }
+    for i in range(len(VECS)):
+        assert math.isclose(got[i], numpy_distance(metric, VECS[i], Q), rel_tol=1e-6, abs_tol=1e-9)
+
+
+def test_identical_vector_distances(spark):
+    df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "id int, vec array<float>")
+    q = [1.0, 2.0, 3.0]
+    row = df.select(
+        distance("l2", vec_double("vec"), query_literal(q)).alias("l2"),
+        distance("cosine", vec_double("vec"), query_literal(q)).alias("cos"),
+        distance("dot", vec_double("vec"), query_literal(q)).alias("dot"),
+    ).head()
+    assert row["l2"] == 0.0
+    assert abs(row["cos"]) < 1e-12  # fenix cosine: 0 = identical
+    assert row["dot"] == -14.0  # negated dot product
+
+
+def test_unknown_metric_raises():
+    with pytest.raises(ValueError):
+        distance("manhattan", F.col("a"), F.col("b"))

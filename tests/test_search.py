@@ -1,0 +1,87 @@
+"""KNN invariants from the reference test suite
+(/root/reference/tests/test_flight.py:88-114): exactly k rows, schema =
+selected columns + __DISTANCE__, plus exactness vs numpy brute force —
+which the reference never asserts (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fenix_spark.operators.search import DISTANCE_COL, knn, similarity_join
+
+
+@pytest.fixture(scope="module")
+def emb_np(embeddings):
+    rows = embeddings.select("vec_id", "embedding", "label").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype="float64")
+    labels = np.array([r["label"] for r in rows])
+    return ids, mat, labels
+
+
+@pytest.fixture(scope="module")
+def target(emb_np):
+    ids, mat, _ = emb_np
+    return mat[list(ids).index(0)]
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine", "dot"])
+def test_knn_matches_numpy(embeddings, emb_np, target, metric):
+    ids, mat, _ = emb_np
+    if metric == "l2":
+        d = np.linalg.norm(mat - target, axis=1)
+    elif metric == "cosine":
+        d = 0.5 - 0.5 * (mat @ target) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(target))
+    else:
+        d = -(mat @ target)
+    expect = ids[np.lexsort((ids, d))][:10].tolist()
+
+    got = knn(embeddings, "embedding", target, metric=metric, k=10, id_col="vec_id")
+    assert [r["vec_id"] for r in got.collect()] == expect
+
+
+def test_knn_row_count_and_schema(embeddings, target):
+    out = knn(embeddings, "embedding", target, k=7, id_col="vec_id")
+    assert out.count() == 7
+    assert out.columns == embeddings.columns + [DISTANCE_COL]
+
+
+def test_knn_filter_and_select(embeddings, emb_np, target):
+    ids, mat, labels = emb_np
+    out = knn(
+        embeddings,
+        "embedding",
+        target,
+        metric="l2",
+        k=5,
+        filter=F.col("label") == 3,
+        select=["vec_id", "label"],
+        id_col="vec_id",
+    )
+    rows = out.collect()
+    assert out.columns == ["vec_id", "label", DISTANCE_COL]
+    assert all(r["label"] == 3 for r in rows)
+    mask = labels == 3
+    d = np.linalg.norm(mat[mask] - target, axis=1)
+    expect = ids[mask][np.lexsort((ids[mask], d))][:5].tolist()
+    assert [r["vec_id"] for r in rows] == expect
+
+
+def test_knn_plan_has_no_shuffle(embeddings, target):
+    """C1 must compile to TakeOrderedAndProject (per-partition top-k +
+    driver merge) — no Exchange, no global Sort. This is the plan that
+    survives a 100 TB scan."""
+    plan = knn(embeddings, "embedding", target, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_similarity_join_self_top1(embeddings, emb_np):
+    """Self-join top-1 under l2 must return each row paired with itself
+    (distance 0)."""
+    n = embeddings.count()
+    out = similarity_join(embeddings, embeddings, "embedding", metric="l2", k=1).collect()
+    assert len(out) == n
+    assert all(r["left_id"] == r["right_id"] and r[DISTANCE_COL] == 0.0 for r in out)
