@@ -1,0 +1,69 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query executes via the noop sink — full computation, no
+driver-side result transfer — so the timing measures the plan, not
+collect() serialization. A tiny warm-up job first amortizes JVM/codegen
+startup out of the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fenix_spark.session import get_session
+
+BENCH_QUERIES = [
+    "knn_cosine",
+    "knn_filtered",
+    "ivf_probe_search",
+    "similarity_join_topk",
+    "code_assign",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "group_topn",
+    "sessionize",
+    "exact_dedup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf"))
+    spark = get_session("fenix_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from fenix_spark.artifacts import ensure_artifacts
+    from fenix_spark.suite import SPARK_QUERIES
+
+    ensure_artifacts(spark, sf_dir)  # index build is setup, not a query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        start = time.perf_counter()
+        SPARK_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""IVF index build + probe search (reference C4 + C2,
+src/fenix/io/index/index.py:37-65, 81-170).
+
+The reference writes a row-position-aligned ``__CODED_ID__`` sidecar
+file and h-stacks it on read (index.py:19-34) — impossible to do safely
+under a distributed shuffle. Here the code column is CO-WRITTEN with the
+data and the indexed table is PARTITIONED BY ``__CODED_ID__``, so the
+probe filter ``__CODED_ID__ IN (top cells)`` becomes physical partition
+pruning: a 16-of-64-cell probe reads ~25% of the files at any scale
+(verified in tests/test_index.py via the executed plan's partition
+count). This is the Spark-native equivalent of the reference's manual
+``isin`` mask (index.py:119-126).
+
+Code assignment is a pure Catalyst expression (argmin over k per-cell
+distances, per codebook) — whole-stage codegen, no Python, no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fenix_spark.functions.metrics import distance, query_literal
+from fenix_spark.operators.coder import coding_to_numpy, rank_cells, sub_vector
+from fenix_spark.operators.search import DISTANCE_COL, knn
+
+CODE_COL = "__CODED_ID__"
+
+
+def assign_code_expr(column: str, coding: DataFrame, metric: str | None = None) -> Column:
+    """Joint cell id of each row's vector as a native expression.
+
+    Per codebook j: build the k-vector of distances from the row's
+    sub-vector to each centroid (literal arrays — the codebook is tiny
+    and ships with the plan), take argmin with lowest-cell tiebreak,
+    then compose base-k digits: id = Σ_j cell_j · k^(n−1−j)
+    (reference semantics, coder.py:171-181; top-1 at index.py:48-49).
+    """
+    cents, coding_metric, k, n = coding_to_numpy(coding)
+    metric = metric or coding_metric
+    sub_dim = cents.shape[2]
+    joint = F.lit(0).cast("bigint")
+    for j in range(n):
+        sub = sub_vector(column, j, sub_dim)
+        dists = F.array(
+            *[distance(metric, sub, query_literal(cents[j, c])) for c in range(k)]
+        )
+        cell = F.array_position(dists, F.array_min(dists)) - 1  # 1-based → 0-based
+        joint = joint + cell.cast("bigint") * F.lit(int(k ** (n - 1 - j))).cast("bigint")
+    return joint
+
+
+def build_index(
+    df: DataFrame,
+    column: str,
+    coding: DataFrame,
+    path: str,
+    metric: str | None = None,
+) -> None:
+    """Write ``df`` + ``__CODED_ID__`` partitioned by the code — one map
+    pass over the source, then a parquet layout where every IVF cell is
+    its own partition directory (physical pruning for C2)."""
+    out = df.withColumn(CODE_COL, assign_code_expr(column, coding, metric))
+    out.write.mode("overwrite").partitionBy(CODE_COL).parquet(path)
+
+
+def read_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def probe_search(
+    indexed: DataFrame,
+    coding: DataFrame,
+    column: str,
+    target: Sequence[float],
+    metric: str | None = None,
+    k: int = 10,
+    probes: int | None = None,
+    filter: Column | None = None,  # noqa: A002 - mirrors reference kwarg
+    select: Sequence[str] | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """IVF probe search (C2): rank cells driver-side over the tiny
+    centroid table, prepend ``__CODED_ID__ IN (top probes)`` to the
+    user filter (→ partition pruning), then the brute-force KNN tail
+    (C1). ``probes=None`` or ≥ k^n degenerates to exact search over all
+    cells, matching reference behavior (index.py:113-126)."""
+    _, coding_metric, kk, n = coding_to_numpy(coding)
+    metric = metric or coding_metric
+    pred = filter
+    if probes is not None and probes < kk**n:
+        cells = rank_cells(coding, target, metric)[:probes]
+        cell_pred = F.col(CODE_COL).isin(cells)
+        pred = cell_pred if pred is None else (cell_pred & pred)
+    return knn(
+        indexed, column, target, metric=metric, k=k, filter=pred, select=select, id_col=id_col
+    )

@@ -67,6 +67,88 @@ def knn(
     return out.orderBy(*order).limit(k)
 
 
+def similarity_join_brute(
+    left: DataFrame,
+    right: DataFrame,
+    column: str,
+    metric: str = "l2",
+    k: int = 1,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    dist_col: str = DISTANCE_COL,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Brute-force similarity join via Arrow-batched matmul.
+
+    The naive plan (crossJoin + per-pair zip_with fold + window top-k)
+    materializes |L|·|R| rows and evaluates the distance expression
+    scalar-wise — ~50× slower than BLAS at sf0.1. This path instead:
+
+    - collects + broadcasts the RIGHT side as one numpy matrix (the
+      explicit smaller side — same contract as the reference holding
+      the full table in memory, src/fenix/io/index/index.py:81-99);
+    - ``mapInPandas`` over the left: one float64 GEMM per Arrow batch
+      (l2 via the |l|²+|r|²−2l·r identity), per-row top-k via
+      argpartition — emits only k rows per left row, so nothing
+      |L|·|R|-sized ever exists;
+    - no shuffle at all: top-k is computed where the left rows live.
+
+    Scale contract: right side must fit in executor memory (~1 GB per
+    1M×128d float64). For large×large, prune with the IVF cell
+    equi-join first (operators/index.py) and apply this within cells.
+
+    ``round_to`` rounds distances BEFORE ranking (with right_id
+    tiebreak) for oracle-stable output.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = left.sparkSession
+    r_rows = right.select(right_id, column).collect()
+    rid = np.array([r[0] for r in r_rows], dtype="int64")
+    rmat = np.array([r[1] for r in r_rows], dtype="float64")
+    bc = spark.sparkContext.broadcast((rid, rmat))
+    kk = min(k, len(rid))
+
+    def gen(batches):
+        rid_b, rmat_b = bc.value
+        r_sq = (rmat_b * rmat_b).sum(axis=1)
+        r_norm = np.sqrt(r_sq)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lmat = np.asarray(pdf["__vec"].tolist(), dtype="float64")
+            lids = pdf["__lid"].to_numpy()
+            gram = lmat @ rmat_b.T
+            if metric in ("l2", "euclidean"):
+                l_sq = (lmat * lmat).sum(axis=1)
+                dist2 = np.maximum(l_sq[:, None] + r_sq[None, :] - 2.0 * gram, 0.0)
+                dmat = np.sqrt(dist2)
+            elif metric == "cosine":
+                l_norm = np.linalg.norm(lmat, axis=1)
+                dmat = 0.5 - 0.5 * gram / (l_norm[:, None] * r_norm[None, :])
+            elif metric in ("dot", "inner_product"):
+                dmat = -gram
+            else:
+                raise ValueError(f"unknown metric {metric!r}")
+            if round_to is not None:
+                dmat = dmat.round(round_to)
+            part = np.argpartition(dmat, kk - 1, axis=1)[:, :kk]
+            out_l, out_r, out_d, out_rank = [], [], [], []
+            for i in range(len(lids)):
+                sel = part[i][np.lexsort((rid_b[part[i]], dmat[i, part[i]]))]
+                out_l.extend([lids[i]] * kk)
+                out_r.extend(rid_b[sel])
+                out_d.extend(dmat[i, sel])
+                out_rank.extend(range(1, kk + 1))
+            yield pd.DataFrame(
+                {"left_id": out_l, "right_id": out_r, dist_col: out_d, "rank": out_rank}
+            )
+
+    src = left.select(F.col(left_id).alias("__lid"), vec_double(column).alias("__vec"))
+    return src.mapInPandas(gen, f"left_id bigint, right_id bigint, {dist_col} double, rank int")
+
+
 def similarity_join(
     left: DataFrame,
     right: DataFrame,

@@ -152,6 +152,131 @@ def _knn_oracle(metric: str, k: int = 10, where: str = "", select: str = "vec_id
 
 
 # --------------------------------------------------------------------------
+# IVF/PQ index family (reference C2/C3/C4) — artifacts shared with DuckDB
+# --------------------------------------------------------------------------
+
+
+def _duck_l2(a: str, b: str) -> str:
+    return f"sqrt(list_sum(list_transform(list_zip({a}, {b}), z -> (z[1]-z[2])*(z[1]-z[2]))))"
+
+
+def _code_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code assignment (C4) as a checkable query: Spark derives each
+    row's joint cell id from the centroid table via native argmin
+    expressions; the oracle recomputes it in SQL from the SAME parquet
+    centroids."""
+    from fenix_spark.artifacts import ensure_artifacts
+    from fenix_spark.operators.index import assign_code_expr
+
+    coding, _ = ensure_artifacts(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", assign_code_expr("embedding", coding).alias("code")
+    )
+
+
+def _code_assign_sql(sf_dir: str) -> str:
+    from fenix_spark.artifacts import coding_path
+
+    d0 = _duck_l2("centroid", "s0")
+    d1 = _duck_l2("centroid", "s1")
+    return f"""
+    WITH coding AS (SELECT * FROM read_parquet('{coding_path(sf_dir)}/*.parquet')),
+    sub AS (
+        SELECT vec_id,
+               embedding[1:32]::DOUBLE[] AS s0,
+               embedding[33:64]::DOUBLE[] AS s1
+        FROM embeddings
+    )
+    SELECT vec_id,
+           (SELECT cell FROM coding WHERE codebook = 0 ORDER BY {d0}, cell LIMIT 1) * 8
+         + (SELECT cell FROM coding WHERE codebook = 1 ORDER BY {d1}, cell LIMIT 1)
+           AS code
+    FROM sub
+    """
+
+
+def _ivf_probe_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search (C2): prune to the 16 best of 64 joint cells
+    (physical partition pruning on the __CODED_ID__-partitioned index),
+    then the exact-distance top-k tail. Mirrors reference probes=16,
+    maxval=10 (tests/test_flight.py:133-140)."""
+    from fenix_spark.artifacts import ensure_artifacts
+    from fenix_spark.operators.coder import rank_cells
+    from fenix_spark.operators.index import CODE_COL
+
+    coding, indexed = ensure_artifacts(spark, sf_dir)
+    target = _query_vector(spark, sf_dir)
+    cells = rank_cells(coding, target, "l2")[:16]
+    return (
+        indexed.where(F.col(CODE_COL).isin(cells))
+        .select(
+            "vec_id",
+            "label",
+            F.col(CODE_COL).cast("bigint").alias("code"),
+            F.round(
+                distance("l2", vec_double("embedding"), query_literal(target)), 6
+            ).alias("dist"),
+        )
+        .orderBy("dist", "vec_id")
+        .limit(10)
+    )
+
+
+def _ivf_probe_search_sql(sf_dir: str) -> str:
+    from fenix_spark.artifacts import coding_path, index_dir
+
+    cell_d0 = _duck_l2("c0.centroid", "qv[1:32]")
+    cell_d1 = _duck_l2("c1.centroid", "qv[33:64]")
+    row_d = _duck_l2("embedding::DOUBLE[]", "qv")
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    coding AS (SELECT * FROM read_parquet('{coding_path(sf_dir)}/*.parquet')),
+    cellscore AS (
+        SELECT c0.cell * 8 + c1.cell AS joint, {cell_d0} + {cell_d1} AS score
+        FROM (SELECT * FROM coding WHERE codebook = 0) c0,
+             (SELECT * FROM coding WHERE codebook = 1) c1, q
+    ),
+    probes AS (SELECT joint FROM cellscore ORDER BY score, joint LIMIT 16),
+    idx AS (
+        SELECT * FROM read_parquet('{index_dir(sf_dir)}/*/*.parquet', hive_partitioning = true)
+    )
+    SELECT vec_id, label, CAST(__CODED_ID__ AS BIGINT) AS code, round({row_d}, 6) AS dist
+    FROM idx, q
+    WHERE CAST(__CODED_ID__ AS BIGINT) IN (SELECT joint FROM probes)
+    ORDER BY dist, vec_id
+    LIMIT 10
+    """
+
+
+def _similarity_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch KNN / similarity join: every embedding's top-3 nearest
+    neighbors (self included), via the broadcast-matmul mapInPandas path
+    (operators/search.py:similarity_join_brute). The reference serves
+    one query vector per call (flight.py:242-288); this is the same
+    semantics as a set-at-a-time join."""
+    from fenix_spark.operators.search import similarity_join_brute
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity_join_brute(emb, emb, "embedding", metric="l2", k=3, round_to=6)
+    return out.withColumnRenamed("__DISTANCE__", "dist")
+
+
+_SIMILARITY_JOIN_SQL = f"""
+WITH pairs AS (
+    SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+           round({_duck_l2("l.embedding::DOUBLE[]", "r.embedding::DOUBLE[]")}, 6) AS dist
+    FROM embeddings l, embeddings r
+)
+SELECT left_id, right_id, dist, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY left_id ORDER BY dist, right_id) AS rank
+    FROM pairs
+)
+WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
 # Relational corpus (Spark-native capability over the TPC-H-ish tables)
 # --------------------------------------------------------------------------
 
@@ -504,7 +629,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": _sessionize,
     "exact_dedup": _exact_dedup,
     "text_stats": _text_stats,
+    "code_assign": _code_assign,
+    "ivf_probe_search": _ivf_probe_search,
+    "similarity_join_topk": _similarity_join_topk,
 }
+
+# The driver's oracle comparison always runs at sf0.01 (TESTDATA.md), so
+# artifact-dependent oracle SQL is rendered against that SF's paths.
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 ORACLE_SQL: dict[str, str] = {
     "knn_l2": _knn_oracle("l2"),
@@ -523,4 +655,7 @@ ORACLE_SQL: dict[str, str] = {
     "sessionize": _SESSIONIZE_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
     "text_stats": _TEXT_STATS_SQL,
+    "code_assign": _code_assign_sql(_ORACLE_SF_DIR),
+    "ivf_probe_search": _ivf_probe_search_sql(_ORACLE_SF_DIR),
+    "similarity_join_topk": _SIMILARITY_JOIN_SQL,
 }

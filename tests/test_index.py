@@ -1,0 +1,125 @@
+"""Index build + probe search invariants, mirroring the reference's
+test families (/root/reference/tests/test_flight.py:52-149) plus the
+quality and physical-plan checks the reference lacks (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fenix_spark.operators.coder import CodingConfig, coding_to_numpy, rank_cells, train_coding
+from fenix_spark.operators.index import CODE_COL, assign_code_expr, build_index, probe_search
+from fenix_spark.operators.search import knn
+
+K, N = 8, 2
+
+
+@pytest.fixture(scope="module")
+def coding(embeddings):
+    return train_coding(
+        embeddings, "embedding", CodingConfig(metric="l2", codebook_size=K, num_codebooks=N)
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, embeddings, coding, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("index") / "emb_idx")
+    build_index(embeddings, "embedding", coding, path)
+    return spark.read.parquet(path)
+
+
+def test_coding_shape(coding):
+    cents, metric, k, n = coding_to_numpy(coding)
+    assert (k, n, metric) == (K, N, "l2")
+    assert cents.shape == (N, K, 64 // N)
+    assert np.isfinite(cents).all()
+
+
+def test_indexed_equals_source_plus_code(embeddings, indexed):
+    """Reference invariant (test_flight.py:80-86): indexed read == source
+    + __CODED_ID__, data otherwise unchanged (keyed by vec_id, since
+    Spark has no row order)."""
+    assert set(indexed.columns) == set(embeddings.columns) | {CODE_COL}
+    assert indexed.count() == embeddings.count()
+    src = {r["vec_id"]: (r["label"], tuple(r["embedding"])) for r in embeddings.collect()}
+    for r in indexed.collect():
+        assert src[r["vec_id"]] == (r["label"], tuple(r["embedding"]))
+        assert 0 <= r[CODE_COL] < K**N
+
+
+def test_assignment_is_argmin(embeddings, coding):
+    """Each row's joint code must be the per-codebook argmin centroid
+    (reference coder.call k=1 semantics, coder.py:143-194)."""
+    cents, _, k, n = coding_to_numpy(coding)
+    sub_dim = cents.shape[2]
+    got = {
+        r["vec_id"]: r["code"]
+        for r in embeddings.select(
+            "vec_id", assign_code_expr("embedding", coding).alias("code")
+        ).collect()
+    }
+    for r in embeddings.collect():
+        v = np.asarray(r["embedding"], dtype="float64")
+        expect = 0
+        for j in range(n):
+            d = np.linalg.norm(cents[j] - v[j * sub_dim : (j + 1) * sub_dim], axis=1)
+            expect += int(np.argmin(d)) * k ** (n - 1 - j)
+        assert got[r["vec_id"]] == expect
+
+
+def test_rank_cells_full_order(coding):
+    order = rank_cells(coding, np.zeros(64), "l2")
+    assert sorted(order) == list(range(K**N))
+
+
+def test_probe_all_cells_equals_brute_force(embeddings, indexed, coding):
+    target = embeddings.where(F.col("vec_id") == 1).head()["embedding"]
+    exact = [
+        r["vec_id"]
+        for r in knn(embeddings, "embedding", target, "l2", k=10, id_col="vec_id").collect()
+    ]
+    probed = [
+        r["vec_id"]
+        for r in probe_search(
+            indexed, coding, "embedding", target, k=10, probes=K**N, id_col="vec_id"
+        ).collect()
+    ]
+    assert probed == exact
+
+
+def test_probe_recall(embeddings, indexed, coding):
+    """Recall@10 with probes=16/64 — the quality guardrail the reference
+    never asserts (BASELINE.md). Averaged over 20 query vectors."""
+    rows = embeddings.orderBy("vec_id").limit(20).collect()
+    hits = total = 0
+    for r in rows:
+        target = r["embedding"]
+        exact = {
+            x["vec_id"]
+            for x in knn(embeddings, "embedding", target, "l2", k=10, id_col="vec_id").collect()
+        }
+        probed = {
+            x["vec_id"]
+            for x in probe_search(
+                indexed, coding, "embedding", target, k=10, probes=16, id_col="vec_id"
+            ).collect()
+        }
+        hits += len(exact & probed)
+        total += len(exact)
+    recall = hits / total
+    assert recall >= 0.6, f"recall@10 probes=16/64 too low: {recall:.3f}"
+
+
+def test_probe_prunes_partitions(indexed, coding, embeddings):
+    """The probe predicate must reach the scan as a PartitionFilter
+    (physical pruning — the 100 TB design point, SURVEY.md §4)."""
+    target = embeddings.where(F.col("vec_id") == 0).head()["embedding"]
+    plan = (
+        probe_search(indexed, coding, "embedding", target, k=10, probes=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert CODE_COL in plan.split("PartitionFilters:")[1].split("]")[0]
