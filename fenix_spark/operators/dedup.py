@@ -1,0 +1,218 @@
+"""Deduplication operators for LLM-pipeline data curation.
+
+The reference engine has no dedup surface; these are the north-star
+extensions (BASELINE.json) built Spark-first on the portable hashing
+primitives in ``fenix_spark.functions.texthash`` so every operator is
+DuckDB-oracle-checkable end to end.
+
+Scale design (the part that matters at 100 TB):
+
+- **Exact dedup** groups on a 60-bit hash of the normalized text, so
+  the shuffle moves 8-byte keys, not document bodies.
+- **MinHash LSH** is the classic shingle→signature→band pipeline: the
+  only shuffle is the self-join on (band, band_key) — a low-cardinality
+  equi-join; candidate verification touches |candidates| pairs, never
+  |docs|². Bands are exploded rows (not columns), so band count scales
+  without schema changes.
+- **SimHash** near-dup uses the pigeonhole band trick: for hamming
+  distance ≤ 3 on a 32-bit fingerprint, any pair agrees EXACTLY on at
+  least one of 4 disjoint 8-bit bands, so the band equi-join has
+  perfect recall (it is not probabilistic) and the bit_count(xor)
+  verification makes precision exact too.
+- **Winnowing** (Schleimer et al., SIGMOD'03) selects the min hash per
+  sliding window of consecutive shingle hashes — a per-row array
+  computation, embarrassingly parallel, no shuffle at all.
+- **Embedding near-dup** reuses the BLAS-backed similarity join
+  (operators/search.py): broadcast + GEMM + per-row top-k, no |L|·|R|
+  materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fenix_spark.functions.texthash import (
+    hash60,
+    minhash_component,
+    simhash,
+    tokens,
+    word_shingles,
+)
+
+
+def normalized_text(c: Column) -> Column:
+    """Whitespace-collapsed, lowercased text — the canonical form for
+    exact dedup (so formatting-only variants collapse)."""
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup_by_hash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on hash60(normalized text): keeps the lowest id per
+    content hash. The shuffle key is the 8-byte hash — at 100 TB the
+    groupBy moves ~16 bytes/row instead of whole documents."""
+    return (
+        df.select(F.col(id_col), hash60(normalized_text(F.col(text_col))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("kept_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def token_sets(df: DataFrame, text_col: str, id_col: str, shingle: int = 1) -> DataFrame:
+    """(id, s) where s is the distinct shingle set of the document.
+    ``shingle=1`` = unigram token sets (the right granularity for
+    short/small-vocab corpora); >1 = word n-gram shingles."""
+    toks = tokens(F.col(text_col))
+    s = toks if shingle == 1 else word_shingles(toks, shingle)
+    return df.select(F.col(id_col).alias("id"), F.array_distinct(s).alias("s"))
+
+
+def minhash_signatures(sets: DataFrame, num_components: int = 12) -> DataFrame:
+    """(id, s, sig) — sig[i] = min md5 over i-seed-prefixed members.
+
+    md5 hex is identical in Spark and DuckDB and fixed-width, so
+    lexicographic min = numeric min and signatures are bit-identical
+    across engines (texthash.py contract)."""
+    sig = F.array(*[minhash_component(F.col("s"), seed) for seed in range(num_components)])
+    return sets.select("id", "s", sig.alias("sig"))
+
+
+def lsh_candidates(
+    signed: DataFrame, bands: int = 4, rows_per_band: int = 3
+) -> DataFrame:
+    """Distinct candidate pairs (id_l < id_r) agreeing on ≥1 band.
+
+    Each band key is md5 of the band's concatenated components; the
+    self-join is an equi-join on (band, key) — the ONLY shuffle in the
+    LSH pipeline, and its key cardinality grows with data so it
+    parallelizes. Duplicate pairs from multi-band agreement are
+    collapsed map-side by the distinct's partial aggregation.
+    """
+    band_rows = signed.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    l = band_rows.select(F.col("id").alias("id_l"), "band", "key")
+    r = band_rows.select(F.col("id").alias("id_r"), "band", "key")
+    return (
+        l.join(r, ["band", "key"])
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r")
+        .distinct()
+    )
+
+
+def jaccard(s1: Column, s2: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(s1, s2))
+    return inter / (F.size(s1) + F.size(s2) - inter)
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    shingle: int = 1,
+    num_components: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    shingle → minhash → band → bucket-join → verify: candidates come
+    from the LSH band join; each candidate pair is then verified with
+    the EXACT Jaccard of the shingle sets, so false positives are
+    eliminated and the output is deterministic (band hashing is
+    md5-based, identical across engines and runs).
+    """
+    sets = token_sets(df, text_col, id_col, shingle)
+    signed = minhash_signatures(sets, num_components)
+    cand = lsh_candidates(signed, bands, num_components // bands)
+    l = sets.select(F.col("id").alias("id_l"), F.col("s").alias("s_l"))
+    r = sets.select(F.col("id").alias("id_r"), F.col("s").alias("s_r"))
+    return (
+        cand.join(l, "id_l")
+        .join(r, "id_r")
+        .withColumn("jaccard", F.round(jaccard(F.col("s_l"), F.col("s_r")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
+    )
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """(id, sim) — classic simhash: per-bit majority vote over the
+    document's (non-distinct) token hashes, so term frequency weights
+    the vote exactly as in Charikar's original formulation."""
+    return df.select(
+        F.col(id_col).alias("id"), simhash(tokens(F.col(text_col)), bits).alias("sim")
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with simhash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole exactness: 3 flipped bits touch ≤ 3 of the 4 disjoint
+    8-bit bands, so every qualifying pair agrees exactly on ≥ 1 band —
+    the band equi-join has PERFECT recall for hamming ≤ 3, and the
+    bit_count(xor) post-filter gives exact precision. No brute-force
+    |docs|² comparison anywhere.
+    """
+    fps = simhash_fingerprints(df, text_col, id_col)
+    band_rows = fps.select(
+        "id",
+        "sim",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned(F.col("sim"), 8 * b).bitwiseAND(F.lit(255)) for b in range(4)])
+        ).alias("band", "key"),
+    )
+    l = band_rows.select(F.col("id").alias("id_l"), F.col("sim").alias("sim_l"), "band", "key")
+    r = band_rows.select(F.col("id").alias("id_r"), F.col("sim").alias("sim_r"), "band", "key")
+    return (
+        l.join(r, ["band", "key"])
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r", F.expr("bit_count(sim_l ^ sim_r)").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, shingle: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    hash every ``shingle``-token shingle (rolling over the token
+    stream), then keep the MIN hash of each sliding ``window`` of
+    consecutive shingle hashes; distinct mins are the fingerprint.
+
+    Guarantees: any shared run of ``window + shingle - 1`` tokens
+    between two documents yields ≥ 1 shared fingerprint. Pure per-row
+    array math — no shuffle; output exploded to (id, fp) rows for
+    hash-stable comparison.
+    """
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(word_shingles(toks, shingle), hash60)
+    n_windows = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(hashes, i.cast("int"), window)),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(mins)).alias("fp")
+    )

@@ -609,6 +609,296 @@ FROM documents GROUP BY lang
 
 
 # --------------------------------------------------------------------------
+# Dedup family (LLM-pipeline operators, operators/dedup.py): exact-hash,
+# MinHash+LSH, SimHash, n-gram Jaccard, winnowing, embedding near-dup.
+# All hashing via functions/texthash.py → bit-identical across engines.
+# --------------------------------------------------------------------------
+
+
+def _hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on hash60(normalized text): the 100 TB-scale variant
+    of exact_dedup — the shuffle key is an 8-byte hash, not the
+    document body."""
+    from fenix_spark.operators.dedup import exact_dedup_by_hash
+
+    return exact_dedup_by_hash(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_HASH_DEDUP_SQL = """
+WITH h AS (
+    SELECT doc_id,
+           ('0x' || substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT
+           AS content_hash
+    FROM documents
+)
+SELECT content_hash, min(doc_id) AS kept_id, count(*) AS dup_count
+FROM h GROUP BY content_hash
+"""
+
+
+def _minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → 12-component minhash → 4 bands
+    × 3 rows → band-bucket equi-join (the only shuffle) → exact-Jaccard
+    verify at ≥0.95. Unigram shingles fit this corpus's ~31-word vocab;
+    the operator takes shingle=n for real text."""
+    from fenix_spark.operators.dedup import minhash_neardup_pairs
+
+    return minhash_neardup_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.95
+    )
+
+
+def _minhash_neardup_sql() -> str:
+    from fenix_spark.functions.texthash import duck_minhash_component, duck_tokens
+
+    comps = ", ".join(duck_minhash_component("s", seed) for seed in range(12))
+    band_key = "md5(sig[3*b + 1] || '|' || sig[3*b + 2] || '|' || sig[3*b + 3])"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, list_distinct({duck_tokens("text")}) AS s FROM documents
+    ), mh AS (
+        SELECT doc_id, s, [{comps}] AS sig FROM toks
+    ), bands AS (
+        SELECT doc_id, b, {band_key} AS key
+        FROM mh, (SELECT unnest(range(4)) AS b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_l, c.doc_id AS id_r
+        FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+    ), verified AS (
+        SELECT id_l, id_r,
+               round(len(list_intersect(l.s, r.s))::DOUBLE
+                     / (len(l.s) + len(r.s) - len(list_intersect(l.s, r.s))), 6) AS jaccard
+        FROM cand JOIN toks l ON id_l = l.doc_id JOIN toks r ON id_r = r.doc_id
+    )
+    SELECT id_l, id_r, jaccard FROM verified WHERE jaccard >= 0.95
+    """
+
+
+def _simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fenix_spark.operators.dedup import simhash_fingerprints
+
+    return simhash_fingerprints(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _simhash_fingerprint_sql() -> str:
+    from fenix_spark.functions.texthash import duck_simhash, duck_tokens
+
+    return f"""
+    SELECT doc_id AS id, {duck_simhash("tk", 32)} AS sim
+    FROM (SELECT doc_id, {duck_tokens("text")} AS tk FROM documents)
+    """
+
+
+def _simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup, hamming ≤ 3: pigeonhole 4×8-bit band join has
+    perfect recall at this radius — no |docs|² comparison, and the band
+    equi-join is the only shuffle."""
+    from fenix_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _simhash_neardup_sql() -> str:
+    from fenix_spark.functions.texthash import duck_simhash, duck_tokens
+
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, {duck_simhash("tk", 32)} AS sim
+        FROM (SELECT doc_id, {duck_tokens("text")} AS tk FROM documents)
+    ), bands AS (
+        SELECT doc_id, sim, b, (sim >> (8 * b)) & 255 AS key
+        FROM sh, (SELECT unnest(range(4)) AS b)
+    )
+    SELECT DISTINCT a.doc_id AS id_l, c.doc_id AS id_r,
+           CAST(bit_count(xor(a.sim, c.sim)) AS INTEGER) AS hamming
+    FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.sim, c.sim)) <= 3
+    """
+
+
+def _winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling 3-token shingle hashes, min per
+    window of 4) — per-row array math, zero shuffle."""
+    from fenix_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _winnow_fingerprint_sql() -> str:
+    from fenix_spark.functions.texthash import (
+        duck_hash60,
+        duck_tokens,
+        duck_word_shingles,
+    )
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {duck_tokens("text")} AS tk FROM documents
+    ), sh AS (
+        SELECT doc_id, {duck_word_shingles("tk", 3)} AS s FROM toks
+    ), h AS (
+        SELECT doc_id, list_transform(s, x -> {duck_hash60("x")}) AS hs FROM sh
+    ), m AS (
+        SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(hs) - 3, 1)),
+            i -> list_min(hs[i:i+3]))) AS fps
+        FROM h
+    )
+    SELECT doc_id AS id, unnest(fps) AS fp FROM m
+    """
+
+
+def _ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard similarity search: for each of 20 probe docs, the
+    top-3 most similar other docs by word-bigram Jaccard. The probe
+    side broadcasts; the full side streams — at 100 TB this is one scan
+    plus a window top-k partitioned by probe."""
+    from fenix_spark.operators.dedup import jaccard, token_sets
+
+    sets = token_sets(table(spark, sf_dir, "documents"), "text", "doc_id", shingle=2)
+    probes = sets.select(
+        F.col("id").alias("probe_id"), F.col("s").alias("probe_s")
+    ).where(F.col("probe_id") < 20)
+    pairs = (
+        sets.crossJoin(F.broadcast(probes))
+        .where(F.col("id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("id").alias("doc_id"),
+            F.round(jaccard(F.col("probe_s"), F.col("s")), 6).alias("jac"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("jac").desc(), F.col("doc_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+    )
+
+
+def _ngram_jaccard_topk_sql() -> str:
+    from fenix_spark.functions.texthash import duck_tokens, duck_word_shingles
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {duck_tokens("text")} AS tk FROM documents
+    ), sets AS (
+        SELECT doc_id, list_distinct({duck_word_shingles("tk", 2)}) AS s FROM toks
+    ), pairs AS (
+        SELECT p.doc_id AS probe_id, d.doc_id AS doc_id,
+               round(len(list_intersect(p.s, d.s))::DOUBLE
+                     / (len(p.s) + len(d.s) - len(list_intersect(p.s, d.s))), 6) AS jac
+        FROM sets p JOIN sets d ON p.doc_id < 20 AND d.doc_id != p.doc_id
+    )
+    SELECT probe_id, doc_id, jac, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY jac DESC, doc_id ASC) AS rank
+        FROM pairs
+    ) WHERE rank <= 3
+    """
+
+
+def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: each vector's nearest OTHER neighbor
+    if within cosine distance 0.3 — the BLAS similarity join (k=2 to
+    cover self) then re-rank after dropping self."""
+    from fenix_spark.operators.search import similarity_join_brute
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity_join_brute(emb, emb, "embedding", metric="cosine", k=2, round_to=6)
+    nonself = out.where(F.col("right_id") != F.col("left_id"))
+    w = Window.partitionBy("left_id").orderBy(
+        F.col("__DISTANCE__").asc(), F.col("right_id").asc()
+    )
+    return (
+        nonself.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("__DISTANCE__") <= 0.3))
+        .select(
+            F.col("left_id").alias("vec_id"),
+            F.col("right_id").alias("nn_id"),
+            F.col("__DISTANCE__").alias("dist"),
+        )
+    )
+
+
+_EMBEDDING_NEARDUP_SQL = """
+WITH pairs AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+           round(0.5 - 0.5 * list_sum(list_transform(
+                     list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), z -> z[1]*z[2]))
+                 / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)))
+                    * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x*x)))), 6) AS dist
+    FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id
+), r AS (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, nn_id) AS rn FROM pairs
+)
+SELECT vec_id, nn_id, dist FROM r WHERE rn = 1 AND dist <= 0.3
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis (functions/textstats.py): token counts, quality score,
+# language ID — all native Catalyst scalar expressions, scan-speed.
+# --------------------------------------------------------------------------
+
+
+def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fenix_spark.functions.textstats import bpe_token_count, ws_token_count
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def _token_counts_sql() -> str:
+    from fenix_spark.functions.textstats import duck_bpe_token_count, duck_ws_token_count
+
+    return f"""
+    SELECT doc_id,
+           CAST({duck_ws_token_count("text")} AS INTEGER) AS ws_tokens,
+           CAST({duck_bpe_token_count("text")} AS INTEGER) AS bpe_tokens
+    FROM documents
+    """
+
+
+def _doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fenix_spark.functions.textstats import quality_score
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _doc_quality_sql() -> str:
+    from fenix_spark.functions.texthash import duck_tokens
+    from fenix_spark.functions.textstats import duck_quality_score
+
+    return f"""
+    WITH t AS (SELECT doc_id, text, {duck_tokens("text")} AS tk FROM documents)
+    SELECT doc_id, {duck_quality_score("text", "tk")} AS quality FROM t
+    """
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (deterministic n-gram heuristic; see
+    textstats.LANG_MARKERS)."""
+    from fenix_spark.functions.textstats import lang_id
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+def _lang_id_sql() -> str:
+    from fenix_spark.functions.texthash import duck_tokens
+    from fenix_spark.functions.textstats import duck_lang_id
+
+    return f"""
+    WITH t AS (SELECT doc_id, {duck_tokens("text")} AS tk FROM documents)
+    SELECT doc_id, {duck_lang_id("tk")} AS pred_lang FROM t
+    """
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -632,6 +922,16 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "code_assign": _code_assign,
     "ivf_probe_search": _ivf_probe_search,
     "similarity_join_topk": _similarity_join_topk,
+    "hash_dedup": _hash_dedup,
+    "minhash_neardup": _minhash_neardup,
+    "simhash_fingerprint": _simhash_fingerprint,
+    "simhash_neardup": _simhash_neardup,
+    "winnow_fingerprint": _winnow_fingerprint,
+    "ngram_jaccard_topk": _ngram_jaccard_topk,
+    "embedding_neardup": _embedding_neardup,
+    "token_counts": _token_counts,
+    "doc_quality": _doc_quality,
+    "lang_id": _lang_id,
 }
 
 # The driver's oracle comparison always runs at sf0.01 (TESTDATA.md), so
@@ -658,4 +958,14 @@ ORACLE_SQL: dict[str, str] = {
     "code_assign": _code_assign_sql(_ORACLE_SF_DIR),
     "ivf_probe_search": _ivf_probe_search_sql(_ORACLE_SF_DIR),
     "similarity_join_topk": _SIMILARITY_JOIN_SQL,
+    "hash_dedup": _HASH_DEDUP_SQL,
+    "minhash_neardup": _minhash_neardup_sql(),
+    "simhash_fingerprint": _simhash_fingerprint_sql(),
+    "simhash_neardup": _simhash_neardup_sql(),
+    "winnow_fingerprint": _winnow_fingerprint_sql(),
+    "ngram_jaccard_topk": _ngram_jaccard_topk_sql(),
+    "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+    "token_counts": _token_counts_sql(),
+    "doc_quality": _doc_quality_sql(),
+    "lang_id": _lang_id_sql(),
 }

@@ -1,0 +1,148 @@
+"""Invariant tests for the dedup family (operators/dedup.py) and text
+analysis (functions/textstats.py). Oracle value-equality is covered by
+scripts/check_oracle.py / the driver gate; these tests pin the
+semantic invariants that SQL equivalence alone can't express (recall
+guarantees, hash stability, bounds).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fenix_spark.functions.textstats import lang_id, quality_score
+from fenix_spark.operators.dedup import (
+    exact_dedup_by_hash,
+    jaccard,
+    minhash_neardup_pairs,
+    simhash_fingerprints,
+    simhash_neardup_pairs,
+    token_sets,
+    winnow_fingerprints,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, documents):
+    """documents plus exact copies of docs 0-4 (ids 100000+i) and a
+    whitespace-variant copy of doc 0 (id 200000)."""
+    base = documents.select("doc_id", "text")
+    clones = (
+        base.where(F.col("doc_id") < 5)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    ws_variant = base.where(F.col("doc_id") == 0).select(
+        F.lit(200000).alias("doc_id"),
+        F.upper(F.concat(F.lit("  "), F.regexp_replace("text", " ", "   "))).alias("text"),
+    )
+    return base.unionByName(clones).unionByName(ws_variant)
+
+
+def test_exact_dedup_collapses_normalized_variants(spark, docs_with_dups):
+    out = exact_dedup_by_hash(docs_with_dups, "text", "doc_id").collect()
+    n_docs = docs_with_dups.count()
+    # 6 extra rows collapse onto 5 originals
+    assert sum(r.dup_count for r in out) == n_docs
+    by_kept = {r.kept_id: r.dup_count for r in out}
+    assert by_kept[0] == 3  # original + exact clone + whitespace/case variant
+    for i in range(1, 5):
+        assert by_kept[i] == 2
+    assert all(r.dup_count == 1 for r in out if r.kept_id >= 5)
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs_with_dups):
+    pairs = minhash_neardup_pairs(docs_with_dups, "text", "doc_id", threshold=0.99)
+    got = {(r.id_l, r.id_r): r.jaccard for r in pairs.collect()}
+    # planted exact clones are jaccard-1.0 pairs and MUST be recalled
+    # (identical token sets → identical signatures → same buckets)
+    for i in range(5):
+        assert got.get((i, 100000 + i)) == 1.0
+    assert got.get((0, 200000)) == 1.0  # normalization-invariant tokens
+    assert all(j >= 0.99 for j in got.values())
+
+
+def test_minhash_candidates_never_false_positive_after_verify(spark, documents):
+    pairs = minhash_neardup_pairs(documents, "text", "doc_id", threshold=0.95)
+    sets = token_sets(documents, "text", "doc_id")
+    l = sets.select(F.col("id").alias("id_l"), F.col("s").alias("s_l"))
+    r = sets.select(F.col("id").alias("id_r"), F.col("s").alias("s_r"))
+    joined = (
+        pairs.join(l, "id_l").join(r, "id_r")
+        .select((F.round(jaccard("s_l", "s_r"), 6) == F.col("jaccard")).alias("ok"))
+        .collect()
+    )
+    assert all(row.ok for row in joined)
+
+
+def test_simhash_band_join_equals_bruteforce(spark, documents):
+    """The pigeonhole band join must find EXACTLY the hamming≤3 pairs a
+    brute-force |docs|² scan finds — recall is structural, not
+    probabilistic."""
+    via_bands = {
+        (r.id_l, r.id_r, r.hamming)
+        for r in simhash_neardup_pairs(documents, "text", "doc_id").collect()
+    }
+    fps = simhash_fingerprints(documents, "text", "doc_id")
+    a = fps.select(F.col("id").alias("id_l"), F.col("sim").alias("sim_l"))
+    b = fps.select(F.col("id").alias("id_r"), F.col("sim").alias("sim_r"))
+    brute = {
+        (r.id_l, r.id_r, r.hamming)
+        for r in a.crossJoin(b)
+        .where(F.col("id_l") < F.col("id_r"))
+        .select("id_l", "id_r", F.expr("bit_count(sim_l ^ sim_r)").alias("hamming"))
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert via_bands == brute
+
+
+def test_simhash_is_32bit_and_deterministic(spark, documents):
+    fps1 = simhash_fingerprints(documents, "text", "doc_id").collect()
+    fps2 = simhash_fingerprints(documents, "text", "doc_id").collect()
+    assert sorted(fps1) == sorted(fps2)
+    assert all(0 <= r.sim < 2**32 for r in fps1)
+
+
+def test_winnow_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee: documents sharing a run of window+shingle-1
+    = 6 tokens share ≥1 fingerprint."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five"),
+            (2, f"{shared} six seven eight nine ten"),
+            (3, "completely different words entirely here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fps = winnow_fingerprints(df, "text", "doc_id").collect()
+    by_id = {}
+    for r in fps:
+        by_id.setdefault(r.id, set()).add(r.fp)
+    assert by_id[1] & by_id[2]
+    assert not (by_id[1] & by_id[3])
+
+
+def test_quality_score_bounds_and_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog and runs away."),
+            (2, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r.q for r in df.select("doc_id", quality_score(F.col("text")).alias("q")).collect()}
+    assert 0.0 <= rows[2] < rows[1] <= 1.0
+
+
+def test_lang_id_picks_marker_language(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and that dog is in a house"),
+            (2, "el perro que corre en la casa y es un gato"),
+            (3, "le chien est pour la maison et un chat"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r.lang for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert rows == {1: "en", 2: "es", 3: "fr"}
