@@ -835,6 +835,108 @@ SELECT vec_id, nn_id, dist FROM r WHERE rn = 1 AND dist <= 0.3
 
 
 # --------------------------------------------------------------------------
+# Quantization (functions/tensors.py — QUInt8TensorType analog,
+# ref: src/fenix/ex/arrow/quint8/quint8.py:23-87)
+# --------------------------------------------------------------------------
+
+
+def _quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row dynamic uint8 quantization of embeddings: emits the
+    chosen qparams and the max reconstruction error (bounded by
+    scale/2). 4× storage shrink for vector columns at scale."""
+    from fenix_spark.functions.tensors import choose_qparams, dequantize, quantize
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = vec_double("embedding")
+    scale, shift = choose_qparams(v)
+    emb = emb.select("vec_id", v.alias("v"), scale.alias("scale"), shift.alias("shift"))
+    q = quantize(F.col("v"), F.col("scale"), F.col("shift"))
+    deq = dequantize(q, F.col("scale"), F.col("shift"))
+    err = F.array_max(F.zip_with(F.col("v"), deq, lambda a, b: F.abs(a - b)))
+    # Two-step projection: aliasing round(scale) AS scale in the same
+    # select would make err's `scale` reference resolve to the ROUNDED
+    # value via Spark 4 lateral column aliasing — a silent semantic
+    # change caught by the oracle (bit-level err mismatch).
+    out = emb.select("vec_id", "scale", "shift", err.alias("max_err"))
+    return out.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.col("shift").cast("int").alias("shift"),
+        F.round("max_err", 9).alias("max_err"),
+    )
+
+
+_QUANTIZE_ROUNDTRIP_SQL = """
+WITH p AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_max(embedding::DOUBLE[]) AS hi, list_min(embedding::DOUBLE[]) AS lo
+    FROM embeddings
+), s AS (
+    SELECT vec_id, v, CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END AS scale, lo
+    FROM p
+), q AS (
+    SELECT vec_id, v, scale, -floor(lo / scale + 0.5) AS shift FROM s
+), z AS (
+    SELECT vec_id, v, scale, shift,
+           list_transform(v, x ->
+               greatest(0, least(255, (floor(x / scale + 0.5) + shift)::INTEGER))) AS qv
+    FROM q
+)
+SELECT vec_id, round(scale, 9) AS scale, CAST(shift AS INTEGER) AS shift,
+       round(list_max(list_transform(list_zip(v, qv),
+             t -> abs(t[1] - scale * (t[2] - shift)))), 9) AS max_err
+FROM z
+"""
+
+
+def _quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 KNN over the DEQUANTIZED uint8 representation — the
+    compressed-storage search path: scan 1/4 the bytes, reconstruct in
+    the scan projection, exact top-k on the reconstruction."""
+    from fenix_spark.functions.tensors import choose_qparams, dequantize, quantize
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = vec_double("embedding")
+    scale, shift = choose_qparams(v)
+    staged = emb.select("vec_id", v.alias("v"), scale.alias("scale"), shift.alias("shift"))
+    deq = dequantize(
+        quantize(F.col("v"), F.col("scale"), F.col("shift")), F.col("scale"), F.col("shift")
+    )
+    target = query_literal(_query_vector(spark, sf_dir))
+    return (
+        staged.select(
+            "vec_id", F.round(distance("l2", deq, target), 6).alias("dist")
+        )
+        .orderBy("dist", "vec_id")
+        .limit(10)
+    )
+
+
+_QUANTIZED_KNN_SQL = """
+WITH p AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_max(embedding::DOUBLE[]) AS hi, list_min(embedding::DOUBLE[]) AS lo
+    FROM embeddings
+), s AS (
+    SELECT vec_id, v, CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END AS scale, lo
+    FROM p
+), q AS (
+    SELECT vec_id, v, scale, -floor(lo / scale + 0.5) AS shift FROM s
+), z AS (
+    SELECT vec_id, list_transform(v, x -> scale * (
+               greatest(0, least(255, (floor(x / scale + 0.5) + shift)::INTEGER)) - shift)) AS dv
+    FROM q
+), tgt AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(list_zip(dv, qv),
+             t -> (t[1]-t[2])*(t[1]-t[2])))), 6) AS dist
+FROM z, tgt
+ORDER BY dist, vec_id
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
 # Text analysis (functions/textstats.py): token counts, quality score,
 # language ID — all native Catalyst scalar expressions, scan-speed.
 # --------------------------------------------------------------------------
@@ -932,6 +1034,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": _token_counts,
     "doc_quality": _doc_quality,
     "lang_id": _lang_id,
+    "quantize_roundtrip": _quantize_roundtrip,
+    "quantized_knn": _quantized_knn,
 }
 
 # The driver's oracle comparison always runs at sf0.01 (TESTDATA.md), so
@@ -968,4 +1072,6 @@ ORACLE_SQL: dict[str, str] = {
     "token_counts": _token_counts_sql(),
     "doc_quality": _doc_quality_sql(),
     "lang_id": _lang_id_sql(),
+    "quantize_roundtrip": _QUANTIZE_ROUNDTRIP_SQL,
+    "quantized_knn": _QUANTIZED_KNN_SQL,
 }

@@ -1,0 +1,92 @@
+"""Tests for functions/tensors.py — the Spark re-expression of the
+reference's Arrow extension types (src/fenix/ex/arrow/): shape
+metadata, quint8 affine quantization, nested-tensor structs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fenix_spark.functions.tensors import (
+    choose_qparams,
+    dequantize,
+    nested_field,
+    nested_schema,
+    nested_struct,
+    qparams_of,
+    quantize,
+    shape_of,
+    validate_fixed_size,
+    with_qparams,
+    with_shape,
+)
+
+
+def test_quantize_roundtrip_error_bounded_by_half_step(spark, embeddings):
+    v = F.col("embedding").cast("array<double>")
+    scale, shift = choose_qparams(v)
+    df = embeddings.select(v.alias("v"), scale.alias("scale"), shift.alias("shift"))
+    deq = dequantize(quantize(F.col("v"), F.col("scale"), F.col("shift")),
+                     F.col("scale"), F.col("shift"))
+    err = F.array_max(F.zip_with(F.col("v"), deq, lambda a, b: F.abs(a - b)))
+    bad = df.where(err > F.col("scale") * 0.5 + 1e-12).count()
+    assert bad == 0
+
+
+def test_quantize_values_in_uint8_range(spark, embeddings):
+    v = F.col("embedding").cast("array<double>")
+    scale, shift = choose_qparams(v)
+    q = quantize(v, scale, shift)
+    row = embeddings.select(
+        F.min(F.array_min(q)).alias("lo"), F.max(F.array_max(q)).alias("hi")
+    ).head()
+    assert 0 <= row.lo and row.hi <= 255
+
+
+def test_constant_vector_stays_constant_within_half_step(spark):
+    """Constant vectors degenerate to scale=1: every element maps to
+    the same code, reconstruction error ≤ half a quantization step
+    (affine uint8 can't represent arbitrary constants exactly — same
+    bound as the reference's torch dynamic quantization)."""
+    df = spark.createDataFrame([([3.25] * 8,)], "v array<double>")
+    scale, shift = choose_qparams(F.col("v"))
+    deq = dequantize(quantize(F.col("v"), scale, shift), scale, shift)
+    out = df.select(deq.alias("d")).head().d
+    assert len(set(out)) == 1
+    assert abs(out[0] - 3.25) <= 0.5
+
+
+def test_shape_and_qparams_metadata_survive_parquet(spark, tmp_path):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0, 4.0],)], "t array<double>")
+    df = with_shape(df, "t", [2, 2])
+    df = with_qparams(df, "t", 0.05, 12)
+    path = str(tmp_path / "tensor.parquet")
+    df.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert shape_of(back, "t") == [2, 2]
+    assert qparams_of(back, "t") == (0.05, 12)
+    assert shape_of(back, "t") is not None
+
+
+def test_validate_fixed_size(spark):
+    good = spark.createDataFrame([([1.0, 2.0],), ([3.0, 4.0],)], "v array<double>")
+    validate_fixed_size(good, "v", 2)
+    bad = spark.createDataFrame([([1.0, 2.0],), ([3.0],)], "v array<double>")
+    with pytest.raises(ValueError, match="fixed_size_list"):
+        validate_fixed_size(bad, "v", 2)
+
+
+def test_nested_struct_path_access(spark):
+    df = spark.createDataFrame([([1.0, 2.0], [3.0])], "a array<double>, b array<double>")
+    nested = df.select(
+        nested_struct(
+            image=nested_struct(pixels=F.col("a")), audio=F.col("b")
+        ).alias("t")
+    )
+    got = nested.select(nested_field("t", "image.pixels").alias("p")).head().p
+    assert got == [1.0, 2.0]
+    schema = nested_schema(T.DoubleType(), {"image": {"pixels": None}, "audio": None})
+    assert schema["image"].dataType["pixels"].dataType == T.ArrayType(T.DoubleType())
+    assert schema["audio"].dataType == T.ArrayType(T.DoubleType())
