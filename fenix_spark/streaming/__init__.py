@@ -1,0 +1,26 @@
+"""Structured Streaming surface.
+
+The reference has NO streaming (SURVEY.md §2.9) — its ingest is a gRPC
+request/response loop over static files (src/fenix/flight.py:34-44).
+This package is the Spark-native extension the north star asks for:
+the same parquet catalog layout fed by `readStream`/`writeStream`,
+watermarked window aggregates for late events, and a custom stateful
+sessionizer via ``applyInPandasWithState``.
+
+Kept OUT of the correctness-critical oracle path (streaming output is
+not SQL-reproducible in DuckDB); tests instead assert streaming ==
+batch equivalence on finite inputs, which is the strongest available
+check for these operators.
+"""
+
+from fenix_spark.streaming.ingest import stream_ingest, stream_source
+from fenix_spark.streaming.sessions import sessionize_stateful
+from fenix_spark.streaming.windows import sliding_event_rates, windowed_event_counts
+
+__all__ = [
+    "sessionize_stateful",
+    "sliding_event_rates",
+    "stream_ingest",
+    "stream_source",
+    "windowed_event_counts",
+]

@@ -1,0 +1,56 @@
+"""Streaming ingest into the engine's parquet catalog layout — the
+Structured Streaming analog of the reference's Flight ``do_put``
+(src/fenix/flight.py:34-44): batches arrive, get appended under
+``<root>/sources/<name>``, and become immediately scannable.
+
+Scale notes: file-source streaming with ``maxFilesPerTrigger`` gives
+backpressure; the sink writes parquet partitioned however the caller
+pre-partitioned the frame (e.g. by date for events), so downstream
+scans prune. Exactly-once comes from the checkpoint + file-sink
+transaction log — both just directories under the root, matching the
+reference's "everything is a directory" catalog (io/table/table.py:9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_source(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """A file-based streaming source (schema must be explicit — file
+    streams can't infer)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def stream_ingest(
+    df: DataFrame,
+    root: str,
+    name: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Append a streaming frame into ``<root>/sources/<name>`` —
+    the catalog location batch readers use (catalog.py). With
+    ``available_now`` the query drains everything currently available
+    and stops: deterministic for tests and backfills; pass False for a
+    continuously running ingest."""
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", f"{root}/sources/{name}")
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,120 @@
+"""Streaming tests: file-source → memory-sink with availableNow
+drains, asserting streaming results equal the batch computation on the
+same finite input — the strongest deterministic check for operators
+the DuckDB oracle can't express (SURVEY.md §2.9 extension).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fenix_spark.streaming import (
+    sessionize_stateful,
+    stream_ingest,
+    stream_source,
+    windowed_event_counts,
+)
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def events_prepared(spark, sf_dir, tmp_path_factory):
+    """events with proper timestamp + ts_ms columns, written to a tmp
+    dir in TWO files so file-streaming runs multiple batches."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts_ms", F.expr("ts DIV 1000000"))
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+            "ts_ms",
+            "value",
+        )
+    )
+    path = str(tmp_path_factory.mktemp("events_src"))
+    ev.repartition(2).write.mode("overwrite").parquet(path)
+    return path, spark.read.parquet(path)
+
+
+def _drain(stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_ingest_roundtrip(spark, events_prepared, tmp_path):
+    src_path, batch_df = events_prepared
+    src = stream_source(spark, src_path, batch_df.schema, max_files_per_trigger=1)
+    q = stream_ingest(
+        src, str(tmp_path), "events_stream", str(tmp_path / "_ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(str(tmp_path / "sources" / "events_stream"))
+    assert back.count() == batch_df.count()
+    assert sorted(back.columns) == sorted(batch_df.columns)
+    got = {r.event_id for r in back.select("event_id").collect()}
+    want = {r.event_id for r in batch_df.select("event_id").collect()}
+    assert got == want
+
+
+def test_windowed_counts_stream_equals_batch(spark, events_prepared):
+    src_path, batch_df = events_prepared
+    src = stream_source(spark, src_path, batch_df.schema)
+    agg = windowed_event_counts(src, ts_col="ts", window_duration="1 hour")
+    _drain(agg, "win_counts", "complete")
+    streamed = {
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = {
+        (r.window_start, r.window_end, r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_event_counts(batch_df, ts_col="ts").collect()
+    }
+    assert streamed == batch
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(spark, events_prepared):
+    src_path, batch_df = events_prepared
+    src = stream_source(spark, src_path, batch_df.schema).select(
+        "user_id", "event_id", "ts_ms", "value"
+    )
+    # no maxFilesPerTrigger → availableNow drains in ONE micro-batch,
+    # so per-user events arrive in-order after the pandas sort (the
+    # operator's contract: in-order within batch, state across batches)
+    sess = sessionize_stateful(src)
+    _drain(sess, "sessions_out", "append")
+    streamed = {
+        (r.user_id, r.start_ms): (r.n_events, r.end_ms, r.sum_value)
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+
+    # batch truth: suite sessionizer; drop each user's LAST session
+    # (still open in the stream's state — only emitted on timeout)
+    from fenix_spark.suite import _sessionize
+
+    batch_rows = _sessionize(spark, "/root/testdata/sf0.001").collect()
+    last_start = {}
+    for r in batch_rows:
+        last_start[r.user_id] = max(last_start.get(r.user_id, -1), r.start_ms)
+    batch_closed = {
+        (r.user_id, r.start_ms): (r.n_events, r.end_ms, r.sum_value)
+        for r in batch_rows
+        if r.start_ms != last_start[r.user_id]
+    }
+    assert set(streamed) == set(batch_closed)
+    for key, (n, end, vsum) in streamed.items():
+        bn, bend, bvsum = batch_closed[key]
+        assert (n, end) == (bn, bend)
+        # float sum order differs (pandas sequential vs Spark agg)
+        assert vsum == pytest.approx(bvsum, abs=1e-3)
