@@ -1,0 +1,118 @@
+"""Physical-plan contracts for the headline queries (SURVEY.md §4:
+the rebuild's optimizer work is physical design, so de-optimizations
+must fail CI even when results stay correct).
+
+All assertions are on the static (pre-AQE) plan at sf0.01 — the same
+plan shape Catalyst would emit at any SF; only runtime sizes change.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fenix_spark.plans import (
+    assert_plan,
+    broadcast_join_count,
+    partition_filters,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+from fenix_spark.suite import SPARK_QUERIES
+
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    def build(name):
+        return SPARK_QUERIES[name](spark, SF01)
+
+    return build
+
+
+def test_knn_is_single_pass_no_shuffle(spark, q):
+    """C1 brute-force KNN must compile to scan → project → local top-k
+    (TakeOrderedAndProject): zero exchanges, and the scan reads only
+    the vector + selected columns."""
+    df = q("knn_cosine")
+    assert shuffle_count(df) == 0
+    assert_plan(df, scan_columns_subset_of={"vec_id", "label", "embedding"})
+
+
+def test_scan_filter_project_pushes_everything(spark, q):
+    assert_plan(
+        q("scan_filter_project"),
+        max_shuffles=0,
+        pushed_contains=(
+            "GreaterThanOrEqual(l_shipdate",
+            "LessThan(l_shipdate",
+            "LessThan(l_quantity",
+        ),
+        scan_columns_subset_of={
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        },
+    )
+
+
+def test_tpch_q1_single_shuffle_with_pushdown(spark, q):
+    """Partial aggregation: one exchange moving |groups|·|partitions|
+    rows; the date cutoff reaches the parquet reader."""
+    assert_plan(
+        q("tpch_q1"),
+        max_shuffles=1,
+        pushed_contains=("LessThanOrEqual(l_shipdate",),
+    )
+
+
+def test_tpch_q3_broadcasts_dims_single_shuffle(spark, q):
+    df = q("tpch_q3")
+    assert shuffle_count(df) == 1  # lineitem⋈orders on l_orderkey
+    assert broadcast_join_count(df) >= 1  # customer broadcast
+
+
+def test_tpch_q5_broadcasts_all_dims_single_shuffle(spark, q):
+    """6-way join: every dimension broadcast; the single shuffle is
+    lineitem⋈orders — the only two fact-scale tables."""
+    df = q("tpch_q5")
+    assert shuffle_count(df) == 1
+    assert broadcast_join_count(df) == 5
+
+
+def test_window_queries_single_shuffle(spark, q):
+    """group_topn and sessionize each partition once and reuse that
+    partitioning for every window pass + the final groupBy."""
+    assert shuffle_count(q("group_topn")) == 1
+    assert shuffle_count(q("sessionize")) == 1
+
+
+def test_ivf_probe_prunes_partitions_physically(spark, q):
+    """C2's cell pruning must be PartitionFilters (directories never
+    read), not a post-scan filter — the 100 TB win of writing the
+    index partitioned by __CODED_ID__."""
+    df = q("ivf_probe_search")
+    parts = " ".join(partition_filters(df))
+    assert "__CODED_ID__" in parts and "INSET" in parts
+    assert shuffle_count(df) == 0
+
+
+def test_knn_filtered_pushes_label_filter(spark, q):
+    pushed = " ".join(pushed_filters(q("knn_filtered")))
+    assert "EqualTo(label,3)" in pushed.replace(" ", "") or "label" in pushed
+
+
+def test_column_pruning_never_reads_text_for_stats(spark, q):
+    """text_stats aggregates lang/n_chars only — the scan must not
+    read the (wide) text column."""
+    for cols in read_schema_columns(q("text_stats")):
+        assert "text" not in cols
+
+
+def test_exact_dedup_single_shuffle(spark, q):
+    assert shuffle_count(q("exact_dedup")) == 1
+    assert shuffle_count(q("hash_dedup")) == 1
