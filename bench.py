@@ -31,6 +31,12 @@ BENCH_QUERIES = [
     "group_topn",
     "sessionize",
     "exact_dedup",
+    "minhash_neardup",
+    "simhash_neardup",
+    "winnow_fingerprint",
+    "embedding_neardup",
+    "doc_quality",
+    "quantized_knn",
 ]
 
 

@@ -3,23 +3,37 @@ Column form AND a DuckDB SQL form that produce BIT-IDENTICAL values,
 so the dedup / fingerprint operators built on them are oracle-checkable
 end-to-end (the driver hash-compares result values).
 
-The shared hash is the first 60 bits of md5 — md5 hex output is
-identical everywhere, and 60 bits fits a signed int64 in both engines:
+Shared hash bases (md5 hex is identical everywhere):
 
-- Spark:  ``conv(substring(md5(x), 1, 15), 16, 10)`` cast to bigint
-- DuckDB: ``('0x' || substring(md5(x), 1, 15))::BIGINT``
+- ``hash60``  — first 60 bits of md5 as signed-int64-safe bigint
+- ``hash32``  — first 32 bits of md5 as bigint (the base for minhash's
+  universal-hash family and simhash's bit votes)
 
-(The reference uses xxhash64 via the ``xxhash`` package for nothing in
-the engine path; its UDF hashing lives in torch. We standardize on md5
-purely for cross-engine checkability; swap ``xxhash64`` in for
-production throughput — the operators only need *a* uniform hash.)
+Performance design (the sf0.1 lesson — see ``let``):
+
+- Catalyst INLINES a referenced expression into every use site, so an
+  expensive array expression (tokenize+md5) referenced k times is
+  evaluated k times — and references inside per-element lambdas are
+  evaluated PER ELEMENT, turning O(n) plans into O(n²). ``let`` binds
+  a value to a higher-order-function lambda variable, which Spark
+  evaluates exactly once.
+- One md5 per token/shingle, ever: minhash's 12 components are affine
+  universal hashes (a_i·h + b_i mod P) over the SAME 32-bit base
+  hash; simhash's 32 bit-votes are integer bit tests on it. (The
+  original form — a fresh seed-prefixed md5 per component, hex-char
+  membership per bit — was 12-32× more md5 work for the same
+  statistical properties.)
 
 All positions are 1-based in both engines (Spark ``element_at`` /
 ``substring``, DuckDB ``list[i]`` / ``substr``), so formulas transfer
-verbatim.
+verbatim. The reference engine hashes only in torch kernels
+(src/fenix/io/coder/coder.py); md5 here is purely for cross-engine
+checkability — swap xxhash64 in for production throughput.
 """
 
 from __future__ import annotations
+
+from collections.abc import Callable
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -29,13 +43,42 @@ TOKEN_SPLIT_RE = "[^a-z0-9]+"
 # the shape of a byte-level BPE pre-tokenizer's coarse split.
 BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
+# largest prime < 2^32: modulus of the minhash universal-hash family.
+# a_i < 2^20 and h < 2^32 keep a_i*h + b_i < 2^52 — exact in int64 AND
+# in float64, so engines can't disagree on overflow behavior.
+MINHASH_P = 4294967291
+
+
+def minhash_params(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for component ``i`` — fixed odd multiplier
+    and offset below 2^20."""
+    a = ((1000003 * (i + 1)) % 1048573) | 1
+    b = (999983 * (i + 7)) % 1048573
+    return a, b
+
 
 # -- Spark side ------------------------------------------------------------
+
+
+def let(value: Column, body: Callable[[Column], Column]) -> Column:
+    """Let-binding for expensive expressions: evaluates ``value`` ONCE
+    and passes it to ``body`` as a bound lambda variable.
+
+    Implemented as ``transform(array(value), v -> body(v))[1]`` —
+    higher-order-function lambda variables are bound values in Spark's
+    evaluator, unlike plain expression references which Catalyst
+    inlines (and re-evaluates) at every use site."""
+    return F.element_at(F.transform(F.array(value), body), 1)
 
 
 def hash60(c: Column) -> Column:
     """First 60 bits of md5(c) as a non-negative bigint."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def hash32(c: Column) -> Column:
+    """First 32 bits of md5(c) as a non-negative bigint."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
 
 
 def tokens(c: Column) -> Column:
@@ -48,63 +91,77 @@ def word_shingles(toks: Column, n: int) -> Column:
     shingle when there are fewer than n tokens (explicit branch — Spark
     raises on out-of-bounds ``element_at`` while DuckDB returns NULL,
     so the short-doc case must never index past the end)."""
-    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    full = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, full).otherwise(F.array(F.array_join(toks, " ")))
+
+    def body(tk: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1))
+        full = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tk, (i + j).cast("int")) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(tk) >= n, full).otherwise(F.array(F.array_join(tk, " ")))
+
+    return let(toks, body)
 
 
-def minhash_component(shingles: Column, seed: int) -> Column:
-    """One minhash signature component: the minimum md5 hex digest of
-    seed-prefixed shingles. Fixed-width hex compares lexicographically
-    = numerically, so string min IS hash min."""
-    return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))))
+def minhash_signature(shingles: Column, num_components: int = 12) -> Column:
+    """The full minhash signature (array<bigint>): component ``i`` is
+    ``min over shingles of (a_i * hash32(s) + b_i) mod P``. One md5
+    per shingle, shared across all components via ``let``."""
+    hashed = F.transform(shingles, hash32)
 
+    def body(hs: Column) -> Column:
+        comps = []
+        for i in range(num_components):
+            a, b = minhash_params(i)
+            comps.append(
+                F.array_min(
+                    F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
+                )
+            )
+        return F.array(*comps)
 
-_NIBBLE = "0123456789abcdef"
-
-
-def _chars_with_bit(bit_in_nibble: int) -> list[str]:
-    return [c for i, c in enumerate(_NIBBLE) if (i >> bit_in_nibble) & 1]
-
-
-def simhash_bit_vote(toks: Column, bit: int) -> Column:
-    """Σ over tokens of ±1 for bit ``bit`` (0-31) of md5(token).
-
-    Bit ``bit`` lives in hex nibble ``bit // 4`` (1-based position
-    ``bit // 4 + 1``) at in-nibble position ``bit % 4`` (value
-    ``2^(bit % 4)``); set-ness is a membership test on the hex char.
-    """
-    pos, sub = bit // 4 + 1, bit % 4
-    chars = _chars_with_bit(sub)
-    return F.aggregate(
-        toks,
-        F.lit(0),
-        lambda acc, t: acc
-        + F.when(F.substring(F.md5(t), pos, 1).isin(*chars), F.lit(1)).otherwise(F.lit(-1)),
-    )
+    return let(hashed, body)
 
 
 def simhash(toks: Column, bits: int = 32) -> Column:
-    """Classic simhash: per-bit majority vote over token hashes,
-    assembled into a ``bits``-wide bigint."""
-    out = F.lit(0).cast("bigint")
-    for j in range(bits):
-        out = out + F.when(simhash_bit_vote(toks, j) > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast(
-            "bigint"
-        )
-    return out
+    """Classic simhash (Charikar): per-bit majority vote over the
+    (non-distinct) token hashes — term frequency weights the vote —
+    assembled into a ``bits``-wide bigint. Bit ``j`` of the result is
+    set iff Σ over tokens of ±1 (by bit ``j`` of hash32(token)) > 0."""
+    hashed = F.transform(toks, hash32)
+
+    def body(hs: Column) -> Column:
+        out = F.lit(0).cast("bigint")
+        for j in range(bits):
+            vote = F.aggregate(
+                hs,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            )
+            out = out + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("bigint")
+        return out
+
+    return let(hashed, body)
 
 
 # -- DuckDB side (SQL string builders, mirrored formulas) ------------------
+#
+# DuckDB binds CTE columns by VALUE per row (no re-inlining), so the
+# builders expect their array argument to be a plain column reference
+# from a prior CTE stage — the SQL analog of ``let``.
 
 
 def duck_hash60(e: str) -> str:
     return f"(('0x' || substring(md5({e}), 1, 15))::BIGINT)"
+
+
+def duck_hash32(e: str) -> str:
+    return f"(('0x' || substring(md5({e}), 1, 8))::BIGINT)"
 
 
 def duck_tokens(e: str) -> str:
@@ -112,9 +169,8 @@ def duck_tokens(e: str) -> str:
 
 
 def duck_word_shingles(toks: str, n: int) -> str:
-    """``toks`` must be a simple column reference (use a CTE) — it is
-    inlined once per shingle position. Mirrors word_shingles exactly,
-    including the short-document whole-text branch."""
+    """``toks`` must be a simple column reference (use a CTE). Mirrors
+    word_shingles exactly, including the short-document branch."""
     parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(n))
     return (
         f"CASE WHEN len({toks}) >= {n} THEN "
@@ -123,22 +179,25 @@ def duck_word_shingles(toks: str, n: int) -> str:
     )
 
 
-def duck_minhash_component(shingles: str, seed: int) -> str:
-    return f"list_min(list_transform({shingles}, s -> md5('{seed}:' || s)))"
+def duck_minhash_signature(hashed: str, num_components: int = 12) -> str:
+    """``hashed`` = a column of hash32 values (list_transform the
+    shingles through duck_hash32 in a prior CTE)."""
+    comps = []
+    for i in range(num_components):
+        a, b = minhash_params(i)
+        comps.append(
+            f"list_min(list_transform({hashed}, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        )
+    return "[" + ", ".join(comps) + "]"
 
 
-def duck_simhash_bit_vote(toks: str, bit: int) -> str:
-    pos, sub = bit // 4 + 1, bit % 4
-    chars = ", ".join(f"'{c}'" for c in _chars_with_bit(sub))
-    return (
-        f"list_sum(list_transform({toks}, t -> CASE WHEN substring(md5(t), {pos}, 1)"
-        f" IN ({chars}) THEN 1 ELSE -1 END))"
-    )
-
-
-def duck_simhash(toks: str, bits: int = 32) -> str:
-    terms = " + ".join(
-        f"(CASE WHEN {duck_simhash_bit_vote(toks, j)} > 0 THEN {1 << j} ELSE 0 END)::BIGINT"
-        for j in range(bits)
-    )
-    return f"({terms})"
+def duck_simhash(hashed: str, bits: int = 32) -> str:
+    """``hashed`` = a column of hash32 values of the tokens."""
+    terms = []
+    for j in range(bits):
+        vote = (
+            f"list_sum(list_transform({hashed}, h -> "
+            f"CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END)::BIGINT")
+    return "(" + " + ".join(terms) + ")"

@@ -34,11 +34,26 @@ from pyspark.sql import functions as F
 
 from fenix_spark.functions.texthash import (
     hash60,
-    minhash_component,
+    let,
+    minhash_signature,
     simhash,
     tokens,
     word_shingles,
 )
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure compute parallelism ≥ cores for CPU-heavy per-row
+    operators (tokenize+hash chains run ~ms/doc, interpreted).
+
+    Small inputs often arrive as ONE parquet file = one task, seriali-
+    zing the whole computation; shuffling ~300-byte rows to all cores
+    is orders cheaper than single-threaded hashing. At real scale the
+    input already has ≥ cores splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def normalized_text(c: Column) -> Column:
@@ -64,17 +79,16 @@ def token_sets(df: DataFrame, text_col: str, id_col: str, shingle: int = 1) -> D
     short/small-vocab corpora); >1 = word n-gram shingles."""
     toks = tokens(F.col(text_col))
     s = toks if shingle == 1 else word_shingles(toks, shingle)
-    return df.select(F.col(id_col).alias("id"), F.array_distinct(s).alias("s"))
+    return spread(df).select(F.col(id_col).alias("id"), F.array_distinct(s).alias("s"))
 
 
 def minhash_signatures(sets: DataFrame, num_components: int = 12) -> DataFrame:
-    """(id, s, sig) — sig[i] = min md5 over i-seed-prefixed members.
-
-    md5 hex is identical in Spark and DuckDB and fixed-width, so
-    lexicographic min = numeric min and signatures are bit-identical
+    """(id, s, sig) — sig[i] = min over members of the i-th universal
+    hash of hash32(member): one md5 per member total, bit-identical
     across engines (texthash.py contract)."""
-    sig = F.array(*[minhash_component(F.col("s"), seed) for seed in range(num_components)])
-    return sets.select("id", "s", sig.alias("sig"))
+    return sets.select(
+        "id", "s", minhash_signature(F.col("s"), num_components).alias("sig")
+    )
 
 
 def lsh_candidates(
@@ -93,14 +107,12 @@ def lsh_candidates(
         F.posexplode(
             F.array(
                 *[
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
                     )
                     for b in range(bands)
                 ]
@@ -158,7 +170,7 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str, bits: int = 
     """(id, sim) — classic simhash: per-bit majority vote over the
     document's (non-distinct) token hashes, so term frequency weights
     the vote exactly as in Charikar's original formulation."""
-    return df.select(
+    return spread(df).select(
         F.col(id_col).alias("id"), simhash(tokens(F.col(text_col)), bits).alias("sim")
     )
 
@@ -208,11 +220,18 @@ def winnow_fingerprints(
     """
     toks = tokens(F.col(text_col))
     hashes = F.transform(word_shingles(toks, shingle), hash60)
-    n_windows = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda i: F.array_min(F.slice(hashes, i.cast("int"), window)),
-    )
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(mins)).alias("fp")
+
+    def mins(hs: Column) -> Column:
+        n_windows = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.array_min(F.slice(hs, i.cast("int"), window)),
+            )
+        )
+
+    # let-bind the hash array: a plain reference would re-evaluate the
+    # full tokenize+shingle+md5 chain per WINDOW (O(n²) per document)
+    return spread(df).select(
+        F.col(id_col).alias("id"), F.explode(let(hashes, mins)).alias("fp")
     )

@@ -649,15 +649,22 @@ def _minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_neardup_sql() -> str:
-    from fenix_spark.functions.texthash import duck_minhash_component, duck_tokens
+    from fenix_spark.functions.texthash import (
+        duck_hash32,
+        duck_minhash_signature,
+        duck_tokens,
+    )
 
-    comps = ", ".join(duck_minhash_component("s", seed) for seed in range(12))
-    band_key = "md5(sig[3*b + 1] || '|' || sig[3*b + 2] || '|' || sig[3*b + 3])"
+    band_key = (
+        "concat(sig[3*b + 1], '|', sig[3*b + 2], '|', sig[3*b + 3])"
+    )
     return f"""
     WITH toks AS (
         SELECT doc_id, list_distinct({duck_tokens("text")}) AS s FROM documents
+    ), hashed AS (
+        SELECT doc_id, s, list_transform(s, x -> {duck_hash32("x")}) AS hs FROM toks
     ), mh AS (
-        SELECT doc_id, s, [{comps}] AS sig FROM toks
+        SELECT doc_id, s, {duck_minhash_signature("hs", 12)} AS sig FROM hashed
     ), bands AS (
         SELECT doc_id, b, {band_key} AS key
         FROM mh, (SELECT unnest(range(4)) AS b)
@@ -681,11 +688,14 @@ def _simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_fingerprint_sql() -> str:
-    from fenix_spark.functions.texthash import duck_simhash, duck_tokens
+    from fenix_spark.functions.texthash import duck_hash32, duck_simhash, duck_tokens
 
     return f"""
-    SELECT doc_id AS id, {duck_simhash("tk", 32)} AS sim
-    FROM (SELECT doc_id, {duck_tokens("text")} AS tk FROM documents)
+    WITH hashed AS (
+        SELECT doc_id, list_transform({duck_tokens("text")}, x -> {duck_hash32("x")}) AS hs
+        FROM documents
+    )
+    SELECT doc_id AS id, {duck_simhash("hs", 32)} AS sim FROM hashed
     """
 
 
@@ -699,12 +709,14 @@ def _simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_neardup_sql() -> str:
-    from fenix_spark.functions.texthash import duck_simhash, duck_tokens
+    from fenix_spark.functions.texthash import duck_hash32, duck_simhash, duck_tokens
 
     return f"""
-    WITH sh AS (
-        SELECT doc_id, {duck_simhash("tk", 32)} AS sim
-        FROM (SELECT doc_id, {duck_tokens("text")} AS tk FROM documents)
+    WITH hashed AS (
+        SELECT doc_id, list_transform({duck_tokens("text")}, x -> {duck_hash32("x")}) AS hs
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, {duck_simhash("hs", 32)} AS sim FROM hashed
     ), bands AS (
         SELECT doc_id, sim, b, (sim >> (8 * b)) & 255 AS key
         FROM sh, (SELECT unnest(range(4)) AS b)
