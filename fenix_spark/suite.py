@@ -637,10 +637,13 @@ FROM h GROUP BY content_hash
 
 
 def _minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup: shingle → 12-component minhash → 4 bands
-    × 3 rows → band-bucket equi-join (the only shuffle) → exact-Jaccard
-    verify at ≥0.95. Unigram shingles fit this corpus's ~31-word vocab;
-    the operator takes shingle=n for real text."""
+    """MinHash+LSH near-dup: shingle → 24-component minhash → 3 bands
+    × 8 rows → band-bucket equi-join (the only shuffle) → exact-Jaccard
+    verify at ≥0.95. The 3×8 band geometry puts the LSH knee at
+    (1/3)^(1/8) ≈ 0.87, matched to the 0.95 threshold (a loose 4×3
+    geometry floods verify with 3× the candidates). Unigram shingles
+    fit this corpus's ~31-word vocab; the operator takes shingle=n for
+    real text."""
     from fenix_spark.operators.dedup import minhash_neardup_pairs
 
     return minhash_neardup_pairs(
@@ -655,19 +658,17 @@ def _minhash_neardup_sql() -> str:
         duck_tokens,
     )
 
-    band_key = (
-        "concat(sig[3*b + 1], '|', sig[3*b + 2], '|', sig[3*b + 3])"
-    )
+    band_key = "concat(" + ", '|', ".join(f"sig[8*b + {i}]" for i in range(1, 9)) + ")"
     return f"""
     WITH toks AS (
         SELECT doc_id, list_distinct({duck_tokens("text")}) AS s FROM documents
     ), hashed AS (
         SELECT doc_id, s, list_transform(s, x -> {duck_hash32("x")}) AS hs FROM toks
     ), mh AS (
-        SELECT doc_id, s, {duck_minhash_signature("hs", 12)} AS sig FROM hashed
+        SELECT doc_id, s, {duck_minhash_signature("hs", 24)} AS sig FROM hashed
     ), bands AS (
         SELECT doc_id, b, {band_key} AS key
-        FROM mh, (SELECT unnest(range(4)) AS b)
+        FROM mh, (SELECT unnest(range(3)) AS b)
     ), cand AS (
         SELECT DISTINCT a.doc_id AS id_l, c.doc_id AS id_r
         FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
