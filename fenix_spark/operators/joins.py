@@ -1,0 +1,164 @@
+"""Temporal and inequality joins the reference engine lacks.
+
+The reference's only joins are positional h-stack and union-all
+(src/fenix/io/table/table.py:29-43). These operators add the two
+join families a time-series / pipeline workload needs — each designed
+around Spark's shuffle model rather than a naive theta-join:
+
+- ``asof_join``: most-recent-match temporal join via the union+window
+  ("piggyback") technique — ONE shuffle on the key, no range
+  explosion, no per-row binary search. This is how you as-of join two
+  100 TB tables: both sides shuffle once on the equi-key and merge in
+  a single ordered window pass.
+- ``range_join`` / ``range_join_bucketed``: point-in-interval joins.
+  The broadcast form is for small interval tables (dimension bands);
+  the bucketed form maps both sides onto integer buckets and
+  EQUI-joins on the bucket id — turning an inequality join that Spark
+  would execute as a nested loop into a shuffle hash join, at the cost
+  of a post-filter. That transposition is the difference between
+  O(|L|·|R|) and O(|L|+|R|) at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__ASOF_SIDE__"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tolerance: int | float | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` within the same key group
+    (DuckDB ``ASOF LEFT JOIN``; pandas ``merge_asof`` semantics).
+
+    Implementation is the union+window technique: tag each side, union
+    the (key, ts, payload) rows, and carry the right payload forward
+    with ``last(..., ignorenulls=True)`` over an ordered window per
+    key. Right rows sort BEFORE left rows at equal ts, so ties match
+    (backward-inclusive). One shuffle total, both sides together; no
+    interval explosion, no broadcast requirement — works large×large.
+
+    If several right rows share (key, ts), the one with the greatest
+    payload ordering position wins; pre-dedupe the right side for
+    fully deterministic output.
+
+    ``tolerance``: maximum allowed ``left_ts - right_ts``; matches
+    farther back are nulled out (pandas ``merge_asof(tolerance=...)``).
+
+    Output: all left columns + ``right_cols`` (null when no match).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    ts = "__ASOF_TS__"
+
+    l_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.col(left_ts).alias(ts),
+        F.lit(1).alias(_SIDE),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+    )
+    # Right rows take the left column layout: key columns keep their
+    # values (same names both sides), everything else is a typed null.
+    r_tagged = right.select(
+        *[
+            (F.col(c) if c in keys else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in left.columns
+        ],
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias(_SIDE),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(right_ts).alias("__r_ts"),
+    )
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts).asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *[c for c in left.columns],
+        F.col(ts),
+        F.col(_SIDE),
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}") for c in right_cols],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__r_ts"),
+    )
+    out = filled.where(F.col(_SIDE) == 1)
+    if tolerance is not None:
+        stale = (F.col(ts) - F.col("__r_ts")) > tolerance
+        out = out.select(
+            *[c for c in left.columns],
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(f"__r_{c}")).alias(f"__r_{c}")
+                for c in right_cols
+            ],
+            F.when(stale, F.lit(None)).otherwise(F.col("__r_ts")).alias("__r_ts"),
+        )
+    renames = {f"__r_{c}": f"right_{c}" for c in right_cols}
+    renames["__r_ts"] = f"right_{right_ts}"
+    out = out.drop(ts, _SIDE)
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    ranges: DataFrame,
+    value: str | Column,
+    lo: str = "lo",
+    hi: str = "hi",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join against a SMALL interval table:
+    broadcast + non-equi condition ``lo <= value < hi``. Executes as a
+    broadcast nested-loop join — right only for dimension-sized
+    ``ranges`` (price bands, SLA tiers). For large interval tables use
+    ``range_join_bucketed``."""
+    v = F.col(value) if isinstance(value, str) else value
+    cond = (F.col(lo) <= v) & (v < F.col(hi))
+    return left.join(F.broadcast(ranges), cond, how)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    ranges: DataFrame,
+    value: str,
+    bucket_width: float,
+    lo: str = "lo",
+    hi: str = "hi",
+) -> DataFrame:
+    """Point-in-interval join rewritten as an EQUI-join on integer
+    buckets: explode each interval into the buckets it covers, bucket
+    each point, hash-join on the bucket id, post-filter the exact
+    predicate. The shuffle key is ``floor(value / bucket_width)`` —
+    both sides distribute, no broadcast, no nested loop. Pick
+    ``bucket_width`` ≈ median interval length so intervals explode to
+    O(1) buckets each."""
+    b = "__BUCKET__"
+    pts = left.withColumn(b, F.floor(F.col(value) / bucket_width).cast("bigint"))
+    ivs = ranges.withColumn(
+        b,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / bucket_width).cast("bigint"),
+                # hi is exclusive: a point at exactly hi never matches,
+                # so the last covered bucket is the one containing the
+                # largest value < hi
+                F.floor((F.col(hi) - F.lit(1e-9)) / bucket_width).cast("bigint"),
+            )
+        ),
+    )
+    joined = pts.join(ivs, b)
+    return joined.where((F.col(lo) <= F.col(value)) & (F.col(value) < F.col(hi))).drop(b)

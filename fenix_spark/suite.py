@@ -464,6 +464,149 @@ WHERE l_shipdate >= {duck_ts("1997-01-01")} AND l_shipdate < {duck_ts("1998-01-0
 """
 
 
+def _tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order priority checking: EXISTS → left-semi join.
+    The semi join shuffles only the join key + grouping column of
+    orders; lineitem is reduced map-side to distinct keys before the
+    shuffle."""
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts_lit("1996-07-01"))
+        & (F.col("o_orderdate") < ts_lit("1996-10-01"))
+    )
+    late = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_TPCH_Q4_SQL = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= {duck_ts("1996-07-01")} AND o_orderdate < {duck_ts("1996-10-01")}
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def _anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join: customers with no orders in 1997.
+    Same shuffle shape as the semi join — keys only."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts_lit("1997-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1998-01-01"))
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("quiet_customers"),
+            # sum, not avg: the true sum lies ON the 2dp grid (inputs
+            # have 2 decimals), so 2dp rounding can never straddle a
+            # .5 boundary; an avg can, and flakes the value hash.
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+_ANTI_JOIN_SQL = f"""
+SELECT c_mktsegment, count(*) AS quiet_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_orderdate >= {duck_ts("1997-01-01")} AND o_orderdate < {duck_ts("1998-01-01")})
+GROUP BY c_mktsegment
+"""
+
+
+def _rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over (status, priority): subtotals + grand
+    total in one pass — Spark expands grouping sets before the single
+    hash aggregate, so it stays one shuffle. NULL grouping slots are
+    coalesced to 'ALL' so both engines hash identical values."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+_ROLLUP_AGG_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def _percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``) + distinct counts per group. At 100 TB
+    exact percentiles need a per-group sort; swap in
+    ``percentile_approx`` (t-digest, one pass, mergeable) when 6-dp
+    exactness isn't required — same call shape, no oracle then."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95_price"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+_PERCENTILE_STATS_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set ops (the reference has union-all only,
+    src/fenix/io/table/table.py:29-43): customer keys active in both
+    1996 and 1997, and those who went quiet — tagged and unioned.
+    Both compile to hash aggregates on the key: one shuffle each."""
+    orders = table(spark, sf_dir, "orders")
+    in96 = orders.where(
+        (F.col("o_orderdate") >= ts_lit("1996-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1997-01-01"))
+    ).select("o_custkey")
+    in97 = orders.where(
+        (F.col("o_orderdate") >= ts_lit("1997-01-01"))
+        & (F.col("o_orderdate") < ts_lit("1998-01-01"))
+    ).select("o_custkey")
+    both = in96.intersect(in97).select("o_custkey", F.lit("retained").alias("cohort"))
+    gone = in96.subtract(in97).select("o_custkey", F.lit("churned").alias("cohort"))
+    return both.unionByName(gone)
+
+
+_SET_OPS_SQL = f"""
+WITH in96 AS (SELECT o_custkey FROM orders
+              WHERE o_orderdate >= {duck_ts("1996-01-01")} AND o_orderdate < {duck_ts("1997-01-01")}),
+     in97 AS (SELECT o_custkey FROM orders
+              WHERE o_orderdate >= {duck_ts("1997-01-01")} AND o_orderdate < {duck_ts("1998-01-01")})
+SELECT o_custkey, 'retained' AS cohort FROM (SELECT * FROM in96 INTERSECT SELECT * FROM in97)
+UNION ALL
+SELECT o_custkey, 'churned' AS cohort FROM (SELECT * FROM in96 EXCEPT SELECT * FROM in97)
+"""
+
+
 def _group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window top-n per group (§2.5): rank orders by totalprice within
     each priority class."""
@@ -565,6 +708,79 @@ SELECT user_id, session_id, count(*) AS n_events,
        min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
        round(sum(value), 4) AS sum_value
 FROM sess GROUP BY user_id, session_id
+"""
+
+
+def _asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/joins.py): each click event
+    matched to the user's most recent view at-or-before it. Union+
+    window plan — ONE shuffle on user_id for both sides, no interval
+    explosion; the shape that survives two 100 TB inputs. Views are
+    pre-deduped per (user, ts) so ties are deterministic."""
+    from fenix_spark.operators.joins import asof_join
+
+    ev = events_table(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts_ms")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts_ms")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    out = asof_join(
+        clicks, views, on="user_id", left_ts="ts_ms", right_ts="ts_ms",
+        right_cols=["view_event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        "right_view_event_id",
+        (F.col("ts_ms") - F.col("right_ts_ms")).alias("ms_since_view"),
+    )
+
+
+_ASOF_JOIN_SQL = """
+WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+clicks AS (SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'click'),
+views AS (
+    SELECT user_id, ts_ms, max(event_id) AS view_event_id
+    FROM ev WHERE event_type = 'view' GROUP BY user_id, ts_ms
+)
+SELECT c.event_id, c.user_id, c.ts_ms,
+       v.view_event_id AS right_view_event_id,
+       c.ts_ms - v.ts_ms AS ms_since_view
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts_ms >= v.ts_ms
+"""
+
+_VALUE_BANDS = [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 300.0, "high"), (300.0, 500.0, "peak")]
+
+
+def _range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via the bucketed equi-join rewrite
+    (operators/joins.py:range_join_bucketed): intervals explode into
+    covered buckets, points bucket by floor(value/width), hash-join on
+    the bucket id, exact post-filter — a shuffle join where naive SQL
+    gives a nested loop."""
+    from fenix_spark.operators.joins import range_join_bucketed
+
+    ev = events_table(spark, sf_dir).select("event_id", "value")
+    bands = spark.createDataFrame(_VALUE_BANDS, "lo double, hi double, band string")
+    out = range_join_bucketed(ev, bands, "value", bucket_width=50.0)
+    return (
+        out.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+_RANGE_JOIN_SQL = f"""
+WITH bands(lo, hi, band) AS (VALUES {", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _VALUE_BANDS)})
+SELECT band, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events JOIN bands ON lo <= value AND value < hi
+GROUP BY band
 """
 
 
@@ -1029,9 +1245,16 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": _tpch_q3,
     "tpch_q5": _tpch_q5,
     "tpch_q6": _tpch_q6,
+    "tpch_q4": _tpch_q4,
+    "anti_join": _anti_join,
+    "rollup_agg": _rollup_agg,
+    "percentile_stats": _percentile_stats,
+    "set_ops": _set_ops,
     "group_topn": _group_topn,
     "events_json": _events_json,
     "sessionize": _sessionize,
+    "asof_join_events": _asof_join_events,
+    "range_join_events": _range_join_events,
     "exact_dedup": _exact_dedup,
     "text_stats": _text_stats,
     "code_assign": _code_assign,
@@ -1067,9 +1290,16 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_q3": _TPCH_Q3_SQL,
     "tpch_q5": _TPCH_Q5_SQL,
     "tpch_q6": _TPCH_Q6_SQL,
+    "tpch_q4": _TPCH_Q4_SQL,
+    "anti_join": _ANTI_JOIN_SQL,
+    "rollup_agg": _ROLLUP_AGG_SQL,
+    "percentile_stats": _PERCENTILE_STATS_SQL,
+    "set_ops": _SET_OPS_SQL,
     "group_topn": _GROUP_TOPN_SQL,
     "events_json": _EVENTS_JSON_SQL,
     "sessionize": _SESSIONIZE_SQL,
+    "asof_join_events": _ASOF_JOIN_SQL,
+    "range_join_events": _RANGE_JOIN_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "code_assign": _code_assign_sql(_ORACLE_SF_DIR),

@@ -1,0 +1,95 @@
+"""Temporal / inequality join semantics (operators/joins.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fenix_spark.operators.joins import asof_join, range_join, range_join_bucketed
+
+
+def _trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 1), ("A", 25, 2), ("A", 5, 3), ("B", 10, 4), ("C", 10, 5)],
+        "sym string, ts bigint, trade_id bigint",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 8, 100.0), ("A", 10, 101.0), ("A", 20, 102.0), ("B", 11, 200.0)],
+        "sym string, ts bigint, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_backward_match(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = asof_join(trades, quotes, "sym", "ts", "ts", ["px"])
+    got = {r["trade_id"]: (r["right_px"], r["right_ts"]) for r in out.collect()}
+    assert got[1] == (101.0, 10)  # tie at ts=10 matches (backward-inclusive)
+    assert got[2] == (102.0, 20)  # most recent prior, not first
+    assert got[3] == (None, None)  # nothing at-or-before ts=5
+    assert got[4] == (None, None)  # B's only quote is later
+    assert got[5] == (None, None)  # no quotes for C at all
+
+
+def test_asof_preserves_left_rows(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = asof_join(trades, quotes, "sym", "ts", "ts", ["px"])
+    assert out.count() == trades.count()
+    assert set(trades.columns).issubset(set(out.columns))
+
+
+def test_asof_tolerance(spark):
+    trades, quotes = _trades_quotes(spark)
+    out = asof_join(trades, quotes, "sym", "ts", "ts", ["px"], tolerance=2)
+    got = {r["trade_id"]: r["right_px"] for r in out.collect()}
+    assert got[1] == 101.0  # gap 0 ≤ 2
+    assert got[2] is None  # gap 5 > 2 → nulled
+
+
+def test_asof_plan_single_shuffle(spark):
+    """The union+window technique must cost exactly one exchange —
+    that's the whole point versus an interval join."""
+    trades, quotes = _trades_quotes(spark)
+    out = asof_join(trades, quotes, "sym", "ts", "ts", ["px"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def _bands(spark):
+    return spark.createDataFrame(
+        [(0.0, 10.0, "a"), (10.0, 20.0, "b"), (20.0, 40.0, "c")],
+        "lo double, hi double, band string",
+    )
+
+
+def test_range_join_boundaries(spark):
+    pts = spark.createDataFrame(
+        [(1, 0.0), (2, 9.999), (3, 10.0), (4, 39.999), (5, 40.0), (6, -0.5)],
+        "id bigint, v double",
+    )
+    out = range_join(pts, _bands(spark), "v")
+    got = {r["id"]: r["band"] for r in out.collect()}
+    assert got == {1: "a", 2: "a", 3: "b", 4: "c"}  # hi exclusive; 5, 6 unmatched
+
+
+def test_range_join_bucketed_equals_broadcast(spark, sf_dir):
+    from fenix_spark.suite import events_table
+
+    ev = events_table(spark, sf_dir).limit(500).select("event_id", F.col("value").alias("v"))
+    bands = _bands(spark).union(
+        spark.createDataFrame([(40.0, 500.0, "d")], "lo double, hi double, band string")
+    )
+    brute = {(r["event_id"], r["band"]) for r in range_join(ev, bands, "v").collect()}
+    bucketed = {
+        (r["event_id"], r["band"])
+        for r in range_join_bucketed(ev, bands, "v", bucket_width=15.0).collect()
+    }
+    assert bucketed == brute
+
+
+def test_range_join_bucketed_is_hash_join(spark, sf_dir):
+    from fenix_spark.suite import events_table
+
+    ev = events_table(spark, sf_dir).select("event_id", F.col("value").alias("v"))
+    out = range_join_bucketed(ev, _bands(spark), "v", bucket_width=10.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan  # the rewrite's purpose
