@@ -23,6 +23,7 @@ BENCH_QUERIES = [
     "knn_cosine",
     "knn_filtered",
     "ivf_probe_search",
+    "ivf_batch_search",
     "similarity_join_topk",
     "code_assign",
     "tpch_q1",
@@ -30,6 +31,8 @@ BENCH_QUERIES = [
     "tpch_q5",
     "group_topn",
     "sessionize",
+    "asof_join_events",
+    "range_join_events",
     "exact_dedup",
     "minhash_neardup",
     "simhash_neardup",

@@ -19,14 +19,15 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fenix_spark.functions.metrics import distance, query_literal
+from fenix_spark.functions.metrics import distance, query_literal, vec_double
 from fenix_spark.operators.coder import coding_to_numpy, rank_cells, sub_vector
 from fenix_spark.operators.search import DISTANCE_COL, knn
 
 CODE_COL = "__CODED_ID__"
+PROBE_COL = "__PROBES__"
 
 
 def assign_code_expr(column: str, coding: DataFrame, metric: str | None = None) -> Column:
@@ -96,4 +97,104 @@ def probe_search(
         pred = cell_pred if pred is None else (cell_pred & pred)
     return knn(
         indexed, column, target, metric=metric, k=k, filter=pred, select=select, id_col=id_col
+    )
+
+
+def probe_cells_expr(column: str, coding: DataFrame, probes: int, metric: str | None = None) -> Column:
+    """Array of each row's top-``probes`` joint cell ids, as a native
+    expression — the set-at-a-time version of ``rank_cells``.
+
+    Scores all k^n joint cells with the reference's sum-of-per-codebook-
+    distances rule (coder.py:171-186), sorts (score, joint) structs —
+    array_sort's lexicographic struct order gives the deterministic
+    joint-id tiebreak — and keeps the first ``probes``. The k·n centroid
+    literals ship with the plan; per-codebook distance arrays are
+    let-bound via a nested transform so each of the n·k centroid
+    distances is evaluated once per row, not once per joint cell.
+    """
+    from fenix_spark.functions.texthash import let
+
+    cents, coding_metric, k, n = coding_to_numpy(coding)
+    metric = metric or coding_metric
+    sub_dim = cents.shape[2]
+
+    dists = F.array(
+        *[
+            distance(metric, sub_vector(column, j, sub_dim), query_literal(cents[j, c]))
+            for j in range(n)
+            for c in range(k)
+        ]
+    )  # flat [j * k + c]
+
+    def top_probes(d: Column) -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    sum(
+                        F.element_at(d, j * k + _digit(joint, j, k, n) + 1)
+                        for j in range(n)
+                    ).alias("score"),
+                    F.lit(joint).cast("bigint").alias("joint"),
+                )
+                for joint in range(k**n)
+            ]
+        )
+        return F.transform(
+            F.slice(F.array_sort(scored), 1, probes), lambda s: s["joint"]
+        )
+
+    return let(dists, top_probes)
+
+
+def _digit(joint: int, j: int, k: int, n: int) -> int:
+    """Base-k digit j (codebook 0 most significant) of a joint cell id."""
+    return (joint // k ** (n - 1 - j)) % k
+
+
+def batch_probe_search(
+    queries: DataFrame,
+    indexed: DataFrame,
+    coding: DataFrame,
+    column: str,
+    metric: str | None = None,
+    k: int = 10,
+    probes: int = 16,
+    query_id: str = "vec_id",
+    right_id: str = "vec_id",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Batch IVF search = the fenix-flavored similarity JOIN (SURVEY.md
+    §2.3): a whole DataFrame of queries against the indexed table in
+    one plan, no driver round-trip per query.
+
+    Plan: each query row derives its top-``probes`` cells natively
+    (``probe_cells_expr``) and explodes to (query, cell) rows; these
+    EQUI-JOIN the indexed table on ``__CODED_ID__`` — cell identity, a
+    key join, not a crossJoin — then exact distances + a per-query
+    window top-k. The query side broadcasts when small (Spark picks
+    this up from sizes/AQE); two large sides shuffle on the cell id,
+    which IVF keeps low-cardinality and balanced. At 100 TB the probe
+    join touches probes/k^n of the index, mirroring single-query
+    partition pruning (ref index.py:119-126) set-at-a-time.
+    """
+    _, coding_metric, kk, n = coding_to_numpy(coding)
+    metric = metric or coding_metric
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        vec_double(column).alias("__qvec"),
+        F.explode(probe_cells_expr(column, coding, probes, metric)).alias("__probe"),
+    )
+    cand = q.join(indexed, q["__probe"] == indexed[CODE_COL])
+    d = distance(metric, vec_double(column), F.col("__qvec"))
+    if round_to is not None:
+        d = F.round(d, round_to)
+    cand = cand.select(
+        "query_id", F.col(right_id).alias("right_id"), d.alias(DISTANCE_COL)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(DISTANCE_COL).asc(), F.col("right_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
     )

@@ -249,6 +249,60 @@ def _ivf_probe_search_sql(sf_dir: str) -> str:
     """
 
 
+def _ivf_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF search (operators/index.py:batch_probe_search): 8
+    query vectors × top-5, probes=16/64 — probe cells derived natively
+    per query row, then an EQUI-join on __CODED_ID__ (the fenix-
+    flavored similarity join, SURVEY.md §2.3). No per-query driver
+    round-trip; scales to a full DataFrame of queries."""
+    from fenix_spark.artifacts import ensure_artifacts
+    from fenix_spark.operators.index import batch_probe_search
+
+    coding, indexed = ensure_artifacts(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    out = batch_probe_search(
+        queries, indexed, coding, "embedding", metric="l2", k=5, probes=16, round_to=6
+    )
+    return out.withColumnRenamed("__DISTANCE__", "dist")
+
+
+def _ivf_batch_search_sql(sf_dir: str) -> str:
+    from fenix_spark.artifacts import coding_path, index_dir
+
+    cell_d0 = _duck_l2("c0.centroid", "qv[1:32]")
+    cell_d1 = _duck_l2("c1.centroid", "qv[33:64]")
+    row_d = _duck_l2("embedding::DOUBLE[]", "qv")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    coding AS (SELECT * FROM read_parquet('{coding_path(sf_dir)}/*.parquet')),
+    cellscore AS (
+        SELECT q.query_id, c0.cell * 8 + c1.cell AS joint, {cell_d0} + {cell_d1} AS score
+        FROM q, (SELECT * FROM coding WHERE codebook = 0) c0,
+             (SELECT * FROM coding WHERE codebook = 1) c1
+    ),
+    probes AS (
+        SELECT query_id, joint FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score, joint) AS pr
+            FROM cellscore) WHERE pr <= 16
+    ),
+    idx AS (
+        SELECT * FROM read_parquet('{index_dir(sf_dir)}/*/*.parquet', hive_partitioning = true)
+    ),
+    cand AS (
+        SELECT p.query_id, idx.vec_id AS right_id, round({row_d}, 6) AS dist
+        FROM probes p
+        JOIN idx ON CAST(idx.__CODED_ID__ AS BIGINT) = p.joint
+        JOIN q ON q.query_id = p.query_id
+    )
+    SELECT query_id, right_id, dist, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist, right_id) AS rank
+        FROM cand)
+    WHERE rank <= 5
+    """
+
+
 def _similarity_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch KNN / similarity join: every embedding's top-3 nearest
     neighbors (self included), via the broadcast-matmul mapInPandas path
@@ -1259,6 +1313,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": _text_stats,
     "code_assign": _code_assign,
     "ivf_probe_search": _ivf_probe_search,
+    "ivf_batch_search": _ivf_batch_search,
     "similarity_join_topk": _similarity_join_topk,
     "hash_dedup": _hash_dedup,
     "minhash_neardup": _minhash_neardup,
@@ -1304,6 +1359,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_stats": _TEXT_STATS_SQL,
     "code_assign": _code_assign_sql(_ORACLE_SF_DIR),
     "ivf_probe_search": _ivf_probe_search_sql(_ORACLE_SF_DIR),
+    "ivf_batch_search": _ivf_batch_search_sql(_ORACLE_SF_DIR),
     "similarity_join_topk": _SIMILARITY_JOIN_SQL,
     "hash_dedup": _HASH_DEDUP_SQL,
     "minhash_neardup": _minhash_neardup_sql(),

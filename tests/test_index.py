@@ -9,7 +9,14 @@ import pytest
 from pyspark.sql import functions as F
 
 from fenix_spark.operators.coder import CodingConfig, coding_to_numpy, rank_cells, train_coding
-from fenix_spark.operators.index import CODE_COL, assign_code_expr, build_index, probe_search
+from fenix_spark.operators.index import (
+    CODE_COL,
+    assign_code_expr,
+    batch_probe_search,
+    build_index,
+    probe_cells_expr,
+    probe_search,
+)
 from fenix_spark.operators.search import knn
 
 K, N = 8, 2
@@ -109,6 +116,50 @@ def test_probe_recall(embeddings, indexed, coding):
         total += len(exact)
     recall = hits / total
     assert recall >= 0.6, f"recall@10 probes=16/64 too low: {recall:.3f}"
+
+
+def test_probe_cells_expr_matches_rank_cells(embeddings, coding):
+    """The native per-row probe derivation must agree with the
+    driver-side numpy ranking for every vector."""
+    got = {
+        r["vec_id"]: list(r["cells"])
+        for r in embeddings.select(
+            "vec_id", probe_cells_expr("embedding", coding, probes=16).alias("cells")
+        ).collect()
+    }
+    for r in embeddings.limit(25).collect():
+        assert got[r["vec_id"]] == rank_cells(coding, r["embedding"], "l2")[:16]
+
+
+def test_batch_probe_search_matches_per_query(embeddings, indexed, coding):
+    """The set-at-a-time cell-equi-join must return exactly what N
+    independent probe_search calls return."""
+    queries = embeddings.where(F.col("vec_id") < 5)
+    batch = batch_probe_search(
+        queries, indexed, coding, "embedding", k=7, probes=16, round_to=6
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["right_id"] for r in batch.collect()
+    }
+    for q in queries.collect():
+        singles = probe_search(
+            indexed, coding, "embedding", q["embedding"], k=7, probes=16, id_col="vec_id"
+        ).collect()
+        for rank, s in enumerate(singles, start=1):
+            assert got[(q["vec_id"], rank)] == s["vec_id"]
+
+
+def test_batch_probe_search_is_equi_join(embeddings, indexed, coding):
+    """The probe join must be a key join on the cell id — never a
+    cartesian/nested-loop product (SURVEY.md §2.3)."""
+    queries = embeddings.where(F.col("vec_id") < 5)
+    plan = (
+        batch_probe_search(queries, indexed, coding, "embedding", k=5, probes=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
 def test_probe_prunes_partitions(indexed, coding, embeddings):
