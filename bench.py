@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     "knn_filtered",
     "ivf_probe_search",
     "ivf_batch_search",
+    "lsh_ann_search",
     "similarity_join_topk",
     "code_assign",
     "tpch_q1",

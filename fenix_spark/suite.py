@@ -303,6 +303,87 @@ def _ivf_batch_search_sql(sf_dir: str) -> str:
     """
 
 
+_LSH_NBITS, _LSH_RADIUS = 8, 2
+
+
+def _lsh_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed ANN (operators/lsh.py): scan only buckets
+    within Hamming radius 2 of the query's 8-bit sign bucket (37/256
+    buckets ≈ 14% of rows), exact cosine top-k on the survivors. The
+    training-free counterpart to the IVF path."""
+    from fenix_spark.operators.lsh import (
+        probe_buckets,
+        srp_bucket_expr,
+        srp_bucket_of,
+        srp_planes,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    target = _query_vector(spark, sf_dir)
+    planes = srp_planes(64, _LSH_NBITS)
+    probes = probe_buckets(srp_bucket_of(target, planes), _LSH_NBITS, _LSH_RADIUS)
+    return (
+        emb.where(srp_bucket_expr("embedding", planes).isin(probes))
+        .select(
+            "vec_id",
+            "label",
+            F.round(distance("cosine", vec_double("embedding"), query_literal(target)), 6).alias(
+                "dist"
+            ),
+        )
+        .orderBy("dist", "vec_id")
+        .limit(10)
+    )
+
+
+def _lsh_ann_search_sql() -> str:
+    from fenix_spark.operators.lsh import srp_planes
+
+    planes = srp_planes(64, _LSH_NBITS)
+
+    def plane_dot(p) -> str:
+        lits = ", ".join(repr(float(x)) for x in p)
+        return (
+            "list_sum(list_transform(list_zip(embedding::DOUBLE[], "
+            f"[{lits}]), z -> z[1]*z[2]))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {plane_dot(p)} >= 0 THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    # The probe set depends on the (fixed) query vector; it is computed
+    # driver-side with the same code the Spark query uses and spliced
+    # in by _render_lsh_sql.
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    b AS (SELECT *, ({bucket}) AS bucket FROM embeddings)
+    SELECT vec_id, label, round({_DUCK_METRIC["cosine"]}, 6) AS dist
+    FROM b, q
+    WHERE bucket IN {{probes}}
+    ORDER BY dist, vec_id
+    LIMIT 10
+    """
+
+
+def _render_lsh_sql(sf_dir: str) -> str:
+    """Probe buckets depend on the query vector, which is fixed
+    (vec_id=0 of the oracle SF) — resolved at registry-build time with
+    the same driver-side code the Spark query uses."""
+    import duckdb as _duck
+
+    from fenix_spark.operators.lsh import probe_buckets, srp_bucket_of, srp_planes
+
+    con = _duck.connect()
+    target = con.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') WHERE vec_id = 0"
+    ).fetchone()[0]
+    con.close()
+    planes = srp_planes(64, _LSH_NBITS)
+    probes = probe_buckets(srp_bucket_of(list(target), planes), _LSH_NBITS, _LSH_RADIUS)
+    return _lsh_ann_search_sql().replace("{probes}", "(" + ", ".join(map(str, probes)) + ")")
+
+
 def _similarity_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch KNN / similarity join: every embedding's top-3 nearest
     neighbors (self included), via the broadcast-matmul mapInPandas path
@@ -1314,6 +1395,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "code_assign": _code_assign,
     "ivf_probe_search": _ivf_probe_search,
     "ivf_batch_search": _ivf_batch_search,
+    "lsh_ann_search": _lsh_ann_search,
     "similarity_join_topk": _similarity_join_topk,
     "hash_dedup": _hash_dedup,
     "minhash_neardup": _minhash_neardup,
@@ -1360,6 +1442,7 @@ ORACLE_SQL: dict[str, str] = {
     "code_assign": _code_assign_sql(_ORACLE_SF_DIR),
     "ivf_probe_search": _ivf_probe_search_sql(_ORACLE_SF_DIR),
     "ivf_batch_search": _ivf_batch_search_sql(_ORACLE_SF_DIR),
+    "lsh_ann_search": _render_lsh_sql(_ORACLE_SF_DIR),
     "similarity_join_topk": _SIMILARITY_JOIN_SQL,
     "hash_dedup": _HASH_DEDUP_SQL,
     "minhash_neardup": _minhash_neardup_sql(),
