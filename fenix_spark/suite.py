@@ -773,6 +773,162 @@ WHERE rn <= 3
 """
 
 
+def _tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: 4-way join + top-20 revenue.
+    Returns-filtered lineitem shuffles on l_orderkey; customer/nation
+    broadcast; final top-20 is TakeOrderedAndProject, never a global
+    sort."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= ts_lit("1996-10-01")) & (F.col("o_orderdate") < ts_lit("1997-01-01"))
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_TPCH_Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name, c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= {duck_ts("1996-10-01")} AND o_orderdate < {duck_ts("1997-01-01")}
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def _tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style conditional aggregation: CASE-WHEN counts inside
+    a single hash agg after one key join — no extra pass per branch."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts_lit("1997-01-01")) & (F.col("l_shipdate") < ts_lit("1998-01-01"))
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_TPCH_Q12_SQL = f"""
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= {duck_ts("1997-01-01")} AND l_shipdate < {duck_ts("1998-01-01")}
+GROUP BY l_linestatus
+"""
+
+
+def _tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: conditional revenue ratio with a
+    string predicate (p_type LIKE 'PROMO%') — part broadcasts."""
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= ts_lit("1997-03-01")) & (F.col("l_shipdate") < ts_lit("1997-04-01"))
+    )
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), net).otherwise(0.0))
+                / F.sum(net),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_TPCH_Q14_SQL = f"""
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= {duck_ts("1997-03-01")} AND l_shipdate < {duck_ts("1997-04-01")}
+"""
+
+
+def _tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: HAVING-filtered subquery keys
+    drive a semi join — the aggregate runs once, its survivors (a tiny
+    key set) prune orders via broadcast semi join."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+_TPCH_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2) AS totalprice
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+"""
+
+
+def _moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window: 3-order trailing average of each
+    customer's order totals — ROWS BETWEEN 2 PRECEDING AND CURRENT,
+    one shuffle on o_custkey."""
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return orders.where(F.col("o_custkey") < 200).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("trailing_avg"),
+    )
+
+
+_MOVING_AVG_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS trailing_avg
+FROM orders WHERE o_custkey < 200
+"""
+
+
 # --------------------------------------------------------------------------
 # Events: JSON extraction + sessionization (SURVEY.md §7 phase 5)
 # --------------------------------------------------------------------------
@@ -1385,6 +1541,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_agg": _rollup_agg,
     "percentile_stats": _percentile_stats,
     "set_ops": _set_ops,
+    "tpch_q10": _tpch_q10,
+    "tpch_q12": _tpch_q12,
+    "tpch_q14": _tpch_q14,
+    "tpch_q18": _tpch_q18,
+    "moving_avg": _moving_avg,
     "group_topn": _group_topn,
     "events_json": _events_json,
     "sessionize": _sessionize,
@@ -1432,6 +1593,11 @@ ORACLE_SQL: dict[str, str] = {
     "rollup_agg": _ROLLUP_AGG_SQL,
     "percentile_stats": _PERCENTILE_STATS_SQL,
     "set_ops": _SET_OPS_SQL,
+    "tpch_q10": _TPCH_Q10_SQL,
+    "tpch_q12": _TPCH_Q12_SQL,
+    "tpch_q14": _TPCH_Q14_SQL,
+    "tpch_q18": _TPCH_Q18_SQL,
+    "moving_avg": _MOVING_AVG_SQL,
     "group_topn": _GROUP_TOPN_SQL,
     "events_json": _EVENTS_JSON_SQL,
     "sessionize": _SESSIONIZE_SQL,
