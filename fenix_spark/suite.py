@@ -1044,6 +1044,64 @@ FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND c.ts_ms >= v.ts_ms
 """
 
+def _stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming job (streaming/windows.py): file
+    source → 1-hour tumbling windows per event_type → memory sink,
+    drained with availableNow (deterministic single-batch backfill).
+    Window boundaries are epoch-aligned, so the output is identical to
+    the batch/SQL bucketing — which is exactly what the oracle checks:
+    streaming and batch agree on finalized windows."""
+    import uuid
+
+    from fenix_spark.streaming.windows import windowed_event_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos-as-long
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # File streams need a DIRECTORY source; glob-filter to the one
+    # events file inside the sf dir.
+    src = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    src = src.withColumn("event_ts", F.timestamp_millis(F.expr("ts DIV 1000000")))
+    out = windowed_event_counts(src, ts_col="event_ts", window_duration="1 hour")
+    name = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.select(
+            F.unix_millis("window_start").alias("window_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_WINDOW_SQL = """
+SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ms,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 _VALUE_BANDS = [(0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 300.0, "high"), (300.0, 500.0, "peak")]
 
 
@@ -1112,6 +1170,71 @@ _TEXT_STATS_SQL = """
 SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM documents GROUP BY lang
+"""
+
+
+def _nested_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NestedTensorType analog (ref: src/fenix/ex/arrow/nested/
+    nested.py:106-122): struct-of-struct column built from the vector,
+    then dotted-path access ``col("t.meta.label")`` — Spark's native
+    jmespath equivalent. GetStructField is a zero-cost projection:
+    struct construction and field access collapse in the optimizer."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = vec_double("embedding")
+    nested = F.struct(
+        F.struct(
+            F.col("label").alias("label"), F.size("embedding").alias("dim")
+        ).alias("meta"),
+        F.struct(
+            F.element_at(v, 1).alias("head"),
+            F.aggregate(v, F.lit(0.0), lambda s, x: s + x * x).alias("sq_norm"),
+        ).alias("vec"),
+    )
+    return emb.withColumn("t", nested).select(
+        "vec_id",
+        F.col("t.meta.label").alias("label"),
+        F.col("t.meta.dim").alias("dim"),
+        F.round(F.col("t.vec.head"), 6).alias("head"),
+        F.round(F.sqrt(F.col("t.vec.sq_norm")), 6).alias("norm"),
+    )
+
+
+_NESTED_ACCESS_SQL = """
+WITH t AS (
+    SELECT vec_id,
+           {'meta': {'label': label, 'dim': len(embedding)},
+            'vec': {'head': embedding[1]::DOUBLE,
+                    'sq_norm': list_sum(list_transform(embedding::DOUBLE[], x -> x*x))}} AS t
+    FROM embeddings
+)
+SELECT vec_id, t.meta.label AS label, t.meta.dim AS dim,
+       round(t.vec.head, 6) AS head, round(sqrt(t.vec.sq_norm), 6) AS norm
+FROM t
+"""
+
+
+def _distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count via the explicit two-phase form:
+    groupBy(key, user) pre-dedup, then count per key. On skewed keys
+    this spreads phase one across all (key, user) partitions instead
+    of funneling each key's full value stream to one reducer — the
+    hand-rolled equivalent of what COUNT(DISTINCT) plans into, kept
+    explicit so it composes (e.g. add HLL sketch columns alongside)."""
+    ev = events_table(spark, sf_dir)
+    return (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_users"),
+            F.sum("n").alias("total_events"),
+        )
+    )
+
+
+_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS distinct_users, count(*) AS total_events
+FROM events GROUP BY event_type
 """
 
 
@@ -1551,8 +1674,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": _sessionize,
     "asof_join_events": _asof_join_events,
     "range_join_events": _range_join_events,
+    "stream_window_counts": _stream_window_counts,
     "exact_dedup": _exact_dedup,
     "text_stats": _text_stats,
+    "nested_access": _nested_access,
+    "distinct_users": _distinct_users,
     "code_assign": _code_assign,
     "ivf_probe_search": _ivf_probe_search,
     "ivf_batch_search": _ivf_batch_search,
@@ -1603,8 +1729,11 @@ ORACLE_SQL: dict[str, str] = {
     "sessionize": _SESSIONIZE_SQL,
     "asof_join_events": _ASOF_JOIN_SQL,
     "range_join_events": _RANGE_JOIN_SQL,
+    "stream_window_counts": _STREAM_WINDOW_SQL,
     "exact_dedup": _EXACT_DEDUP_SQL,
     "text_stats": _TEXT_STATS_SQL,
+    "nested_access": _NESTED_ACCESS_SQL,
+    "distinct_users": _DISTINCT_USERS_SQL,
     "code_assign": _code_assign_sql(_ORACLE_SF_DIR),
     "ivf_probe_search": _ivf_probe_search_sql(_ORACLE_SF_DIR),
     "ivf_batch_search": _ivf_batch_search_sql(_ORACLE_SF_DIR),
