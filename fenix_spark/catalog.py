@@ -56,6 +56,17 @@ def load(spark: SparkSession, root: str, name: str | Sequence[str]) -> DataFrame
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=False), dfs)
 
 
+def hstack(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+    """Column concat by explicit KEY (ref: table.join axis=1,
+    table.py:37-43). The reference zips columns positionally and lets
+    duplicate names resolve LAST-WINS via a dict comprehension
+    (table.py:39-40); Spark has no stable row order, so alignment is a
+    key equi-join — and last-wins is replicated by dropping the left
+    side's duplicated non-key columns before joining."""
+    dups = [c for c in left.columns if c != key and c in right.columns]
+    return left.drop(*dups).join(right, key)
+
+
 def list_tables(root: str) -> Iterator[str]:
     """Enumerate table names (ref: table.list, table.py:46-49)."""
     base = _sources_dir(root)
