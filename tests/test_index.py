@@ -160,6 +160,9 @@ def test_batch_probe_search_is_equi_join(embeddings, indexed, coding):
         .toString()
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # the probe equi-join must drive DYNAMIC partition pruning of the
+    # __CODED_ID__-partitioned index — only probed cells are read
+    assert "dynamicpruning" in plan
 
 
 def test_probe_prunes_partitions(indexed, coding, embeddings):
