@@ -113,6 +113,33 @@ def asof_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-defeating equi-join: the left side gets a deterministic
+    per-row salt (hash of the whole row, so retries agree), the right
+    side replicates ``salts``× with every salt value, and the join key
+    becomes (key, salt) — a hot key's rows now spread over ``salts``
+    reducers instead of melting one. Result is EXACTLY the plain join
+    (each left row still meets every right row of its key, once).
+
+    Cost: right side inflates ``salts``× through the shuffle — use for
+    a *moderate-size* right side against a skewed big left, and prefer
+    AQE's skew-join splitting when it already kicks in; this operator
+    is for when it can't (e.g. aggregation-feeding joins AQE won't
+    split, or fixed-partitioning pipelines)."""
+    sc = "__SALT__"
+    l = left.withColumn(
+        sc, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts)).cast("int")
+    )
+    r = right.withColumn(sc, F.explode(F.array(*[F.lit(s) for s in range(salts)])))
+    return l.join(r, [key, sc], how).drop(sc)
+
+
 def range_join(
     left: DataFrame,
     ranges: DataFrame,

@@ -1,0 +1,88 @@
+"""Reproducible sampling & quota operators for training-data curation.
+
+The reference's only sampling is torch's in-memory random permutation
+(src/fenix/io/batch/batch.py:16-46) — seed-dependent, single-node, and
+unreproducible across runs with different worker counts. A 100 TB
+pipeline needs sampling that is (a) a pure function of the ROW, so any
+engine, any partitioning, any retry produces the same subset, and (b)
+a scan-level filter, so it costs one map pass and pushes no shuffle.
+
+Everything here keys off ``hash60(id)`` (functions/texthash.py — md5-
+derived, engine-portable): a row's fate is decided by its id alone.
+That also makes every operator DuckDB-oracle-checkable, unlike
+``df.sample()`` whose RNG stream is Spark-internal.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from fenix_spark.functions.texthash import hash60
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column | str, salt: str = "") -> Column:
+    """Uniform bucket in [0, 10000) from the row id (+ optional salt
+    so independent samples of the same table decorrelate)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return hash60(F.concat(c.cast("string"), F.lit(salt))) % _BUCKETS
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per-row by hash bucket — a
+    scan filter (no shuffle, no RNG state), stable under retries,
+    repartitioning, and engine changes."""
+    return df.where(hash_bucket(id_col, salt) < int(fraction * _BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[float],
+    names: Sequence[str],
+    salt: str = "",
+) -> DataFrame:
+    """Disjoint, exhaustive train/val/test split: adds a ``split``
+    column from cumulative weight boundaries over the hash bucket.
+    Every row lands in exactly one split, forever."""
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    total = sum(weights)
+    bucket = hash_bucket(id_col, salt)
+    bounds = []
+    acc = 0.0
+    for w in weights:
+        acc += w / total
+        bounds.append(int(acc * _BUCKETS))
+    bounds[-1] = _BUCKETS  # close the last interval against rounding
+    # nested whens, lowest bound innermost: bucket < bounds[0] → names[0], …
+    expr = F.lit(names[-1])
+    for b, name in reversed(list(zip(bounds[:-1], names[:-1]))):
+        expr = F.when(bucket < b, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def per_group_limit(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column | str],
+    n: int,
+) -> DataFrame:
+    """Quota sampling: keep the first ``n`` rows per group under a
+    DETERMINISTIC order (pass id tiebreaks!) — caps any one domain's
+    contribution to a corpus. One shuffle on the group key; with AQE
+    skew handling a hot domain splits across reducers before the
+    window. For quantile-accurate caps at extreme skew, pre-filter
+    with an approximate per-group count first."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )

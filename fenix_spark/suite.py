@@ -1477,6 +1477,116 @@ SELECT vec_id, nn_id, dist FROM r WHERE rn = 1 AND dist <= 0.3
 """
 
 
+def _duck_bucket(id_expr: str, salt: str = "") -> str:
+    from fenix_spark.functions.texthash import duck_hash60
+
+    return f"({duck_hash60(f'{id_expr}::VARCHAR || {salt!r}')} % 10000)"
+
+
+def _hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% sample (operators/sampling.py): per-row hash
+    decision, a pure scan filter — stable under retries and
+    repartitioning, unlike df.sample()'s engine-private RNG."""
+    from fenix_spark.operators.sampling import deterministic_sample
+
+    docs = table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.10).select("doc_id", "lang", "n_chars")
+
+
+_HASH_SAMPLE_SQL = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {_duck_bucket("doc_id")} < 1000
+"""
+
+
+def _hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint 80/10/10 train/val/test split by id hash — every row
+    in exactly one split, forever, on any engine."""
+    from fenix_spark.operators.sampling import hash_split
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = hash_split(emb, "vec_id", [0.8, 0.1, 0.1], ["train", "val", "test"])
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("first_id")
+    )
+
+
+_HASH_SPLIT_SQL = f"""
+WITH b AS (SELECT vec_id, {_duck_bucket("vec_id")} AS bk FROM embeddings)
+SELECT CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n, min(vec_id) AS first_id
+FROM b GROUP BY 1
+"""
+
+
+def _quota_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quota (operators/sampling.py:per_group_limit): cap
+    each language at 30 docs under a deterministic order — bounds any
+    one domain's contribution to a corpus."""
+    from fenix_spark.operators.sampling import per_group_limit
+
+    docs = table(spark, sf_dir, "documents")
+    return per_group_limit(docs, ["lang"], [F.col("doc_id").asc()], 30).select(
+        "lang", "doc_id"
+    )
+
+
+_QUOTA_PER_LANG_SQL = """
+SELECT lang, doc_id FROM (
+    SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM documents
+) WHERE rn <= 30
+"""
+
+
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document, fully relational: explode
+    tokens → per-(doc, term) TF → document-frequency join (broadcast;
+    |vocab| rows) → score → window top-3. The explode is map-side; the
+    only shuffles are the two aggregations and the final window."""
+    from fenix_spark.functions.texthash import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 3)
+
+
+def _tfidf_top_terms_sql() -> str:
+    from fenix_spark.functions.texthash import duck_tokens
+
+    return f"""
+    WITH terms AS (
+        SELECT doc_id, unnest({duck_tokens("text")}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    ), dfreq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, tf.term AS term,
+               round(tf * ln((n_docs + 1)::DOUBLE / (df + 1)), 6) AS score
+        FROM tf JOIN dfreq ON tf.term = dfreq.term, n
+    )
+    SELECT doc_id, term, score, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """
+
+
 # --------------------------------------------------------------------------
 # Quantization (functions/tensors.py — QUInt8TensorType analog,
 # ref: src/fenix/ex/arrow/quint8/quint8.py:23-87)
@@ -1691,6 +1801,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprint": _winnow_fingerprint,
     "ngram_jaccard_topk": _ngram_jaccard_topk,
     "embedding_neardup": _embedding_neardup,
+    "hash_sample": _hash_sample,
+    "hash_split_counts": _hash_split_counts,
+    "quota_per_lang": _quota_per_lang,
+    "tfidf_top_terms": _tfidf_top_terms,
     "token_counts": _token_counts,
     "doc_quality": _doc_quality,
     "lang_id": _lang_id,
@@ -1746,6 +1860,10 @@ ORACLE_SQL: dict[str, str] = {
     "winnow_fingerprint": _winnow_fingerprint_sql(),
     "ngram_jaccard_topk": _ngram_jaccard_topk_sql(),
     "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+    "hash_sample": _HASH_SAMPLE_SQL,
+    "hash_split_counts": _HASH_SPLIT_SQL,
+    "quota_per_lang": _QUOTA_PER_LANG_SQL,
+    "tfidf_top_terms": _tfidf_top_terms_sql(),
     "token_counts": _token_counts_sql(),
     "doc_quality": _doc_quality_sql(),
     "lang_id": _lang_id_sql(),

@@ -1,0 +1,83 @@
+"""Reproducible sampling / quota semantics (operators/sampling.py)
+and the salted join (operators/joins.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fenix_spark.operators.joins import salted_join
+from fenix_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    per_group_limit,
+)
+
+
+def test_sample_deterministic_and_partition_invariant(documents):
+    a = {r["doc_id"] for r in deterministic_sample(documents, "doc_id", 0.2).collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(documents.repartition(13), "doc_id", 0.2).collect()
+    }
+    assert a == b
+    n = documents.count()
+    assert 0.1 * n < len(a) < 0.3 * n  # ~20%, loose bounds for 500 rows
+
+
+def test_sample_salt_decorrelates(documents):
+    a = {r["doc_id"] for r in deterministic_sample(documents, "doc_id", 0.2).collect()}
+    c = {r["doc_id"] for r in deterministic_sample(documents, "doc_id", 0.2, salt="x").collect()}
+    assert a != c
+
+
+def test_sample_is_scan_filter(documents):
+    plan = (
+        deterministic_sample(documents, "doc_id", 0.2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure map-side filter
+
+
+def test_split_disjoint_exhaustive(embeddings):
+    out = hash_split(embeddings, "vec_id", [0.8, 0.1, 0.1], ["train", "val", "test"])
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == embeddings.count()
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_split_stable_across_calls(embeddings):
+    one = {(r["vec_id"], r["split"]) for r in hash_split(embeddings, "vec_id", [0.5, 0.5], ["a", "b"]).select("vec_id", "split").collect()}
+    two = {(r["vec_id"], r["split"]) for r in hash_split(embeddings, "vec_id", [0.5, 0.5], ["a", "b"]).select("vec_id", "split").collect()}
+    assert one == two
+
+
+def test_per_group_limit(documents):
+    out = per_group_limit(documents, ["lang"], [F.col("doc_id").asc()], 5)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(v <= 5 for v in counts.values())
+    first = out.where(F.col("lang") == max(counts)).select("doc_id").collect()
+    expect = (
+        documents.where(F.col("lang") == max(counts))
+        .orderBy("doc_id")
+        .limit(5)
+        .select("doc_id")
+        .collect()
+    )
+    assert sorted(r["doc_id"] for r in first) == sorted(r["doc_id"] for r in expect)
+
+
+def test_salted_join_equals_plain_join(spark):
+    left = spark.createDataFrame(
+        [(k, i) for k in ("hot", "cold") for i in range(50 if k == "hot" else 3)],
+        "k string, lval int",
+    )
+    right = spark.createDataFrame([("hot", 1.5), ("cold", 2.5), ("never", 9.9)], "k string, rval double")
+    plain = {(r["k"], r["lval"], r["rval"]) for r in left.join(right, "k").collect()}
+    salted = {(r["k"], r["lval"], r["rval"]) for r in salted_join(left, right, "k", salts=4).collect()}
+    assert salted == plain
+    outer = {(r["k"], r["lval"], r["rval"]) for r in salted_join(left, right, "k", salts=4, how="left").collect()}
+    plain_outer = {(r["k"], r["lval"], r["rval"]) for r in left.join(right, "k", "left").collect()}
+    assert outer == plain_outer
