@@ -1477,6 +1477,112 @@ SELECT vec_id, nn_id, dist FROM r WHERE rn = 1 AND dist <= 0.3
 """
 
 
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid: element-wise mean over a group,
+    expressed as 64 parallel avg() aggregates reassembled into an
+    array — partial aggregation applies per dimension, so the shuffle
+    carries 64 doubles per (partition, label), never raw vectors.
+    (The groupBy(code) Lloyd step of SURVEY.md §2.4 A1 is exactly this
+    shape.)"""
+    emb = table(spark, sf_dir, "embeddings")
+    v = vec_double("embedding")
+    dim = 64
+    staged = emb.select("label", *[F.element_at(v, i + 1).alias(f"d{i}") for i in range(dim)])
+    agg = staged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.round(F.avg(f"d{i}"), 6).alias(f"c{i}") for i in range(dim)],
+    )
+    return agg.select(
+        "label", "n", F.array(*[f"c{i}" for i in range(dim)]).alias("centroid")
+    )
+
+
+_LABEL_CENTROIDS_SQL = f"""
+SELECT label, count(*) AS n,
+       [{", ".join(f"round(avg(embedding[{i + 1}]::DOUBLE), 6)" for i in range(64))}] AS centroid
+FROM embeddings GROUP BY label
+"""
+
+
+def _funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per-user min event
+    time per stage via conditional aggregation — ONE shuffle on
+    user_id, then a 1-row rollup; no self-joins, no window. The
+    standard scalable funnel shape."""
+    ev = events_table(spark, sf_dir)
+    stage_min = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_ms"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts_ms"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_ms"))).alias("t_buy"),
+    )
+    return stage_min.agg(
+        F.count(F.lit(1)).alias("users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("viewed"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0)
+        ).alias("clicked_after_view"),
+        F.sum(
+            F.when(
+                (F.col("t_click") > F.col("t_view")) & (F.col("t_buy") > F.col("t_click")), 1
+            ).otherwise(0)
+        ).alias("full_funnel"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH s AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t_view,
+           min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS t_click,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t_buy
+    FROM events GROUP BY user_id
+)
+SELECT count(*) AS users,
+       sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS viewed,
+       sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS clicked_after_view,
+       sum(CASE WHEN t_click > t_view AND t_buy > t_click THEN 1 ELSE 0 END) AS full_funnel
+FROM s
+"""
+
+_ROLLUP_GRAINS_MS = {"hour": 3_600_000, "day": 86_400_000, "week": 604_800_000}
+
+
+def _time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: each event lands in
+    its hour/day/week buckets via a literal-grain explode (3× map-side
+    replication), then ONE hash aggregate over (grain, bucket, type) —
+    one shuffle for all granularities, versus one scan + shuffle per
+    grain with union-of-groupbys."""
+    ev = events_table(spark, sf_dir)
+    grains = F.array(
+        *[
+            F.struct(F.lit(g).alias("grain"), F.lit(ms).alias("ms"))
+            for g, ms in _ROLLUP_GRAINS_MS.items()
+        ]
+    )
+    return (
+        ev.select(
+            "event_type", "value", "ts_ms", F.explode(grains).alias("g")
+        )
+        .groupBy(
+            F.col("g.grain").alias("grain"),
+            ((F.col("ts_ms") / F.col("g.ms")).cast("bigint") * F.col("g.ms")).alias("bucket_ms"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+_TIME_ROLLUP_SQL = f"""
+WITH g(grain, ms) AS (VALUES {", ".join(f"('{g}', {ms})" for g, ms in _ROLLUP_GRAINS_MS.items())}),
+e AS (SELECT event_type, value, epoch_ms(ts) AS ts_ms FROM events)
+SELECT grain, (ts_ms // ms) * ms AS bucket_ms, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM e, g
+GROUP BY grain, bucket_ms, event_type
+"""
+
+
 def _duck_bucket(id_expr: str, salt: str = "") -> str:
     from fenix_spark.functions.texthash import duck_hash60
 
@@ -1801,6 +1907,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprint": _winnow_fingerprint,
     "ngram_jaccard_topk": _ngram_jaccard_topk,
     "embedding_neardup": _embedding_neardup,
+    "label_centroids": _label_centroids,
+    "funnel_conversion": _funnel_conversion,
+    "time_rollup": _time_rollup,
     "hash_sample": _hash_sample,
     "hash_split_counts": _hash_split_counts,
     "quota_per_lang": _quota_per_lang,
@@ -1860,6 +1969,9 @@ ORACLE_SQL: dict[str, str] = {
     "winnow_fingerprint": _winnow_fingerprint_sql(),
     "ngram_jaccard_topk": _ngram_jaccard_topk_sql(),
     "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+    "label_centroids": _LABEL_CENTROIDS_SQL,
+    "funnel_conversion": _FUNNEL_SQL,
+    "time_rollup": _TIME_ROLLUP_SQL,
     "hash_sample": _HASH_SAMPLE_SQL,
     "hash_split_counts": _HASH_SPLIT_SQL,
     "quota_per_lang": _QUOTA_PER_LANG_SQL,
