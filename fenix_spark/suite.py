@@ -1477,6 +1477,37 @@ SELECT vec_id, nn_id, dist FROM r WHERE rn = 1 AND dist <= 0.3
 """
 
 
+_PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): order counts by status × priority. The
+    explicit value list keeps it a single-pass hash aggregate (no
+    distinct-values pre-scan) — the only form that works on unbounded
+    key spaces at scale."""
+    orders = table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PIVOT_PRIORITIES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    renames = {p: f"p{i + 1}" for i, p in enumerate(_PIVOT_PRIORITIES)}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
+_PIVOT_SQL = f"""
+SELECT o_orderstatus,
+       {", ".join(
+           f"sum(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS p{i + 1}"
+           for i, p in enumerate(_PIVOT_PRIORITIES)
+       )}
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid: element-wise mean over a group,
     expressed as 64 parallel avg() aggregates reassembled into an
@@ -1907,6 +1938,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprint": _winnow_fingerprint,
     "ngram_jaccard_topk": _ngram_jaccard_topk,
     "embedding_neardup": _embedding_neardup,
+    "pivot_status_priority": _pivot_status_priority,
     "label_centroids": _label_centroids,
     "funnel_conversion": _funnel_conversion,
     "time_rollup": _time_rollup,
@@ -1969,6 +2001,7 @@ ORACLE_SQL: dict[str, str] = {
     "winnow_fingerprint": _winnow_fingerprint_sql(),
     "ngram_jaccard_topk": _ngram_jaccard_topk_sql(),
     "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+    "pivot_status_priority": _PIVOT_SQL,
     "label_centroids": _LABEL_CENTROIDS_SQL,
     "funnel_conversion": _FUNNEL_SQL,
     "time_rollup": _TIME_ROLLUP_SQL,
