@@ -17,7 +17,68 @@ Design principles (see SURVEY.md §7):
   sidecar files do not survive a distributed shuffle).
 """
 
-from fenix_spark.session import get_session
+from fenix_spark.session import get_session, tune_session
 
-__all__ = ["get_session"]
+__all__ = [
+    # session
+    "get_session",
+    "tune_session",
+    # the reference's query surface (C1-C4)
+    "knn",
+    "probe_search",
+    "batch_probe_search",
+    "train_coding",
+    "build_index",
+    "CodingConfig",
+    # similarity joins & ANN
+    "similarity_join",
+    "similarity_join_brute",
+    "lsh_ann_search",
+    # temporal / skew joins
+    "asof_join",
+    "range_join",
+    "range_join_bucketed",
+    "salted_join",
+    # dedup family
+    "exact_dedup_by_hash",
+    "minhash_neardup_pairs",
+    "simhash_neardup_pairs",
+    "winnow_fingerprints",
+    # curation
+    "deterministic_sample",
+    "hash_split",
+    "per_group_limit",
+]
 __version__ = "0.1.0"
+
+
+def __getattr__(name: str):
+    """Lazy re-exports: importing fenix_spark stays cheap (no pyspark.ml
+    / numpy import chain) until an operator is actually touched."""
+    from importlib import import_module
+
+    _HOMES = {
+        "knn": "fenix_spark.operators.search",
+        "similarity_join": "fenix_spark.operators.search",
+        "similarity_join_brute": "fenix_spark.operators.search",
+        "probe_search": "fenix_spark.operators.index",
+        "batch_probe_search": "fenix_spark.operators.index",
+        "build_index": "fenix_spark.operators.index",
+        "train_coding": "fenix_spark.operators.coder",
+        "CodingConfig": "fenix_spark.operators.coder",
+        "lsh_ann_search": "fenix_spark.operators.lsh",
+        "asof_join": "fenix_spark.operators.joins",
+        "range_join": "fenix_spark.operators.joins",
+        "range_join_bucketed": "fenix_spark.operators.joins",
+        "salted_join": "fenix_spark.operators.joins",
+        "exact_dedup_by_hash": "fenix_spark.operators.dedup",
+        "minhash_neardup_pairs": "fenix_spark.operators.dedup",
+        "simhash_neardup_pairs": "fenix_spark.operators.dedup",
+        "winnow_fingerprints": "fenix_spark.operators.dedup",
+        "deterministic_sample": "fenix_spark.operators.sampling",
+        "hash_split": "fenix_spark.operators.sampling",
+        "per_group_limit": "fenix_spark.operators.sampling",
+    }
+    if name in _HOMES:
+        return getattr(import_module(_HOMES[name]), name)
+    raise AttributeError(f"module 'fenix_spark' has no attribute {name!r}")
