@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for the algebraic guarantees the
+operators advertise. Each property runs MANY cases through ONE Spark
+job (a single createDataFrame per example set) to stay fast."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fenix_spark.functions.tensors import choose_qparams, dequantize, quantize
+from fenix_spark.functions.texthash import let, tokens, word_shingles
+from fenix_spark.operators.sampling import hash_split
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+vecs = st.lists(
+    st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, width=32),
+    min_size=2,
+    max_size=16,
+)
+
+
+@given(vec=vecs)
+@settings(**_SETTINGS)
+def test_quantize_error_bounded_by_half_scale(spark, vec):
+    """|x − dequant(quant(x))| ≤ scale/2 for every in-range element —
+    the affine-quantization contract (ref quint8.py:23-53)."""
+    df = spark.createDataFrame([(vec,)], "v array<double>")
+    v = F.col("v")
+    scale, shift = choose_qparams(v)
+    deq = dequantize(quantize(v, scale, shift), scale, shift)
+    row = df.select(
+        F.array_max(F.zip_with(v, deq, lambda a, b: F.abs(a - b))).alias("err"),
+        scale.alias("scale"),
+    ).head()
+    assert row["err"] <= row["scale"] / 2 + 1e-9
+
+
+@given(
+    weights=st.lists(st.floats(min_value=0.05, max_value=5, allow_nan=False), min_size=2, max_size=5),
+    n=st.integers(min_value=1, max_value=300),
+)
+@settings(**_SETTINGS)
+def test_hash_split_partition_property(spark, weights, n):
+    """Any weight vector: every row lands in exactly one split."""
+    names = [f"s{i}" for i in range(len(weights))]
+    df = spark.range(n).withColumnRenamed("id", "k")
+    out = hash_split(df, "k", weights, names)
+    rows = out.select("k", "split").collect()
+    assert len(rows) == n
+    assert all(r["split"] in names for r in rows)
+
+
+@given(
+    toks=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=30),
+    n=st.integers(min_value=1, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_word_shingles_count(spark, toks, n):
+    """len(shingles) == max(len(tokens) − n + 1, 1): rolling shingles
+    with the short-document degenerate branch."""
+    text = " ".join(toks)
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(F.size(let(tokens(F.col("t")), lambda tk: word_shingles(tk, n))).alias("n")).head()["n"]
+    assert got == max(len(toks) - n + 1, 1)
+
+
+@given(
+    shared=st.lists(st.sampled_from("xyzuvw"), min_size=7, max_size=12),
+    pre=st.lists(st.sampled_from("abcd"), min_size=0, max_size=6),
+    post=st.lists(st.sampled_from("efgh"), min_size=0, max_size=6),
+)
+@settings(**_SETTINGS)
+def test_winnowing_guarantee(spark, shared, pre, post):
+    """Schleimer et al.'s guarantee: two documents sharing a run of
+    ≥ window + shingle − 1 tokens (here 4+3−1=6) share ≥1 fingerprint."""
+    from fenix_spark.operators.dedup import winnow_fingerprints
+
+    d1 = " ".join(pre + shared)
+    d2 = " ".join(shared + post)
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id bigint, text string")
+    out = winnow_fingerprints(df, "text", "doc_id")
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r["id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared 7+-token run must share a fingerprint"
