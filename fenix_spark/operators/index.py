@@ -112,10 +112,15 @@ def probe_cells_expr(column: str, coding: DataFrame, probes: int, metric: str | 
     let-bound via a nested transform so each of the n·k centroid
     distances is evaluated once per row, not once per joint cell.
     """
+    cents, coding_metric, k, n = coding_to_numpy(coding)
+    return _probe_cells_from_cents(column, cents, k, n, probes, metric or coding_metric)
+
+
+def _probe_cells_from_cents(
+    column: str, cents, k: int, n: int, probes: int, metric: str
+) -> Column:
     from fenix_spark.functions.texthash import let
 
-    cents, coding_metric, k, n = coding_to_numpy(coding)
-    metric = metric or coding_metric
     sub_dim = cents.shape[2]
 
     dists = F.array(
@@ -177,12 +182,14 @@ def batch_probe_search(
     join touches probes/k^n of the index, mirroring single-query
     partition pruning (ref index.py:119-126) set-at-a-time.
     """
-    _, coding_metric, kk, n = coding_to_numpy(coding)
+    cents, coding_metric, kk, n = coding_to_numpy(coding)
     metric = metric or coding_metric
     q = queries.select(
         F.col(query_id).alias("query_id"),
         vec_double(column).alias("__qvec"),
-        F.explode(probe_cells_expr(column, coding, probes, metric)).alias("__probe"),
+        F.explode(
+            _probe_cells_from_cents(column, cents, kk, n, probes, metric)
+        ).alias("__probe"),
     )
     cand = q.join(indexed, q["__probe"] == indexed[CODE_COL])
     d = distance(metric, vec_double(column), F.col("__qvec"))
