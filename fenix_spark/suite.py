@@ -1477,6 +1477,91 @@ SELECT vec_id, nn_id, dist FROM r WHERE rn = 1 AND dist <= 0.3
 """
 
 
+def _argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-per-group via aggregate + join-back (the classic
+    alternative to a window when groups are huge: the per-group max is
+    a partial-aggregating shuffle of ONE value per group, then a
+    broadcast semi-style join recovers the full row — no full-table
+    window sort)."""
+    cust = table(spark, sf_dir, "customer")
+    best = (
+        cust.groupBy("c_nationkey")
+        .agg(F.max("c_acctbal").alias("best_bal"))
+        .withColumnRenamed("c_nationkey", "bk")  # disambiguate the self-join lineage
+    )
+    nation = table(spark, sf_dir, "nation")
+    return (
+        cust.join(
+            F.broadcast(best),
+            (cust.c_nationkey == F.col("bk")) & (cust.c_acctbal == F.col("best_bal")),
+        )
+        .drop("bk")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.min("c_custkey").alias("best_custkey"),  # dedupe acctbal ties
+            F.round(F.max("best_bal"), 2).alias("best_bal"),
+        )
+    )
+
+
+_ARGMAX_PER_GROUP_SQL = """
+WITH best AS (
+    SELECT c_nationkey, max(c_acctbal) AS best_bal FROM customer GROUP BY c_nationkey
+)
+SELECT n_name, min(c_custkey) AS best_custkey, round(max(best_bal), 2) AS best_bal
+FROM customer
+JOIN best ON customer.c_nationkey = best.c_nationkey AND c_acctbal = best_bal
+JOIN nation ON customer.c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def _regex_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: regexp_extract / substring / casts —
+    parse the numeric id out of 'Supplier#000000123' names and verify
+    against the key; all whole-stage-codegen scalar exprs."""
+    supp = table(spark, sf_dir, "supplier")
+    return supp.select(
+        "s_suppkey",
+        F.regexp_extract("s_name", r"#(\d+)$", 1).cast("bigint").alias("parsed_id"),
+        (F.regexp_extract("s_name", r"#(\d+)$", 1).cast("bigint") == F.col("s_suppkey")).alias(
+            "name_consistent"
+        ),
+        F.length("s_name").alias("name_len"),
+    )
+
+
+_REGEX_EXTRACT_SQL = """
+SELECT s_suppkey,
+       CAST(regexp_extract(s_name, '#(\\d+)$', 1) AS BIGINT) AS parsed_id,
+       CAST(regexp_extract(s_name, '#(\\d+)$', 1) AS BIGINT) = s_suppkey AS name_consistent,
+       length(s_name) AS name_len
+FROM supplier
+"""
+
+
+def _weekday_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function surface: weekday bucketing of order dates (ISO
+    day-of-week numbers, identical on both engines unlike locale day
+    names)."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.dayofweek("o_orderdate").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+_WEEKDAY_REVENUE_SQL = """
+SELECT dayofweek(o_orderdate) + 1 AS dow,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
 _PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 
 
@@ -1939,6 +2024,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_topk": _ngram_jaccard_topk,
     "embedding_neardup": _embedding_neardup,
     "pivot_status_priority": _pivot_status_priority,
+    "argmax_per_group": _argmax_per_group,
+    "regex_extract_ids": _regex_extract_ids,
+    "weekday_revenue": _weekday_revenue,
     "label_centroids": _label_centroids,
     "funnel_conversion": _funnel_conversion,
     "time_rollup": _time_rollup,
@@ -2002,6 +2090,9 @@ ORACLE_SQL: dict[str, str] = {
     "ngram_jaccard_topk": _ngram_jaccard_topk_sql(),
     "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
     "pivot_status_priority": _PIVOT_SQL,
+    "argmax_per_group": _ARGMAX_PER_GROUP_SQL,
+    "regex_extract_ids": _REGEX_EXTRACT_SQL,
+    "weekday_revenue": _WEEKDAY_REVENUE_SQL,
     "label_centroids": _LABEL_CENTROIDS_SQL,
     "funnel_conversion": _FUNNEL_SQL,
     "time_rollup": _TIME_ROLLUP_SQL,
