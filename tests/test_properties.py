@@ -71,6 +71,34 @@ def test_word_shingles_count(spark, toks, n):
 
 
 @given(
+    lefts=st.lists(
+        st.tuples(st.sampled_from("AB"), st.integers(0, 50)), min_size=1, max_size=15
+    ),
+    rights=st.lists(
+        st.tuples(st.sampled_from("AB"), st.integers(0, 50)), min_size=0, max_size=15
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_reference_model(spark, lefts, rights):
+    """asof_join == the obvious per-row model: greatest right ts ≤
+    left ts within the key (ties allowed), None when absent."""
+    from fenix_spark.operators.joins import asof_join
+
+    rights = list({(k, t) for k, t in rights})  # unique (key, ts): ties are pre-deduped by contract
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k string, ts bigint, lid bigint"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, float(t) * 2) for k, t in rights], "k string, ts bigint, px double"
+    ) if rights else spark.createDataFrame([], "k string, ts bigint, px double")
+    out = {r["lid"]: r["right_ts"] for r in asof_join(ldf, rdf, "k", "ts", "ts", ["px"]).collect()}
+    for i, (k, t) in enumerate(lefts):
+        candidates = [rt for rk, rt in rights if rk == k and rt <= t]
+        expect = max(candidates) if candidates else None
+        assert out[i] == expect, (k, t, candidates)
+
+
+@given(
     shared=st.lists(st.sampled_from("xyzuvw"), min_size=7, max_size=12),
     pre=st.lists(st.sampled_from("abcd"), min_size=0, max_size=6),
     post=st.lists(st.sampled_from("efgh"), min_size=0, max_size=6),
