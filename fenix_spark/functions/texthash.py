@@ -109,20 +109,25 @@ def minhash_signature(shingles: Column, num_components: int = 12) -> Column:
     """The full minhash signature (array<bigint>): component ``i`` is
     ``min over shingles of (a_i * hash32(s) + b_i) mod P``. One md5
     per shingle, shared across all components via ``let``."""
-    hashed = F.transform(shingles, hash32)
+    return let(
+        F.transform(shingles, hash32),
+        lambda hs: minhash_signature_hashed(hs, num_components),
+    )
 
-    def body(hs: Column) -> Column:
-        comps = []
-        for i in range(num_components):
-            a, b = minhash_params(i)
-            comps.append(
-                F.array_min(
-                    F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
-                )
+
+def minhash_signature_hashed(hashed: Column, num_components: int = 12) -> Column:
+    """Signature over PRE-HASHED members (a hash32 array) — integer
+    math only; pair with ``dedup.hashed_token_sets`` so member hashing
+    happens exactly once per document."""
+    comps = []
+    for i in range(num_components):
+        a, b = minhash_params(i)
+        comps.append(
+            F.array_min(
+                F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
             )
-        return F.array(*comps)
-
-    return let(hashed, body)
+        )
+    return F.array(*comps)
 
 
 def simhash(toks: Column, bits: int = 32) -> Column:

@@ -82,6 +82,29 @@ def token_sets(df: DataFrame, text_col: str, id_col: str, shingle: int = 1) -> D
     return spread(df).select(F.col(id_col).alias("id"), F.array_distinct(s).alias("s"))
 
 
+def hashed_token_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle: int = 1
+) -> DataFrame:
+    """(id, s) with s = DISTINCT hash32 values of the shingles.
+
+    The minhash pipeline needs the member hashes anyway (signature
+    components are universal hashes of hash32); carrying ONLY the 4-byte
+    hashes means the verify join intersects int arrays instead of
+    string arrays and the shuffle never moves shingle text — at 100 TB
+    that is the difference between shuffling documents and shuffling
+    fingerprints. Exact Jaccard over hashed members equals Jaccard over
+    members absent 32-bit collisions (~n²/2³³ per doc pair — negligible,
+    and mirrored identically by the oracle)."""
+    from fenix_spark.functions.texthash import hash32
+
+    toks = tokens(F.col(text_col))
+    s = toks if shingle == 1 else word_shingles(toks, shingle)
+    return spread(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.transform(s, hash32)).alias("s"),
+    )
+
+
 def minhash_signatures(sets: DataFrame, num_components: int = 24) -> DataFrame:
     """(id, s, sig) — sig[i] = min over members of the i-th universal
     hash of hash32(member): one md5 per member total, bit-identical
@@ -155,12 +178,20 @@ def minhash_neardup_pairs(
 
     shingle → minhash → band → bucket-join → verify: candidates come
     from the LSH band join; each candidate pair is then verified with
-    the EXACT Jaccard of the shingle sets, so false positives are
-    eliminated and the output is deterministic (band hashing is
+    the EXACT Jaccard of the (hashed) shingle sets, so false positives
+    are eliminated and the output is deterministic (band hashing is
     md5-based, identical across engines and runs).
+
+    The whole pipeline runs on ``hashed_token_sets``: shingle text is
+    md5'd once at tokenize time and only 4-byte hashes flow through
+    the band join and the verify intersect.
     """
-    sets = token_sets(df, text_col, id_col, shingle)
-    signed = minhash_signatures(sets, num_components)
+    from fenix_spark.functions.texthash import minhash_signature_hashed
+
+    sets = hashed_token_sets(df, text_col, id_col, shingle)
+    signed = sets.select(
+        "id", "s", minhash_signature_hashed(F.col("s"), num_components).alias("sig")
+    )
     cand = lsh_candidates(signed, bands, num_components // bands)
     l = sets.select(F.col("id").alias("id_l"), F.col("s").alias("s_l"))
     r = sets.select(F.col("id").alias("id_r"), F.col("s").alias("s_r"))

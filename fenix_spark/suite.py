@@ -1291,11 +1291,11 @@ def _minhash_neardup_sql() -> str:
     band_key = "concat(" + ", '|', ".join(f"sig[8*b + {i}]" for i in range(1, 9)) + ")"
     return f"""
     WITH toks AS (
-        SELECT doc_id, list_distinct({duck_tokens("text")}) AS s FROM documents
-    ), hashed AS (
-        SELECT doc_id, s, list_transform(s, x -> {duck_hash32("x")}) AS hs FROM toks
+        SELECT doc_id,
+               list_distinct(list_transform({duck_tokens("text")}, x -> {duck_hash32("x")})) AS s
+        FROM documents
     ), mh AS (
-        SELECT doc_id, s, {duck_minhash_signature("hs", 24)} AS sig FROM hashed
+        SELECT doc_id, s, {duck_minhash_signature("s", 24)} AS sig FROM toks
     ), bands AS (
         SELECT doc_id, b, {band_key} AS key
         FROM mh, (SELECT unnest(range(3)) AS b)
