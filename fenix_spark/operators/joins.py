@@ -180,10 +180,13 @@ def range_join_bucketed(
         F.explode(
             F.sequence(
                 F.floor(F.col(lo) / bucket_width).cast("bigint"),
-                # hi is exclusive: a point at exactly hi never matches,
-                # so the last covered bucket is the one containing the
-                # largest value < hi
-                F.floor((F.col(hi) - F.lit(1e-9)) / bucket_width).cast("bigint"),
+                # INCLUSIVE of hi's bucket: v → floor(v/w) is monotone,
+                # so every v in [lo, hi) lands in [bucket(lo),
+                # bucket(hi)]. Covering bucket(hi) costs one extra
+                # replica per interval but is exact for ALL inputs —
+                # an epsilon hack (hi − ε) silently drops matches when
+                # hi − lo < ε or when v/w underflows near zero.
+                F.floor(F.col(hi) / bucket_width).cast("bigint"),
             )
         ),
     )

@@ -99,6 +99,29 @@ def test_asof_join_matches_reference_model(spark, lefts, rights):
 
 
 @given(
+    pts=st.lists(st.floats(min_value=-50, max_value=150, allow_nan=False), min_size=1, max_size=20),
+    edges=st.lists(st.floats(min_value=-40, max_value=140, allow_nan=False), min_size=2, max_size=6, unique=True),
+    width=st.floats(min_value=3.0, max_value=60.0, allow_nan=False),
+)
+@settings(**_SETTINGS)
+def test_range_join_bucketed_equals_broadcast_any_width(spark, pts, edges, width):
+    """The bucket rewrite is semantics-preserving for ANY bucket width
+    and ANY interval layout (intervals from sorted random edges)."""
+    from fenix_spark.operators.joins import range_join, range_join_bucketed
+
+    es = sorted(edges)
+    bands = [(es[i], es[i + 1], f"b{i}") for i in range(len(es) - 1)]
+    pdf = spark.createDataFrame([(i, v) for i, v in enumerate(pts)], "id bigint, v double")
+    bdf = spark.createDataFrame(bands, "lo double, hi double, band string")
+    brute = {(r["id"], r["band"]) for r in range_join(pdf, bdf, "v").collect()}
+    bucketed = {
+        (r["id"], r["band"])
+        for r in range_join_bucketed(pdf, bdf, "v", bucket_width=width).collect()
+    }
+    assert bucketed == brute
+
+
+@given(
     shared=st.lists(st.sampled_from("xyzuvw"), min_size=7, max_size=12),
     pre=st.lists(st.sampled_from("abcd"), min_size=0, max_size=6),
     post=st.lists(st.sampled_from("efgh"), min_size=0, max_size=6),
