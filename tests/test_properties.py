@@ -122,6 +122,37 @@ def test_range_join_bucketed_equals_broadcast_any_width(spark, pts, edges, width
 
 
 @given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcdefghij"), min_size=3, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_simhash_band_join_is_exact(spark, texts):
+    """The pigeonhole claim, verified: the band equi-join + hamming
+    post-filter returns EXACTLY the pairs with hamming(simhash) ≤ 3 —
+    perfect recall (any 3 flipped bits leave ≥1 of 4 disjoint bands
+    intact) and perfect precision (explicit bit_count check)."""
+    from fenix_spark.operators.dedup import simhash_fingerprints, simhash_neardup_pairs
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    got = {
+        (r["id_l"], r["id_r"])
+        for r in simhash_neardup_pairs(df, "text", "doc_id").collect()
+    }
+    fps = {r["id"]: r["sim"] for r in simhash_fingerprints(df, "text", "doc_id").collect()}
+    ids = sorted(fps)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert got == brute
+
+
+@given(
     shared=st.lists(st.sampled_from("xyzuvw"), min_size=7, max_size=12),
     pre=st.lists(st.sampled_from("abcd"), min_size=0, max_size=6),
     post=st.lists(st.sampled_from("efgh"), min_size=0, max_size=6),
