@@ -101,7 +101,9 @@ def hashed_token_sets(
     s = toks if shingle == 1 else word_shingles(toks, shingle)
     return spread(df).select(
         F.col(id_col).alias("id"),
-        F.array_distinct(F.transform(s, hash32)).alias("s"),
+        # sorted → a SET has ONE canonical array form, so identical
+        # sets group/compare by plain array equality
+        F.array_sort(F.array_distinct(F.transform(s, hash32))).alias("s"),
     )
 
 
@@ -189,19 +191,56 @@ def minhash_neardup_pairs(
     from fenix_spark.functions.texthash import minhash_signature_hashed
 
     sets = hashed_token_sets(df, text_col, id_col, shingle)
-    signed = sets.select(
+
+    # Group identical sets FIRST: signatures/bands/jaccard depend only
+    # on the set, so LSH runs once per DISTINCT set and member pairs
+    # expand afterwards — result-identical to banding every doc, but a
+    # group of m exact-duplicate docs costs 1 LSH row instead of m and
+    # removes m² candidate pairs from the verify join. On crawl-scale
+    # corpora (30-50% exact dups) that is the dominant term.
+    groups = sets.groupBy("s").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    reps = groups.select(F.element_at("ids", 1).alias("id"), "s")
+    signed = reps.select(
         "id", "s", minhash_signature_hashed(F.col("s"), num_components).alias("sig")
     )
     cand = lsh_candidates(signed, bands, num_components // bands)
-    l = sets.select(F.col("id").alias("id_l"), F.col("s").alias("s_l"))
-    r = sets.select(F.col("id").alias("id_r"), F.col("s").alias("s_r"))
-    return (
+    l = reps.select(F.col("id").alias("id_l"), F.col("s").alias("s_l"))
+    r = reps.select(F.col("id").alias("id_r"), F.col("s").alias("s_r"))
+    rep_pairs = (
         cand.join(l, "id_l")
         .join(r, "id_r")
         .withColumn("jaccard", F.round(jaccard(F.col("s_l"), F.col("s_r")), 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_l", "id_r", "jaccard")
     )
+
+    members = groups.select(F.element_at("ids", 1).alias("rid"), "ids")
+    cross = (
+        rep_pairs.join(members.withColumnRenamed("ids", "ids_l"), rep_pairs.id_l == members.rid)
+        .drop("rid")
+        .join(members.withColumnRenamed("ids", "ids_r"), rep_pairs.id_r == members.rid)
+        .select("jaccard", F.explode("ids_l").alias("a"), "ids_r")
+        .select("jaccard", "a", F.explode("ids_r").alias("b"))
+        .select(
+            F.least("a", "b").alias("id_l"),
+            F.greatest("a", "b").alias("id_r"),
+            "jaccard",
+        )
+    )
+    intra = (
+        groups.where(F.size("ids") > 1)
+        .select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .select(
+            F.col("a").alias("id_l"),
+            F.col("b").alias("id_r"),
+            F.round(F.lit(1.0), 6).alias("jaccard"),
+        )
+    )
+    if threshold > 1.0:
+        return cross  # identical sets (jaccard 1.0) excluded by contract
+    return cross.unionByName(intra)
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
