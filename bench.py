@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "doc_quality",
     "quantized_knn",
+    "tfidf_top_terms",
+    "time_rollup",
+    "funnel_conversion",
 ]
 
 
