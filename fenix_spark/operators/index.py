@@ -194,7 +194,8 @@ def batch_probe_search(
     cand = q.join(indexed, q["__probe"] == indexed[CODE_COL])
     d = distance(metric, vec_double(column), F.col("__qvec"))
     if round_to is not None:
-        d = F.round(d, round_to)
+        # + 0.0 canonicalizes IEEE -0.0 → +0.0 for oracle-stable hashing
+        d = F.round(d, round_to) + F.lit(0.0)
     cand = cand.select(
         "query_id", F.col(right_id).alias("right_id"), d.alias(DISTANCE_COL)
     )

@@ -132,7 +132,9 @@ def similarity_join_brute(
             else:
                 raise ValueError(f"unknown metric {metric!r}")
             if round_to is not None:
-                dmat = dmat.round(round_to)
+                # + 0.0 canonicalizes IEEE -0.0 → +0.0 (oracle hashers
+                # distinguish the signs; DuckDB cosine self-match is -0.0)
+                dmat = dmat.round(round_to) + 0.0
             part = np.argpartition(dmat, kk - 1, axis=1)[:, :kk]
             out_l, out_r, out_d, out_rank = [], [], [], []
             for i in range(len(lids)):
