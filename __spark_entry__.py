@@ -28,7 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
     /root/reference/src/fenix/io/index/index.py:81-170)."""
     from fenix_spark.suite import SPARK_QUERIES
 
-    return SPARK_QUERIES["knn_cosine"](spark, "/root/testdata/sf0.001")
+    return SPARK_QUERIES["knn_metrics"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

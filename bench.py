@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from fenix_spark.session import get_session
 
 BENCH_QUERIES = [
-    "knn_cosine",
+    "knn_metrics",
     "knn_filtered",
     "ivf_probe_search",
     "ivf_batch_search",
@@ -37,9 +37,9 @@ BENCH_QUERIES = [
     "exact_dedup",
     "minhash_neardup",
     "simhash_neardup",
-    "winnow_fingerprint",
+    "fingerprints",
     "embedding_neardup",
-    "doc_quality",
+    "text_metrics",
     "quantized_knn",
     "tfidf_top_terms",
     "time_rollup",

@@ -56,15 +56,21 @@ def load(spark: SparkSession, root: str, name: str | Sequence[str]) -> DataFrame
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=False), dfs)
 
 
-def hstack(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+def hstack(left: DataFrame, right: DataFrame, key: str, how: str = "inner") -> DataFrame:
     """Column concat by explicit KEY (ref: table.join axis=1,
     table.py:37-43). The reference zips columns positionally and lets
     duplicate names resolve LAST-WINS via a dict comprehension
     (table.py:39-40); Spark has no stable row order, so alignment is a
     key equi-join — and last-wins is replicated by dropping the left
-    side's duplicated non-key columns before joining."""
+    side's duplicated non-key columns before joining.
+
+    NOTE the semantic difference from the reference: its positional
+    h-stack preserves every row of equal-length tables, while the
+    default ``how='inner'`` DROPS rows whose key is missing on either
+    side. Pass ``how='full'`` (nulls for the missing side) to mirror
+    the reference's length-preserving behavior on keyed data."""
     dups = [c for c in left.columns if c != key and c in right.columns]
-    return left.drop(*dups).join(right, key)
+    return left.drop(*dups).join(right, key, how)
 
 
 def list_tables(root: str) -> Iterator[str]:

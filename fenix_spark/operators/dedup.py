@@ -49,11 +49,20 @@ def spread(df: DataFrame) -> DataFrame:
     Small inputs often arrive as ONE parquet file = one task, seriali-
     zing the whole computation; shuffling ~300-byte rows to all cores
     is orders cheaper than single-threaded hashing. At real scale the
-    input already has ≥ cores splits and this is a no-op."""
+    input already has ≥ cores splits and this is a no-op.
+
+    The probe uses ``inputFiles()`` (pure metadata) rather than
+    ``df.rdd.getNumPartitions()``, which forces an RDD conversion +
+    plan analysis per call. A many-files input is left untouched; a
+    few-files (or non-file) input is repartitioned — for the only case
+    that matters (one small file) that is exactly right, and for a few
+    huge files the repartition it triggers is the parallelism win this
+    helper exists for."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    files = df.inputFiles()
+    if len(files) >= target:
+        return df
+    return df.repartition(target)
 
 
 def normalized_text(c: Column) -> Column:
@@ -263,7 +272,12 @@ def simhash_neardup_pairs(
     bit_count(xor) post-filter gives exact precision. No brute-force
     |docs|² comparison anywhere.
     """
-    fps = simhash_fingerprints(df, text_col, id_col)
+    # localCheckpoint: the fingerprint frame feeds BOTH sides of the
+    # band self-join, and the build side broadcasts — without a
+    # materialization Spark recomputes the tokenize+hash chain twice
+    # (VERDICT r01 perf item 3). The checkpointed RDD is executor-local
+    # and GC'd with the DataFrame reference.
+    fps = simhash_fingerprints(df, text_col, id_col).localCheckpoint(eager=False)
     band_rows = fps.select(
         "id",
         "sim",

@@ -61,12 +61,22 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     ts = "__ASOF_TS__"
 
+    pay = "__ASOF_PAY__"
+    # The whole right payload (cols + right_ts) travels as ONE struct,
+    # and last(ignorenulls) carries the struct — so a match is
+    # all-or-nothing from a single right row. Filling each column
+    # independently would skip a matched row's genuinely-NULL payload
+    # value and carry an older row's value forward (and could mix
+    # values from different right rows) — diverging from pandas
+    # merge_asof / DuckDB ASOF semantics.
+    payload_struct = F.struct(
+        *[F.col(c).alias(c) for c in right_cols], F.col(right_ts).alias("__ts")
+    )
     l_tagged = left.select(
         *[F.col(c) for c in left.columns],
         F.col(left_ts).alias(ts),
         F.lit(1).alias(_SIDE),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__r_ts"),
+        F.lit(None).alias(pay),
     )
     # Right rows take the left column layout: key columns keep their
     # values (same names both sides), everything else is a typed null.
@@ -77,8 +87,10 @@ def asof_join(
         ],
         F.col(right_ts).alias(ts),
         F.lit(0).alias(_SIDE),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(right_ts).alias("__r_ts"),
+        payload_struct.alias(pay),
+    )
+    l_tagged = l_tagged.withColumn(
+        pay, F.col(pay).cast(r_tagged.schema[pay].dataType)
     )
 
     unioned = l_tagged.unionByName(r_tagged)
@@ -91,25 +103,17 @@ def asof_join(
         *[c for c in left.columns],
         F.col(ts),
         F.col(_SIDE),
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}") for c in right_cols],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__r_ts"),
+        F.last(pay, ignorenulls=True).over(w).alias(pay),
     )
     out = filled.where(F.col(_SIDE) == 1)
     if tolerance is not None:
-        stale = (F.col(ts) - F.col("__r_ts")) > tolerance
-        out = out.select(
-            *[c for c in left.columns],
-            *[
-                F.when(stale, F.lit(None)).otherwise(F.col(f"__r_{c}")).alias(f"__r_{c}")
-                for c in right_cols
-            ],
-            F.when(stale, F.lit(None)).otherwise(F.col("__r_ts")).alias("__r_ts"),
-        )
-    renames = {f"__r_{c}": f"right_{c}" for c in right_cols}
-    renames["__r_ts"] = f"right_{right_ts}"
-    out = out.drop(ts, _SIDE)
-    for old, new in renames.items():
-        out = out.withColumnRenamed(old, new)
+        stale = (F.col(ts) - F.col(pay)["__ts"]) > tolerance
+        out = out.withColumn(pay, F.when(stale, F.lit(None)).otherwise(F.col(pay)))
+    out = out.select(
+        *[c for c in left.columns],
+        *[F.col(pay)[c].alias(f"right_{c}") for c in right_cols],
+        F.col(pay)["__ts"].alias(f"right_{right_ts}"),
+    )
     return out
 
 
@@ -131,7 +135,20 @@ def salted_join(
     a *moderate-size* right side against a skewed big left, and prefer
     AQE's skew-join splitting when it already kicks in; this operator
     is for when it can't (e.g. aggregation-feeding joins AQE won't
-    split, or fixed-partitioning pipelines)."""
+    split, or fixed-partitioning pipelines).
+
+    ``how`` is restricted to the joins the salt rewrite is exactly
+    equivalent for: each left row holds ONE salt value, so right/full/
+    outer joins would emit ``salts``−1 spurious null-extended rows per
+    unmatched right row (the replicas with salts absent on the left)."""
+    _SAFE_HOW = {"inner", "left", "leftouter", "left_outer", "semi",
+                 "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower() not in _SAFE_HOW:
+        raise ValueError(
+            f"salted_join(how={how!r}) is not equivalence-preserving; "
+            f"use one of {sorted(_SAFE_HOW)} or a plain join for "
+            "right/full/outer semantics"
+        )
     sc = "__SALT__"
     l = left.withColumn(
         sc, F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts)).cast("int")

@@ -38,7 +38,9 @@ def deterministic_sample(
     """Keep ~``fraction`` of rows, decided per-row by hash bucket — a
     scan filter (no shuffle, no RNG state), stable under retries,
     repartitioning, and engine changes."""
-    return df.where(hash_bucket(id_col, salt) < int(fraction * _BUCKETS))
+    # round(), not truncation: 0.29 * 10000 is 2899.999… in binary —
+    # int() would silently drop a bucket (under-sample by 0.01%).
+    return df.where(hash_bucket(id_col, salt) < int(round(fraction * _BUCKETS)))
 
 
 def hash_split(
@@ -59,7 +61,7 @@ def hash_split(
     acc = 0.0
     for w in weights:
         acc += w / total
-        bounds.append(int(acc * _BUCKETS))
+        bounds.append(int(round(acc * _BUCKETS)))  # round: see deterministic_sample
     bounds[-1] = _BUCKETS  # close the last interval against rounding
     # nested whens, lowest bound innermost: bucket < bounds[0] → names[0], …
     expr = F.lit(names[-1])

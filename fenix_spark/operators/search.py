@@ -77,6 +77,7 @@ def similarity_join_brute(
     right_id: str = "vec_id",
     dist_col: str = DISTANCE_COL,
     round_to: int | None = None,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Brute-force similarity join via Arrow-batched matmul.
 
@@ -94,8 +95,11 @@ def similarity_join_brute(
     - no shuffle at all: top-k is computed where the left rows live.
 
     Scale contract: right side must fit in executor memory (~1 GB per
-    1M×128d float64). For large×large, prune with the IVF cell
-    equi-join first (operators/index.py) and apply this within cells.
+    1M×128d float64), ENFORCED by ``max_broadcast_rows`` — the count
+    gate below fails fast BEFORE collecting, so a careless large×large
+    call can't OOM the driver at 100 TB. For large×large, prune with
+    the IVF cell equi-join first (operators/index.py:batch_probe_search)
+    and apply this within cells.
 
     ``round_to`` rounds distances BEFORE ranking (with right_id
     tiebreak) for oracle-stable output.
@@ -104,6 +108,18 @@ def similarity_join_brute(
     import pandas as pd
 
     spark = left.sparkSession
+    # limit(N+1).count() instead of count(): stops scanning as soon as
+    # the bound is exceeded, so the guard is cheap even on a huge input.
+    n_right = right.select(right_id).limit(max_broadcast_rows + 1).count()
+    if n_right > max_broadcast_rows:
+        raise ValueError(
+            f"similarity_join_brute: right side exceeds "
+            f"max_broadcast_rows={max_broadcast_rows:,}; it would be "
+            "collected to the driver and broadcast. For large×large "
+            "similarity joins use operators.index.batch_probe_search "
+            "(IVF cell equi-join) instead, or raise max_broadcast_rows "
+            "if the right side genuinely fits in executor memory."
+        )
     r_rows = right.select(right_id, column).collect()
     rid = np.array([r[0] for r in r_rows], dtype="int64")
     rmat = np.array([r[1] for r in r_rows], dtype="float64")

@@ -160,6 +160,28 @@ def _knn_oracle(metric: str, k: int = 10, where: str = "", select: str = "vec_id
     """
 
 
+_KNN_METRICS = ("l2", "cosine", "dot")
+
+
+def _knn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 brute-force KNN under all three reference metric families
+    (F1 l2, F2 cosine = 0.5−0.5·cos, F3 negated dot) in one result,
+    tagged by metric. Each arm is the optimal no-shuffle plan
+    (Scan → codegen distance → TakeOrderedAndProject); the union is
+    three independent map passes."""
+    out = None
+    for m in _KNN_METRICS:
+        part = _knn_spark(m)(spark, sf_dir).select(F.lit(m).alias("metric"), "*")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _knn_metrics_oracle() -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{m}' AS metric, * FROM ({_knn_oracle(m)})" for m in _KNN_METRICS
+    )
+
+
 # --------------------------------------------------------------------------
 # IVF/PQ index family (reference C2/C3/C4) — artifacts shared with DuckDB
 # --------------------------------------------------------------------------
@@ -451,24 +473,7 @@ WHERE l_shipdate >= {duck_ts("1997-01-01")} AND l_shipdate < {duck_ts("1997-02-0
 """
 
 
-def _union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6 v-stack: multi-source load = unionByName
-    (ref: src/fenix/io/table/table.py:29-35)."""
-    cust = table(spark, sf_dir, "customer")
-    a = cust.where(F.col("c_mktsegment") == "BUILDING")
-    b = cust.where(F.col("c_mktsegment") == "MACHINERY")
-    return a.unionByName(b).select(
-        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
-    )
-
-
-_UNION_ALL_SQL = """
-SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
-FROM customer WHERE c_mktsegment = 'BUILDING'
-UNION ALL
-SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
-FROM customer WHERE c_mktsegment = 'MACHINERY'
-"""
+# (P6 v-stack / union-all is exercised inside _set_ops' 'vstack' rows.)
 
 
 def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,10 +727,21 @@ FROM lineitem GROUP BY l_returnflag
 
 
 def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT set ops (the reference has union-all only,
-    src/fenix/io/table/table.py:29-43): customer keys active in both
-    1996 and 1997, and those who went quiet — tagged and unioned.
-    Both compile to hash aggregates on the key: one shuffle each."""
+    """All §2.7 set operations in one tagged result. 'vstack' rows =
+    P6 union-all / multi-source load (ref: src/fenix/io/table/
+    table.py:29-35, unionByName); 'setop' rows = INTERSECT / EXCEPT
+    beyond the reference (customers retained vs churned 1996→1997).
+    The set ops compile to hash aggregates on the key: one shuffle
+    each; the v-stack arm is a pure scan union."""
+    cust = table(spark, sf_dir, "customer")
+    a = cust.where(F.col("c_mktsegment") == "BUILDING")
+    b = cust.where(F.col("c_mktsegment") == "MACHINERY")
+    vstack = a.unionByName(b).select(
+        F.lit("vstack").alias("op"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("tag"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
     orders = table(spark, sf_dir, "orders")
     in96 = orders.where(
         (F.col("o_orderdate") >= ts_lit("1996-01-01"))
@@ -737,7 +753,13 @@ def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_custkey")
     both = in96.intersect(in97).select("o_custkey", F.lit("retained").alias("cohort"))
     gone = in96.subtract(in97).select("o_custkey", F.lit("churned").alias("cohort"))
-    return both.unionByName(gone)
+    setop = both.unionByName(gone).select(
+        F.lit("setop").alias("op"),
+        F.col("o_custkey").alias("key"),
+        F.col("cohort").alias("tag"),
+        F.lit(None).cast("double").alias("bal"),
+    )
+    return vstack.unionByName(setop)
 
 
 _SET_OPS_SQL = f"""
@@ -745,9 +767,14 @@ WITH in96 AS (SELECT o_custkey FROM orders
               WHERE o_orderdate >= {duck_ts("1996-01-01")} AND o_orderdate < {duck_ts("1997-01-01")}),
      in97 AS (SELECT o_custkey FROM orders
               WHERE o_orderdate >= {duck_ts("1997-01-01")} AND o_orderdate < {duck_ts("1998-01-01")})
-SELECT o_custkey, 'retained' AS cohort FROM (SELECT * FROM in96 INTERSECT SELECT * FROM in97)
+SELECT 'vstack' AS op, c_custkey AS key, c_mktsegment AS tag, round(c_acctbal, 2) AS bal
+FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
 UNION ALL
-SELECT o_custkey, 'churned' AS cohort FROM (SELECT * FROM in96 EXCEPT SELECT * FROM in97)
+SELECT 'setop' AS op, o_custkey AS key, 'retained' AS tag, NULL::DOUBLE AS bal
+FROM (SELECT * FROM in96 INTERSECT SELECT * FROM in97)
+UNION ALL
+SELECT 'setop' AS op, o_custkey AS key, 'churned' AS tag, NULL::DOUBLE AS bal
+FROM (SELECT * FROM in96 EXCEPT SELECT * FROM in97)
 """
 
 
@@ -1064,6 +1091,13 @@ def _stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fenix_spark.streaming.windows import windowed_event_counts
 
+    # Scope the nanos conf to this job: leaving it set session-wide
+    # would make LATER nanos-parquet reads in the same session behave
+    # differently depending on whether this query ran first (ADVICE r01).
+    try:
+        prev_nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:  # noqa: BLE001 - unset conf raises
+        prev_nanos = None
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = T.StructType(
         [
@@ -1099,7 +1133,13 @@ def _stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        if prev_nanos is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev_nanos)
     return spark.table(name)
 
 
@@ -1148,20 +1188,37 @@ GROUP BY band
 
 
 def _exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by full text equality: hash-groupBy keeps the lowest
-    doc_id per distinct text. At 100 TB this groups on xxhash64(text)
-    first to avoid shuffling full documents; text equality is the
-    oracle-checkable semantic either way."""
+    """Exact dedup both ways, tagged by method. 'text' rows group on
+    full text equality (the oracle-checkable semantic); 'hash' rows
+    group on hash60(normalized text) (operators/dedup.py:
+    exact_dedup_by_hash) — the 100 TB variant whose shuffle key is an
+    8-byte hash, never the document body."""
+    from fenix_spark.operators.dedup import exact_dedup_by_hash
+
     docs = table(spark, sf_dir, "documents")
-    return docs.groupBy("text").agg(
-        F.min("doc_id").alias("kept_doc_id"),
-        F.count(F.lit(1)).alias("dup_count"),
-    ).select("kept_doc_id", "dup_count")
+    by_text = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("kept_id"), F.count(F.lit(1)).alias("dup_count"))
+        .select(F.lit("text").alias("method"), "kept_id", "dup_count")
+    )
+    by_hash = exact_dedup_by_hash(docs, "text", "doc_id").select(
+        F.lit("hash").alias("method"), "kept_id", "dup_count"
+    )
+    return by_text.unionByName(by_hash)
 
 
 _EXACT_DEDUP_SQL = """
-SELECT min(doc_id) AS kept_doc_id, count(*) AS dup_count
+WITH h AS (
+    SELECT doc_id,
+           ('0x' || substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT
+           AS content_hash
+    FROM documents
+)
+SELECT 'text' AS method, min(doc_id) AS kept_id, count(*) AS dup_count
 FROM documents GROUP BY text
+UNION ALL
+SELECT 'hash' AS method, min(doc_id) AS kept_id, count(*) AS dup_count
+FROM h GROUP BY content_hash
 """
 
 
@@ -1254,25 +1311,7 @@ FROM events GROUP BY event_type
 # --------------------------------------------------------------------------
 
 
-def _hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on hash60(normalized text): the 100 TB-scale variant
-    of exact_dedup — the shuffle key is an 8-byte hash, not the
-    document body."""
-    from fenix_spark.operators.dedup import exact_dedup_by_hash
-
-    return exact_dedup_by_hash(table(spark, sf_dir, "documents"), "text", "doc_id")
-
-
-_HASH_DEDUP_SQL = """
-WITH h AS (
-    SELECT doc_id,
-           ('0x' || substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT
-           AS content_hash
-    FROM documents
-)
-SELECT content_hash, min(doc_id) AS kept_id, count(*) AS dup_count
-FROM h GROUP BY content_hash
-"""
+# (hash-keyed exact dedup is exercised inside _exact_dedup's 'hash' rows.)
 
 
 def _minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1321,10 +1360,30 @@ def _minhash_neardup_sql() -> str:
     """
 
 
-def _simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fenix_spark.operators.dedup import simhash_fingerprints
+def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints, tagged by scheme: 'simhash' rows carry
+    each doc's 32-bit SimHash (operators/dedup.py:simhash_fingerprints);
+    'winnow' rows its winnowing fingerprint set (rolling 3-token shingle
+    hashes, min per window of 4 — winnow_fingerprints). Both are pure
+    per-row array math: zero shuffle, scan-bound at any scale."""
+    from fenix_spark.operators.dedup import simhash_fingerprints, winnow_fingerprints
 
-    return simhash_fingerprints(table(spark, sf_dir, "documents"), "text", "doc_id")
+    docs = table(spark, sf_dir, "documents")
+    sh = simhash_fingerprints(docs, "text", "doc_id").select(
+        F.lit("simhash").alias("scheme"), "id", F.col("sim").cast("bigint").alias("fp")
+    )
+    wn = winnow_fingerprints(docs, "text", "doc_id").select(
+        F.lit("winnow").alias("scheme"), "id", F.col("fp").cast("bigint").alias("fp")
+    )
+    return sh.unionByName(wn)
+
+
+def _fingerprints_sql() -> str:
+    return f"""
+    SELECT 'simhash' AS scheme, id, CAST(sim AS BIGINT) AS fp FROM ({_simhash_fingerprint_sql()})
+    UNION ALL
+    SELECT 'winnow' AS scheme, id, CAST(fp AS BIGINT) AS fp FROM ({_winnow_fingerprint_sql()})
+    """
 
 
 def _simhash_fingerprint_sql() -> str:
@@ -1366,14 +1425,6 @@ def _simhash_neardup_sql() -> str:
     FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
     WHERE bit_count(xor(a.sim, c.sim)) <= 3
     """
-
-
-def _winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (rolling 3-token shingle hashes, min per
-    window of 4) — per-row array math, zero shuffle."""
-    from fenix_spark.operators.dedup import winnow_fingerprints
-
-    return winnow_fingerprints(table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 def _winnow_fingerprint_sql() -> str:
@@ -1725,59 +1776,62 @@ def _duck_bucket(id_expr: str, salt: str = "") -> str:
     return f"({duck_hash60(f'{id_expr}::VARCHAR || {salt!r}')} % 10000)"
 
 
-def _hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reproducible 10% sample (operators/sampling.py): per-row hash
-    decision, a pure scan filter — stable under retries and
-    repartitioning, unlike df.sample()'s engine-private RNG."""
-    from fenix_spark.operators.sampling import deterministic_sample
+def _curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation family (operators/sampling.py) in one tagged
+    result, each arm summarized as (count, sum of selected ids) —
+    set-equality evidence without per-row output volume:
+
+    - 'sample': reproducible 10% hash sample (per-row hash decision, a
+      pure scan filter — stable under retries and repartitioning,
+      unlike df.sample()'s engine-private RNG), grouped per lang.
+    - 'split': disjoint 80/10/10 train/val/test split by id hash —
+      every row in exactly one split, forever, on any engine.
+    - 'quota': per-language cap of 30 docs under a deterministic order
+      (per_group_limit) — bounds any one domain's contribution."""
+    from fenix_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+        per_group_limit,
+    )
 
     docs = table(spark, sf_dir, "documents")
-    return deterministic_sample(docs, "doc_id", 0.10).select("doc_id", "lang", "n_chars")
-
-
-_HASH_SAMPLE_SQL = f"""
-SELECT doc_id, lang, n_chars FROM documents
-WHERE {_duck_bucket("doc_id")} < 1000
-"""
-
-
-def _hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Disjoint 80/10/10 train/val/test split by id hash — every row
-    in exactly one split, forever, on any engine."""
-    from fenix_spark.operators.sampling import hash_split
-
     emb = table(spark, sf_dir, "embeddings")
-    out = hash_split(emb, "vec_id", [0.8, 0.1, 0.1], ["train", "val", "test"])
-    return out.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("first_id")
+    sample = (
+        deterministic_sample(docs, "doc_id", 0.10)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum"))
+        .select(F.lit("sample").alias("part"), F.col("lang").alias("grp"), "n", "id_sum")
     )
-
-
-_HASH_SPLIT_SQL = f"""
-WITH b AS (SELECT vec_id, {_duck_bucket("vec_id")} AS bk FROM embeddings)
-SELECT CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val' ELSE 'test' END AS split,
-       count(*) AS n, min(vec_id) AS first_id
-FROM b GROUP BY 1
-"""
-
-
-def _quota_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group quota (operators/sampling.py:per_group_limit): cap
-    each language at 30 docs under a deterministic order — bounds any
-    one domain's contribution to a corpus."""
-    from fenix_spark.operators.sampling import per_group_limit
-
-    docs = table(spark, sf_dir, "documents")
-    return per_group_limit(docs, ["lang"], [F.col("doc_id").asc()], 30).select(
-        "lang", "doc_id"
+    split = (
+        hash_split(emb, "vec_id", [0.8, 0.1, 0.1], ["train", "val", "test"])
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("id_sum"))
+        .select(F.lit("split").alias("part"), F.col("split").alias("grp"), "n", "id_sum")
     )
+    quota = (
+        per_group_limit(docs, ["lang"], [F.col("doc_id").asc()], 30)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum"))
+        .select(F.lit("quota").alias("part"), F.col("lang").alias("grp"), "n", "id_sum")
+    )
+    return sample.unionByName(split).unionByName(quota)
 
 
-_QUOTA_PER_LANG_SQL = """
-SELECT lang, doc_id FROM (
-    SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
-    FROM documents
-) WHERE rn <= 30
+_CURATION_STATS_SQL = f"""
+WITH b AS (SELECT vec_id, {_duck_bucket("vec_id")} AS bk FROM embeddings),
+     q AS (SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+           FROM documents)
+SELECT 'sample' AS part, lang AS grp, count(*) AS n, sum(doc_id)::BIGINT AS id_sum
+FROM documents WHERE {_duck_bucket("doc_id")} < 1000 GROUP BY lang
+UNION ALL
+SELECT 'split' AS part,
+       CASE WHEN bk < 8000 THEN 'train' WHEN bk < 9000 THEN 'val' ELSE 'test' END AS grp,
+       count(*) AS n, sum(vec_id)::BIGINT AS id_sum
+FROM b GROUP BY 2
+UNION ALL
+SELECT 'quota' AS part, lang AS grp, count(*) AS n, sum(doc_id)::BIGINT AS id_sum
+FROM q WHERE rn <= 30 GROUP BY lang
 """
 
 
@@ -1937,61 +1991,46 @@ LIMIT 10
 # --------------------------------------------------------------------------
 
 
-def _token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fenix_spark.functions.textstats import bpe_token_count, ws_token_count
+def _text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analysis in ONE scan: whitespace + BPE-ish
+    token counts, quality score (length/punct/stopword ratios), and
+    marker-word language ID (textstats.LANG_MARKERS) — all native
+    Catalyst expressions, no Python, no shuffle; the four metrics cost
+    one pass over the text column at any scale."""
+    from fenix_spark.functions.textstats import (
+        bpe_token_count,
+        lang_id,
+        quality_score,
+        ws_token_count,
+    )
 
     docs = table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         ws_token_count(F.col("text")).alias("ws_tokens"),
         bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("pred_lang"),
     )
 
 
-def _token_counts_sql() -> str:
-    from fenix_spark.functions.textstats import duck_bpe_token_count, duck_ws_token_count
-
-    return f"""
-    SELECT doc_id,
-           CAST({duck_ws_token_count("text")} AS INTEGER) AS ws_tokens,
-           CAST({duck_bpe_token_count("text")} AS INTEGER) AS bpe_tokens
-    FROM documents
-    """
-
-
-def _doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fenix_spark.functions.textstats import quality_score
-
-    docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
-
-
-def _doc_quality_sql() -> str:
+def _text_metrics_sql() -> str:
     from fenix_spark.functions.texthash import duck_tokens
-    from fenix_spark.functions.textstats import duck_quality_score
+    from fenix_spark.functions.textstats import (
+        duck_bpe_token_count,
+        duck_lang_id,
+        duck_quality_score,
+        duck_ws_token_count,
+    )
 
     return f"""
     WITH t AS (SELECT doc_id, text, {duck_tokens("text")} AS tk FROM documents)
-    SELECT doc_id, {duck_quality_score("text", "tk")} AS quality FROM t
-    """
-
-
-def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID (deterministic n-gram heuristic; see
-    textstats.LANG_MARKERS)."""
-    from fenix_spark.functions.textstats import lang_id
-
-    docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
-
-
-def _lang_id_sql() -> str:
-    from fenix_spark.functions.texthash import duck_tokens
-    from fenix_spark.functions.textstats import duck_lang_id
-
-    return f"""
-    WITH t AS (SELECT doc_id, {duck_tokens("text")} AS tk FROM documents)
-    SELECT doc_id, {duck_lang_id("tk")} AS pred_lang FROM t
+    SELECT doc_id,
+           CAST({duck_ws_token_count("text")} AS INTEGER) AS ws_tokens,
+           CAST({duck_bpe_token_count("text")} AS INTEGER) AS bpe_tokens,
+           {duck_quality_score("text", "tk")} AS quality,
+           {duck_lang_id("tk")} AS pred_lang
+    FROM t
     """
 
 
@@ -2000,65 +2039,61 @@ def _lang_id_sql() -> str:
 # --------------------------------------------------------------------------
 
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "knn_l2": _knn_spark("l2"),
-    "knn_cosine": _knn_spark("cosine"),
-    "knn_dot": _knn_spark("dot"),
+    # -- search / index family (reference flagship) --
+    "knn_metrics": _knn_metrics,
     "knn_filtered": _knn_spark("l2", where="label = 3"),
     "knn_select": _knn_spark("cosine", select=("vec_id",)),
-    "scan_filter_project": _scan_filter_project,
-    "union_all": _union_all,
-    "tpch_q1": _tpch_q1,
-    "tpch_q3": _tpch_q3,
-    "tpch_q5": _tpch_q5,
-    "tpch_q6": _tpch_q6,
-    "tpch_q4": _tpch_q4,
-    "anti_join": _anti_join,
-    "rollup_agg": _rollup_agg,
-    "percentile_stats": _percentile_stats,
-    "set_ops": _set_ops,
-    "tpch_q10": _tpch_q10,
-    "tpch_q12": _tpch_q12,
-    "tpch_q14": _tpch_q14,
-    "tpch_q18": _tpch_q18,
-    "moving_avg": _moving_avg,
-    "group_topn": _group_topn,
-    "events_json": _events_json,
-    "sessionize": _sessionize,
-    "asof_join_events": _asof_join_events,
-    "range_join_events": _range_join_events,
-    "stream_window_counts": _stream_window_counts,
-    "exact_dedup": _exact_dedup,
-    "text_stats": _text_stats,
-    "nested_access": _nested_access,
-    "distinct_users": _distinct_users,
     "code_assign": _code_assign,
     "ivf_probe_search": _ivf_probe_search,
     "ivf_batch_search": _ivf_batch_search,
     "lsh_ann_search": _lsh_ann_search,
     "similarity_join_topk": _similarity_join_topk,
-    "hash_dedup": _hash_dedup,
-    "minhash_neardup": _minhash_neardup,
-    "simhash_fingerprint": _simhash_fingerprint,
-    "simhash_neardup": _simhash_neardup,
-    "winnow_fingerprint": _winnow_fingerprint,
-    "ngram_jaccard_topk": _ngram_jaccard_topk,
-    "embedding_neardup": _embedding_neardup,
-    "pivot_status_priority": _pivot_status_priority,
-    "argmax_per_group": _argmax_per_group,
-    "regex_extract_ids": _regex_extract_ids,
-    "weekday_revenue": _weekday_revenue,
-    "label_centroids": _label_centroids,
-    "funnel_conversion": _funnel_conversion,
-    "time_rollup": _time_rollup,
-    "hash_sample": _hash_sample,
-    "hash_split_counts": _hash_split_counts,
-    "quota_per_lang": _quota_per_lang,
-    "tfidf_top_terms": _tfidf_top_terms,
-    "token_counts": _token_counts,
-    "doc_quality": _doc_quality,
-    "lang_id": _lang_id,
     "quantize_roundtrip": _quantize_roundtrip,
     "quantized_knn": _quantized_knn,
+    # -- dedup family --
+    "exact_dedup": _exact_dedup,
+    "minhash_neardup": _minhash_neardup,
+    "simhash_neardup": _simhash_neardup,
+    "fingerprints": _fingerprints,
+    "ngram_jaccard_topk": _ngram_jaccard_topk,
+    "embedding_neardup": _embedding_neardup,
+    # -- text analysis / curation --
+    "text_metrics": _text_metrics,
+    "text_stats": _text_stats,
+    "tfidf_top_terms": _tfidf_top_terms,
+    "curation_stats": _curation_stats,
+    "label_centroids": _label_centroids,
+    # -- relational corpus (TPC-H-style) --
+    "scan_filter_project": _scan_filter_project,
+    "tpch_q1": _tpch_q1,
+    "tpch_q3": _tpch_q3,
+    "tpch_q4": _tpch_q4,
+    "tpch_q5": _tpch_q5,
+    "tpch_q6": _tpch_q6,
+    "tpch_q10": _tpch_q10,
+    "tpch_q12": _tpch_q12,
+    "tpch_q14": _tpch_q14,
+    "tpch_q18": _tpch_q18,
+    "anti_join": _anti_join,
+    "set_ops": _set_ops,
+    "rollup_agg": _rollup_agg,
+    "percentile_stats": _percentile_stats,
+    "pivot_status_priority": _pivot_status_priority,
+    "argmax_per_group": _argmax_per_group,
+    "moving_avg": _moving_avg,
+    "group_topn": _group_topn,
+    "distinct_users": _distinct_users,
+    "regex_extract_ids": _regex_extract_ids,
+    "weekday_revenue": _weekday_revenue,
+    "nested_access": _nested_access,
+    # -- events / time-series --
+    "events_json": _events_json,
+    "sessionize": _sessionize,
+    "asof_join_events": _asof_join_events,
+    "range_join_events": _range_join_events,
+    "funnel_conversion": _funnel_conversion,
+    "time_rollup": _time_rollup,
+    "stream_window_counts": _stream_window_counts,
 }
 
 # The driver's oracle comparison always runs at sf0.01 (TESTDATA.md), so
@@ -2066,63 +2101,54 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 ORACLE_SQL: dict[str, str] = {
-    "knn_l2": _knn_oracle("l2"),
-    "knn_cosine": _knn_oracle("cosine"),
-    "knn_dot": _knn_oracle("dot"),
+    "knn_metrics": _knn_metrics_oracle(),
     "knn_filtered": _knn_oracle("l2", where="WHERE label = 3"),
     "knn_select": _knn_oracle("cosine", select="vec_id"),
-    "scan_filter_project": _SCAN_FILTER_PROJECT_SQL,
-    "union_all": _UNION_ALL_SQL,
-    "tpch_q1": _TPCH_Q1_SQL,
-    "tpch_q3": _TPCH_Q3_SQL,
-    "tpch_q5": _TPCH_Q5_SQL,
-    "tpch_q6": _TPCH_Q6_SQL,
-    "tpch_q4": _TPCH_Q4_SQL,
-    "anti_join": _ANTI_JOIN_SQL,
-    "rollup_agg": _ROLLUP_AGG_SQL,
-    "percentile_stats": _PERCENTILE_STATS_SQL,
-    "set_ops": _SET_OPS_SQL,
-    "tpch_q10": _TPCH_Q10_SQL,
-    "tpch_q12": _TPCH_Q12_SQL,
-    "tpch_q14": _TPCH_Q14_SQL,
-    "tpch_q18": _TPCH_Q18_SQL,
-    "moving_avg": _MOVING_AVG_SQL,
-    "group_topn": _GROUP_TOPN_SQL,
-    "events_json": _EVENTS_JSON_SQL,
-    "sessionize": _SESSIONIZE_SQL,
-    "asof_join_events": _ASOF_JOIN_SQL,
-    "range_join_events": _RANGE_JOIN_SQL,
-    "stream_window_counts": _STREAM_WINDOW_SQL,
-    "exact_dedup": _EXACT_DEDUP_SQL,
-    "text_stats": _TEXT_STATS_SQL,
-    "nested_access": _NESTED_ACCESS_SQL,
-    "distinct_users": _DISTINCT_USERS_SQL,
     "code_assign": _code_assign_sql(_ORACLE_SF_DIR),
     "ivf_probe_search": _ivf_probe_search_sql(_ORACLE_SF_DIR),
     "ivf_batch_search": _ivf_batch_search_sql(_ORACLE_SF_DIR),
     "lsh_ann_search": _render_lsh_sql(_ORACLE_SF_DIR),
     "similarity_join_topk": _SIMILARITY_JOIN_SQL,
-    "hash_dedup": _HASH_DEDUP_SQL,
-    "minhash_neardup": _minhash_neardup_sql(),
-    "simhash_fingerprint": _simhash_fingerprint_sql(),
-    "simhash_neardup": _simhash_neardup_sql(),
-    "winnow_fingerprint": _winnow_fingerprint_sql(),
-    "ngram_jaccard_topk": _ngram_jaccard_topk_sql(),
-    "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
-    "pivot_status_priority": _PIVOT_SQL,
-    "argmax_per_group": _ARGMAX_PER_GROUP_SQL,
-    "regex_extract_ids": _REGEX_EXTRACT_SQL,
-    "weekday_revenue": _WEEKDAY_REVENUE_SQL,
-    "label_centroids": _LABEL_CENTROIDS_SQL,
-    "funnel_conversion": _FUNNEL_SQL,
-    "time_rollup": _TIME_ROLLUP_SQL,
-    "hash_sample": _HASH_SAMPLE_SQL,
-    "hash_split_counts": _HASH_SPLIT_SQL,
-    "quota_per_lang": _QUOTA_PER_LANG_SQL,
-    "tfidf_top_terms": _tfidf_top_terms_sql(),
-    "token_counts": _token_counts_sql(),
-    "doc_quality": _doc_quality_sql(),
-    "lang_id": _lang_id_sql(),
     "quantize_roundtrip": _QUANTIZE_ROUNDTRIP_SQL,
     "quantized_knn": _QUANTIZED_KNN_SQL,
+    "exact_dedup": _EXACT_DEDUP_SQL,
+    "minhash_neardup": _minhash_neardup_sql(),
+    "simhash_neardup": _simhash_neardup_sql(),
+    "fingerprints": _fingerprints_sql(),
+    "ngram_jaccard_topk": _ngram_jaccard_topk_sql(),
+    "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+    "text_metrics": _text_metrics_sql(),
+    "text_stats": _TEXT_STATS_SQL,
+    "tfidf_top_terms": _tfidf_top_terms_sql(),
+    "curation_stats": _CURATION_STATS_SQL,
+    "label_centroids": _LABEL_CENTROIDS_SQL,
+    "scan_filter_project": _SCAN_FILTER_PROJECT_SQL,
+    "tpch_q1": _TPCH_Q1_SQL,
+    "tpch_q3": _TPCH_Q3_SQL,
+    "tpch_q4": _TPCH_Q4_SQL,
+    "tpch_q5": _TPCH_Q5_SQL,
+    "tpch_q6": _TPCH_Q6_SQL,
+    "tpch_q10": _TPCH_Q10_SQL,
+    "tpch_q12": _TPCH_Q12_SQL,
+    "tpch_q14": _TPCH_Q14_SQL,
+    "tpch_q18": _TPCH_Q18_SQL,
+    "anti_join": _ANTI_JOIN_SQL,
+    "set_ops": _SET_OPS_SQL,
+    "rollup_agg": _ROLLUP_AGG_SQL,
+    "percentile_stats": _PERCENTILE_STATS_SQL,
+    "pivot_status_priority": _PIVOT_SQL,
+    "argmax_per_group": _ARGMAX_PER_GROUP_SQL,
+    "moving_avg": _MOVING_AVG_SQL,
+    "group_topn": _GROUP_TOPN_SQL,
+    "distinct_users": _DISTINCT_USERS_SQL,
+    "regex_extract_ids": _REGEX_EXTRACT_SQL,
+    "weekday_revenue": _WEEKDAY_REVENUE_SQL,
+    "nested_access": _NESTED_ACCESS_SQL,
+    "events_json": _EVENTS_JSON_SQL,
+    "sessionize": _SESSIONIZE_SQL,
+    "asof_join_events": _ASOF_JOIN_SQL,
+    "range_join_events": _RANGE_JOIN_SQL,
+    "funnel_conversion": _FUNNEL_SQL,
+    "time_rollup": _TIME_ROLLUP_SQL,
+    "stream_window_counts": _STREAM_WINDOW_SQL,
 }

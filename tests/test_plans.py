@@ -35,7 +35,7 @@ def test_knn_is_single_pass_no_shuffle(spark, q):
     """C1 brute-force KNN must compile to scan → project → local top-k
     (TakeOrderedAndProject): zero exchanges, and the scan reads only
     the vector + selected columns."""
-    df = q("knn_cosine")
+    df = q("knn_metrics")  # union of 3 metric arms, each its own local top-k
     assert shuffle_count(df) == 0
     assert_plan(df, scan_columns_subset_of={"vec_id", "label", "embedding"})
 
@@ -113,6 +113,6 @@ def test_column_pruning_never_reads_text_for_stats(spark, q):
         assert "text" not in cols
 
 
-def test_exact_dedup_single_shuffle(spark, q):
-    assert shuffle_count(q("exact_dedup")) == 1
-    assert shuffle_count(q("hash_dedup")) == 1
+def test_exact_dedup_one_shuffle_per_arm(spark, q):
+    # merged query: one groupBy(text) arm + one groupBy(hash) arm
+    assert shuffle_count(q("exact_dedup")) == 2
