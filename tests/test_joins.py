@@ -45,6 +45,34 @@ def test_asof_tolerance(spark):
     assert got[2] is None  # gap 5 > 2 → nulled
 
 
+def test_asof_null_payload_is_not_overwritten(spark):
+    """A matched right row whose payload is genuinely NULL must yield
+    NULL — not an older row's value carried forward (pandas merge_asof
+    / DuckDB ASOF semantics; ADVICE r01). The struct-carry makes the
+    match all-or-nothing from a single right row."""
+    trades = spark.createDataFrame([(1, "A", 30)], "trade_id int, sym string, ts int")
+    quotes = spark.createDataFrame(
+        [("A", 10, 101.0), ("A", 20, None)], "sym string, ts int, px double"
+    )
+    out = asof_join(trades, quotes, "sym", "ts", "ts", ["px"]).collect()
+    assert len(out) == 1
+    assert out[0]["right_ts"] == 20  # the matched row IS ts=20...
+    assert out[0]["right_px"] is None  # ...and its NULL px stays NULL
+
+
+def test_salted_join_rejects_non_equivalent_how(spark):
+    from fenix_spark.operators.joins import salted_join
+
+    l = spark.createDataFrame([(1, "x")], "k int, a string")
+    r = spark.createDataFrame([(1, "y")], "k int, b string")
+    import pytest
+
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="not equivalence-preserving"):
+            salted_join(l, r, "k", salts=4, how=how)
+    assert salted_join(l, r, "k", salts=4, how="left").count() == 1
+
+
 def test_asof_plan_single_shuffle(spark):
     """The union+window technique must cost exactly one exchange —
     that's the whole point versus an interval join."""

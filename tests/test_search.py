@@ -78,6 +78,20 @@ def test_knn_plan_has_no_shuffle(embeddings, target):
     assert "Exchange" not in plan
 
 
+def test_similarity_join_brute_guards_oversized_right(embeddings):
+    """The BLAS path collects + broadcasts the right side; above the
+    row bound it must fail fast BEFORE collecting, pointing at the
+    large×large alternative."""
+    import pytest
+
+    from fenix_spark.operators.search import similarity_join_brute
+
+    with pytest.raises(ValueError, match="batch_probe_search"):
+        similarity_join_brute(
+            embeddings, embeddings, "embedding", k=1, max_broadcast_rows=10
+        )
+
+
 def test_similarity_join_self_top1(embeddings, emb_np):
     """Self-join top-1 under l2 must return each row paired with itself
     (distance 0)."""

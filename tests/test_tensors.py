@@ -70,6 +70,35 @@ def test_shape_and_qparams_metadata_survive_parquet(spark, tmp_path):
     assert shape_of(back, "t") is not None
 
 
+def test_dequantize_cold_reopen_from_footer_metadata_alone(spark, tmp_path):
+    """The quint8 storage contract end-to-end (ref: ex/arrow/quint8/
+    quint8.py:52-87 stores scale/shift in the extension type and
+    reconstructs on read): write QUANTIZED codes + per-column qparams/
+    shape metadata, reopen cold, and dequantize using ONLY what the
+    parquet footer says — no state carried from the writing session."""
+    vals = [([0.5, 1.0, -2.0, 3.75],), ([10.0, -10.0, 0.0, 0.25],)]
+    df = spark.createDataFrame(vals, "v array<double>")
+    # static per-column params (scale=0.1, shift=100 covers [-10, 15.5])
+    q = df.select(quantize(F.col("v"), F.lit(0.1), F.lit(100)).alias("q"))
+    q = with_qparams(q, "q", 0.1, 100)
+    q = with_shape(q, "q", [4])
+    path = str(tmp_path / "quant.parquet")
+    q.write.mode("overwrite").parquet(path)
+
+    back = spark.read.parquet(path)  # cold: only footer metadata
+    scale, shift = qparams_of(back, "q")
+    assert (scale, shift) == (0.1, 100)
+    assert shape_of(back, "q") == [4]
+    deq = back.select(
+        dequantize(F.col("q"), F.lit(scale), F.lit(shift)).alias("d")
+    ).collect()
+    flat_in = [x for row in vals for x in row[0]]
+    flat_out = [x for r in deq for x in r.d]
+    assert len(flat_in) == len(flat_out)
+    for a, b in zip(sorted(flat_in), sorted(flat_out)):
+        assert abs(a - b) <= scale * 0.5 + 1e-12
+
+
 def test_validate_fixed_size(spark):
     good = spark.createDataFrame([([1.0, 2.0],), ([3.0, 4.0],)], "v array<double>")
     validate_fixed_size(good, "v", 2)
