@@ -168,10 +168,22 @@ def _knn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (F1 l2, F2 cosine = 0.5−0.5·cos, F3 negated dot) in one result,
     tagged by metric. Each arm is the optimal no-shuffle plan
     (Scan → codegen distance → TakeOrderedAndProject); the union is
-    three independent map passes."""
+    three independent map passes. The query vector is fetched ONCE and
+    embedded as a literal in all three arms."""
+    emb = table(spark, sf_dir, "embeddings")
+    target = query_literal(_query_vector(spark, sf_dir))
     out = None
     for m in _KNN_METRICS:
-        part = _knn_spark(m)(spark, sf_dir).select(F.lit(m).alias("metric"), "*")
+        part = (
+            emb.select(
+                "vec_id",
+                "label",
+                _round_dist(distance(m, vec_double("embedding"), target)).alias("dist"),
+            )
+            .orderBy("dist", "vec_id")
+            .limit(10)
+            .select(F.lit(m).alias("metric"), "*")
+        )
         out = part if out is None else out.unionByName(part)
     return out
 
