@@ -208,6 +208,13 @@ def minhash_neardup_pairs(
     # removes m² candidate pairs from the verify join. On crawl-scale
     # corpora (30-50% exact dups) that is the dominant term.
     groups = sets.groupBy("s").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    # The groups frame feeds SIX consumers (signature arm, both verify
+    # sides, both member-expansion sides, intra-group pairs). Exchange
+    # reuse does not reliably canonicalize across them, so without an
+    # explicit materialization the tokenize+hash+groupBy subtree is
+    # recomputed per consumer. localCheckpoint truncates the lineage:
+    # one computation, executor-local storage, GC'd with the reference.
+    groups = groups.localCheckpoint(eager=False)
     reps = groups.select(F.element_at("ids", 1).alias("id"), "s")
     signed = reps.select(
         "id", "s", minhash_signature_hashed(F.col("s"), num_components).alias("sig")

@@ -116,11 +116,29 @@ def probe_cells_expr(column: str, coding: DataFrame, probes: int, metric: str | 
     return _probe_cells_from_cents(column, cents, k, n, probes, metric or coding_metric)
 
 
+# The joint-cell scoring expression enumerates all k^n cells IN THE
+# EXPRESSION TREE. At the reference config (k=8, n=2 → 64 cells) this is
+# ideal: the whole scorer is one codegen'd expression, zero shuffle. At
+# production PQ configs (256^8 cells) it would explode the plan — gate
+# it hard and point callers at the join alternative.
+_MAX_ENUMERATED_CELLS = 4096
+
+
 def _probe_cells_from_cents(
     column: str, cents, k: int, n: int, probes: int, metric: str
 ) -> Column:
     from fenix_spark.functions.texthash import let
 
+    if k**n > _MAX_ENUMERATED_CELLS:
+        raise ValueError(
+            f"probe_cells_expr enumerates all k^n = {k**n:,} joint cells "
+            f"in the expression tree (bound: {_MAX_ENUMERATED_CELLS:,}). "
+            "For large codebooks score cells via a broadcast join against "
+            "the centroid table instead: explode queries to (query, "
+            "codebook) rows, broadcast-join the k centroids per codebook, "
+            "aggregate per-codebook argmin scores, then window-top-probes "
+            "per query — same result, plan size O(k*n) not O(k^n)."
+        )
     sub_dim = cents.shape[2]
 
     dists = F.array(
