@@ -126,9 +126,15 @@ def minhash_signatures(sets: DataFrame, num_components: int = 24) -> DataFrame:
 
 
 def lsh_candidates(
-    signed: DataFrame, bands: int = 3, rows_per_band: int = 8
+    signed: DataFrame,
+    bands: int = 3,
+    rows_per_band: int = 8,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Distinct candidate pairs (id_l < id_r) agreeing on ≥1 band.
+    ``carry`` columns of ``signed`` travel through the band join and
+    come out as ``{col}_l`` / ``{col}_r`` (they must be functionally
+    dependent on id, or the distinct dedups less than it should).
 
     Band geometry sets the selectivity knee at ~(1/b)^(1/r): pairs
     above it are near-certain candidates, pairs below are near-never.
@@ -145,6 +151,7 @@ def lsh_candidates(
     """
     band_rows = signed.select(
         "id",
+        *carry,
         F.posexplode(
             F.array(
                 *[
@@ -160,12 +167,17 @@ def lsh_candidates(
             )
         ).alias("band", "key"),
     )
-    l = band_rows.select(F.col("id").alias("id_l"), "band", "key")
-    r = band_rows.select(F.col("id").alias("id_r"), "band", "key")
+    l = band_rows.select(
+        F.col("id").alias("id_l"), *[F.col(c).alias(f"{c}_l") for c in carry], "band", "key"
+    )
+    r = band_rows.select(
+        F.col("id").alias("id_r"), *[F.col(c).alias(f"{c}_r") for c in carry], "band", "key"
+    )
+    out_cols = ["id_l", "id_r", *[f"{c}_l" for c in carry], *[f"{c}_r" for c in carry]]
     return (
         l.join(r, ["band", "key"])
         .where(F.col("id_l") < F.col("id_r"))
-        .select("id_l", "id_r")
+        .select(*out_cols)
         .distinct()
     )
 
@@ -217,9 +229,22 @@ def minhash_neardup_pairs(
     groups = groups.localCheckpoint(eager=False)
     reps = groups.select(F.element_at("ids", 1).alias("id"), "s")
     signed = reps.select(
-        "id", "s", minhash_signature_hashed(F.col("s"), num_components).alias("sig")
+        "id",
+        "s",
+        F.size("s").alias("sz"),
+        minhash_signature_hashed(F.col("s"), num_components).alias("sig"),
     )
-    cand = lsh_candidates(signed, bands, num_components // bands)
+    # Length filter (classic lossless prefix-family bound, e.g. Arasu
+    # et al. / ppjoin): J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|),
+    # so candidate pairs whose set sizes differ by more than the
+    # threshold ratio CANNOT verify — drop them before shipping the
+    # (much wider) member arrays into the verify join. The 1e-6 slack
+    # covers the round(J, 6) ≥ threshold acceptance rule: round-up by
+    # at most 5e-7 means raw J ≥ threshold − 5e-7 must survive.
+    cand = lsh_candidates(signed, bands, num_components // bands, carry=("sz",)).where(
+        F.least("sz_l", "sz_r")
+        >= (threshold - 1e-6) * F.greatest("sz_l", "sz_r")
+    ).select("id_l", "id_r")
     l = reps.select(F.col("id").alias("id_l"), F.col("s").alias("s_l"))
     r = reps.select(F.col("id").alias("id_r"), F.col("s").alias("s_r"))
     rep_pairs = (

@@ -84,6 +84,93 @@ def test_windowed_counts_stream_equals_batch(spark, events_prepared):
     assert streamed == batch
 
 
+def test_stateful_sessionize_state_survives_micro_batches(spark, sf_dir, tmp_path):
+    """The hard streaming property: a session spanning a MICRO-BATCH
+    BOUNDARY must be stitched by the keyed state, not restarted.
+
+    The split point is CONSTRUCTED to guarantee a straddling session:
+    pick a closed multi-event session from the batch sessionizer and
+    cut the event stream at its start timestamp, so its first event(s)
+    land in micro-batch 0 and the rest in micro-batch 1
+    (maxFilesPerTrigger=1, mtime-ordered files). Closed sessions must
+    equal the batch sessionizer's — including that stitched one.
+
+    The sink is polled rather than awaiting availableNow termination:
+    with ProcessingTimeTimeout state pending, the engine keeps running
+    zero-data micro-batches for timeout evaluation, so termination
+    would take the full session gap."""
+    import os
+    import shutil
+    import time
+
+    from fenix_spark.suite import _sessionize
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts_ms", F.expr("ts DIV 1000000"))
+        .select("user_id", "event_id", "ts_ms", "value")
+    )
+
+    batch_rows = _sessionize(spark, sf_dir).collect()
+    last_start = {}
+    for r in batch_rows:
+        last_start[r.user_id] = max(last_start.get(r.user_id, -1), r.start_ms)
+    batch_closed = {
+        (r.user_id, r.start_ms): (r.n_events, r.end_ms)
+        for r in batch_rows
+        if r.start_ms != last_start[r.user_id]
+    }
+    # the session to cut through: closed, multi-event, nonzero span
+    target = max(
+        (k for k, (n, e) in batch_closed.items() if n >= 2 and e > k[1]),
+        key=lambda k: batch_closed[k][1] - k[1],
+    )
+    mid = target[1]  # its start_ms: first event(s) left, rest right
+
+    src_dir = tmp_path / "split_src"
+    src_dir.mkdir()
+    for i, part in enumerate(
+        (ev.where(F.col("ts_ms") <= mid), ev.where(F.col("ts_ms") > mid))
+    ):
+        stage = tmp_path / f"stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        (f,) = [n for n in os.listdir(stage) if n.endswith(".parquet")]
+        dst = src_dir / f"part-{i:03d}.parquet"
+        shutil.copy(stage / f, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    batch_df = spark.read.parquet(str(src_dir))
+    src = stream_source(
+        spark, str(src_dir), batch_df.schema, max_files_per_trigger=1
+    ).select("user_id", "event_id", "ts_ms", "value")
+    sess = sessionize_stateful(src)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_mb_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if spark.sql("SELECT count(*) AS n FROM sessions_mb_out").head().n >= len(
+            batch_closed
+        ):
+            break
+        time.sleep(0.5)
+    q.stop()
+    streamed = {
+        (r.user_id, r.start_ms): (r.n_events, r.end_ms)
+        for r in spark.sql("SELECT * FROM sessions_mb_out").collect()
+    }
+
+    assert streamed == batch_closed
+    # the constructed session did straddle the micro-batch boundary
+    assert streamed[target] == batch_closed[target]
+    assert target[1] <= mid < batch_closed[target][1]
+
+
 def test_stateful_sessionize_matches_batch_closed_sessions(spark, events_prepared):
     src_path, batch_df = events_prepared
     src = stream_source(spark, src_path, batch_df.schema).select(
