@@ -174,6 +174,107 @@ def _digit(joint: int, j: int, k: int, n: int) -> int:
     return (joint // k ** (n - 1 - j)) % k
 
 
+def probe_cells_join(
+    queries: DataFrame,
+    coding: DataFrame,
+    column: str,
+    probes: int,
+    metric: str | None = None,
+    query_id: str = "vec_id",
+) -> DataFrame:
+    """Top-``probes`` joint cells per query via a BROADCAST JOIN against
+    the centroid table — the large-codebook path ``probe_cells_expr``'s
+    bound points at. Plan size is O(n); nothing anywhere is O(k^n).
+
+    Returns (query_id, __qvec double-array, __PROBES__ array<bigint>),
+    result-identical to ``probe_cells_expr`` (same (score, joint)
+    ordering, same left-fold float addition order).
+
+    Shape: explode each query into its n sub-vectors, broadcast-join
+    the k·n centroid rows on codebook id, compute per-(query, codebook)
+    distance to each of the k cells, keep a per-codebook SHORTLIST of
+    the best min(k, probes) cells, then fold the n shortlists into
+    joint cells with beam pruning to ``probes`` at every step.
+
+    The shortlist + beam pruning are EXACT, not approximate: if a
+    prefix is pruned at stage j, each of the ``probes`` kept prefixes
+    extends (with the victim's own suffix digits) to a joint cell that
+    strictly precedes the victim's in (score, joint) order — so the
+    victim cannot reach the final top-``probes``. Per-query work is
+    O(n·k + n·probes·min(k, probes)); the two aggregations shuffle only
+    (query_id, shortlist) rows, never cells × queries.
+    """
+    cents_np, coding_metric, k, n = coding_to_numpy(coding)
+    metric = metric or coding_metric
+    sub_dim = cents_np.shape[2]
+    cents = coding.select(
+        F.col("codebook").alias("__j"),
+        F.col("cell").alias("__cell"),
+        F.col("centroid").alias("__cent"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        vec_double(column).alias("__qvec"),
+        F.posexplode(
+            F.array(*[sub_vector(column, j, sub_dim) for j in range(n)])
+        ).alias("__j", "__sub"),
+    )
+    d = distance(metric, F.col("__sub"), F.col("__cent"))
+    shortlists = (
+        q.join(F.broadcast(cents), "__j")
+        .select("query_id", "__qvec", "__j", d.alias("__d"), "__cell")
+        .groupBy("query_id", "__j")
+        .agg(
+            F.first("__qvec").alias("__qvec"),
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__d").alias("d"), F.col("__cell").alias("cell")))
+                ),
+                1,
+                min(k, probes),
+            ).alias("__short"),
+        )
+    )
+    books = shortlists.groupBy("query_id").agg(
+        F.first("__qvec").alias("__qvec"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__j").alias("j"), F.col("__short").alias("short")))
+        ).alias("__books"),
+    )
+    init = F.array(
+        F.struct(F.lit(0.0).alias("score"), F.lit(0).cast("bigint").alias("joint"))
+    )
+    combos = F.aggregate(
+        F.col("__books"),
+        init,
+        lambda acc, b: F.slice(
+            F.array_sort(
+                F.flatten(
+                    F.transform(
+                        acc,
+                        lambda a: F.transform(
+                            b["short"],
+                            lambda s: F.struct(
+                                (a["score"] + s["d"]).alias("score"),
+                                (a["joint"] * F.lit(k) + s["cell"].cast("bigint")).alias(
+                                    "joint"
+                                ),
+                            ),
+                        ),
+                    )
+                )
+            ),
+            1,
+            probes,
+        ),
+    )
+    return books.select(
+        "query_id",
+        "__qvec",
+        F.transform(combos, lambda c: c["joint"]).alias(PROBE_COL),
+    )
+
+
 def batch_probe_search(
     queries: DataFrame,
     indexed: DataFrame,
@@ -202,13 +303,20 @@ def batch_probe_search(
     """
     cents, coding_metric, kk, n = coding_to_numpy(coding)
     metric = metric or coding_metric
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        vec_double(column).alias("__qvec"),
-        F.explode(
-            _probe_cells_from_cents(column, cents, kk, n, probes, metric)
-        ).alias("__probe"),
-    )
+    if kk**n > _MAX_ENUMERATED_CELLS:
+        # large codebook: broadcast-join scorer, plan size O(n)
+        q = probe_cells_join(queries, coding, column, probes, metric, query_id).select(
+            "query_id", "__qvec", F.explode(PROBE_COL).alias("__probe")
+        )
+    else:
+        # small codebook: pure projection, no aggregation shuffle
+        q = queries.select(
+            F.col(query_id).alias("query_id"),
+            vec_double(column).alias("__qvec"),
+            F.explode(
+                _probe_cells_from_cents(column, cents, kk, n, probes, metric)
+            ).alias("__probe"),
+        )
     cand = q.join(indexed, q["__probe"] == indexed[CODE_COL])
     d = distance(metric, vec_double(column), F.col("__qvec"))
     if round_to is not None:

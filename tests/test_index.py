@@ -177,3 +177,71 @@ def test_probe_prunes_partitions(indexed, coding, embeddings):
     )
     assert "PartitionFilters: [" in plan
     assert CODE_COL in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_probe_cells_join_matches_expr(embeddings, coding):
+    """The broadcast-join scorer must return BIT-IDENTICAL probe lists
+    to the enumerated-expression scorer at the reference config."""
+    from fenix_spark.operators.index import PROBE_COL, probe_cells_join
+
+    want = {
+        r["vec_id"]: list(r["cells"])
+        for r in embeddings.select(
+            "vec_id", probe_cells_expr("embedding", coding, probes=16).alias("cells")
+        ).collect()
+    }
+    got = {
+        r["query_id"]: list(r[PROBE_COL])
+        for r in probe_cells_join(
+            embeddings, coding, "embedding", probes=16, query_id="vec_id"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_probe_cells_join_large_codebook(spark):
+    """Above the enumeration bound (k^n > 4096) the join scorer is the
+    only path — verify its beam pruning is exact against the numpy
+    full ranking on a synthetic 32^3 = 32768-cell codebook."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from fenix_spark.operators.index import (
+        PROBE_COL,
+        _MAX_ENUMERATED_CELLS,
+        probe_cells_join,
+    )
+
+    k, n, sub_dim, probes = 32, 3, 4, 20
+    assert k**n > _MAX_ENUMERATED_CELLS
+    rng = np.random.default_rng(7)
+    cents = rng.normal(size=(n, k, sub_dim)).round(3)
+    coding = spark.createDataFrame(
+        [
+            Row(
+                codebook=j,
+                cell=c,
+                centroid=[float(x) for x in cents[j, c]],
+                metric="l2",
+                codebook_size=k,
+                num_codebooks=n,
+            )
+            for j in range(n)
+            for c in range(k)
+        ],
+        "codebook int, cell int, centroid array<double>, "
+        "metric string, codebook_size int, num_codebooks int",
+    )
+    qvecs = rng.normal(size=(8, n * sub_dim)).round(3)
+    queries = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(qvecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r["query_id"]: list(r[PROBE_COL])
+        for r in probe_cells_join(
+            queries, coding, "embedding", probes=probes, query_id="vec_id"
+        ).collect()
+    }
+    for i, v in enumerate(qvecs):
+        assert got[i] == rank_cells(coding, v, "l2")[:probes]
