@@ -13,6 +13,7 @@ batch equivalence on finite inputs, which is the strongest available
 check for these operators.
 """
 
+from fenix_spark.streaming.dedup import stream_exact_dedup, stream_simhash_tag
 from fenix_spark.streaming.ingest import stream_ingest, stream_source
 from fenix_spark.streaming.sessions import sessionize_stateful
 from fenix_spark.streaming.windows import sliding_event_rates, windowed_event_counts
@@ -20,7 +21,9 @@ from fenix_spark.streaming.windows import sliding_event_rates, windowed_event_co
 __all__ = [
     "sessionize_stateful",
     "sliding_event_rates",
+    "stream_exact_dedup",
     "stream_ingest",
+    "stream_simhash_tag",
     "stream_source",
     "windowed_event_counts",
 ]

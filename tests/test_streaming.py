@@ -205,3 +205,68 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, events_prepare
         assert (n, end) == (bn, bend)
         # float sum order differs (pandas sequential vs Spark agg)
         assert vsum == pytest.approx(bvsum, abs=1e-3)
+
+
+def test_stream_exact_dedup_matches_batch_distinct(spark, sf_dir, tmp_path):
+    """Streaming first-occurrence dedup on the content hash must keep
+    exactly one row per distinct normalized document — same distinct
+    hash set as the batch dedup, with re-crawled copies (same text,
+    new doc_id, later ts) all suppressed."""
+    from fenix_spark.functions.texthash import hash60
+    from fenix_spark.operators.dedup import normalized_text
+    from fenix_spark.streaming import stream_exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "doc_id", "text", F.timestamp_millis(F.col("doc_id") * 1000).alias("ts")
+    )
+    recrawl = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        F.timestamp_millis(F.col("doc_id") * 1000 + 600_000).alias("ts"),
+    )
+    src_path = str(tmp_path / "docs_src")
+    base.unionByName(recrawl).write.mode("overwrite").parquet(src_path)
+    written = spark.read.parquet(src_path)
+
+    src = stream_source(spark, src_path, written.schema)
+    deduped = stream_exact_dedup(src, "text", "ts", watermark="1 hour")
+    _drain(deduped, "dedup_out", "append")
+    out = spark.sql("SELECT content_hash, doc_id FROM dedup_out").collect()
+
+    batch_hashes = {
+        r.h
+        for r in written.select(
+            hash60(normalized_text(F.col("text"))).alias("h")
+        ).distinct().collect()
+    }
+    assert {r.content_hash for r in out} == batch_hashes
+    assert len(out) == len(batch_hashes)  # exactly one survivor per hash
+
+
+def test_stream_simhash_tag_matches_batch(spark, sf_dir, tmp_path):
+    """Stateless near-dup tagging: streamed fingerprints and band keys
+    must equal the batch operator's on the same input."""
+    from fenix_spark.operators.dedup import simhash_fingerprints
+    from fenix_spark.streaming import stream_simhash_tag
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    src_path = str(tmp_path / "tag_src")
+    docs.write.mode("overwrite").parquet(src_path)
+    written = spark.read.parquet(src_path)
+
+    tagged = stream_simhash_tag(
+        stream_source(spark, src_path, written.schema), "text"
+    ).select("doc_id", "sim", "sim_bands")
+    _drain(tagged, "tag_out", "append")
+    streamed = {
+        r.doc_id: (r.sim, tuple((b.band, b.key) for b in r.sim_bands))
+        for r in spark.sql("SELECT * FROM tag_out").collect()
+    }
+    batch = {
+        r.id: r.sim for r in simhash_fingerprints(written, "text", "doc_id").collect()
+    }
+    assert set(streamed) == set(batch)
+    for did, (sim, bands) in streamed.items():
+        assert sim == batch[did]
+        assert bands == tuple((b, (sim >> (8 * b)) & 255) for b in range(4))
