@@ -275,6 +275,146 @@ def probe_cells_join(
     )
 
 
+def adc_lut(coding: DataFrame, target: Sequence[float], metric: str | None = None) -> list[list[float]]:
+    """Per-codebook ADC lookup tables for ``target`` (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+    the asymmetric distance computation).
+
+    ``lut[j][c]`` is the j-th sub-query's contribution if the row's
+    code has digit ``c`` in codebook j:
+
+    - ``l2``: SQUARED sub-distance ‖q_j − cent_{j,c}‖² (squares add
+      across codebooks; the caller applies the final sqrt),
+    - ``dot``: negated partial dot product −q_j·cent_{j,c} (partial
+      dots add directly).
+
+    cosine does not decompose per-subspace (the row norm is not
+    separable) → ValueError; search cosine via l2 on normalized
+    vectors instead.
+
+    Computed driver-side over the tiny centroid tensor with a
+    SEQUENTIAL left-fold float sum — the same fold DuckDB's
+    ``list_sum`` applies to identical centroid/query doubles — so an
+    oracle can recompute the tables bit-identically in SQL.
+    """
+    cents, coding_metric, k, n = coding_to_numpy(coding)
+    metric = metric or coding_metric
+    sub_dim = cents.shape[2]
+    tgt = [float(x) for x in target]
+    luts: list[list[float]] = []
+    for j in range(n):
+        q = tgt[j * sub_dim : (j + 1) * sub_dim]
+        row: list[float] = []
+        for c in range(k):
+            cent = cents[j, c]
+            acc = 0.0
+            if metric in ("l2", "euclidean"):
+                for d in range(sub_dim):
+                    diff = q[d] - float(cent[d])
+                    acc += diff * diff
+            elif metric in ("dot", "inner_product"):
+                for d in range(sub_dim):
+                    acc += q[d] * float(cent[d])
+                acc = -acc
+            else:
+                raise ValueError(
+                    f"ADC does not decompose for metric {metric!r}; "
+                    "use l2 (or dot), or normalize vectors and use l2 "
+                    "as a cosine surrogate."
+                )
+            row.append(acc)
+        luts.append(row)
+    return luts
+
+
+def adc_dist_expr(
+    luts: list[list[float]], k: int, metric: str, code_col: str = CODE_COL
+) -> Column:
+    """ADC distance of a row from its joint code alone — a pure
+    Catalyst expression over ``code_col``; the raw vector column is
+    NEVER touched.
+
+    digit_j = (code div k^(n−1−j)) mod k indexes codebook j's lookup
+    table (a tiny literal array shipped with the plan). l2 sums squared
+    sub-distances then takes one sqrt; dot sums partial dots.
+    """
+    n = len(luts)
+    code = F.col(code_col).cast("bigint")
+    total = None
+    for j, lut in enumerate(luts):
+        digit = F.floor(code / F.lit(int(k ** (n - 1 - j)))).cast("bigint") % F.lit(k)
+        term = F.element_at(F.array(*[F.lit(v) for v in lut]), (digit + 1).cast("int"))
+        total = term if total is None else total + term
+    if metric in ("l2", "euclidean"):
+        return F.sqrt(total)
+    return total
+
+
+def adc_search(
+    indexed: DataFrame,
+    coding: DataFrame,
+    column: str,
+    target: Sequence[float],
+    metric: str | None = None,
+    k: int = 10,
+    probes: int | None = None,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    select: Sequence[str] = (),
+    round_to: int | None = None,
+) -> DataFrame:
+    """PQ-ADC search: rank rows by LOOKED-UP approximate distance over
+    the code column, optionally exact-rerank a shortlist.
+
+    This is the scan-side half of IVF-ADC (Jégou et al. 2011) and the
+    100 TB search plan: the candidate pass reads ONLY (id, code) —
+    and since ``__CODED_ID__`` is the partition column it is not even
+    in the data files, so the parquet scan materializes just the id
+    column (~8 bytes/row instead of a ~1 KB raw vector). Combined with
+    ``probes`` partition pruning the pass touches probes/k^n of the
+    files AND 1/100th of the bytes within them. The reference's
+    equivalent is searching over dequantized codes
+    (src/fenix/io/index/index.py:81-170 with coding set); ADC skips
+    the reconstruction entirely.
+
+    ``rerank=None`` returns ADC-ranked top-k (approximate distances,
+    deterministic). ``rerank=r`` takes the top-r ADC shortlist and
+    re-scores it with EXACT distances from the raw vector column —
+    only r rows (a broadcast-joined shortlist) ever read the vector
+    column. ``round_to`` rounds each ranking stage for oracle-stable
+    boundaries.
+    """
+    _, coding_metric, kk, n = coding_to_numpy(coding)
+    metric = metric or coding_metric
+    luts = adc_lut(coding, target, metric)
+    out = indexed
+    if probes is not None and probes < kk**n:
+        cells = rank_cells(coding, target, metric)[:probes]
+        out = out.where(F.col(CODE_COL).isin(cells))
+    d = adc_dist_expr(luts, kk, metric)
+    if round_to is not None:
+        d = F.round(d, round_to) + F.lit(0.0)
+    adc = (
+        out.select(id_col, *select, d.alias(DISTANCE_COL))
+        .orderBy(F.col(DISTANCE_COL).asc(), F.col(id_col).asc())
+        .limit(k if rerank is None else rerank)
+    )
+    if rerank is None:
+        return adc
+    # Exact rerank: broadcast the tiny shortlist into a hash join so
+    # the vector column is read once, for shortlist rows only.
+    shortlist = F.broadcast(adc.select(F.col(id_col).alias("__sid")))
+    exact = distance(metric, vec_double(column), query_literal(target))
+    if round_to is not None:
+        exact = F.round(exact, round_to) + F.lit(0.0)
+    return (
+        indexed.join(shortlist, F.col(id_col) == F.col("__sid"))
+        .select(id_col, *select, exact.alias(DISTANCE_COL))
+        .orderBy(F.col(DISTANCE_COL).asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def batch_probe_search(
     queries: DataFrame,
     indexed: DataFrame,

@@ -1950,11 +1950,25 @@ FROM z
 """
 
 
+_ADC_RERANK = 40
+
+
 def _quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1 KNN over the DEQUANTIZED uint8 representation — the
-    compressed-storage search path: scan 1/4 the bytes, reconstruct in
-    the scan projection, exact top-k on the reconstruction."""
+    """Compressed-representation search three ways, tagged by method:
+
+    - ``dequant``: exact top-k over per-row uint8 DEQUANTIZED vectors —
+      scan 1/4 the bytes, reconstruct in the scan projection;
+    - ``adc``: PQ asymmetric distance computation
+      (operators/index.py:adc_search) — distances come from per-
+      codebook lookup tables indexed by the 8-byte joint code; the
+      candidate scan never touches the vector column at all;
+    - ``adc_rerank``: the top-40 ADC shortlist re-scored with exact
+      distances (only 40 rows read the raw vector, via a broadcast
+      shortlist join) — the standard recall-restoring tail.
+    """
+    from fenix_spark.artifacts import ensure_artifacts
     from fenix_spark.functions.tensors import choose_qparams, dequantize, quantize
+    from fenix_spark.operators.index import adc_search
 
     emb = table(spark, sf_dir, "embeddings")
     v = vec_double("embedding")
@@ -1963,17 +1977,68 @@ def _quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     deq = dequantize(
         quantize(F.col("v"), F.col("scale"), F.col("shift")), F.col("scale"), F.col("shift")
     )
-    target = query_literal(_query_vector(spark, sf_dir))
-    return (
+    target = _query_vector(spark, sf_dir)
+    dequant = (
         staged.select(
-            "vec_id", _round_dist(distance("l2", deq, target)).alias("dist")
+            "vec_id", _round_dist(distance("l2", deq, query_literal(target))).alias("dist")
         )
         .orderBy("dist", "vec_id")
         .limit(10)
+        .select(F.lit("dequant").alias("method"), "*")
     )
+    coding, indexed = ensure_artifacts(spark, sf_dir)
+    adc = (
+        adc_search(indexed, coding, "embedding", target, metric="l2", k=10, round_to=6)
+        .withColumnRenamed("__DISTANCE__", "dist")
+        .select(F.lit("adc").alias("method"), "*")
+    )
+    adc_rr = (
+        adc_search(
+            indexed, coding, "embedding", target, metric="l2", k=10,
+            rerank=_ADC_RERANK, round_to=6,
+        )
+        .withColumnRenamed("__DISTANCE__", "dist")
+        .select(F.lit("adc_rerank").alias("method"), "*")
+    )
+    return dequant.unionByName(adc).unionByName(adc_rr)
 
 
-_QUANTIZED_KNN_SQL = """
+def _quantized_knn_sql(sf_dir: str) -> str:
+    from fenix_spark.artifacts import coding_path, index_dir
+
+    row_d = _duck_l2("e.embedding::DOUBLE[]", "qv")
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    coding AS (SELECT * FROM read_parquet('{coding_path(sf_dir)}/*.parquet')),
+    lut AS (
+        SELECT codebook, cell,
+               list_sum(list_transform(list_zip(centroid,
+                   CASE codebook WHEN 0 THEN qv[1:32] ELSE qv[33:64] END),
+                   z -> (z[1]-z[2])*(z[1]-z[2]))) AS d
+        FROM coding, q
+    ),
+    idx AS (SELECT vec_id, CAST(__CODED_ID__ AS BIGINT) AS code
+            FROM read_parquet('{index_dir(sf_dir)}/*/*.parquet', hive_partitioning = true)),
+    adc AS (
+        SELECT i.vec_id, round(sqrt(l0.d + l1.d), 6) + 0.0 AS dist
+        FROM idx i
+        JOIN lut l0 ON l0.codebook = 0 AND l0.cell = i.code // 8
+        JOIN lut l1 ON l1.codebook = 1 AND l1.cell = i.code % 8
+    ),
+    shortlist AS (SELECT vec_id FROM adc ORDER BY dist, vec_id LIMIT {_ADC_RERANK}),
+    rr AS (
+        SELECT e.vec_id, round({row_d}, 6) + 0.0 AS dist
+        FROM embeddings e JOIN shortlist s USING (vec_id), q
+    )
+    SELECT 'dequant' AS method, * FROM ({_QUANTIZED_KNN_DEQUANT_SQL})
+    UNION ALL
+    SELECT 'adc' AS method, * FROM (SELECT * FROM adc ORDER BY dist, vec_id LIMIT 10)
+    UNION ALL
+    SELECT 'adc_rerank' AS method, * FROM (SELECT * FROM rr ORDER BY dist, vec_id LIMIT 10)
+    """
+
+
+_QUANTIZED_KNN_DEQUANT_SQL = """
 WITH p AS (
     SELECT vec_id, embedding::DOUBLE[] AS v,
            list_max(embedding::DOUBLE[]) AS hi, list_min(embedding::DOUBLE[]) AS lo
@@ -2122,7 +2187,7 @@ ORACLE_SQL: dict[str, str] = {
     "lsh_ann_search": _render_lsh_sql(_ORACLE_SF_DIR),
     "similarity_join_topk": _SIMILARITY_JOIN_SQL,
     "quantize_roundtrip": _QUANTIZE_ROUNDTRIP_SQL,
-    "quantized_knn": _QUANTIZED_KNN_SQL,
+    "quantized_knn": _quantized_knn_sql(_ORACLE_SF_DIR),
     "exact_dedup": _EXACT_DEDUP_SQL,
     "minhash_neardup": _minhash_neardup_sql(),
     "simhash_neardup": _simhash_neardup_sql(),

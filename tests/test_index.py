@@ -245,3 +245,99 @@ def test_probe_cells_join_large_codebook(spark):
     }
     for i, v in enumerate(qvecs):
         assert got[i] == rank_cells(coding, v, "l2")[:probes]
+
+
+def test_adc_matches_numpy_lut(embeddings, indexed, coding):
+    """ADC distance from the code column must equal the numpy LUT sum
+    for every row (Jégou et al. 2011 asymmetric distance)."""
+    from fenix_spark.operators.index import adc_dist_expr, adc_lut
+
+    cents, _, k, n = coding_to_numpy(coding)
+    sub_dim = cents.shape[2]
+    target = embeddings.where(F.col("vec_id") == 3).head()["embedding"]
+    luts = adc_lut(coding, target, "l2")
+    got = {
+        r["vec_id"]: r["d"]
+        for r in indexed.select(
+            "vec_id", adc_dist_expr(luts, k, "l2").alias("d")
+        ).collect()
+    }
+    q = np.asarray(target, dtype="float64")
+    for r in indexed.select("vec_id", CODE_COL).collect():
+        code = r[CODE_COL]
+        acc = 0.0
+        for j in range(n):
+            digit = (code // k ** (n - 1 - j)) % k
+            acc += float(
+                np.sum((q[j * sub_dim : (j + 1) * sub_dim] - cents[j, digit]) ** 2)
+            )
+        assert got[r["vec_id"]] == pytest.approx(float(np.sqrt(acc)), rel=1e-9)
+
+
+def test_adc_full_rerank_equals_exact_knn(embeddings, indexed, coding):
+    """rerank = |table| makes ADC search exactly the brute-force KNN —
+    the shortlist covers everything, so exact re-scoring wins."""
+    from fenix_spark.operators.index import adc_search
+
+    total = embeddings.count()
+    target = embeddings.where(F.col("vec_id") == 1).head()["embedding"]
+    exact = [
+        (r["vec_id"], round(r["__DISTANCE__"], 9))
+        for r in knn(embeddings, "embedding", target, "l2", k=10, id_col="vec_id").collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["__DISTANCE__"], 9))
+        for r in adc_search(
+            indexed, coding, "embedding", target, metric="l2", k=10, rerank=total
+        ).collect()
+    ]
+    assert got == exact
+
+
+def test_adc_recall_with_rerank(embeddings, indexed, coding):
+    """ADC + modest rerank must recover most of the exact top-10 —
+    the quality guardrail for the compressed-scan path."""
+    from fenix_spark.operators.index import adc_search
+
+    rows = embeddings.orderBy("vec_id").limit(10).collect()
+    hits = total = 0
+    for r in rows:
+        target = r["embedding"]
+        exact = {
+            x["vec_id"]
+            for x in knn(embeddings, "embedding", target, "l2", k=10, id_col="vec_id").collect()
+        }
+        got = {
+            x["vec_id"]
+            for x in adc_search(
+                indexed, coding, "embedding", target, metric="l2", k=10, rerank=50
+            ).collect()
+        }
+        hits += len(exact & got)
+        total += len(exact)
+    assert hits / total >= 0.5, f"ADC rerank@50 recall too low: {hits / total:.3f}"
+
+
+def test_adc_candidate_scan_reads_no_vector(indexed, coding, embeddings):
+    """The ADC candidate pass must not materialize the raw vector
+    column: its scan ReadSchema carries only the id (the code is the
+    partition column, free from directory names). This IS the 100 TB
+    win — ~16 B/row instead of ~1 KB."""
+    from fenix_spark.operators.index import adc_search
+
+    target = embeddings.where(F.col("vec_id") == 0).head()["embedding"]
+    plan = (
+        adc_search(indexed, coding, "embedding", target, metric="l2", k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "embedding" not in scan, scan
+
+
+def test_adc_cosine_raises(coding):
+    from fenix_spark.operators.index import adc_lut
+
+    with pytest.raises(ValueError, match="cosine"):
+        adc_lut(coding, [0.0] * 64, "cosine")
