@@ -54,14 +54,38 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from fenix_spark.artifacts import ensure_artifacts
-    from fenix_spark.suite import SPARK_QUERIES
+    from fenix_spark.suite import SPARK_QUERIES, events_table
 
     ensure_artifacts(spark, sf_dir)  # index build is setup, not a query
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM/codegen warm-up
     # Scan-path warm-up: footer reads + first-touch page cache for the
     # fact tables, so the first measured query isn't charged for them.
-    for t in ("embeddings", "documents", "lineitem", "orders"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    # count() alone is metadata-only and leaves the column pages cold —
+    # hash every column so the data pages themselves are read once.
+    from pyspark.sql import functions as F
+
+    for t in ("embeddings", "documents", "lineitem", "orders", "events"):
+        df = (
+            spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            if t != "events"
+            else events_table(spark, sf_dir)
+        )
+        df.select(F.try_sum(F.xxhash64(F.struct(*df.columns)))).collect()
+    # Python-worker warm-up: the first mapInPandas in a session pays
+    # worker fork + pandas/numpy import per core; worker reuse keeps
+    # the pool alive, so pre-forking it here stops the first
+    # Arrow-batched query from being charged for interpreter startup.
+    def _warm(batches):
+        yield from batches
+
+    (
+        spark.range(64)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .mapInPandas(_warm, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
