@@ -73,6 +73,62 @@ def hstack(left: DataFrame, right: DataFrame, key: str, how: str = "inner") -> D
     return left.drop(*dups).join(right, key, how)
 
 
+def bucketed_table_name(name: str) -> str:
+    """Session-catalog identifier for a bucketed store table. Bucketing
+    metadata (bucket count + columns) lives in the table catalog, not
+    the parquet footers, so bucketed tables are addressed by name via
+    ``spark.table`` rather than by path."""
+    return f"fenix_bucketed_{name}"
+
+
+def make_bucketed(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    df: DataFrame,
+    key: str | Sequence[str],
+    buckets: int = 32,
+) -> str:
+    """Create/replace a named table BUCKETED (and sorted) by ``key`` —
+    the Spark-native co-location primitive the reference cannot express
+    (its tables are single .arrow files, table.py:24-26).
+
+    Each of the ``buckets`` output files holds exactly the rows with
+    ``hash(key) % buckets == i``, so a join or aggregation of two
+    tables bucketed the same way needs NO shuffle at any scale: the
+    scan itself is the partitioning. At 100 TB this turns the nightly
+    "join facts to yesterday's facts" query from a 2×100 TB shuffle
+    into a zip of pre-sorted files. Verified by plan contract in
+    tests/test_catalog.py::test_bucketed_join_is_shuffle_free.
+
+    Returns the session-catalog table name to pass to ``spark.table``
+    / ``load_bucketed``. Choose ``buckets`` so one bucket of the
+    LARGER table fits an executor's memory comfortably (bucket ≈
+    table_bytes / buckets; e.g. 100 TB / 65536 ≈ 1.5 GB).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    table = bucketed_table_name(name)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    path = source_path(root, name)
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # saveAsTable refuses to overwrite a dropped table's files
+    (
+        df.write.format("parquet")
+        .bucketBy(buckets, *keys)
+        .sortBy(*keys)
+        .option("path", path)
+        .saveAsTable(table)
+    )
+    return table
+
+
+def load_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """Load a bucketed table WITH its bucket metadata (a plain
+    ``spark.read.parquet`` of the same directory would read the rows
+    but lose the co-location contract)."""
+    return spark.table(bucketed_table_name(name))
+
+
 def list_tables(root: str) -> Iterator[str]:
     """Enumerate table names (ref: table.list, table.py:46-49)."""
     base = _sources_dir(root)

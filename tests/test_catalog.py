@@ -79,3 +79,49 @@ def test_partitioned_make_prunes(spark, root):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
     assert got.count() == 25
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force shuffle-based join strategies so bucket co-location (not
+    a broadcast) is what eliminates the exchange."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_is_shuffle_free(spark, root, no_broadcast):
+    """Two tables bucketed+sorted on the join key must sort-merge-join
+    with ZERO exchanges AND zero sorts: the scan itself provides the
+    partitioning and order. This is the co-location contract that makes
+    fact-to-fact joins shuffle-free at 100 TB."""
+    from fenix_spark.plans import shuffle_count
+
+    catalog.make_bucketed(spark, root, "bl", _df(spark, 100), "k", buckets=8)
+    catalog.make_bucketed(spark, root, "br", _df(spark, 60, offset=40), "k", buckets=8)
+    left, right = catalog.load_bucketed(spark, "bl"), catalog.load_bucketed(spark, "br")
+    joined = left.join(right.withColumnRenamed("v", "v2"), "k")
+    assert shuffle_count(joined) == 0
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    rows = {r["k"] for r in joined.collect()}
+    assert rows == set(range(40, 100))
+
+
+def test_bucketed_groupby_is_shuffle_free(spark, root, no_broadcast):
+    """Aggregation on the bucket key reuses the scan's partitioning —
+    no exchange before the final agg."""
+    from fenix_spark.plans import shuffle_count
+
+    catalog.make_bucketed(spark, root, "bg", _df(spark, 100), "k", buckets=8)
+    agg = catalog.load_bucketed(spark, "bg").groupBy("k").agg(F.sum("v").alias("s"))
+    assert shuffle_count(agg) == 0
+    assert agg.count() == 100
+
+
+def test_bucketed_overwrite_and_load(spark, root):
+    catalog.make_bucketed(spark, root, "bo", _df(spark, 10), "k", buckets=4)
+    catalog.make_bucketed(spark, root, "bo", _df(spark, 3, offset=7), "k", buckets=4)
+    got = catalog.load_bucketed(spark, "bo")
+    assert {r["k"] for r in got.collect()} == {7, 8, 9}
