@@ -14,7 +14,7 @@ check for these operators.
 """
 
 from fenix_spark.streaming.dedup import stream_exact_dedup, stream_simhash_tag
-from fenix_spark.streaming.ingest import stream_ingest, stream_source
+from fenix_spark.streaming.ingest import enrich_stream, stream_ingest, stream_source
 from fenix_spark.streaming.sessions import sessionize_stateful
 from fenix_spark.streaming.windows import sliding_event_rates, windowed_event_counts
 
@@ -22,6 +22,7 @@ __all__ = [
     "sessionize_stateful",
     "sliding_event_rates",
     "stream_exact_dedup",
+    "enrich_stream",
     "stream_ingest",
     "stream_simhash_tag",
     "stream_source",

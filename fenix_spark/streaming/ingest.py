@@ -33,6 +33,25 @@ def stream_source(
     return reader.load(path)
 
 
+def enrich_stream(stream: DataFrame, dim: DataFrame, key: str | list[str]) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    flowing stream (the streaming analog of the TPC-H dim joins).
+
+    The static side is BROADCAST once per micro-batch — no state, no
+    watermark, no shuffle of the stream side, which is the only join
+    shape that stays O(batch) at an unbounded 100 TB/day ingest rate.
+    (A stream-stream join would need full-history state for this use;
+    see streaming/dedup.py for the same stateless-vs-stateful split.)
+    The static frame is re-resolved every batch, so slowly-changing
+    dimensions pick up updates on the next trigger when backed by a
+    re-readable source.
+    """
+    from pyspark.sql import functions as F
+
+    keys = [key] if isinstance(key, str) else list(key)
+    return stream.join(F.broadcast(dim), keys, "left")
+
+
 def stream_ingest(
     df: DataFrame,
     root: str,

@@ -121,3 +121,39 @@ def test_range_join_bucketed_is_hash_join(spark, sf_dir):
     out = range_join_bucketed(ev, _bands(spark), "v", bucket_width=10.0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan  # the rewrite's purpose
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session's AQE skew-join config must actually FIRE: a hot key
+    holding 90% of a shuffle join's rows gets its partition split into
+    parallel sub-partitions at runtime (the no-code-change alternative
+    to salted_join for moderate skew — salting remains the tool when
+    one KEY exceeds a single executor even after splitting).
+
+    Thresholds are lowered to make local data 'big'; on a real cluster
+    the defaults (256 MB) express the same contract.
+    """
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    prev = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 100).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pay"),
+        )
+        right = spark.range(100).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+        joined = left.join(right, "k")
+        assert len(joined.collect()) == 300_000  # every left row matched once
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -270,3 +270,33 @@ def test_stream_simhash_tag_matches_batch(spark, sf_dir, tmp_path):
     for did, (sim, bands) in streamed.items():
         assert sim == batch[did]
         assert bands == tuple((b, (sim >> (8 * b)) & 255) for b in range(4))
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_prepared):
+    """Stream-static join: every micro-batch row picks up its dimension
+    attributes; the drained result equals the batch join, and events
+    whose key is absent from the dim survive with nulls (left join)."""
+    from fenix_spark.streaming import enrich_stream
+
+    src_path, batch_df = events_prepared
+    dim = (
+        batch_df.select("user_id")
+        .distinct()
+        .limit(3)  # deliberately partial: most users have no dim row
+        .withColumn("tier", F.concat(F.lit("tier_"), F.col("user_id") % 2))
+    )
+    dim.cache().count()
+    src = stream_source(spark, src_path, batch_df.schema, max_files_per_trigger=1)
+    enriched = enrich_stream(src.select("event_id", "user_id"), dim, "user_id")
+    _drain(enriched, "enriched_events", "append")
+    streamed = {
+        (r.event_id, r.tier)
+        for r in spark.sql("SELECT event_id, tier FROM enriched_events").collect()
+    }
+    batch = {
+        (r.event_id, r.tier)
+        for r in batch_df.select("event_id", "user_id").join(dim, "user_id", "left").collect()
+    }
+    assert streamed == batch
+    assert any(t is None for _, t in streamed)  # unmatched keys kept
+    assert any(t is not None for _, t in streamed)
