@@ -4,19 +4,23 @@ with typed metadata, processed by Arrow-batched pandas functions over
 
 The reference's tensor extension types (src/fenix/ex/arrow/) carry raw
 numeric payloads with shape metadata; this package is the same idea at
-the media level. Codec libraries (Pillow, ffmpeg, soundfile) are NOT in
-this container, so the byte→pixels/samples DECODE step is stubbed
-behind ``fenix_spark.multimodal.media.decode_payload`` — a
-deterministic fake decoder (documented there) — while everything
-Spark-side is real and tested: the schema, the mapInPandas batch
-plumbing, partitioning behavior, and the feature/resize/frame-sample
-operators' shapes.
+the media level. The byte→pixels/samples DECODE step is REAL for formats the stdlib
+can parse — 24-bit BMP (``struct``) and 8/16-bit PCM WAV (``wave``),
+round-trip tested against the encoders in ``media.py`` — and stubbed
+behind ``decode_payload``/``decode_audio`` for formats that need
+codec libraries absent from this container (jpeg/png/mp3/mp4).
+Everything Spark-side is real and tested: the schema, the mapInPandas
+batch plumbing, partitioning behavior, and the feature/resize/
+frame-sample operators' shapes.
 """
 
 from fenix_spark.multimodal.media import (
     MEDIA_SCHEMA,
     audio_features,
+    decode_audio,
     decode_payload,
+    encode_bmp,
+    encode_wav,
     image_features,
     resize_images,
     sample_frames,
@@ -26,7 +30,10 @@ from fenix_spark.multimodal.media import (
 __all__ = [
     "MEDIA_SCHEMA",
     "audio_features",
+    "decode_audio",
     "decode_payload",
+    "encode_bmp",
+    "encode_wav",
     "image_features",
     "resize_images",
     "sample_frames",

@@ -14,18 +14,22 @@ Arrow batches sized by ``spark.sql.execution.arrow.maxRecordsPerBatch``
 executor memory), and (c) project early so scans of feature outputs
 never re-read payload bytes (parquet column pruning).
 
-DECODE STUB — READ THIS: real decoding needs codec libs absent from
-this container. ``decode_payload`` fakes it deterministically: the
-payload bytes are interpreted as the raw sample/pixel buffer
-(repeated/truncated to the metadata-implied size). Swapping in a real
-decoder (``PIL.Image.open``/``soundfile.read``/``av``) changes ONLY
-that function — every operator downstream consumes the decoded
-ndarray and is already real. Unknown formats raise NotImplementedError
-exactly where a real codec would.
+DECODERS: ``wav`` (8/16-bit PCM, stdlib ``wave``) and ``bmp`` (24-bit
+uncompressed, stdlib ``struct``) are REAL codecs — bytes in, samples/
+pixels out, round-trip tested against their encoders below. Formats
+that need external libs (jpeg/png/mp3/mp4) raise NotImplementedError
+at the single swap-in point (``decode_payload`` /
+``decode_audio``); the ``raw*`` pseudo-formats remain as deterministic
+fakes for synthetic benchmarks. Swapping in ``PIL.Image.open`` /
+``soundfile.read`` / ``av`` changes ONLY those two functions — every
+operator downstream consumes the decoded ndarray and is already real.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -42,11 +46,103 @@ MEDIA_SCHEMA = (
 _FAKE_FORMATS = {"rawimg", "rawpcm", "rawvid"}
 
 
+def encode_bmp(img: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up, BGR,
+    4-byte-padded rows) from an (h, w, 3) uint8 RGB array."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_bmp needs (h, w, 3) RGB")
+    row_bytes = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = img[r, :, ::-1].tobytes()  # RGB → BGR
+        body += row + b"\x00" * (row_bytes - len(row))
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 14 + 40 + len(body), 0, 0, 14 + 40,
+        40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0,
+    )
+    return header + bytes(body)
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """Real BMP decode: 24-bit BI_RGB, top-down or bottom-up, padded
+    rows → (h, w, 3) uint8 RGB."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP variant bpp={bpp} compression={comp}")
+    bottom_up, h = h > 0, abs(h)
+    row_bytes = (w * 3 + 3) // 4 * 4
+    img = np.empty((h, w, 3), np.uint8)
+    for r in range(h):
+        row = np.frombuffer(data, np.uint8, w * 3, pixel_off + r * row_bytes)
+        img[h - 1 - r if bottom_up else r] = row.reshape(w, 3)[:, ::-1]  # BGR → RGB
+    return img
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int, sampwidth: int = 2) -> bytes:
+    """PCM WAV bytes from a 1-D mono signal (int16 for sampwidth=2,
+    uint8 for sampwidth=1)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(sample_rate)
+        dt = np.uint8 if sampwidth == 1 else np.dtype("<i2")
+        w.writeframes(np.asarray(samples).astype(dt).tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Real WAV decode via stdlib ``wave``: 8-bit (unsigned) or 16-bit
+    (signed LE) PCM → (centered float64 mono signal, sample_rate).
+    Multi-channel input is downmixed by mean — features below describe
+    the clip, not a channel."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        nch, sw, sr = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    else:
+        raise NotImplementedError(f"WAV sample width {sw} bytes")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, sr
+
+
+def decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
+    """Audio payload → (centered float64 mono samples, sample_rate).
+    REAL for ``wav``; deterministic fake for ``rawpcm`` (bytes as
+    unsigned 8-bit samples); NotImplementedError is the swap-in point
+    for codec-lib formats (mp3/flac/ogg)."""
+    if fmt == "wav":
+        return _decode_wav(data)
+    if fmt == "rawpcm":
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        return x, 0
+    raise NotImplementedError(
+        f"no audio codec for format {fmt!r} in this environment; "
+        "decode_audio is the single swap-in point for real codecs"
+    )
+
+
 def decode_payload(data: bytes, fmt: str, shape: tuple[int, ...]) -> np.ndarray:
-    """STUB decoder: deterministic fake for the ``raw*`` pseudo-formats
-    (payload bytes tiled to ``shape``, uint8). A real build replaces
-    this body with the codec call; the NotImplementedError branch is
-    where e.g. ``PIL.Image.open(io.BytesIO(data))`` would go."""
+    """Pixel-payload decoder. REAL for ``bmp``; deterministic fake for
+    the ``raw*`` pseudo-formats (payload bytes tiled to ``shape``,
+    uint8); NotImplementedError is where ``PIL.Image.open(io.BytesIO
+    (data))`` would go for jpeg/png."""
+    if fmt == "bmp":
+        img = _decode_bmp(data)
+        if shape and tuple(img.shape) != tuple(shape):
+            raise ValueError(f"BMP decodes to {img.shape}, meta says {shape}")
+        return img
     if fmt not in _FAKE_FORMATS:
         raise NotImplementedError(
             f"no codec for format {fmt!r} in this environment; "
@@ -61,23 +157,43 @@ def decode_payload(data: bytes, fmt: str, shape: tuple[int, ...]) -> np.ndarray:
 
 
 def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests/bench: payload bytes
-    derive from a seeded RNG per media_id."""
+    """Deterministic media table for tests/bench: payload bytes derive
+    from a seeded RNG per media_id.
+
+    Every other image/audio row carries a REAL encoded payload
+    (bmp/wav) so the stdlib codecs are exercised end-to-end; the rest
+    use the raw* fakes. Video stays raw* (no stdlib container codec).
+    """
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
+        real = (i // 3) % 2 == 0
         if kind == "image":
-            w, h, c, sr, nf, fmt = 16 + (i % 4) * 8, 12 + (i % 3) * 4, 3, 0, 0, "rawimg"
-            nbytes = w * h * c
+            w, h, c, sr, nf = 16 + (i % 4) * 8, 12 + (i % 3) * 4, 3, 0, 0
+            pixels = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+            if real:
+                fmt, payload = "bmp", encode_bmp(pixels)
+            else:
+                fmt, payload = "rawimg", pixels.tobytes()
         elif kind == "audio":
-            w, h, c, sr, nf, fmt = 0, 0, 1, 8000, 0, "rawpcm"
-            nbytes = 4000 + (i % 5) * 800
+            w, h, c, sr, nf = 0, 0, 1, 8000, 0
+            n_samp = 4000 + (i % 5) * 800
+            if real:
+                fmt = "wav"
+                payload = encode_wav(
+                    rng.integers(-(2**15), 2**15, size=n_samp, dtype=np.int64),
+                    sr,
+                )
+            else:
+                fmt = "rawpcm"
+                payload = rng.integers(0, 256, size=n_samp, dtype=np.uint8).tobytes()
         else:
             w, h, c, sr, nf, fmt = 8, 8, 3, 0, 6 + (i % 4), "rawvid"
-            nbytes = 8 * 8 * 3 * nf
-        payload = rng.integers(0, 256, size=nbytes, dtype=np.uint8).tobytes()
+            payload = rng.integers(
+                0, 256, size=8 * 8 * 3 * nf, dtype=np.uint8
+            ).tobytes()
         rows.append((i, kind, bytearray(payload), (fmt, w, h, c, sr, nf)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -115,8 +231,7 @@ def audio_features(df: DataFrame, frame: int = 400) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, data, meta in zip(pdf["media_id"], pdf["data"], pdf["meta"]):
-                buf = decode_payload(bytes(data), meta["format"], (len(bytes(data)),))
-                x = buf.astype(np.float64) - 128.0
+                x, _sr = decode_audio(bytes(data), meta["format"])
                 rms = float(np.sqrt(np.mean(x * x)))
                 zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
                 out.append((int(mid), len(x), round(rms, 9), round(zc, 9)))
