@@ -125,6 +125,30 @@ def main() -> None:
             hits += len(got & set(exact[q["vec_id"]]))
         adc_rows.append((rerank, hits / (K * len(queries))))
 
+    # Coding-size sweep: ADC recall as the PQ coding gets finer. Codes
+    # stay a single bigint; the candidate pass reads zero vector bytes
+    # at every size — accuracy is bought with code bits, not IO.
+    from fenix_spark.operators.coder import CodingConfig, train_coding
+    from fenix_spark.operators.index import assign_code_expr
+
+    sweep_rows = []
+    for k_, n_ in ((8, 2), (16, 2), (16, 4), (16, 8)):
+        cfg = CodingConfig(metric="l2", codebook_size=k_, num_codebooks=n_)
+        c2 = train_coding(emb, "embedding", cfg)
+        coded = emb.withColumn(CODE_COL, assign_code_expr("embedding", c2, "l2"))
+        for rer in (None, 40):
+            hits = 0
+            for q in queries:
+                got = {
+                    r["vec_id"]
+                    for r in adc_search(
+                        coded, c2, "embedding", q["embedding"], metric="l2",
+                        k=K, rerank=rer, id_col="vec_id",
+                    ).collect()
+                }
+                hits += len(got & set(exact[q["vec_id"]]))
+            sweep_rows.append((k_, n_, rer, hits / (K * len(queries))))
+
     lines = [
         "# RECALL — measured ANN quality (the guardrail the reference lacks)",
         "",
@@ -162,6 +186,22 @@ def main() -> None:
     ]
     for rerank, rec in adc_rows:
         lines.append(f"| {rerank if rerank else 'off'} | {rec:.3f} |")
+    lines += [
+        "",
+        "### Coding-size sweep (accuracy is bought with code bits, not IO)",
+        "",
+        "Same ADC scan at every size — one bigint code per row, zero",
+        "vector bytes in the candidate pass. Finer codings cross the",
+        "4096-cell enumeration bound, where probing switches to the",
+        "O(n·k) broadcast-join scorer (`probe_cells_join`).",
+        "",
+        "| coding (k^n) | joint cells | recall@10 | +rerank 40 |",
+        "|---|---|---|---|",
+    ]
+    for i in range(0, len(sweep_rows), 2):
+        k_, n_, _, rec_off = sweep_rows[i]
+        rec_rr = sweep_rows[i + 1][3]
+        lines.append(f"| {k_}^{n_} | {k_**n_:,} | {rec_off:.3f} | {rec_rr:.3f} |")
     lines += [
         "",
         "Reading: `recall / scan` > 1 means the index beats random",
