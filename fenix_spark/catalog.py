@@ -73,6 +73,50 @@ def hstack(left: DataFrame, right: DataFrame, key: str, how: str = "inner") -> D
     return left.drop(*dups).join(right, key, how)
 
 
+def compact(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    target_file_bytes: int = 128 << 20,
+    sort_by: Sequence[str] = (),
+) -> int:
+    """Rewrite a table into ≈``target_file_bytes`` files — the
+    maintenance pass that keeps streaming-ingested tables scannable.
+
+    ``stream_ingest`` appends one file per micro-batch per partition;
+    at 100 TB/day that is millions of footer reads per scan within a
+    week. Compaction sizes the file count from the CURRENT on-disk
+    bytes (so it adapts as the table grows) and optionally sorts rows
+    within files (``sort_by``) so parquet min/max row-group stats
+    become selective — the poor man's clustering that makes
+    point-lookups skip whole files.
+
+    Rewrite is copy-then-swap: readers racing the swap see the old or
+    the new files, never a mix (same guarantee level as the
+    reference's whole-file overwrite, table.py:24-26; a real lakehouse
+    deployment would use a table format's atomic commit instead).
+    Returns the number of files written.
+    """
+    path = source_path(root, name)
+    on_disk = sum(
+        os.path.getsize(os.path.join(d, f))
+        for d, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-on_disk // target_file_bytes))  # ceil
+    df = spark.read.parquet(path)
+    if sort_by:
+        out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_files)
+    tmp = path + "__compacting"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
 def bucketed_table_name(name: str) -> str:
     """Session-catalog identifier for a bucketed store table. Bucketing
     metadata (bucket count + columns) lives in the table catalog, not

@@ -125,3 +125,45 @@ def test_bucketed_overwrite_and_load(spark, root):
     catalog.make_bucketed(spark, root, "bo", _df(spark, 3, offset=7), "k", buckets=4)
     got = catalog.load_bucketed(spark, "bo")
     assert {r["k"] for r in got.collect()} == {7, 8, 9}
+
+
+def test_compact_merges_small_files_and_sorts(spark, root):
+    """Many small ingest files → few size-targeted files; with sort_by,
+    per-file key ranges are disjoint so min/max stats prune lookups."""
+    df = spark.range(10_000).select(F.col("id").alias("k"), F.rand(7).alias("v"))
+    df.repartition(64).write.mode("overwrite").parquet(catalog.source_path(root, "c"))
+    path = catalog.source_path(root, "c")
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before == 64
+    catalog.compact(spark, root, "c", target_file_bytes=1 << 30, sort_by=["k"])
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 1
+    back = catalog.load(spark, root, "c")
+    assert back.count() == 10_000
+    assert back.agg(F.sum("k")).head()[0] == sum(range(10_000))
+
+
+def test_compact_range_partitions_are_disjoint(spark, root):
+    import pyarrow.parquet as pq
+
+    df = spark.range(50_000).select(F.col("id").alias("k"), F.lit("x" * 200).alias("pay"))
+    df.repartition(32).write.mode("overwrite").parquet(catalog.source_path(root, "d"))
+    path = catalog.source_path(root, "d")
+    on_disk = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n = catalog.compact(spark, root, "d", target_file_bytes=on_disk // 4, sort_by=["k"])
+    assert n >= 3
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        mins = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        maxs = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        ranges.append((mins, maxs))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # disjoint key ranges across files
