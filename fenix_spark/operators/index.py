@@ -67,6 +67,28 @@ def build_index(
     out.write.mode("overwrite").partitionBy(CODE_COL).parquet(path)
 
 
+def append_to_index(
+    df: DataFrame,
+    column: str,
+    coding: DataFrame,
+    path: str,
+    metric: str | None = None,
+) -> None:
+    """Incrementally add rows to an existing index — assign codes with
+    the SAME frozen coding and append into the per-cell partition
+    directories. The reference rebuilds its positional sidecar from
+    scratch on any change (index.py:37-65); here ingest-then-index is
+    an append-only pipeline: a day's new vectors land as new files
+    inside their cells, old files are untouched, and probe pruning is
+    identical to a full rebuild (asserted in tests/test_index.py).
+    Pair with ``catalog.compact`` on the hot cells when micro-batch
+    appends accumulate small files. The coding must stay frozen —
+    retraining centroids re-maps cell ids, which is a rebuild, not an
+    append."""
+    out = df.withColumn(CODE_COL, assign_code_expr(column, coding, metric))
+    out.write.mode("append").partitionBy(CODE_COL).parquet(path)
+
+
 def read_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 

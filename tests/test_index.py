@@ -341,3 +341,32 @@ def test_adc_cosine_raises(coding):
 
     with pytest.raises(ValueError, match="cosine"):
         adc_lut(coding, [0.0] * 64, "cosine")
+
+
+def test_append_to_index_equals_full_rebuild(spark, embeddings, coding, tmp_path_factory):
+    """Half-build + incremental append must be indistinguishable from a
+    full rebuild: same rows per cell, same probe-search results, and
+    the probe plan still partition-prunes."""
+    from fenix_spark.operators.index import append_to_index, read_index
+
+    base = str(tmp_path_factory.mktemp("idx_incr"))
+    old = embeddings.where(F.col("vec_id") % 2 == 0)
+    new = embeddings.where(F.col("vec_id") % 2 == 1)
+    build_index(old, "embedding", coding, base)
+    append_to_index(new, "embedding", coding, base)
+    merged = read_index(spark, base)
+
+    full = str(tmp_path_factory.mktemp("idx_full"))
+    build_index(embeddings, "embedding", coding, full)
+    rebuilt = read_index(spark, full)
+
+    got = {(r["vec_id"], r[CODE_COL]) for r in merged.select("vec_id", CODE_COL).collect()}
+    want = {(r["vec_id"], r[CODE_COL]) for r in rebuilt.select("vec_id", CODE_COL).collect()}
+    assert got == want
+
+    target = embeddings.where(F.col("vec_id") == 1).head()["embedding"]
+    res_m = probe_search(merged, coding, "embedding", target, k=10, probes=16, id_col="vec_id")
+    res_r = probe_search(rebuilt, coding, "embedding", target, k=10, probes=16, id_col="vec_id")
+    assert [r["vec_id"] for r in res_m.collect()] == [r["vec_id"] for r in res_r.collect()]
+    plan = res_m._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan

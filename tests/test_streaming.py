@@ -300,3 +300,29 @@ def test_stream_static_enrichment_matches_batch(spark, events_prepared):
     assert streamed == batch
     assert any(t is None for _, t in streamed)  # unmatched keys kept
     assert any(t is not None for _, t in streamed)
+
+
+def test_streamed_ingest_feeds_incremental_index(spark, sf_dir, tmp_path):
+    """End-to-end training-data pipeline shape: vectors arrive as a
+    stream, land in the catalog, and are appended to a frozen-coding
+    IVF index whose probe results then cover the new rows."""
+    from fenix_spark.artifacts import ensure_artifacts
+    from fenix_spark.operators.index import CODE_COL, append_to_index, read_index
+
+    coding, _ = ensure_artifacts(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    q = stream_ingest(src, str(tmp_path), "vec_stream", str(tmp_path / "_ck"))
+    q.awaitTermination(120)
+    landed = spark.read.parquet(str(tmp_path / "sources" / "vec_stream"))
+    assert landed.count() == emb.count()
+
+    idx_path = str(tmp_path / "idx")
+    append_to_index(landed, "embedding", coding, idx_path)  # append into empty = build
+    idx = read_index(spark, idx_path)
+    assert idx.count() == emb.count()
+    assert CODE_COL in idx.columns
