@@ -140,12 +140,28 @@ def numpy_metric(metric: str, mat: np.ndarray, target: np.ndarray) -> np.ndarray
     raise ValueError(f"unknown metric {metric!r}")
 
 
-def rank_cells(coding: DataFrame, target, metric: str | None = None) -> list[int]:
-    """Rank ALL joint cells for a query by the sum of per-codebook
-    centroid distances — the reference's joint-cell scoring
-    (coder.py:171-186), done with numpy over the tiny centroid tensor.
-    Returns joint ids best-first (ties by id, unlike the reference's
-    unstable argsort)."""
+# Densely scoring k^n joint cells allocates a k^n float64 array —
+# ideal at the reference config (64 cells), catastrophic at production
+# PQ shapes (16^8 cells = 34 GB on the driver). Above this bound
+# rank_cells requires ``limit`` and switches to an exact beam fold.
+_MAX_DENSE_CELLS = 1 << 22
+
+
+def rank_cells(
+    coding: DataFrame, target, metric: str | None = None, limit: int | None = None
+) -> list[int]:
+    """Rank joint cells for a query by the sum of per-codebook centroid
+    distances — the reference's joint-cell scoring (coder.py:171-186),
+    done with numpy over the tiny centroid tensor. Returns joint ids
+    best-first (ties by id, unlike the reference's unstable argsort).
+
+    ``limit=None`` ranks ALL cells (dense k^n scoring — only allowed
+    up to ``_MAX_DENSE_CELLS``). With ``limit`` set, large codebooks
+    use an EXACT top-``limit`` beam fold over codebooks — the
+    driver-side twin of ``index.probe_cells_join``'s pruning, same
+    exactness argument: a prefix pruned at stage j extends only to
+    joint cells strictly dominated by the kept prefixes' extensions.
+    """
     cents, coding_metric, k, n = coding_to_numpy(coding)
     metric = metric or coding_metric
     target = np.asarray(target, dtype="float64")
@@ -153,6 +169,14 @@ def rank_cells(coding: DataFrame, target, metric: str | None = None) -> list[int
     per_codebook = [
         numpy_metric(metric, cents[j], target[j * sub_dim : (j + 1) * sub_dim]) for j in range(n)
     ]
+    if k**n > _MAX_DENSE_CELLS:
+        if limit is None:
+            raise ValueError(
+                f"ranking all {k**n:,} joint cells densely would allocate "
+                f"{k**n * 8 / 2**30:.0f} GiB on the driver; pass limit= "
+                "(e.g. the probe count) for the exact beam path"
+            )
+        return _beam_rank(per_codebook, k, n, limit)
     # score[joint] = Σ_j per_codebook[j][digit_j(joint)]
     score = np.zeros(k**n)
     for j in range(n):
@@ -160,4 +184,17 @@ def rank_cells(coding: DataFrame, target, metric: str | None = None) -> list[int
         tiles = k**j
         score += np.tile(np.repeat(per_codebook[j], reps), tiles)
     order = np.lexsort((np.arange(k**n), score))
-    return [int(i) for i in order]
+    out = [int(i) for i in order]
+    return out if limit is None else out[:limit]
+
+
+def _beam_rank(per_codebook: list[np.ndarray], k: int, n: int, limit: int) -> list[int]:
+    """Exact top-``limit`` (score, joint) fold, codebook 0 most
+    significant — mirrors probe_cells_join's SQL fold including its
+    left-to-right float addition order, so both paths return
+    bit-identical rankings."""
+    beam = [(0.0, 0)]
+    for j in range(n):
+        short = sorted((float(d), c) for c, d in enumerate(per_codebook[j]))[: min(k, limit)]
+        beam = sorted((s + d, joint * k + c) for s, joint in beam for d, c in short)[:limit]
+    return [joint for _, joint in beam]

@@ -114,7 +114,7 @@ def probe_search(
     metric = metric or coding_metric
     pred = filter
     if probes is not None and probes < kk**n:
-        cells = rank_cells(coding, target, metric)[:probes]
+        cells = rank_cells(coding, target, metric, limit=probes)
         cell_pred = F.col(CODE_COL).isin(cells)
         pred = cell_pred if pred is None else (cell_pred & pred)
     return knn(
@@ -411,7 +411,7 @@ def adc_search(
     luts = adc_lut(coding, target, metric)
     out = indexed
     if probes is not None and probes < kk**n:
-        cells = rank_cells(coding, target, metric)[:probes]
+        cells = rank_cells(coding, target, metric, limit=probes)
         out = out.where(F.col(CODE_COL).isin(cells))
     d = adc_dist_expr(luts, kk, metric)
     if round_to is not None:

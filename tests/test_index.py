@@ -370,3 +370,36 @@ def test_append_to_index_equals_full_rebuild(spark, embeddings, coding, tmp_path
     assert [r["vec_id"] for r in res_m.collect()] == [r["vec_id"] for r in res_r.collect()]
     plan = res_m._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan
+
+
+def test_rank_cells_beam_matches_dense(spark, monkeypatch):
+    """The large-codebook beam path must return exactly the dense
+    ranking's prefix — forced onto a small codebook by lowering the
+    dense bound."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from fenix_spark.operators import coder as coder_mod
+
+    k, n, sub_dim = 32, 3, 4
+    rng = np.random.default_rng(11)
+    cents = rng.normal(size=(n, k, sub_dim)).round(3)
+    coding2 = spark.createDataFrame(
+        [
+            Row(
+                codebook=j, cell=c, centroid=[float(x) for x in cents[j, c]],
+                metric="l2", codebook_size=k, num_codebooks=n,
+            )
+            for j in range(n)
+            for c in range(k)
+        ],
+        "codebook int, cell int, centroid array<double>, "
+        "metric string, codebook_size int, num_codebooks int",
+    )
+    target = rng.normal(size=n * sub_dim).round(3)
+    dense = rank_cells(coding2, target, "l2")[:25]
+    monkeypatch.setattr(coder_mod, "_MAX_DENSE_CELLS", 100)
+    with pytest.raises(ValueError, match="beam"):
+        rank_cells(coding2, target, "l2")
+    beam = rank_cells(coding2, target, "l2", limit=25)
+    assert beam == dense
