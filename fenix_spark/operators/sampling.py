@@ -88,3 +88,66 @@ def per_group_limit(
         .where(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def mixture(
+    sources: Sequence[tuple[DataFrame, float]],
+    id_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted corpus mixture: union each source after keeping
+    ``weight`` of its rows (weight in [0, 1] — a per-source sampling
+    rate, the knob LLM data recipes express as 'epochs'/'repeat
+    factor' capped at 1). Per-row hash decisions (decorrelated across
+    sources by position+salt) keep this a pure scan filter on every
+    source — no shuffle, reproducible under retries; sources may have
+    different columns (union by name, missing columns null).
+    A ``__source`` column records provenance."""
+    picked = []
+    for i, (df, w) in enumerate(sources):
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"mixture weight {w} not in [0, 1]")
+        picked.append(
+            deterministic_sample(df, id_col, w, salt=f"{salt}/mix{i}").withColumn(
+                "__source", F.lit(i)
+            )
+        )
+    out = picked[0]
+    for df in picked[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    shard_rows: int,
+    salt: str = "",
+) -> int:
+    """Export a corpus as deterministically-shuffled fixed-size
+    training shards — the terminal op of a data pipeline, where
+    'shuffled well' matters because trainers read shards sequentially.
+
+    The permutation key is ``hash60(id || salt)``: a pure row function,
+    so the SAME corpus + salt always produces the SAME shard layout
+    (resumable exports, reproducible ablations) while being
+    statistically indistinguishable from a random shuffle.
+    ``repartitionByRange`` on the key gives one range-shuffle and
+    globally contiguous shards; ``sortWithinPartitions`` orders rows
+    inside each file so shard contents are byte-stable. Returns the
+    shard count. At 100 TB this is the one full-data shuffle a
+    pipeline should ever do — everything upstream filters or
+    appends."""
+    n_rows = df.count()
+    n_shards = max(1, -(-n_rows // shard_rows))  # ceil
+    key = hash60(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    (
+        df.withColumn("__shuffle_key", key)
+        .repartitionByRange(n_shards, "__shuffle_key")
+        .sortWithinPartitions("__shuffle_key")
+        .drop("__shuffle_key")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return n_shards

@@ -81,3 +81,48 @@ def test_salted_join_equals_plain_join(spark):
     outer = {(r["k"], r["lval"], r["rval"]) for r in salted_join(left, right, "k", salts=4, how="left").collect()}
     plain_outer = {(r["k"], r["lval"], r["rval"]) for r in left.join(right, "k", "left").collect()}
     assert outer == plain_outer
+
+
+def test_mixture_weights_and_provenance(documents, embeddings):
+    from fenix_spark.operators.sampling import mixture
+
+    docs = documents.select(F.col("doc_id").alias("rid"), "lang")
+    vecs = embeddings.select(F.col("vec_id").alias("rid"), "label")
+    out = mixture([(docs, 1.0), (vecs, 0.25)], "rid", salt="s1")
+    by_src = {r["__source"]: r["n"] for r in out.groupBy("__source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src[0] == docs.count()  # weight 1.0 keeps everything
+    frac = by_src.get(1, 0) / vecs.count()
+    assert 0.15 < frac < 0.35  # ~0.25, hash-uniform
+    assert sorted(out.columns) == sorted(["rid", "lang", "label", "__source"])
+    # deterministic: same salt, same subset
+    again = mixture([(docs, 1.0), (vecs, 0.25)], "rid", salt="s1")
+    a = {(r["rid"], r["__source"]) for r in out.collect()}
+    b = {(r["rid"], r["__source"]) for r in again.collect()}
+    assert a == b
+
+
+def test_write_shards_deterministic_and_sized(spark, embeddings, tmp_path):
+    import os
+
+    from fenix_spark.operators.sampling import write_shards
+
+    n = embeddings.count()
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    k1 = write_shards(embeddings, p1, "vec_id", shard_rows=150, salt="v0")
+    k2 = write_shards(embeddings, p2, "vec_id", shard_rows=150, salt="v0")
+    assert k1 == k2 == -(-n // 150)
+    back = spark.read.parquet(p1)
+    assert back.count() == n
+    assert {r["vec_id"] for r in back.select("vec_id").collect()} == {
+        r["vec_id"] for r in embeddings.select("vec_id").collect()
+    }
+    # same salt → byte-identical shard membership (per-file row sets)
+    def layout(p):
+        files = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        return [
+            frozenset(r["vec_id"] for r in spark.read.parquet(os.path.join(p, f)).collect())
+            for f in files
+        ]
+    assert layout(p1) == layout(p2)
+    # shards are balanced-ish: no shard more than 2x target
+    assert all(len(s) <= 300 for s in layout(p1))
