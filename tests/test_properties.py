@@ -171,3 +171,37 @@ def test_winnowing_guarantee(spark, shared, pre, post):
     for r in out.collect():
         fps.setdefault(r["id"], set()).add(r["fp"])
     assert fps[1] & fps[2], "shared 7+-token run must share a fingerprint"
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=16),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(w, h, seed):
+    """encode_bmp/_decode_bmp are inverse for EVERY (w, h) — padding,
+    bottom-up row order, and BGR swap all cancel exactly."""
+    import numpy as np
+
+    from fenix_spark.multimodal import encode_bmp
+    from fenix_spark.multimodal.media import _decode_bmp
+
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (_decode_bmp(encode_bmp(img)) == img).all()
+
+
+@given(
+    n=st.integers(min_value=1, max_value=400),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(n, sr, seed):
+    import numpy as np
+
+    from fenix_spark.multimodal import decode_audio, encode_wav
+
+    sig = np.random.default_rng(seed).integers(-(2**15), 2**15, size=n, dtype=np.int64)
+    x, got_sr = decode_audio(encode_wav(sig, sr), "wav")
+    assert got_sr == sr and len(x) == n and (x == sig.astype(float)).all()
