@@ -48,6 +48,12 @@ __all__ = [
     "deterministic_sample",
     "hash_split",
     "per_group_limit",
+    "mixture",
+    "write_shards",
+    "profile",
+    # index maintenance & ADC
+    "append_to_index",
+    "adc_search",
 ]
 __version__ = "0.1.0"
 
@@ -78,6 +84,11 @@ def __getattr__(name: str):
         "deterministic_sample": "fenix_spark.operators.sampling",
         "hash_split": "fenix_spark.operators.sampling",
         "per_group_limit": "fenix_spark.operators.sampling",
+        "mixture": "fenix_spark.operators.sampling",
+        "write_shards": "fenix_spark.operators.sampling",
+        "profile": "fenix_spark.operators.profile",
+        "append_to_index": "fenix_spark.operators.index",
+        "adc_search": "fenix_spark.operators.index",
     }
     if name in _HOMES:
         return getattr(import_module(_HOMES[name]), name)
