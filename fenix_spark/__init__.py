@@ -44,6 +44,8 @@ __all__ = [
     "minhash_neardup_pairs",
     "simhash_neardup_pairs",
     "winnow_fingerprints",
+    "connected_components",
+    "dedup_keep_list",
     # curation
     "deterministic_sample",
     "hash_split",
@@ -81,6 +83,8 @@ def __getattr__(name: str):
         "minhash_neardup_pairs": "fenix_spark.operators.dedup",
         "simhash_neardup_pairs": "fenix_spark.operators.dedup",
         "winnow_fingerprints": "fenix_spark.operators.dedup",
+        "connected_components": "fenix_spark.operators.components",
+        "dedup_keep_list": "fenix_spark.operators.components",
         "deterministic_sample": "fenix_spark.operators.sampling",
         "hash_split": "fenix_spark.operators.sampling",
         "per_group_limit": "fenix_spark.operators.sampling",
