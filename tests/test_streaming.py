@@ -326,3 +326,30 @@ def test_streamed_ingest_feeds_incremental_index(spark, sf_dir, tmp_path):
     idx = read_index(spark, idx_path)
     assert idx.count() == emb.count()
     assert CODE_COL in idx.columns
+
+
+def test_stream_ingest_checkpoint_resume_exactly_once(spark, events_prepared, tmp_path):
+    """Restarting an ingest against the same checkpoint must be
+    exactly-once: already-committed files are not re-ingested, new
+    files land exactly once — the property that makes crash-looping a
+    100 TB ingest safe."""
+    src_path, batch_df = events_prepared
+    root, ckpt = str(tmp_path), str(tmp_path / "_ck")
+
+    def drain():
+        src = stream_source(spark, src_path, batch_df.schema, max_files_per_trigger=1)
+        q = stream_ingest(src, root, "eo", ckpt)
+        q.awaitTermination(120)
+
+    drain()
+    landed = lambda: spark.read.parquet(f"{root}/sources/eo").count()  # noqa: E731
+    n1 = landed()
+    assert n1 == batch_df.count()
+
+    drain()  # restart, no new input → nothing re-ingested
+    assert landed() == n1
+
+    extra = batch_df.limit(37)
+    extra.coalesce(1).write.mode("append").parquet(src_path)
+    drain()  # restart, one new file → its rows land exactly once
+    assert landed() == n1 + 37
