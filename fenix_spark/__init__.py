@@ -56,6 +56,8 @@ __all__ = [
     # index maintenance & ADC
     "append_to_index",
     "adc_search",
+    "build_ivfpq_index",
+    "ivfpq_search",
 ]
 __version__ = "0.1.0"
 
@@ -93,6 +95,8 @@ def __getattr__(name: str):
         "profile": "fenix_spark.operators.profile",
         "append_to_index": "fenix_spark.operators.index",
         "adc_search": "fenix_spark.operators.index",
+        "build_ivfpq_index": "fenix_spark.operators.index",
+        "ivfpq_search": "fenix_spark.operators.index",
     }
     if name in _HOMES:
         return getattr(import_module(_HOMES[name]), name)

@@ -494,3 +494,91 @@ def batch_probe_search(
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+FINE_CODE_COL = "__PQ_CODE__"
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    column: str,
+    coarse: DataFrame,
+    fine: DataFrame,
+    path: str,
+    metric: str | None = None,
+) -> None:
+    """Two-level IVF-PQ layout — the production ANN shape where the
+    partition count stays bounded while code resolution scales.
+
+    A single fine coding cannot be the partition key: 16^8 joint cells
+    would mean 4 billion partition directories. The split (FAISS
+    IVFPQ's file layout, re-expressed for parquet):
+
+    - COARSE coding (small k^n, e.g. 64 cells) → ``__CODED_ID__``,
+      the PARTITION column: probe pruning stays physical partition
+      pruning with a sane directory count at any scale.
+    - FINE coding (large k^n) → ``__PQ_CODE__``, a regular BIGINT
+      DATA column: the ADC candidate pass reads (id, fine code) =
+      ~16 bytes/row from the probed partitions only.
+
+    This encodes the fine code on RAW vectors (non-residual IVFPQ —
+    simpler, oracle-checkable with one LUT per query). Residual
+    encoding (fine-code the vector minus its coarse centroid) buys
+    extra recall at the same bits but needs per-probe-cell lookup
+    tables; the layout here wouldn't change, only the LUT builder."""
+    out = df.withColumn(CODE_COL, assign_code_expr(column, coarse, metric)).withColumn(
+        FINE_CODE_COL, assign_code_expr(column, fine, metric)
+    )
+    out.write.mode("overwrite").partitionBy(CODE_COL).parquet(path)
+
+
+def ivfpq_search(
+    indexed: DataFrame,
+    coarse: DataFrame,
+    fine: DataFrame,
+    column: str,
+    target: Sequence[float],
+    metric: str | None = None,
+    k: int = 10,
+    probes: int | None = 8,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    select: Sequence[str] = (),
+    round_to: int | None = None,
+) -> DataFrame:
+    """IVF-PQ search over a ``build_ivfpq_index`` layout: coarse probe
+    pruning (partition filters) → ADC over the fine code column →
+    optional exact rerank of a broadcast shortlist.
+
+    IO at 100 TB: probes/|coarse cells| of the files are touched at
+    all; within them the candidate pass materializes only (id, fine
+    code); raw vectors are read for the ``rerank`` shortlist rows
+    alone."""
+    _, coarse_metric, ck, cn = coding_to_numpy(coarse)
+    metric = metric or coarse_metric
+    out = indexed
+    if probes is not None and probes < ck**cn:
+        cells = rank_cells(coarse, target, metric, limit=probes)
+        out = out.where(F.col(CODE_COL).isin(cells))
+    _, _, fk, _fn = coding_to_numpy(fine)
+    luts = adc_lut(fine, target, metric)
+    d = adc_dist_expr(luts, fk, metric, code_col=FINE_CODE_COL)
+    if round_to is not None:
+        d = F.round(d, round_to) + F.lit(0.0)
+    adc = (
+        out.select(id_col, *select, d.alias(DISTANCE_COL))
+        .orderBy(F.col(DISTANCE_COL).asc(), F.col(id_col).asc())
+        .limit(k if rerank is None else rerank)
+    )
+    if rerank is None:
+        return adc
+    shortlist = F.broadcast(adc.select(F.col(id_col).alias("__sid")))
+    exact = distance(metric, vec_double(column), query_literal(target))
+    if round_to is not None:
+        exact = F.round(exact, round_to) + F.lit(0.0)
+    return (
+        indexed.join(shortlist, F.col(id_col) == F.col("__sid"))
+        .select(id_col, *select, exact.alias(DISTANCE_COL))
+        .orderBy(F.col(DISTANCE_COL).asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -403,3 +403,52 @@ def test_rank_cells_beam_matches_dense(spark, monkeypatch):
         rank_cells(coding2, target, "l2")
     beam = rank_cells(coding2, target, "l2", limit=25)
     assert beam == dense
+
+
+def test_ivfpq_layout_and_search(spark, embeddings, tmp_path_factory):
+    """Two-level IVF-PQ: coarse cells are partition directories (probe
+    → PartitionFilters), fine codes are a data column; full-probe
+    search with exact rerank equals brute-force KNN; pruned probes
+    still return k rows from a strict data subset."""
+    from fenix_spark.operators.coder import CodingConfig, train_coding
+    from fenix_spark.operators.index import (
+        FINE_CODE_COL,
+        build_ivfpq_index,
+        ivfpq_search,
+        read_index,
+    )
+    from fenix_spark.operators.search import knn
+
+    coarse = train_coding(
+        embeddings, "embedding", CodingConfig(metric="l2", codebook_size=8, num_codebooks=1)
+    )
+    fine = train_coding(
+        embeddings, "embedding", CodingConfig(metric="l2", codebook_size=16, num_codebooks=4)
+    )
+    path = str(tmp_path_factory.mktemp("ivfpq"))
+    build_ivfpq_index(embeddings, "embedding", coarse, fine, path)
+    idx = read_index(spark, path)
+    assert FINE_CODE_COL in idx.columns and CODE_COL in idx.columns
+    assert idx.count() == embeddings.count()
+
+    target = embeddings.where(F.col("vec_id") == 3).head()["embedding"]
+    # full probes + deep exact rerank == brute force
+    got = ivfpq_search(
+        idx, coarse, fine, "embedding", target, k=10, probes=None,
+        rerank=embeddings.count(), id_col="vec_id",
+    )
+    want = knn(embeddings, "embedding", target, "l2", k=10, id_col="vec_id")
+    assert [r["vec_id"] for r in got.collect()] == [r["vec_id"] for r in want.collect()]
+
+    # pruned probes: partition filter in plan, k rows out
+    pruned = ivfpq_search(
+        idx, coarse, fine, "embedding", target, k=10, probes=2, rerank=40, id_col="vec_id"
+    )
+    rows = pruned.collect()
+    assert len(rows) == 10
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # two scans: the ADC candidate pass must carry the coarse-cell
+    # partition filter (the rerank scan is unpruned by design)
+    assert any(
+        CODE_COL in seg.split("]")[0] for seg in plan.split("PartitionFilters:")[1:]
+    )
