@@ -15,6 +15,7 @@ check for these operators.
 
 from fenix_spark.streaming.dedup import stream_exact_dedup, stream_simhash_tag
 from fenix_spark.streaming.ingest import enrich_stream, stream_ingest, stream_source
+from fenix_spark.streaming.joins import stream_interval_join
 from fenix_spark.streaming.sessions import sessionize_stateful
 from fenix_spark.streaming.windows import sliding_event_rates, windowed_event_counts
 
@@ -24,6 +25,7 @@ __all__ = [
     "stream_exact_dedup",
     "enrich_stream",
     "stream_ingest",
+    "stream_interval_join",
     "stream_simhash_tag",
     "stream_source",
     "windowed_event_counts",

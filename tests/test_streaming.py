@@ -353,3 +353,40 @@ def test_stream_ingest_checkpoint_resume_exactly_once(spark, events_prepared, tm
     extra.coalesce(1).write.mode("append").parquet(src_path)
     drain()  # restart, one new file → its rows land exactly once
     assert landed() == n1 + 37
+
+
+def test_stream_interval_join_matches_batch(spark, events_prepared):
+    """Watermarked stream-stream interval join (view→click attribution)
+    equals the batch interval join on the same finite input — the
+    bounded-state exception to 'no stream-stream joins'."""
+    from fenix_spark.streaming import stream_interval_join
+
+    src_path, batch_df = events_prepared
+    views_b = batch_df.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    clicks_b = batch_df.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+
+    def attributed(views, clicks):
+        return stream_interval_join(
+            views, clicks, key="user_id", left_ts="ts", right_ts="ts",
+            interval="10 minutes", watermark="30 minutes",
+        ).select("view_id", "r_click_id")
+
+    src = stream_source(spark, src_path, batch_df.schema, max_files_per_trigger=1)
+    views_s = src.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), "ts"
+    )
+    clicks_s = src.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    _drain(attributed(views_s, clicks_s), "attributed", "append")
+    streamed = {
+        (r.view_id, r.r_click_id)
+        for r in spark.sql("SELECT * FROM attributed").collect()
+    }
+    batch = {(r.view_id, r.r_click_id) for r in attributed(views_b, clicks_b).collect()}
+    assert streamed == batch
+    assert len(batch) > 0
