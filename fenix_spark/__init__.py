@@ -58,6 +58,9 @@ __all__ = [
     "adc_search",
     "build_ivfpq_index",
     "ivfpq_search",
+    "train_residual_coding",
+    "build_ivfpq_residual_index",
+    "ivfpq_residual_search",
 ]
 __version__ = "0.1.0"
 
@@ -97,6 +100,9 @@ def __getattr__(name: str):
         "adc_search": "fenix_spark.operators.index",
         "build_ivfpq_index": "fenix_spark.operators.index",
         "ivfpq_search": "fenix_spark.operators.index",
+        "train_residual_coding": "fenix_spark.operators.index",
+        "build_ivfpq_residual_index": "fenix_spark.operators.index",
+        "ivfpq_residual_search": "fenix_spark.operators.index",
     }
     if name in _HOMES:
         return getattr(import_module(_HOMES[name]), name)

@@ -582,3 +582,132 @@ def ivfpq_search(
         .orderBy(F.col(DISTANCE_COL).asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def _coarse_centroid_expr(coarse_cents, code: Column) -> Column:
+    """array<double> centroid literal selected by a coarse cell id —
+    element_at over k literal arrays (single-codebook coarse coding)."""
+    k = coarse_cents.shape[1]
+    return F.element_at(
+        F.array(*[query_literal(coarse_cents[0, c]) for c in range(k)]),
+        (code.cast("int") + 1),
+    )
+
+
+def train_residual_coding(
+    df: DataFrame,
+    column: str,
+    coarse: DataFrame,
+    fine_config,
+) -> DataFrame:
+    """Train the fine PQ coding on RESIDUALS (vector − its coarse
+    centroid) — classic IVFPQ (Jégou et al. 2011 §III): residuals
+    concentrate near zero, so the same code bits quantize them with
+    far less error than raw vectors. Requires a single-codebook coarse
+    coding (standard IVF) and the l2 metric (ADC constraint).
+
+    The residual column is a pure expression (zip_with over the
+    selected centroid literal) — training streams over it like any
+    column; residuals are never materialized to storage."""
+    from fenix_spark.operators.coder import train_coding
+
+    cents, metric, _k, n = coding_to_numpy(coarse)
+    if n != 1:
+        raise ValueError("residual coding needs a single-codebook coarse coding (IVF)")
+    if metric not in ("l2", "euclidean"):
+        raise ValueError("residual ADC requires the l2 metric")
+    code = assign_code_expr(column, coarse, metric)
+    residual = F.zip_with(
+        vec_double(column), _coarse_centroid_expr(cents, code), lambda a, b: a - b
+    )
+    return train_coding(
+        df.withColumn("__residual", residual), "__residual", fine_config
+    )
+
+
+def build_ivfpq_residual_index(
+    df: DataFrame,
+    column: str,
+    coarse: DataFrame,
+    fine: DataFrame,
+    path: str,
+) -> None:
+    """IVF-PQ layout with RESIDUAL fine codes: same directories as
+    ``build_ivfpq_index`` (coarse cell = partition, fine code = BIGINT
+    column), but ``__PQ_CODE__`` encodes vector − coarse_centroid, so
+    ``fine`` must come from ``train_residual_coding`` over the same
+    coarse coding."""
+    cents, metric, _k, n = coding_to_numpy(coarse)
+    if n != 1:
+        raise ValueError("residual index needs a single-codebook coarse coding")
+    code = assign_code_expr(column, coarse, metric)
+    residual = F.zip_with(
+        vec_double(column), _coarse_centroid_expr(cents, code), lambda a, b: a - b
+    )
+    out = (
+        df.withColumn(CODE_COL, code)
+        .withColumn("__residual", residual)
+        .withColumn(FINE_CODE_COL, assign_code_expr("__residual", fine, metric))
+        .drop("__residual")
+    )
+    out.write.mode("overwrite").partitionBy(CODE_COL).parquet(path)
+
+
+def ivfpq_residual_search(
+    indexed: DataFrame,
+    coarse: DataFrame,
+    fine: DataFrame,
+    column: str,
+    target: Sequence[float],
+    k: int = 10,
+    probes: int | None = 8,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    select: Sequence[str] = (),
+    round_to: int | None = None,
+) -> DataFrame:
+    """Residual IVF-PQ search: per PROBED cell c the query's residual
+    (target − centroid_c) gets its own ADC lookup tables, and rows in
+    cell c score against table c — a CASE chain over the probed cells,
+    still a pure expression over (coarse code, fine code), still zero
+    vector bytes in the candidate pass. probes × n × k literals ship
+    with the plan (e.g. 8 cells × 8 codebooks × 16 entries = 1k
+    doubles — nothing). Optional exact rerank as in ``ivfpq_search``."""
+    cents, metric, ck, n = coding_to_numpy(coarse)
+    if n != 1:
+        raise ValueError("residual search needs a single-codebook coarse coding")
+    _, _, fk, _fn = coding_to_numpy(fine)
+    cells = rank_cells(coarse, target, metric, limit=probes if probes else ck)
+    if probes is None or probes >= ck:
+        cells = cells[:ck]
+    tgt = [float(x) for x in target]
+    out = indexed
+    if probes is not None and probes < ck:
+        out = out.where(F.col(CODE_COL).isin(cells))
+    d = None
+    for c in cells:
+        res_target = [t - float(x) for t, x in zip(tgt, cents[0, c])]
+        lut_c = adc_lut(fine, res_target, metric)
+        d_c = adc_dist_expr(lut_c, fk, metric, code_col=FINE_CODE_COL)
+        cond = F.col(CODE_COL) == F.lit(int(c))
+        d = F.when(cond, d_c) if d is None else d.when(cond, d_c)
+    d = d.otherwise(F.lit(None).cast("double"))
+    if round_to is not None:
+        d = F.round(d, round_to) + F.lit(0.0)
+    adc = (
+        out.select(id_col, *select, d.alias(DISTANCE_COL))
+        .orderBy(F.col(DISTANCE_COL).asc(), F.col(id_col).asc())
+        .limit(k if rerank is None else rerank)
+    )
+    if rerank is None:
+        return adc
+    shortlist = F.broadcast(adc.select(F.col(id_col).alias("__sid")))
+    exact = distance(metric, vec_double(column), query_literal(target))
+    if round_to is not None:
+        exact = F.round(exact, round_to) + F.lit(0.0)
+    return (
+        indexed.join(shortlist, F.col(id_col) == F.col("__sid"))
+        .select(id_col, *select, exact.alias(DISTANCE_COL))
+        .orderBy(F.col(DISTANCE_COL).asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -452,3 +452,81 @@ def test_ivfpq_layout_and_search(spark, embeddings, tmp_path_factory):
     assert any(
         CODE_COL in seg.split("]")[0] for seg in plan.split("PartitionFilters:")[1:]
     )
+
+
+def test_residual_ivfpq_exactness_and_quantization_gain(spark, embeddings, tmp_path_factory):
+    """Residual IVF-PQ: (a) full-probe + deep exact rerank == brute
+    force, (b) pruned search partition-prunes and returns k, (c) the
+    point of residuals — reconstruction error strictly below the
+    raw-vector fine coding at identical code bits."""
+    import numpy as np
+
+    from fenix_spark.operators.coder import CodingConfig, coding_to_numpy, train_coding
+    from fenix_spark.operators.index import (
+        FINE_CODE_COL,
+        build_ivfpq_index,
+        build_ivfpq_residual_index,
+        ivfpq_residual_search,
+        read_index,
+        train_residual_coding,
+    )
+    from fenix_spark.operators.search import knn
+
+    coarse = train_coding(
+        embeddings, "embedding", CodingConfig(metric="l2", codebook_size=8, num_codebooks=1)
+    )
+    fine_cfg = CodingConfig(metric="l2", codebook_size=16, num_codebooks=4)
+    fine_res = train_residual_coding(embeddings, "embedding", coarse, fine_cfg)
+    fine_raw = train_coding(embeddings, "embedding", fine_cfg)
+
+    path = str(tmp_path_factory.mktemp("ivfpq_res"))
+    build_ivfpq_residual_index(embeddings, "embedding", coarse, fine_res, path)
+    idx = read_index(spark, path)
+    n_vec = embeddings.count()
+    assert idx.count() == n_vec
+
+    target = embeddings.where(F.col("vec_id") == 5).head()["embedding"]
+    got = ivfpq_residual_search(
+        idx, coarse, fine_res, "embedding", target, k=10, probes=None,
+        rerank=n_vec, id_col="vec_id",
+    )
+    want = knn(embeddings, "embedding", target, "l2", k=10, id_col="vec_id")
+    assert [r["vec_id"] for r in got.collect()] == [r["vec_id"] for r in want.collect()]
+
+    pruned = ivfpq_residual_search(
+        idx, coarse, fine_res, "embedding", target, k=10, probes=2, rerank=40, id_col="vec_id"
+    )
+    rows = pruned.collect()
+    assert len(rows) == 10
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        CODE_COL in seg.split("]")[0] for seg in plan.split("PartitionFilters:")[1:]
+    )
+
+    # (c) reconstruction MSE: residual coding must beat raw coding
+    raw_path = str(tmp_path_factory.mktemp("ivfpq_raw"))
+    build_ivfpq_index(embeddings, "embedding", coarse, fine_raw, raw_path)
+    raw_idx = read_index(spark, raw_path)
+
+    c_cents, _, _ck, _ = coding_to_numpy(coarse)
+    fr_cents, _, fk, fn = coding_to_numpy(fine_res)
+    fw_cents, _, _, _ = coding_to_numpy(fine_raw)
+    sub = fr_cents.shape[2]
+
+    def digits(code, k, n):
+        return [(code // k ** (n - 1 - j)) % k for j in range(n)]
+
+    def mse(index_df, fine_cents, add_coarse):
+        err = 0.0
+        rows = index_df.select("vec_id", "embedding", CODE_COL, FINE_CODE_COL).collect()
+        for r in rows:
+            v = np.asarray(r["embedding"], dtype=float)
+            rec = np.concatenate(
+                [fine_cents[j, d] for j, d in enumerate(digits(r[FINE_CODE_COL], fk, fn))]
+            )
+            if add_coarse:
+                rec = rec + c_cents[0, r[CODE_COL]]
+            err += float(((v - rec) ** 2).sum())
+        return err / len(rows)
+
+    assert mse(idx, fr_cents, True) < mse(raw_idx, fw_cents, False)
