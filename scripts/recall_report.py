@@ -131,6 +131,7 @@ def main() -> None:
     from fenix_spark.operators.coder import CodingConfig, train_coding
     from fenix_spark.operators.index import assign_code_expr
 
+    sweep_queries = queries[: min(10, len(queries))]
     sweep_rows = []
     for k_, n_ in ((8, 2), (16, 2), (16, 4), (16, 8)):
         cfg = CodingConfig(metric="l2", codebook_size=k_, num_codebooks=n_)
@@ -138,7 +139,7 @@ def main() -> None:
         coded = emb.withColumn(CODE_COL, assign_code_expr("embedding", c2, "l2"))
         for rer in (None, 40):
             hits = 0
-            for q in queries:
+            for q in sweep_queries:
                 got = {
                     r["vec_id"]
                     for r in adc_search(
@@ -147,7 +148,54 @@ def main() -> None:
                     ).collect()
                 }
                 hits += len(got & set(exact[q["vec_id"]]))
-            sweep_rows.append((k_, n_, rer, hits / (K * len(queries))))
+            sweep_rows.append((k_, n_, rer, hits / (K * len(sweep_queries))))
+
+    # Residual vs raw fine coding at identical code bits (IVFPQ's
+    # reason to exist): same coarse IVF, same fine geometry; only the
+    # encoding target differs.
+    from fenix_spark.operators.index import (
+        build_ivfpq_index,
+        build_ivfpq_residual_index,
+        ivfpq_residual_search,
+        ivfpq_search,
+        train_residual_coding,
+    )
+
+    coarse = train_coding(
+        emb, "embedding", CodingConfig(metric="l2", codebook_size=8, num_codebooks=1)
+    )
+    fine_cfg = CodingConfig(metric="l2", codebook_size=16, num_codebooks=4)
+    fine_raw = train_coding(emb, "embedding", fine_cfg)
+    fine_res = train_residual_coding(emb, "embedding", coarse, fine_cfg)
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="recall_ivfpq_")
+    build_ivfpq_index(emb, "embedding", coarse, fine_raw, f"{tmp}/raw")
+    build_ivfpq_residual_index(emb, "embedding", coarse, fine_res, f"{tmp}/res")
+    raw_idx = spark.read.parquet(f"{tmp}/raw")
+    res_idx = spark.read.parquet(f"{tmp}/res")
+    residual_rows = []
+    for rer in (None, 40):
+        h_raw = h_res = 0
+        for q in sweep_queries:
+            g_raw = {
+                r["vec_id"]
+                for r in ivfpq_search(
+                    raw_idx, coarse, fine_raw, "embedding", q["embedding"],
+                    metric="l2", k=K, probes=4, rerank=rer, id_col="vec_id",
+                ).collect()
+            }
+            g_res = {
+                r["vec_id"]
+                for r in ivfpq_residual_search(
+                    res_idx, coarse, fine_res, "embedding", q["embedding"],
+                    k=K, probes=4, rerank=rer, id_col="vec_id",
+                ).collect()
+            }
+            h_raw += len(g_raw & set(exact[q["vec_id"]]))
+            h_res += len(g_res & set(exact[q["vec_id"]]))
+        denom = K * len(sweep_queries)
+        residual_rows.append((rer, h_raw / denom, h_res / denom))
 
     lines = [
         "# RECALL — measured ANN quality (the guardrail the reference lacks)",
@@ -202,6 +250,20 @@ def main() -> None:
         k_, n_, _, rec_off = sweep_rows[i]
         rec_rr = sweep_rows[i + 1][3]
         lines.append(f"| {k_}^{n_} | {k_**n_:,} | {rec_off:.3f} | {rec_rr:.3f} |")
+    lines += [
+        "",
+        "### Residual vs raw fine coding (IVF-PQ, 8-cell coarse, 16^4",
+        "fine, probes=4 — identical code bits, only the encoding",
+        "target differs). At this toy scale (2000 x 64d) the recall",
+        "difference is within sampling noise; the residual coding's",
+        "strictly-lower reconstruction MSE is asserted",
+        "deterministically in tests/test_index.py.",
+        "",
+        "| rerank | raw recall@10 | residual recall@10 |",
+        "|---|---|---|",
+    ]
+    for rer, r_raw, r_res in residual_rows:
+        lines.append(f"| {rer if rer else 'off'} | {r_raw:.3f} | {r_res:.3f} |")
     lines += [
         "",
         "Reading: `recall / scan` > 1 means the index beats random",
