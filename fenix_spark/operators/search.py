@@ -78,6 +78,8 @@ def similarity_join_brute(
     dist_col: str = DISTANCE_COL,
     round_to: int | None = None,
     max_broadcast_rows: int = 2_000_000,
+    max_broadcast_bytes: int = 2 << 30,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Brute-force similarity join via Arrow-batched matmul.
 
@@ -94,37 +96,55 @@ def similarity_join_brute(
       |L|·|R|-sized ever exists;
     - no shuffle at all: top-k is computed where the left rows live.
 
-    Scale contract: right side must fit in executor memory (~1 GB per
-    1M×128d float64), ENFORCED by ``max_broadcast_rows`` — the count
-    gate below fails fast BEFORE collecting, so a careless large×large
-    call can't OOM the driver at 100 TB. For large×large, prune with
-    the IVF cell equi-join first (operators/index.py:batch_probe_search)
-    and apply this within cells.
+    Scale contract: right side must fit in executor memory, ENFORCED
+    both by ``max_broadcast_rows`` AND by ``max_broadcast_bytes``
+    (rows × dim × 8 — the byte bound is what actually matters: 2M rows
+    is ~1 GB at 64 dims but ~16 GB at 1024 dims). Both gates fail fast
+    BEFORE collecting, so a careless large×large call can't OOM the
+    driver at 100 TB. For large×large, prune with the IVF cell
+    equi-join first (operators/index.py:batch_probe_search) and apply
+    this within cells.
 
     ``round_to`` rounds distances BEFORE ranking (with right_id
     tiebreak) for oracle-stable output.
+
+    ``exclude_self=True`` masks right rows whose id equals the left
+    row's id inside the GEMM kernel, so "nearest OTHER row" queries
+    (embedding near-dup) come out directly — no post-hoc filter +
+    re-rank window (which would add the pipeline's only shuffle).
+    Masked candidates can shrink a row's output below k when fewer
+    than k other rows exist.
     """
     import numpy as np
     import pandas as pd
 
     spark = left.sparkSession
+    # Byte-aware bound: dim read from one row (cheap single-row scan),
+    # then the row cap is tightened so rows × dim × 8 ≤ byte budget.
+    dim_row = right.select(F.size(vec_double(column)).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row is not None else 0
+    row_cap = max_broadcast_rows
+    if dim > 0:
+        row_cap = min(row_cap, max_broadcast_bytes // (dim * 8))
     # limit(N+1).count() instead of count(): stops scanning as soon as
     # the bound is exceeded, so the guard is cheap even on a huge input.
-    n_right = right.select(right_id).limit(max_broadcast_rows + 1).count()
-    if n_right > max_broadcast_rows:
+    n_right = right.select(right_id).limit(row_cap + 1).count()
+    if n_right > row_cap:
         raise ValueError(
-            f"similarity_join_brute: right side exceeds "
-            f"max_broadcast_rows={max_broadcast_rows:,}; it would be "
+            f"similarity_join_brute: right side exceeds the broadcast "
+            f"budget (cap {row_cap:,} rows at dim={dim}: "
+            f"max_broadcast_rows={max_broadcast_rows:,}, "
+            f"max_broadcast_bytes={max_broadcast_bytes:,}); it would be "
             "collected to the driver and broadcast. For large×large "
             "similarity joins use operators.index.batch_probe_search "
-            "(IVF cell equi-join) instead, or raise max_broadcast_rows "
-            "if the right side genuinely fits in executor memory."
+            "(IVF cell equi-join) instead, or raise the budgets if the "
+            "right side genuinely fits in executor memory."
         )
     r_rows = right.select(right_id, column).collect()
     rid = np.array([r[0] for r in r_rows], dtype="int64")
     rmat = np.array([r[1] for r in r_rows], dtype="float64")
     bc = spark.sparkContext.broadcast((rid, rmat))
-    kk = min(k, len(rid))
+    kk = min(k, max(len(rid) - 1, 1) if exclude_self else len(rid))
 
     def gen(batches):
         rid_b, rmat_b = bc.value
@@ -151,14 +171,20 @@ def similarity_join_brute(
                 # + 0.0 canonicalizes IEEE -0.0 → +0.0 (oracle hashers
                 # distinguish the signs; DuckDB cosine self-match is -0.0)
                 dmat = dmat.round(round_to) + 0.0
+            if exclude_self:
+                # inf sorts last through argpartition/lexsort; masked
+                # entries are dropped at emission (isfinite filter).
+                dmat[rid_b[None, :] == lids[:, None]] = np.inf
             part = np.argpartition(dmat, kk - 1, axis=1)[:, :kk]
             out_l, out_r, out_d, out_rank = [], [], [], []
             for i in range(len(lids)):
                 sel = part[i][np.lexsort((rid_b[part[i]], dmat[i, part[i]]))]
-                out_l.extend([lids[i]] * kk)
+                if exclude_self:
+                    sel = sel[np.isfinite(dmat[i, sel])]
+                out_l.extend([lids[i]] * len(sel))
                 out_r.extend(rid_b[sel])
                 out_d.extend(dmat[i, sel])
-                out_rank.extend(range(1, kk + 1))
+                out_rank.extend(range(1, len(sel) + 1))
             yield pd.DataFrame(
                 {"left_id": out_l, "right_id": out_r, dist_col: out_d, "rank": out_rank}
             )

@@ -1513,24 +1513,21 @@ def _ngram_jaccard_topk_sql() -> str:
 
 def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: each vector's nearest OTHER neighbor
-    if within cosine distance 0.3 — the BLAS similarity join (k=2 to
-    cover self) then re-rank after dropping self."""
+    if within cosine distance 0.3 — the BLAS similarity join with
+    self-exclusion masked inside the GEMM kernel, so the nearest-other
+    row comes out directly: zero shuffles end to end (the r2 shape ran
+    k=2 then re-ranked with a window — an extra shuffle after the GEMM
+    had already ordered each row)."""
     from fenix_spark.operators.search import similarity_join_brute
 
     emb = table(spark, sf_dir, "embeddings")
-    out = similarity_join_brute(emb, emb, "embedding", metric="cosine", k=2, round_to=6)
-    nonself = out.where(F.col("right_id") != F.col("left_id"))
-    w = Window.partitionBy("left_id").orderBy(
-        F.col("__DISTANCE__").asc(), F.col("right_id").asc()
+    out = similarity_join_brute(
+        emb, emb, "embedding", metric="cosine", k=1, round_to=6, exclude_self=True
     )
-    return (
-        nonself.withColumn("rn", F.row_number().over(w))
-        .where((F.col("rn") == 1) & (F.col("__DISTANCE__") <= 0.3))
-        .select(
-            F.col("left_id").alias("vec_id"),
-            F.col("right_id").alias("nn_id"),
-            F.col("__DISTANCE__").alias("dist"),
-        )
+    return out.where(F.col("__DISTANCE__") <= 0.3).select(
+        F.col("left_id").alias("vec_id"),
+        F.col("right_id").alias("nn_id"),
+        F.col("__DISTANCE__").alias("dist"),
     )
 
 
