@@ -2,10 +2,10 @@
 
 Tumbling and sliding windows with late-data handling — the standard
 Structured Streaming pattern (watermark bounds state; windows close
-and emit finals in append mode). The events testdata carries
-nanosecond timestamps; callers pass a frame that already has a proper
-``timestamp`` column (see tests — the nanos→timestamp conversion is
-the same `DIV 1000000` used by suite.events_table).
+and emit finals in append mode). Callers pass a frame that already has
+a proper ``timestamp`` column; normalize the testdata's physical ts
+encoding with ``suite.ts_ms_expr`` (the single ts-normalization site)
+plus ``timestamp_millis``.
 
 Scale notes: windowed aggregation state is per (window, keys) — with a
 watermark the store is bounded by (watermark horizon / slide) ×

@@ -23,18 +23,15 @@ pytestmark = pytest.mark.slow
 def events_prepared(spark, sf_dir, tmp_path_factory):
     """events with proper timestamp + ts_ms columns, written to a tmp
     dir in TWO files so file-streaming runs multiple batches."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts_ms", F.expr("ts DIV 1000000"))
-        .select(
-            "user_id",
-            "event_id",
-            "event_type",
-            F.timestamp_millis(F.col("ts_ms")).alias("ts"),
-            "ts_ms",
-            "value",
-        )
+    from fenix_spark.suite import events_table
+
+    ev = events_table(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+        "ts_ms",
+        "value",
     )
     path = str(tmp_path_factory.mktemp("events_src"))
     ev.repartition(2).write.mode("overwrite").parquet(path)
@@ -105,12 +102,9 @@ def test_stateful_sessionize_state_survives_micro_batches(spark, sf_dir, tmp_pat
 
     from fenix_spark.suite import _sessionize
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts_ms", F.expr("ts DIV 1000000"))
-        .select("user_id", "event_id", "ts_ms", "value")
-    )
+    from fenix_spark.suite import events_table
+
+    ev = events_table(spark, sf_dir).select("user_id", "event_id", "ts_ms", "value")
 
     batch_rows = _sessionize(spark, sf_dir).collect()
     last_start = {}
