@@ -53,10 +53,19 @@ def main() -> None:
     spark = get_session("fenix_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    from fenix_spark.artifacts import ensure_artifacts
+    from fenix_spark.artifacts import (
+        ensure_artifacts,
+        ensure_ivfpq_artifacts,
+        ensure_ivfpq_residual_artifacts,
+        ensure_media_artifact,
+    )
     from fenix_spark.suite import SPARK_QUERIES, events_table
 
-    ensure_artifacts(spark, sf_dir)  # index build is setup, not a query
+    # index/coding/media builds are setup, not queries
+    ensure_artifacts(spark, sf_dir)
+    ensure_ivfpq_artifacts(spark, sf_dir)
+    ensure_ivfpq_residual_artifacts(spark, sf_dir)
+    ensure_media_artifact(spark, sf_dir)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM/codegen warm-up
     # Scan-path warm-up: footer reads + first-touch page cache for the
     # fact tables, so the first measured query isn't charged for them.

@@ -119,10 +119,15 @@ def similarity_join_brute(
     import pandas as pd
 
     spark = left.sparkSession
-    # Byte-aware bound: dim read from one row (cheap single-row scan),
-    # then the row cap is tightened so rows × dim × 8 ≤ byte budget.
+    # Byte-aware bound: dim read from one row (cheap single-row scan;
+    # a null vector yields a null size — treat as unknown dim and fall
+    # back to the row cap alone). NOTE the right-side plan runs three
+    # times (dim probe, count gate, collect); for a right side derived
+    # from expensive lineage, localCheckpoint it before calling.
     dim_row = right.select(F.size(vec_double(column)).alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row is not None else 0
+    dim = int(dim_row["d"]) if dim_row is not None and dim_row["d"] is not None else 0
+    if dim < 0:
+        dim = 0
     row_cap = max_broadcast_rows
     if dim > 0:
         row_cap = min(row_cap, max_broadcast_bytes // (dim * 8))
@@ -143,8 +148,15 @@ def similarity_join_brute(
     r_rows = right.select(right_id, column).collect()
     rid = np.array([r[0] for r in r_rows], dtype="int64")
     rmat = np.array([r[1] for r in r_rows], dtype="float64")
+    out_schema = f"left_id bigint, right_id bigint, {dist_col} double, rank int"
+    if len(rid) == 0:
+        return spark.createDataFrame([], out_schema)
     bc = spark.sparkContext.broadcast((rid, rmat))
-    kk = min(k, max(len(rid) - 1, 1) if exclude_self else len(rid))
+    # With exclude_self, fetch one EXTRA candidate then truncate to k
+    # after the self-mask filter: a left id absent from the right side
+    # masks nothing, so capping at len(rid)-1 up front would shortchange
+    # disjoint-id joins (ADVICE r03).
+    kk = min(k + 1, len(rid)) if exclude_self else min(k, len(rid))
 
     def gen(batches):
         rid_b, rmat_b = bc.value
@@ -180,7 +192,7 @@ def similarity_join_brute(
             for i in range(len(lids)):
                 sel = part[i][np.lexsort((rid_b[part[i]], dmat[i, part[i]]))]
                 if exclude_self:
-                    sel = sel[np.isfinite(dmat[i, sel])]
+                    sel = sel[np.isfinite(dmat[i, sel])][:k]
                 out_l.extend([lids[i]] * len(sel))
                 out_r.extend(rid_b[sel])
                 out_d.extend(dmat[i, sel])
@@ -190,7 +202,7 @@ def similarity_join_brute(
             )
 
     src = left.select(F.col(left_id).alias("__lid"), vec_double(column).alias("__vec"))
-    return src.mapInPandas(gen, f"left_id bigint, right_id bigint, {dist_col} double, rank int")
+    return src.mapInPandas(gen, out_schema)
 
 
 def similarity_join(

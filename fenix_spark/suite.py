@@ -2116,6 +2116,270 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# IVF-PQ search (operators/index.py:500-720): coarse partition pruning +
+# fine-code ADC, plain and residual (Jégou 2011) — oracle-checked
+# against DuckDB recomputing probe ranking, lookup tables, and ADC
+# distances from the same coding/index parquet (VERDICT r03 #3).
+# --------------------------------------------------------------------------
+
+
+def _ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ three ways, tagged by method:
+
+    - ``adc``: coarse probes (16/64 cells = physical partition
+      pruning) → ADC over the 65 536-code fine column; the candidate
+      pass reads (id, fine code) only — zero vector bytes;
+    - ``adc_rerank``: top-40 ADC shortlist re-scored exactly via a
+      broadcast join (the recall-restoring tail);
+    - ``residual``: classic residual IVFPQ — fine codes encode
+      (vector − coarse centroid), one LUT per probed cell, still a
+      pure expression over the two code columns.
+    """
+    from fenix_spark.artifacts import (
+        ensure_ivfpq_artifacts,
+        ensure_ivfpq_residual_artifacts,
+    )
+    from fenix_spark.operators.index import ivfpq_residual_search, ivfpq_search
+
+    target = _query_vector(spark, sf_dir)
+    coarse, fine, indexed = ensure_ivfpq_artifacts(spark, sf_dir)
+    adc = (
+        ivfpq_search(
+            indexed, coarse, fine, "embedding", target,
+            metric="l2", k=10, probes=16, round_to=6,
+        )
+        .withColumnRenamed("__DISTANCE__", "dist")
+        .select(F.lit("adc").alias("method"), "*")
+    )
+    adc_rr = (
+        ivfpq_search(
+            indexed, coarse, fine, "embedding", target,
+            metric="l2", k=10, probes=16, rerank=_ADC_RERANK, round_to=6,
+        )
+        .withColumnRenamed("__DISTANCE__", "dist")
+        .select(F.lit("adc_rerank").alias("method"), "*")
+    )
+    rcoarse, rfine, rindexed = ensure_ivfpq_residual_artifacts(spark, sf_dir)
+    resid = (
+        ivfpq_residual_search(
+            rindexed, rcoarse, rfine, "embedding", target, k=10, probes=16, round_to=6
+        )
+        .withColumnRenamed("__DISTANCE__", "dist")
+        .select(F.lit("residual").alias("method"), "*")
+    )
+    return adc.unionByName(adc_rr).unionByName(resid)
+
+
+def _ivfpq_fine_lut_sql(rv: str) -> str:
+    """DuckDB per-codebook squared-l2 lookup table against the 4×16-dim
+    sub-slices of ``rv`` (a 64-dim DOUBLE[] expression)."""
+    return f"""
+        SELECT codebook, cell,
+               list_sum(list_transform(list_zip(centroid,
+                   CASE codebook WHEN 0 THEN {rv}[1:16] WHEN 1 THEN {rv}[17:32]
+                                 WHEN 2 THEN {rv}[33:48] ELSE {rv}[49:64] END),
+                   z -> (z[1]-z[2])*(z[1]-z[2]))) AS d
+    """
+
+
+def _ivfpq_search_sql(sf_dir: str) -> str:
+    from fenix_spark.artifacts import (
+        coding_path,
+        fine_coding_path,
+        ivfpq_index_dir,
+        ivfpq_residual_index_dir,
+        rcoarse_coding_path,
+        rfine_coding_path,
+    )
+
+    cell_d0 = _duck_l2("c0.centroid", "qv[1:32]")
+    cell_d1 = _duck_l2("c1.centroid", "qv[33:64]")
+    row_d = _duck_l2("e.embedding::DOUBLE[]", "qv")
+    rcell_d = _duck_l2("centroid", "qv")
+    return f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    coarse AS (SELECT * FROM read_parquet('{coding_path(sf_dir)}/*.parquet')),
+    fine AS (SELECT * FROM read_parquet('{fine_coding_path(sf_dir)}/*.parquet')),
+    cellscore AS (
+        SELECT c0.cell * 8 + c1.cell AS joint, {cell_d0} + {cell_d1} AS score
+        FROM (SELECT * FROM coarse WHERE codebook = 0) c0,
+             (SELECT * FROM coarse WHERE codebook = 1) c1, q
+    ),
+    probes AS (SELECT joint FROM cellscore ORDER BY score, joint LIMIT 16),
+    flut AS ({_ivfpq_fine_lut_sql("qv")} FROM fine, q),
+    idx AS (
+        SELECT vec_id, CAST(__CODED_ID__ AS BIGINT) AS ccode,
+               CAST(__PQ_CODE__ AS BIGINT) AS fcode
+        FROM read_parquet('{ivfpq_index_dir(sf_dir)}/*/*.parquet', hive_partitioning = true)
+        WHERE CAST(__CODED_ID__ AS BIGINT) IN (SELECT joint FROM probes)
+    ),
+    adc AS (
+        SELECT i.vec_id, round(sqrt(f0.d + f1.d + f2.d + f3.d), 6) + 0.0 AS dist
+        FROM idx i
+        JOIN flut f0 ON f0.codebook = 0 AND f0.cell = (i.fcode // 4096) % 16
+        JOIN flut f1 ON f1.codebook = 1 AND f1.cell = (i.fcode // 256) % 16
+        JOIN flut f2 ON f2.codebook = 2 AND f2.cell = (i.fcode // 16) % 16
+        JOIN flut f3 ON f3.codebook = 3 AND f3.cell = i.fcode % 16
+    ),
+    rr AS (
+        SELECT e.vec_id, round({row_d}, 6) + 0.0 AS dist
+        FROM embeddings e
+        JOIN (SELECT vec_id FROM adc ORDER BY dist, vec_id LIMIT {_ADC_RERANK}) s
+          USING (vec_id), q
+    ),
+    rcoarse AS (SELECT * FROM read_parquet('{rcoarse_coding_path(sf_dir)}/*.parquet')),
+    rfine AS (SELECT * FROM read_parquet('{rfine_coding_path(sf_dir)}/*.parquet')),
+    rprobes AS (
+        SELECT cell AS joint FROM rcoarse, q ORDER BY {rcell_d}, cell LIMIT 16
+    ),
+    rq AS (
+        SELECT rc.cell AS ccell,
+               list_transform(list_zip(qv, rc.centroid), z -> z[1] - z[2]) AS rv
+        FROM rcoarse rc, q WHERE rc.cell IN (SELECT joint FROM rprobes)
+    ),
+    rlut AS (
+        SELECT rq.ccell, f.codebook, f.cell,
+               list_sum(list_transform(list_zip(f.centroid,
+                   CASE f.codebook WHEN 0 THEN rq.rv[1:16] WHEN 1 THEN rq.rv[17:32]
+                                   WHEN 2 THEN rq.rv[33:48] ELSE rq.rv[49:64] END),
+                   z -> (z[1]-z[2])*(z[1]-z[2]))) AS d
+        FROM rfine f, rq
+    ),
+    ridx AS (
+        SELECT vec_id, CAST(__CODED_ID__ AS BIGINT) AS ccode,
+               CAST(__PQ_CODE__ AS BIGINT) AS fcode
+        FROM read_parquet('{ivfpq_residual_index_dir(sf_dir)}/*/*.parquet', hive_partitioning = true)
+        WHERE CAST(__CODED_ID__ AS BIGINT) IN (SELECT joint FROM rprobes)
+    ),
+    radc AS (
+        SELECT i.vec_id, round(sqrt(f0.d + f1.d + f2.d + f3.d), 6) + 0.0 AS dist
+        FROM ridx i
+        JOIN rlut f0 ON f0.ccell = i.ccode AND f0.codebook = 0 AND f0.cell = (i.fcode // 4096) % 16
+        JOIN rlut f1 ON f1.ccell = i.ccode AND f1.codebook = 1 AND f1.cell = (i.fcode // 256) % 16
+        JOIN rlut f2 ON f2.ccell = i.ccode AND f2.codebook = 2 AND f2.cell = (i.fcode // 16) % 16
+        JOIN rlut f3 ON f3.ccell = i.ccode AND f3.codebook = 3 AND f3.cell = i.fcode % 16
+    )
+    SELECT 'adc' AS method, * FROM (SELECT * FROM adc ORDER BY dist, vec_id LIMIT 10)
+    UNION ALL
+    SELECT 'adc_rerank' AS method, * FROM (SELECT * FROM rr ORDER BY dist, vec_id LIMIT 10)
+    UNION ALL
+    SELECT 'residual' AS method, * FROM (SELECT * FROM radc ORDER BY dist, vec_id LIMIT 10)
+    """
+
+
+# --------------------------------------------------------------------------
+# Multimodal features (multimodal/media.py): real BMP/WAV codecs +
+# mapInPandas feature extraction, oracle-checked by DuckDB recomputing
+# the same stats from the CONTAINER BYTES (hex + header/padding
+# arithmetic) — an engine-independent check of the decode path.
+# --------------------------------------------------------------------------
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level stats of every decoded media payload: BMP pixels
+    (real stdlib codec, header + row padding stripped), WAV int16
+    samples (stdlib wave), raw uint8 fakes. The decode runs in ONE
+    Arrow-batched mapInPandas pass emitting exact integer (n, sum,
+    sum-of-squares) per payload — payload bytes never leave the
+    executor — and mean/std are derived natively so both engines do
+    the identical float ops on identical integers."""
+    import pandas as pd
+
+    from fenix_spark.artifacts import ensure_media_artifact
+    from fenix_spark.multimodal.media import _decode_bmp, _decode_wav
+
+    media = ensure_media_artifact(spark, sf_dir)
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, kind, data, meta in zip(
+                pdf["media_id"], pdf["kind"], pdf["data"], pdf["meta"]
+            ):
+                raw, fmt = bytes(data), meta["format"]
+                if fmt == "bmp":
+                    vals = _decode_bmp(raw).astype(np.int64).ravel()
+                elif fmt == "wav":
+                    x, _sr = _decode_wav(raw)
+                    vals = x.astype(np.int64)
+                else:  # rawimg / rawpcm / rawvid: opaque uint8 payloads
+                    vals = np.frombuffer(raw, np.uint8).astype(np.int64)
+                out.append(
+                    (
+                        int(mid), str(kind), str(fmt), int(vals.size),
+                        int(vals.sum()), int((vals * vals).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "format", "n_values", "s", "ssq"]
+            )
+
+    stats = media.select("media_id", "kind", "data", "meta").mapInPandas(
+        gen, "media_id bigint, kind string, format string, n_values bigint, s bigint, ssq bigint"
+    )
+    mean = F.col("s") / F.col("n_values")
+    var = F.col("ssq") / F.col("n_values") - mean * mean
+    return (
+        stats.select(
+            "media_id", "kind", "format", "n_values",
+            (F.round(mean, 6) + F.lit(0.0)).alias("mean_value"),
+            (F.round(F.sqrt(var), 6) + F.lit(0.0)).alias("std_value"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def _multimodal_features_sql(sf_dir: str) -> str:
+    from fenix_spark.artifacts import media_path
+
+    return f"""
+    WITH m AS (
+        SELECT media_id, kind, meta.format AS format, meta.width AS w,
+               octet_length(data) AS nbytes, hex(data) AS hx
+        FROM read_parquet('{media_path(sf_dir)}/*.parquet')
+    ),
+    b AS (
+        SELECT media_id, i, ('0x' || substr(hx, 2*i - 1, 2))::BIGINT AS byte
+        FROM m, generate_series(1, 16384) s(i)
+        WHERE i <= nbytes
+    ),
+    vals AS (
+        SELECT m.media_id, b.byte AS v
+        FROM b JOIN m USING (media_id)
+        WHERE m.format IN ('rawimg', 'rawpcm', 'rawvid')
+        UNION ALL
+        -- BMP: 54-byte header, rows padded to 4 bytes; value bytes are
+        -- the first w*3 of each ((w*3+3)//4)*4-byte stride
+        SELECT m.media_id, b.byte AS v
+        FROM b JOIN m USING (media_id)
+        WHERE m.format = 'bmp' AND b.i > 54
+          AND ((b.i - 55) % (((m.w * 3 + 3) // 4) * 4)) < m.w * 3
+        UNION ALL
+        -- WAV: int16 LE samples after the 44-byte canonical header
+        SELECT m.media_id,
+               CASE WHEN lo.byte + 256 * hi.byte >= 32768
+                    THEN lo.byte + 256 * hi.byte - 65536
+                    ELSE lo.byte + 256 * hi.byte END AS v
+        FROM m
+        JOIN b lo ON lo.media_id = m.media_id AND lo.i >= 45 AND (lo.i - 45) % 2 = 0
+        JOIN b hi ON hi.media_id = m.media_id AND hi.i = lo.i + 1
+        WHERE m.format = 'wav'
+    )
+    SELECT m.media_id, m.kind, m.format,
+           count(*)::BIGINT AS n_values,
+           round(sum(v)::BIGINT / count(*), 6) + 0.0 AS mean_value,
+           round(sqrt(sum(v*v)::BIGINT / count(*)
+                      - (sum(v)::BIGINT / count(*)) * (sum(v)::BIGINT / count(*))), 6) + 0.0
+               AS std_value
+    FROM vals JOIN m USING (media_id)
+    GROUP BY m.media_id, m.kind, m.format
+    ORDER BY m.media_id
+    """
+
+
+# --------------------------------------------------------------------------
 # Text analysis (functions/textstats.py): token counts, quality score,
 # language ID — all native Catalyst scalar expressions, scan-speed.
 # --------------------------------------------------------------------------
@@ -2180,6 +2444,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_join_topk": _similarity_join_topk,
     "quantize_roundtrip": _quantize_roundtrip,
     "quantized_knn": _quantized_knn,
+    "ivfpq_search": _ivfpq_search,
+    # -- multimodal --
+    "multimodal_features": _multimodal_features,
     # -- dedup family --
     "exact_dedup": _exact_dedup,
     "minhash_neardup": _minhash_neardup,
@@ -2197,12 +2464,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scan_filter_project": _scan_filter_project,
     "tpch_q1": _tpch_q1,
     "tpch_q3": _tpch_q3,
-    "tpch_q4": _tpch_q4,
+    # (q4/q14 retired: the driver caps the suite at 50 rows, and their
+    #  patterns — EXISTS semi-join, conditional agg over a join — stay
+    #  covered by anti_join and q12; slots went to ivfpq_search and
+    #  multimodal_features, VERDICT r03 #3/#7.)
     "tpch_q5": _tpch_q5,
     "tpch_q6": _tpch_q6,
     "tpch_q10": _tpch_q10,
     "tpch_q12": _tpch_q12,
-    "tpch_q14": _tpch_q14,
     "tpch_q18": _tpch_q18,
     "anti_join": _anti_join,
     "set_ops": _set_ops,
@@ -2241,6 +2510,8 @@ ORACLE_SQL: dict[str, str] = {
     "similarity_join_topk": _SIMILARITY_JOIN_SQL,
     "quantize_roundtrip": _QUANTIZE_ROUNDTRIP_SQL,
     "quantized_knn": _quantized_knn_sql(_ORACLE_SF_DIR),
+    "ivfpq_search": _ivfpq_search_sql(_ORACLE_SF_DIR),
+    "multimodal_features": _multimodal_features_sql(_ORACLE_SF_DIR),
     "exact_dedup": _EXACT_DEDUP_SQL,
     "minhash_neardup": _minhash_neardup_sql(),
     "simhash_neardup": _simhash_neardup_sql(),
@@ -2255,12 +2526,10 @@ ORACLE_SQL: dict[str, str] = {
     "scan_filter_project": _SCAN_FILTER_PROJECT_SQL,
     "tpch_q1": _TPCH_Q1_SQL,
     "tpch_q3": _TPCH_Q3_SQL,
-    "tpch_q4": _TPCH_Q4_SQL,
     "tpch_q5": _TPCH_Q5_SQL,
     "tpch_q6": _TPCH_Q6_SQL,
     "tpch_q10": _TPCH_Q10_SQL,
     "tpch_q12": _TPCH_Q12_SQL,
-    "tpch_q14": _TPCH_Q14_SQL,
     "tpch_q18": _TPCH_Q18_SQL,
     "anti_join": _ANTI_JOIN_SQL,
     "set_ops": _SET_OPS_SQL,

@@ -93,3 +93,26 @@ def test_materialized_bucket_column(spark, embeddings, tmp_path):
     assert [r["vec_id"] for r in a.collect()] == [r["vec_id"] for r in b.collect()]
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "__LSH_BUCKET__" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_probe_all_buckets_equals_brute_force(spark, embeddings):
+    """Exact-search degeneration (VERDICT r03 #6): probing every bucket
+    (radius = nbits) must return EXACTLY the brute-force top-k — the
+    LSH pruning is a candidate filter, never a scoring change. The
+    IVF analog is test_index.py::test_probe_all_cells_equals_brute_force."""
+    planes = srp_planes(64, NBITS)
+    for qid in (0, 7):
+        t = embeddings.where(F.col("vec_id") == qid).head()["embedding"]
+        exact = [
+            r["vec_id"]
+            for r in knn(
+                embeddings, "embedding", t, "cosine", k=10, id_col="vec_id"
+            ).collect()
+        ]
+        full = [
+            r["vec_id"]
+            for r in lsh_ann_search(
+                embeddings, "embedding", t, planes, k=10, radius=NBITS, id_col="vec_id"
+            ).collect()
+        ]
+        assert full == exact

@@ -99,3 +99,35 @@ def test_similarity_join_self_top1(embeddings, emb_np):
     out = similarity_join(embeddings, embeddings, "embedding", metric="l2", k=1).collect()
     assert len(out) == n
     assert all(r["left_id"] == r["right_id"] and r[DISTANCE_COL] == 0.0 for r in out)
+
+
+def test_exclude_self_disjoint_ids_gets_full_k(spark):
+    """ADVICE r03: with exclude_self=True and k == |right|, a left id
+    ABSENT from the right side masks nothing, so it must still receive
+    all |right| candidates — not |right|-1."""
+    from fenix_spark.operators.search import similarity_join_brute
+
+    right = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(3)], "vec_id bigint, embedding array<double>"
+    )
+    left = spark.createDataFrame(
+        [(100, [0.0, 0.0]), (1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    out = similarity_join_brute(
+        left, right, "embedding", metric="l2", k=3, exclude_self=True
+    ).collect()
+    by_left = {}
+    for r in out:
+        by_left.setdefault(r["left_id"], set()).add(r["right_id"])
+    assert by_left[100] == {0, 1, 2}  # disjoint id: full k
+    assert by_left[1] == {0, 2}  # present id: self masked, k shrinks
+
+
+def test_similarity_join_brute_empty_right(spark):
+    from fenix_spark.operators.search import similarity_join_brute
+
+    right = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    left = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    assert similarity_join_brute(left, right, "embedding", k=2).count() == 0
