@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "embedding_neardup",
     "text_metrics",
     "quantized_knn",
+    "ivfpq_search",
     "tfidf_top_terms",
     "time_rollup",
     "funnel_conversion",

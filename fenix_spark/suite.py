@@ -2321,13 +2321,12 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s") / F.col("n_values")
     var = F.col("ssq") / F.col("n_values") - mean * mean
-    return (
-        stats.select(
-            "media_id", "kind", "format", "n_values",
-            (F.round(mean, 6) + F.lit(0.0)).alias("mean_value"),
-            (F.round(F.sqrt(var), 6) + F.lit(0.0)).alias("std_value"),
-        )
-        .orderBy("media_id")
+    # No orderBy: the driver's comparator sorts rows itself, and the
+    # sort would be this plan's only exchange.
+    return stats.select(
+        "media_id", "kind", "format", "n_values",
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean_value"),
+        (F.round(F.sqrt(var), 6) + F.lit(0.0)).alias("std_value"),
     )
 
 
