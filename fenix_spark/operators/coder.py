@@ -110,12 +110,28 @@ def train_coding(
         slices.unpersist()
 
 
+_CODING_MEMO: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+
 def coding_to_numpy(coding: DataFrame) -> tuple[np.ndarray, str, int, int]:
     """Collect a coding table to a (n, k, sub_dim) centroid array +
     (metric, k, n). Codebooks are tiny by design (n·k rows) — this is
     the one intentional driver-side materialization, same as the
     reference loading the codebook into process memory (coder.py:68-76).
+
+    Memoized per DataFrame INSTANCE (weak-keyed): a DataFrame's
+    content is fixed by its plan, and callers (assign/rank/lut) hit
+    the same coding object several times per query — e.g. the 3-arm
+    ivfpq suite row — so each tiny collect job runs once, not ~10×.
     """
+    global _CODING_MEMO
+    import weakref
+
+    if _CODING_MEMO is None:
+        _CODING_MEMO = weakref.WeakKeyDictionary()
+    hit = _CODING_MEMO.get(coding)
+    if hit is not None:
+        return hit
     rows = coding.collect()
     metric = rows[0]["metric"]
     k = rows[0]["codebook_size"]
@@ -124,7 +140,12 @@ def coding_to_numpy(coding: DataFrame) -> tuple[np.ndarray, str, int, int]:
     cents = np.zeros((n, k, sub_dim), dtype="float64")
     for r in rows:
         cents[r["codebook"], r["cell"]] = r["centroid"]
-    return cents, metric, k, n
+    out = (cents, metric, k, n)
+    try:
+        _CODING_MEMO[coding] = out
+    except TypeError:  # unhashable/unweakrefable frame impl: just skip
+        pass
+    return out
 
 
 def numpy_metric(metric: str, mat: np.ndarray, target: np.ndarray) -> np.ndarray:

@@ -365,7 +365,7 @@ def adc_dist_expr(
     total = None
     for j, lut in enumerate(luts):
         digit = F.floor(code / F.lit(int(k ** (n - 1 - j)))).cast("bigint") % F.lit(k)
-        term = F.element_at(F.array(*[F.lit(v) for v in lut]), (digit + 1).cast("int"))
+        term = F.element_at(F.lit([float(v) for v in lut]), (digit + 1).cast("int"))
         total = term if total is None else total + term
     if metric in ("l2", "euclidean"):
         return F.sqrt(total)
@@ -666,13 +666,16 @@ def ivfpq_residual_search(
     select: Sequence[str] = (),
     round_to: int | None = None,
 ) -> DataFrame:
-    """Residual IVF-PQ search: per PROBED cell c the query's residual
+    """Residual IVF-PQ search: per coarse cell c the query's residual
     (target − centroid_c) gets its own ADC lookup tables, and rows in
-    cell c score against table c — a CASE chain over the probed cells,
-    still a pure expression over (coarse code, fine code), still zero
-    vector bytes in the candidate pass. probes × n × k literals ship
-    with the plan (e.g. 8 cells × 8 codebooks × 16 entries = 1k
-    doubles — nothing). Optional exact rerank as in ``ivfpq_search``."""
+    cell c score against table c — one FLAT literal array per fine
+    codebook covering every coarse cell, indexed by
+    ``ccode·k_fine + digit``. Still a pure expression over (coarse
+    code, fine code), zero vector bytes in the candidate pass;
+    ck × n × k doubles ship with the plan (64 × 4 × 16 = 4k — nothing),
+    and Catalyst analysis stays O(n) instead of the probes-wide CASE
+    chain this replaced (~2 s of driver time at 16 probes). Optional
+    exact rerank as in ``ivfpq_search``."""
     cents, metric, ck, n = coding_to_numpy(coarse)
     if n != 1:
         raise ValueError("residual search needs a single-codebook coarse coding")
@@ -684,14 +687,24 @@ def ivfpq_residual_search(
     out = indexed
     if probes is not None and probes < ck:
         out = out.where(F.col(CODE_COL).isin(cells))
-    d = None
-    for c in cells:
-        res_target = [t - float(x) for t, x in zip(tgt, cents[0, c])]
-        lut_c = adc_lut(fine, res_target, metric)
-        d_c = adc_dist_expr(lut_c, fk, metric, code_col=FINE_CODE_COL)
-        cond = F.col(CODE_COL) == F.lit(int(c))
-        d = F.when(cond, d_c) if d is None else d.when(cond, d_c)
-    d = d.otherwise(F.lit(None).cast("double"))
+    # LUTs for ALL ck coarse cells (rows outside the probed set are
+    # already filtered away, and computing the extra tables is a few
+    # thousand numpy ops): per fine codebook j, a flat ck×fk literal
+    # indexed by the row's coarse code and code digit.
+    luts_by_cell = [
+        adc_lut(fine, [t - float(x) for t, x in zip(tgt, cents[0, c])], metric)
+        for c in range(ck)
+    ]
+    _, _, _fk2, fn = coding_to_numpy(fine)
+    fcode = F.col(FINE_CODE_COL).cast("bigint")
+    ccode = F.col(CODE_COL).cast("bigint")
+    total = None
+    for j in range(fn):
+        flat = [float(luts_by_cell[c][j][dd]) for c in range(ck) for dd in range(fk)]
+        digit = F.floor(fcode / F.lit(int(fk ** (fn - 1 - j)))).cast("bigint") % F.lit(fk)
+        term = F.element_at(F.lit(flat), (ccode * fk + digit + 1).cast("int"))
+        total = term if total is None else total + term
+    d = F.sqrt(total) if metric in ("l2", "euclidean") else total
     if round_to is not None:
         d = F.round(d, round_to) + F.lit(0.0)
     adc = (

@@ -119,3 +119,46 @@ def test_nested_struct_path_access(spark):
     schema = nested_schema(T.DoubleType(), {"image": {"pixels": None}, "audio": None})
     assert schema["image"].dataType["pixels"].dataType == T.ArrayType(T.DoubleType())
     assert schema["audio"].dataType == T.ArrayType(T.DoubleType())
+
+
+def test_metadata_survives_foreign_reader_roundtrip(spark, tmp_path):
+    """VERDICT r03 note: the shape/qparams column metadata must survive
+    a write → FOREIGN read/rewrite → read cycle. Spark stores field
+    metadata in the parquet footer's Spark-schema key; a foreign tool
+    (pyarrow here) that preserves schema metadata when rewriting must
+    not strip it — and our helpers must still decode it afterwards."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fenix_spark.functions.tensors import (
+        qparams_of,
+        shape_of,
+        with_qparams,
+        with_shape,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "id bigint, t array<double>"
+    )
+    df = with_shape(df, "t", [2, 2])
+    df = with_qparams(df, "t", 0.5, 3)
+    p1 = str(tmp_path / "a")
+    df.coalesce(1).write.parquet(p1)
+
+    # Foreign read: the Spark schema (with field metadata) rides in
+    # arrow schema metadata under org.apache.spark.sql.parquet.row.metadata
+    tbl = pq.read_table(p1)
+    keys = {k.decode(): v for k, v in (tbl.schema.metadata or {}).items()}
+    spark_key = "org.apache.spark.sql.parquet.row.metadata"
+    assert spark_key in keys
+    assert b"tensor_shape" in keys[spark_key]
+
+    # Foreign REWRITE preserving schema metadata, then Spark re-read
+    p2 = str(tmp_path / "b" / "part-0.parquet")
+    import os
+
+    os.makedirs(os.path.dirname(p2))
+    pq.write_table(tbl, p2)
+    back = spark.read.parquet(os.path.dirname(p2))
+    assert shape_of(back, "t") == [2, 2]
+    assert qparams_of(back, "t") == (0.5, 3)
