@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "asof_join_events",
     "range_join_events",
     "exact_dedup",
+    "decontamination",
     "minhash_neardup",
     "simhash_neardup",
     "fingerprints",

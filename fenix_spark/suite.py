@@ -1666,25 +1666,44 @@ FROM supplier
 """
 
 
-def _weekday_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date-function surface: weekday bucketing of order dates (ISO
-    day-of-week numbers, identical on both engines unlike locale day
-    names)."""
-    orders = table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy(F.dayofweek("o_orderdate").alias("dow"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        )
+def _decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): flag
+    corpus docs sharing 4-gram content with a deterministic "eval set"
+    slice (doc_id % 29 == 0). The benchmark's distinct gram hashes
+    broadcast; corpus grams are hashed inside the scan and never
+    shuffled — the only exchange is the per-doc hit count."""
+    from fenix_spark.operators.decontaminate import contamination_report
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    return contamination_report(docs, bench, n=4)
+
+
+def _decontamination_sql() -> str:
+    from fenix_spark.functions.texthash import (
+        duck_hash60,
+        duck_tokens,
+        duck_word_shingles,
     )
 
-
-_WEEKDAY_REVENUE_SQL = """
-SELECT dayofweek(o_orderdate) + 1 AS dow,
-       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
-FROM orders GROUP BY 1
-"""
+    return f"""
+    WITH toks AS (SELECT doc_id, {duck_tokens("text")} AS tk FROM documents),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform({duck_word_shingles("tk", 4)},
+                                            s -> {duck_hash60("s")})) AS gs
+        FROM toks
+    ),
+    cg AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+    bg AS (SELECT DISTINCT gram FROM (
+        SELECT unnest(gs) AS gram FROM grams WHERE doc_id % 29 = 0)),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
+    hit AS (SELECT cg.doc_id, count(*) AS n_hits
+            FROM cg JOIN bg USING (gram) GROUP BY cg.doc_id)
+    SELECT h.doc_id, t.n_grams, h.n_hits,
+           round(h.n_hits / t.n_grams, 6) AS hit_frac
+    FROM hit h JOIN tot t USING (doc_id)
+    """
 
 
 _PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
@@ -2482,7 +2501,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_topn": _group_topn,
     "distinct_users": _distinct_users,
     "regex_extract_ids": _regex_extract_ids,
-    "weekday_revenue": _weekday_revenue,
+    "decontamination": _decontamination,
     "nested_access": _nested_access,
     # -- events / time-series --
     "events_json": _events_json,
@@ -2540,7 +2559,7 @@ ORACLE_SQL: dict[str, str] = {
     "group_topn": _GROUP_TOPN_SQL,
     "distinct_users": _DISTINCT_USERS_SQL,
     "regex_extract_ids": _REGEX_EXTRACT_SQL,
-    "weekday_revenue": _WEEKDAY_REVENUE_SQL,
+    "decontamination": _decontamination_sql(),
     "nested_access": _NESTED_ACCESS_SQL,
     "events_json": _EVENTS_JSON_SQL,
     "sessionize": _SESSIONIZE_SQL,
