@@ -1,0 +1,124 @@
+"""Sequence packing: assemble documents into fixed-token-budget
+training examples.
+
+LLM pretraining consumes fixed-length sequences; feeding one short
+document per sequence wastes the budget on padding. Packing solves a
+bin-packing problem: group docs so each bin's token total stays within
+the budget while bins stay as full as possible. Exact bin packing is
+NP-hard and inherently sequential — the scalable form is PARTITIONED
+first-fit-decreasing (FFD): hash-bucket the corpus, run FFD inside
+each bucket, make bin ids globally unique by bucket offset.
+
+Scale design (100 TB corpus):
+
+- The only shuffle moves (id, token_count) pairs — ~16 bytes/row —
+  into `num_buckets` hash buckets; document text never moves. The
+  output is a (doc → pack) ASSIGNMENT table to be joined back or fed
+  to `sampling.write_shards`; materializing packed text is the
+  caller's one sanctioned full-data shuffle.
+- Each bucket packs independently in one Arrow batch
+  (`applyInPandas`); buckets are sized by count, so executor memory
+  holds ~|corpus|/num_buckets longs — pick num_buckets ≈ rows/5M.
+- FFD degrades gracefully: per-bucket efficiency keeps the FFD
+  11/9·OPT+1 bound; bucketing costs at most one underfull bin per
+  bucket, negligible when buckets hold ≫ budget/mean_len docs.
+- Deterministic end-to-end: hash bucketing + stable sort
+  (len desc, id asc) + sequential FFD — same corpus, same packs, on
+  any cluster shape. No RNG, no partition-order dependence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET_SHIFT = 40  # pack_id = bucket << 40 | local id; 2^40 packs/bucket
+
+
+def pack_sequences(
+    df: DataFrame,
+    len_col: str,
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    num_buckets: int = 64,
+    oversize: str = "own_pack",
+) -> DataFrame:
+    """Assign every document to a pack of total ``len_col`` ≤ budget.
+
+    Output: (id, length, pack_id, pack_len, pack_docs) — pack_len /
+    pack_docs are the pack's totals, denormalized for shard writers.
+
+    ``oversize``: docs longer than the budget either become their own
+    over-budget pack (``"own_pack"``, flagged by pack_len > budget —
+    the trainer's chunker splits them downstream) or raise
+    (``"error"``).
+    """
+    if oversize not in ("own_pack", "error"):
+        raise ValueError("oversize must be 'own_pack' or 'error'")
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    import pandas as pd
+
+    def pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["length", "id"], ascending=[False, True])
+        bucket = int(pdf["bucket"].iloc[0])
+        if oversize == "error":
+            bad = pdf[pdf["length"] > budget]
+            if len(bad):
+                raise ValueError(
+                    f"doc {int(bad['id'].iloc[0])} has {int(bad['length'].iloc[0])} "
+                    f"tokens > budget {budget}"
+                )
+        # FFD with a simple first-fit scan; bins stay few enough per
+        # bucket that the linear scan is fine (bins ≈ docs·mean/budget)
+        bin_space: list[int] = []
+        bin_of: list[int] = []
+        for ln in pdf["length"].astype(int):
+            ln = min(ln, budget) if oversize == "own_pack" else ln
+            placed = -1
+            for b, space in enumerate(bin_space):
+                if space >= ln:
+                    placed = b
+                    break
+            if placed < 0:
+                placed = len(bin_space)
+                bin_space.append(budget)
+            bin_space[placed] -= ln
+            bin_of.append(placed)
+        out = pdf[["id", "length"]].copy()
+        out["pack_id"] = [(bucket << _BUCKET_SHIFT) | b for b in bin_of]
+        totals = out.groupby("pack_id")["length"].agg(["sum", "count"]).reset_index()
+        totals.columns = ["pack_id", "pack_len", "pack_docs"]
+        return out.merge(totals, on="pack_id")
+
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.col(len_col).cast("long").alias("length"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets)).alias("bucket"),
+    )
+    return (
+        src.groupBy("bucket")
+        .applyInPandas(
+            pack_bucket,
+            "id bigint, length bigint, pack_id bigint, pack_len bigint, pack_docs bigint",
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def packing_efficiency(packed: DataFrame, budget: int) -> DataFrame:
+    """One-row summary: packs, docs, fill fraction (token sum over
+    pack capacity, over-budget own-packs capped at budget)."""
+    per_pack = packed.groupBy("pack_id").agg(
+        F.first("pack_len").alias("pack_len"), F.first("pack_docs").alias("pack_docs")
+    )
+    return per_pack.agg(
+        F.count("*").alias("n_packs"),
+        F.sum("pack_docs").alias("n_docs"),
+        F.round(
+            F.sum(F.least(F.col("pack_len"), F.lit(budget)))
+            / (F.count("*") * F.lit(budget)),
+            6,
+        ).alias("fill_frac"),
+    )
