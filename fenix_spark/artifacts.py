@@ -44,6 +44,44 @@ def _complete(path: str) -> bool:
     return os.path.isfile(os.path.join(path, "_SUCCESS"))
 
 
+def _source_stamp(sf_dir: str) -> str:
+    """Content-correlated fingerprint of the embeddings source: file
+    size + row count + column-0 stats from the parquet footer. Stable
+    across checkouts and identical regenerations (no mtime), different
+    whenever the driver regenerates the table with different values."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    md = pq.read_metadata(path)
+    rg0 = md.row_group(0).column(0).statistics
+    extra = f":{rg0.min}:{rg0.max}" if rg0 is not None else ""
+    return f"{os.path.getsize(path)}:{md.num_rows}{extra}"
+
+
+def _check_source_stamp(sf_dir: str) -> None:
+    """Embeddings-derived artifacts are committed per SF so oracle runs
+    don't depend on KMeans retraining determinism — but if the DRIVER
+    regenerates the testdata with different content (the r03 drift
+    class, for data instead of schema), a stale index would silently
+    serve vectors that no longer exist. Stamp mismatch wipes the
+    embeddings-derived artifact dirs so they rebuild from the new data;
+    first build writes the stamp."""
+    root = artifact_root(sf_dir)
+    stamp_file = os.path.join(root, "_EMBEDDINGS_STAMP")
+    stamp = _source_stamp(sf_dir)
+    if os.path.isfile(stamp_file):
+        with open(stamp_file) as fh:
+            if fh.read().strip() == stamp:
+                return
+        import shutil
+
+        for sub in ("codings", "indexes"):
+            shutil.rmtree(os.path.join(root, sub), ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    with open(stamp_file, "w") as fh:
+        fh.write(stamp)
+
+
 # ensure_* results memoized per (session, sf_dir): artifacts are
 # immutable once built, re-reading footers + _SUCCESS probes on every
 # query call cost ~1.3 s in the 3-arm ivfpq row, and returning the
@@ -71,6 +109,7 @@ def ensure_artifacts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataF
 
 
 def _ensure_artifacts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    _check_source_stamp(sf_dir)
     cpath, ipath = coding_path(sf_dir), index_dir(sf_dir)
     if not _complete(cpath):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -128,6 +167,7 @@ def ensure_ivfpq_artifacts(spark: SparkSession, sf_dir: str):
 
 
 def _ensure_ivfpq(spark: SparkSession, sf_dir: str):
+    _check_source_stamp(sf_dir)
     from fenix_spark.operators.index import build_ivfpq_index
 
     coarse, _ = ensure_artifacts(spark, sf_dir)
@@ -149,6 +189,7 @@ def ensure_ivfpq_residual_artifacts(spark: SparkSession, sf_dir: str):
 
 
 def _ensure_ivfpq_residual(spark: SparkSession, sf_dir: str):
+    _check_source_stamp(sf_dir)
     from fenix_spark.operators.index import (
         build_ivfpq_residual_index,
         train_residual_coding,

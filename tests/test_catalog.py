@@ -167,3 +167,35 @@ def test_compact_range_partitions_are_disjoint(spark, root):
     ranges.sort()
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo  # disjoint key ranges across files
+
+
+def test_artifact_stamp_rebuilds_on_source_change(spark, tmp_path, monkeypatch):
+    """Embeddings-content drift must invalidate committed codings/
+    indexes (r03 drift class, data edition): same schema, different
+    values → stamp mismatch → embeddings-derived artifact dirs wiped
+    and rebuilt from the new data."""
+    import os
+    import shutil
+
+    import fenix_spark.artifacts as A
+
+    sf = str(tmp_path / "sfX")
+    os.makedirs(sf)
+    shutil.copy("/root/testdata/sf0.001/embeddings.parquet", f"{sf}/embeddings.parquet")
+    monkeypatch.setattr(A, "REPO_ROOT", str(tmp_path / "repo"))
+    coding1, _ = A._ensure_artifacts(spark, sf)
+    c1 = {(r["codebook"], r["cell"]): r["centroid"] for r in coding1.collect()}
+    # same content again: no rebuild (stamp matches, _SUCCESS kept)
+    marker = os.path.join(A.coding_path(sf), "_marker")
+    open(marker, "w").close()
+    A._ensure_artifacts(spark, sf)
+    assert os.path.isfile(marker)
+    # different content (half the rows): stamp mismatch → wipe + retrain
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf}/embeddings.parquet")
+    pq.write_table(tbl.slice(0, tbl.num_rows // 2), f"{sf}/embeddings.parquet")
+    coding2, _ = A._ensure_artifacts(spark, sf)
+    assert not os.path.isfile(marker)
+    c2 = {(r["codebook"], r["cell"]): r["centroid"] for r in coding2.collect()}
+    assert c1 != c2  # retrained on the new distribution
