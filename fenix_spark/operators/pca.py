@@ -1,0 +1,112 @@
+"""Distributed PCA over embedding columns.
+
+The standard pre-indexing transform for vector pipelines (rotate /
+reduce before PQ — the cheap cousin of OPQ, Ge et al. 2013): center,
+project onto the top-k eigenvectors of the covariance.
+
+Scale design (100 TB of vectors, dim d ≈ 64-4096):
+
+- The SUFFICIENT STATISTICS are tiny: (n, Σx, ΣxxT) — one d-vector
+  and one d×d Gram per PARTITION, computed inside an Arrow batch with
+  one BLAS syrk-shaped matmul. A 1000-executor scan emits thousands
+  of ~d²-double rows; combining them on the driver is microseconds.
+  No iteration, one pass, no shuffle at all (partials go straight to
+  the driver like any aggregate's final merge).
+- The d×d eigendecomposition is driver-side numpy — d is model
+  dimension, not data size.
+- The PROJECTION is a pure Catalyst expression (zip_with/aggregate
+  against component literals): applying the trained PCA to 100 TB is
+  scan-speed, whole-stage-codegen, no Python in the loop.
+- Eigenvector sign is canonicalized (largest-|coefficient| entry made
+  positive), so fitted components are deterministic across BLAS
+  builds up to eigenvalue ties.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fenix_spark.functions.metrics import query_literal, vec_double
+
+
+def fit_pca(df: DataFrame, column: str, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit on one pass: returns (mean[d], components[k, d],
+    explained_variance[k]), components row-orthonormal, best-first."""
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf["__v"].tolist(), dtype="float64")
+            yield pd.DataFrame(
+                {
+                    "n": [x.shape[0]],
+                    "s": [x.sum(axis=0).tolist()],
+                    "g": [(x.T @ x).ravel().tolist()],
+                }
+            )
+
+    rows = (
+        df.select(vec_double(column).alias("__v"))
+        .mapInPandas(partials, "n long, s array<double>, g array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("fit_pca: empty input")
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(d, d)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T.copy()
+    # sign canonicalization: the largest-|coeff| entry of each
+    # component is positive (ties by lowest index via argmax)
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, np.maximum(evals[order], 0.0)
+
+
+def pca_project_expr(
+    column: str | Column, mean: Sequence[float], components: np.ndarray
+) -> Column:
+    """array<double> of k scores as a native expression:
+    score_i = Σ_j x_j·W_ij − (mean·W_i) — the mean dot is folded into
+    a per-component constant so the hot loop is one fused
+    multiply-accumulate over the vector."""
+    v = vec_double(column) if isinstance(column, str) else column
+    comps = np.asarray(components, dtype="float64")
+    mean = np.asarray(mean, dtype="float64")
+    offsets = comps @ mean
+    scores = [
+        F.aggregate(
+            F.zip_with(v, query_literal(comps[i]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        - F.lit(float(offsets[i]))
+        for i in range(comps.shape[0])
+    ]
+    return F.array(*scores)
+
+
+def pca_transform(
+    df: DataFrame,
+    column: str,
+    mean: Sequence[float],
+    components: np.ndarray,
+    out_col: str = "pca",
+) -> DataFrame:
+    return df.withColumn(out_col, pca_project_expr(column, mean, components))
