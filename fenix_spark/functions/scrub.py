@@ -1,0 +1,102 @@
+"""PII scrubbing and repetition-quality rules — native expressions.
+
+Two more training-corpus hygiene passes, both pure Catalyst scalar
+expressions (whole-stage codegen, zero Python, one scan):
+
+- ``redact_pii`` / ``pii_counts``: regex families for emails, phone
+  numbers, IPv4s, SSN-shaped ids and card-shaped numbers, replaced by
+  typed placeholders (the conventional pre-training scrub).
+- Gopher-style repetition rules (Rae et al. 2021, Table A1): fraction
+  of duplicate lines and the token share of the most frequent n-gram
+  — the standard cut for boilerplate / degenerate pages.
+
+At 100 TB both are scan-bound map work with no shuffle; thresholds
+belong to the caller (compose with ``sampling``/``dedup`` passes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fenix_spark.functions.texthash import tokens, word_shingles
+
+# Deliberately conservative patterns: scrubbing favors precision
+# (a false hit destroys training text; a miss is caught by the next
+# pass). Case-insensitive flags inline where needed.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"(?<![0-9])(?:\+?[0-9]{1,3}[-. ])?(?:\([0-9]{3}\)[-. ]?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}(?![0-9])",
+    "ipv4": r"(?<![0-9.])(?:(?:25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(?![0-9.])",
+    "ssn": r"(?<![0-9-])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9-])",
+    "card": r"(?<![0-9-])(?:[0-9]{4}[- ]){3}[0-9]{4}(?![0-9-])",
+}
+
+
+def redact_pii(c: Column, kinds: tuple[str, ...] = tuple(PII_PATTERNS)) -> Column:
+    """Replace each PII family with its ``[KIND]`` placeholder —
+    chained regexp_replace, order = ``kinds`` (card before phone
+    matters if you reorder: both match digit runs)."""
+    out = c
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out
+
+
+def pii_counts(c: Column, kinds: tuple[str, ...] = tuple(PII_PATTERNS)) -> Column:
+    """struct<kind: int, ...> of match counts per family (audit /
+    threshold column; docs over a cut get dropped, not scrubbed)."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS[k]), 0)).alias(k)
+            for k in kinds
+        ]
+    )
+
+
+def dup_line_frac(c: Column) -> Column:
+    """Fraction of non-blank lines that are repeats of an earlier
+    line: 1 − distinct/total (0.0 for ≤1 line)."""
+    lines = F.filter(F.split(c, r"\n"), lambda x: F.trim(x) != F.lit(""))
+    n = F.size(lines)
+    return F.when(
+        n > 1, (n - F.size(F.array_distinct(lines))) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_frac(c: Column, n: int = 2) -> Column:
+    """Token share of the single most frequent word n-gram (Gopher's
+    top-2-gram rule): count of the modal n-gram × n / token count.
+    O(u·g) per row over the doc's own grams — scan-local, no shuffle."""
+    toks = tokens(c)
+    grams = word_shingles(toks, n)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(grams),
+            lambda g: F.size(F.filter(grams, lambda x: x == g)),
+        )
+    )
+    n_tok = F.size(toks)
+    return F.when(
+        n_tok >= n, F.least(F.lit(1.0), top * n / n_tok.cast("double"))
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_top_ngram_frac: float = 0.20,
+    ngram: int = 2,
+) -> DataFrame:
+    """Append the Gopher repetition metrics + a keep flag."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("dup_line_frac", F.round(dup_line_frac(c), 6))
+        .withColumn("top_ngram_frac", F.round(top_ngram_frac(c, ngram), 6))
+        .withColumn(
+            "repetition_keep",
+            (F.col("dup_line_frac") <= max_dup_line_frac)
+            & (F.col("top_ngram_frac") <= max_top_ngram_frac),
+        )
+    )

@@ -1,0 +1,64 @@
+"""PII scrub + repetition rules (functions/scrub.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fenix_spark.functions.scrub import (
+    dup_line_frac,
+    pii_counts,
+    redact_pii,
+    repetition_flags,
+    top_ngram_frac,
+)
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], "text string").select(col.alias("v")).first()["v"]
+
+
+def test_redact_all_families(spark):
+    text = (
+        "mail bob.smith+x@example.co.uk or call 415-555-1234, "
+        "server 192.168.0.1, ssn 123-45-6789, card 4111 1111 1111 1111."
+    )
+    out = _one(spark, text, redact_pii(F.col("text")))
+    for tag in ("[EMAIL]", "[PHONE]", "[IPV4]", "[SSN]", "[CARD]"):
+        assert tag in out, out
+    for leak in ("example.co.uk", "415", "192.168", "6789", "4111"):
+        assert leak not in out, out
+
+
+def test_counts_and_precision(spark):
+    clean = "a normal sentence with version 1.2.3 and year 2024 in it"
+    counts = _one(spark, clean, pii_counts(F.col("text")))
+    assert all(v == 0 for v in counts.asDict().values()), counts
+    assert _one(spark, clean, redact_pii(F.col("text"))) == clean
+    two = _one(spark, "a@b.io c@d.io 10.0.0.1", pii_counts(F.col("text")))
+    assert two["email"] == 2 and two["ipv4"] == 1
+
+
+def test_dup_line_frac(spark):
+    text = "same line\nsame line\nsame line\nunique\n\n  \n"
+    assert abs(_one(spark, text, dup_line_frac(F.col("text"))) - 0.5) < 1e-9
+    assert _one(spark, "one line only", dup_line_frac(F.col("text"))) == 0.0
+
+
+def test_top_ngram_frac(spark):
+    # "the cat" appears 3x in 8 tokens → 3*2/8 = 0.75
+    text = "the cat the cat the cat sat down"
+    assert abs(_one(spark, text, top_ngram_frac(F.col("text"), 2)) - 0.75) < 1e-9
+    varied = "alpha beta gamma delta epsilon zeta"
+    assert _one(spark, varied, top_ngram_frac(F.col("text"), 2)) <= 2 / 6 + 1e-9
+
+
+def test_repetition_flags_on_documents(spark, documents):
+    out = repetition_flags(documents.limit(200))
+    rows = out.select("doc_id", "dup_line_frac", "top_ngram_frac", "repetition_keep").collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert 0.0 <= r["dup_line_frac"] <= 1.0
+        assert 0.0 <= r["top_ngram_frac"] <= 1.0
+    # plan must stay expression-only (no Python eval)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
