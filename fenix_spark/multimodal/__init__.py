@@ -8,7 +8,8 @@ the media level. The byte→pixels/samples DECODE step is REAL for formats the s
 can parse — 24-bit BMP (``struct``) and 8/16-bit PCM WAV (``wave``),
 round-trip tested against the encoders in ``media.py`` — and stubbed
 behind ``decode_payload``/``decode_audio`` for formats that need
-codec libraries absent from this container (jpeg/png/mp3/mp4).
+codec libraries absent from this container (jpeg/mp3/mp4); BMP, PNG
+and WAV are real stdlib codecs.
 Everything Spark-side is real and tested: the schema, the mapInPandas
 batch plumbing, partitioning behavior, and the feature/resize/
 frame-sample operators' shapes.

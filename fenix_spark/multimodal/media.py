@@ -14,10 +14,12 @@ Arrow batches sized by ``spark.sql.execution.arrow.maxRecordsPerBatch``
 executor memory), and (c) project early so scans of feature outputs
 never re-read payload bytes (parquet column pruning).
 
-DECODERS: ``wav`` (8/16-bit PCM, stdlib ``wave``) and ``bmp`` (24-bit
-uncompressed, stdlib ``struct``) are REAL codecs — bytes in, samples/
-pixels out, round-trip tested against their encoders below. Formats
-that need external libs (jpeg/png/mp3/mp4) raise NotImplementedError
+DECODERS: ``wav`` (8/16-bit PCM, stdlib ``wave``), ``bmp`` (24-bit
+uncompressed, stdlib ``struct``) and ``png`` (8-bit RGB/RGBA,
+non-interlaced, all five scanline filters — stdlib ``zlib`` +
+``struct``) are REAL codecs — bytes in, samples/pixels out,
+round-trip tested against their encoders below. Formats that need
+external libs (jpeg/mp3/mp4) raise NotImplementedError
 at the single swap-in point (``decode_payload`` /
 ``decode_audio``); the ``raw*`` pseudo-formats remain as deterministic
 fakes for synthetic benchmarks. Swapping in ``PIL.Image.open`` /
@@ -85,6 +87,110 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     return img
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """8-bit truecolor PNG (color type 2/6, non-interlaced, filter 0
+    per scanline, one zlib IDAT) from an (h, w, 3|4) uint8 array —
+    pure stdlib (struct + zlib), the PNG spec's minimal writer."""
+    import zlib as _z
+
+    h, w, c = img.shape
+    if c not in (3, 4):
+        raise ValueError("encode_png needs (h, w, 3|4)")
+    color_type = 2 if c == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(kind: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """One scanline of PNG filter reversal (spec §6: None/Sub/Up/
+    Average/Paeth). Sub/Average/Paeth carry left-pixel state, so they
+    run as a short python loop over the line — fine for decode tests
+    and Arrow-batch feature extraction at sane image sizes."""
+    out = cur.astype(np.int32)
+    if kind == 0:
+        return out.astype(np.uint8)
+    if kind == 2:
+        return ((out + prev) & 0xFF).astype(np.uint8)
+    res = np.zeros_like(out)
+    for i in range(len(cur)):
+        a = int(res[i - bpp]) if i >= bpp else 0  # left
+        b = int(prev[i])  # up
+        if kind == 1:
+            res[i] = (out[i] + a) & 0xFF
+        elif kind == 3:
+            res[i] = (out[i] + ((a + b) >> 1)) & 0xFF
+        elif kind == 4:
+            cdiag = int(prev[i - bpp]) if i >= bpp else 0
+            p = a + b - cdiag
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - cdiag)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cdiag)
+            res[i] = (out[i] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter {kind}")
+    return res.astype(np.uint8)
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """Real PNG decode — 8-bit color type 2 (RGB) / 6 (RGBA),
+    non-interlaced, all five scanline filters: chunk walk, zlib
+    inflate, per-line unfilter. Palette/16-bit/interlaced variants
+    raise NotImplementedError (the documented swap-in boundary)."""
+    import zlib as _z
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = len(_PNG_SIG), b"", None
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = meta
+    if depth != 8 or color_type not in (2, 6) or comp or filt or interlace:
+        raise NotImplementedError(
+            f"PNG variant depth={depth} color={color_type} interlace={interlace}"
+        )
+    c = 3 if color_type == 2 else 4
+    raw = _z.decompress(idat)
+    stride = w * c
+    img = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for r in range(h):
+        kind = raw[r * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, r * (stride + 1) + 1)
+        prev = _png_unfilter(kind, line, prev, c)
+        img[r] = prev
+    return img.reshape(h, w, c)
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int, sampwidth: int = 2) -> bytes:
     """PCM WAV bytes from a 1-D mono signal (int16 for sampwidth=2,
     uint8 for sampwidth=1)."""
@@ -134,14 +240,14 @@ def decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
 
 
 def decode_payload(data: bytes, fmt: str, shape: tuple[int, ...]) -> np.ndarray:
-    """Pixel-payload decoder. REAL for ``bmp``; deterministic fake for
-    the ``raw*`` pseudo-formats (payload bytes tiled to ``shape``,
-    uint8); NotImplementedError is where ``PIL.Image.open(io.BytesIO
-    (data))`` would go for jpeg/png."""
-    if fmt == "bmp":
-        img = _decode_bmp(data)
+    """Pixel-payload decoder. REAL for ``bmp`` and ``png`` (stdlib
+    codecs above); deterministic fake for the ``raw*`` pseudo-formats
+    (payload bytes tiled to ``shape``, uint8); NotImplementedError is
+    where ``PIL.Image.open(io.BytesIO(data))`` would go for jpeg."""
+    if fmt in ("bmp", "png"):
+        img = _decode_bmp(data) if fmt == "bmp" else _decode_png(data)
         if shape and tuple(img.shape) != tuple(shape):
-            raise ValueError(f"BMP decodes to {img.shape}, meta says {shape}")
+            raise ValueError(f"{fmt} decodes to {img.shape}, meta says {shape}")
         return img
     if fmt not in _FAKE_FORMATS:
         raise NotImplementedError(
