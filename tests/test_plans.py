@@ -116,3 +116,35 @@ def test_column_pruning_never_reads_text_for_stats(spark, q):
 def test_exact_dedup_one_shuffle_per_arm(spark, q):
     # merged query: one groupBy(text) arm + one groupBy(hash) arm
     assert shuffle_count(q("exact_dedup")) == 2
+
+
+def test_ivfpq_search_prunes_partitions_and_stays_shuffle_free(spark, q):
+    """The r4 oracle row's plan contract: every arm prunes coarse
+    cells as PartitionFilters (the two-level layout's point), and the
+    3-arm union introduces no exchange — ADC is a pure projection
+    over (id, fine code), rerank joins via broadcast."""
+    df = q("ivfpq_search")
+    parts = " ".join(partition_filters(df))
+    assert "__CODED_ID__" in parts and "INSET" in parts
+    assert shuffle_count(df) == 0
+    assert broadcast_join_count(df) >= 1  # the rerank shortlist join
+
+
+def test_decontamination_broadcasts_bench_single_corpus_shuffle(spark, q):
+    """Corpus text must never shuffle: the benchmark gram set joins as
+    a broadcast; the only corpus-sized exchange is the per-doc hit
+    aggregation (plus the tiny bench-side distinct)."""
+    df = q("decontamination")
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 2
+    for scan_cols in read_schema_columns(df):
+        assert scan_cols <= {"doc_id", "text"}  # pruned scans
+
+
+def test_multimodal_features_expression_only_after_decode(spark, q):
+    """One Arrow-batched decode pass, then native stats — no extra
+    shuffle, no row-wise Python eval."""
+    df = q("multimodal_features")
+    assert shuffle_count(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
