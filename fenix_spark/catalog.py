@@ -79,6 +79,7 @@ def compact(
     name: str,
     target_file_bytes: int = 128 << 20,
     sort_by: Sequence[str] = (),
+    zorder_by: Sequence[str] = (),
 ) -> int:
     """Rewrite a table into ≈``target_file_bytes`` files — the
     maintenance pass that keeps streaming-ingested tables scannable.
@@ -89,7 +90,8 @@ def compact(
     bytes (so it adapts as the table grows) and optionally sorts rows
     within files (``sort_by``) so parquet min/max row-group stats
     become selective — the poor man's clustering that makes
-    point-lookups skip whole files.
+    point-lookups skip whole files; ``zorder_by`` clusters SEVERAL
+    columns at once via a Morton key (multi-dimensional pruning).
 
     Rewrite is copy-then-swap: readers racing the swap see the old or
     the new files, never a mix (same guarantee level as the
@@ -106,7 +108,21 @@ def compact(
     )
     n_files = max(1, -(-on_disk // target_file_bytes))  # ceil
     df = spark.read.parquet(path)
-    if sort_by:
+    if zorder_by:
+        # multi-column clustering: range-partition + sort by the Morton
+        # key so EVERY zorder_by column gets narrow per-file min/max
+        # ranges (functions/zorder.py; proven in tests/test_zorder.py)
+        from fenix_spark.functions.zorder import zorder_key
+
+        if sort_by:
+            raise ValueError("pass sort_by or zorder_by, not both")
+        keyed = zorder_key(df, list(zorder_by))
+        out = (
+            keyed.repartitionByRange(n_files, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+    elif sort_by:
         out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
     else:
         out = df.repartition(n_files)
