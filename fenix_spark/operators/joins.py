@@ -37,10 +37,14 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str],
     tolerance: int | float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, the right row with the
-    greatest ``right_ts`` ≤ ``left_ts`` within the same key group
-    (DuckDB ``ASOF LEFT JOIN``; pandas ``merge_asof`` semantics).
+    """As-of join: for each left row, the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` (``direction="backward"``, the default —
+    DuckDB ``ASOF LEFT JOIN``), the smallest ``right_ts`` ≥ ``left_ts``
+    (``"forward"``), or whichever of the two is closer (``"nearest"``,
+    backward winning ties) — pandas ``merge_asof`` direction semantics,
+    within the same key group.
 
     Implementation is the union+window technique: tag each side, union
     the (key, ts, payload) rows, and carry the right payload forward
@@ -53,11 +57,16 @@ def asof_join(
     payload ordering position wins; pre-dedupe the right side for
     fully deterministic output.
 
-    ``tolerance``: maximum allowed ``left_ts - right_ts``; matches
-    farther back are nulled out (pandas ``merge_asof(tolerance=...)``).
+    ``tolerance``: maximum allowed ts gap in the match direction;
+    matches farther away are nulled out (pandas
+    ``merge_asof(tolerance=...)``). ``nearest`` still shuffles ONCE:
+    the forward fill is a second window SORT over the same hash
+    partitioning, not a second exchange.
 
     Output: all left columns + ``right_cols`` (null when no match).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     ts = "__ASOF_TS__"
 
@@ -94,21 +103,54 @@ def asof_join(
     )
 
     unioned = l_tagged.unionByName(r_tagged)
-    w = (
+    # Backward = carry the last right payload under ascending ts;
+    # forward = the same fold under DESCENDING ts. Right rows (side 0)
+    # sort before left at equal ts under BOTH orderings, so ties match
+    # inclusively in either direction.
+    w_b = (
         Window.partitionBy(*keys)
         .orderBy(F.col(ts).asc(), F.col(_SIDE).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.select(
-        *[c for c in left.columns],
-        F.col(ts),
-        F.col(_SIDE),
-        F.last(pay, ignorenulls=True).over(w).alias(pay),
+    w_f = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts).desc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills.append(F.last("__pb_src", ignorenulls=True).over(w_b).alias("__pb"))
+    if direction in ("forward", "nearest"):
+        fills.append(F.last("__pf_src", ignorenulls=True).over(w_f).alias("__pf"))
+    filled = (
+        unioned.withColumn("__pb_src", F.col(pay))
+        .withColumn("__pf_src", F.col(pay))
+        .select(*[c for c in left.columns], F.col(ts), F.col(_SIDE), *fills)
     )
     out = filled.where(F.col(_SIDE) == 1)
-    if tolerance is not None:
-        stale = (F.col(ts) - F.col(pay)["__ts"]) > tolerance
-        out = out.withColumn(pay, F.when(stale, F.lit(None)).otherwise(F.col(pay)))
+
+    def _gate(col: Column, delta: Column) -> Column:
+        """Null out a candidate whose gap exceeds tolerance."""
+        if tolerance is None:
+            return col
+        return F.when(delta > tolerance, F.lit(None)).otherwise(col)
+
+    if direction == "backward":
+        out = out.withColumn(pay, _gate(F.col("__pb"), F.col(ts) - F.col("__pb")["__ts"]))
+    elif direction == "forward":
+        out = out.withColumn(pay, _gate(F.col("__pf"), F.col("__pf")["__ts"] - F.col(ts)))
+    else:  # nearest: closer candidate wins, backward wins exact ties
+        pb = _gate(F.col("__pb"), F.col(ts) - F.col("__pb")["__ts"])
+        pf = _gate(F.col("__pf"), F.col("__pf")["__ts"] - F.col(ts))
+        d_b = F.col(ts) - pb["__ts"]
+        d_f = pf["__ts"] - F.col(ts)
+        out = out.withColumn(
+            pay,
+            F.when(pb.isNull(), pf)
+            .when(pf.isNull(), pb)
+            .when(d_f < d_b, pf)
+            .otherwise(pb),
+        )
     out = out.select(
         *[c for c in left.columns],
         *[F.col(pay)[c].alias(f"right_{c}") for c in right_cols],

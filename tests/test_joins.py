@@ -157,3 +157,39 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_asof_directions_match_pandas(spark):
+    """forward/nearest must agree with pandas merge_asof on a
+    randomized key/ts layout (backward already oracle-checked)."""
+    import pandas as pd
+
+    lrows = [(k, t) for k in (1, 2) for t in (0, 5, 10, 17, 23)]
+    rrows = [(1, 3, 100.0), (1, 10, 200.0), (1, 18, 300.0), (2, 24, 400.0)]
+    left = spark.createDataFrame(lrows, "k bigint, t bigint")
+    right = spark.createDataFrame(rrows, "k bigint, t bigint, v double")
+    lp = pd.DataFrame(lrows, columns=["k", "t"]).sort_values("t")
+    rp = pd.DataFrame(rrows, columns=["k", "t", "v"]).sort_values("t")
+    for direction, tol in (("forward", None), ("nearest", None), ("forward", 4), ("nearest", 3)):
+        got = {
+            (r["k"], r["t"]): r["right_v"]
+            for r in asof_join(
+                left, right, "k", "t", "t", ["v"], direction=direction, tolerance=tol
+            ).collect()
+        }
+        exp_df = pd.merge_asof(
+            lp, rp, on="t", by="k", direction=direction,
+            tolerance=tol if tol is None else int(tol),
+        )
+        exp = {
+            (r.k, r.t): (None if pd.isna(r.v) else r.v) for r in exp_df.itertuples()
+        }
+        assert got == exp, (direction, tol, got, exp)
+
+
+def test_asof_direction_validation(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 1)], "k bigint, t bigint")
+    with pytest.raises(ValueError, match="backward/forward/nearest"):
+        asof_join(left, left, "k", "t", "t", [], direction="sideways")
