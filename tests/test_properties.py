@@ -205,3 +205,88 @@ def test_wav_roundtrip_property(n, sr, seed):
     sig = np.random.default_rng(seed).integers(-(2**15), 2**15, size=n, dtype=np.int64)
     x, got_sr = decode_audio(encode_wav(sig, sr), "wav")
     assert got_sr == sr and len(x) == n and (x == sig.astype(float)).all()
+
+
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=150), min_size=1, max_size=60),
+    budget=st.integers(min_value=40, max_value=120),
+)
+@settings(**_SETTINGS)
+def test_packing_partition_and_budget_invariants(spark, lengths, budget):
+    """For ANY length multiset and budget: every doc lands in exactly
+    one pack; no multi-doc pack exceeds the budget (only an oversize
+    own-pack may); pack_len is the true per-pack sum."""
+    from fenix_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(list(enumerate(lengths)), "doc_id bigint, n bigint")
+    rows = pack_sequences(df, "n", budget=budget, num_buckets=3).collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(len(lengths)))
+    packs = {}
+    for r in rows:
+        packs.setdefault(r["pack_id"], []).append(r)
+    for members in packs.values():
+        total = sum(r["length"] for r in members)
+        assert all(r["pack_len"] == total for r in members)
+        if len(members) > 1:
+            assert total <= budget
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 1023), st.integers(0, 1023)), min_size=1, max_size=40
+    ),
+)
+@settings(**_SETTINGS)
+def test_zorder_interleave_matches_python_reference(spark, pts):
+    """The native bit-interleave equals the textbook Morton number for
+    every input (10-bit, 2-D)."""
+    from fenix_spark.functions.zorder import interleave_bits
+
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = [
+        r["z"]
+        for r in df.select(
+            interleave_bits([F.col("x"), F.col("y")], bits=10).alias("z")
+        ).collect()
+    ]
+
+    def morton(x, y):
+        z = 0
+        for j in range(10):
+            z |= ((x >> j) & 1) << (2 * j) | ((y >> j) & 1) << (2 * j + 1)
+        return z
+
+    assert got == [morton(x, y) for x, y in pts]
+
+
+@given(
+    lts=st.lists(st.integers(0, 60), min_size=1, max_size=15),
+    rts=st.lists(st.integers(0, 60), min_size=0, max_size=15),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+)
+@settings(**_SETTINGS)
+def test_asof_all_directions_match_pandas(spark, lts, rts, direction):
+    import pandas as pd
+
+    from fenix_spark.operators.joins import asof_join
+
+    lrows = [(1, t) for t in sorted(set(lts))]
+    rrows = [(1, t, float(t) * 10) for t in sorted(set(rts))]
+    left = spark.createDataFrame(lrows, "k bigint, t bigint")
+    right = spark.createDataFrame(
+        rrows or [(0, 0, 0.0)], "k bigint, t bigint, v double"
+    )
+    if not rrows:
+        right = right.where("k = 1")  # empty right side, typed
+    got = {
+        r["t"]: r["right_v"]
+        for r in asof_join(left, right, "k", "t", "t", ["v"], direction=direction).collect()
+    }
+    lp = pd.DataFrame(lrows, columns=["k", "t"])
+    rp = pd.DataFrame(rrows, columns=["k", "t", "v"])
+    if rrows:
+        exp_df = pd.merge_asof(lp, rp, on="t", by="k", direction=direction)
+        exp = {r.t: (None if pd.isna(r.v) else r.v) for r in exp_df.itertuples()}
+    else:
+        exp = {t: None for _, t in lrows}
+    assert got == exp
