@@ -671,33 +671,6 @@ WHERE l_shipdate >= {duck_ts("1997-01-01")} AND l_shipdate < {duck_ts("1998-01-0
 """
 
 
-def _tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 order priority checking: EXISTS → left-semi join.
-    The semi join shuffles only the join key + grouping column of
-    orders; lineitem is reduced map-side to distinct keys before the
-    shuffle."""
-    orders = table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= ts_lit("1996-07-01"))
-        & (F.col("o_orderdate") < ts_lit("1996-10-01"))
-    )
-    late = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
-    return (
-        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
-    )
-
-
-_TPCH_Q4_SQL = f"""
-SELECT o_orderpriority, count(*) AS order_count
-FROM orders
-WHERE o_orderdate >= {duck_ts("1996-07-01")} AND o_orderdate < {duck_ts("1996-10-01")}
-  AND EXISTS (SELECT 1 FROM lineitem
-              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
-GROUP BY o_orderpriority
-"""
-
-
 def _anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT EXISTS → left-anti join: customers with no orders in 1997.
     Same shuffle shape as the semi join — keys only."""
@@ -929,36 +902,6 @@ SELECT l_linestatus,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= {duck_ts("1997-01-01")} AND l_shipdate < {duck_ts("1998-01-01")}
 GROUP BY l_linestatus
-"""
-
-
-def _tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 promotion effect: conditional revenue ratio with a
-    string predicate (p_type LIKE 'PROMO%') — part broadcasts."""
-    part = table(spark, sf_dir, "part")
-    li = table(spark, sf_dir, "lineitem").where(
-        (F.col("l_shipdate") >= ts_lit("1997-03-01")) & (F.col("l_shipdate") < ts_lit("1997-04-01"))
-    )
-    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type").startswith("PROMO"), net).otherwise(0.0))
-                / F.sum(net),
-                6,
-            ).alias("promo_revenue_pct")
-        )
-    )
-
-
-_TPCH_Q14_SQL = f"""
-SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= {duck_ts("1997-03-01")} AND l_shipdate < {duck_ts("1997-04-01")}
 """
 
 
