@@ -6,8 +6,9 @@ document per sequence wastes the budget on padding. Packing solves a
 bin-packing problem: group docs so each bin's token total stays within
 the budget while bins stay as full as possible. Exact bin packing is
 NP-hard and inherently sequential — the scalable form is PARTITIONED
-first-fit-decreasing (FFD): hash-bucket the corpus, run FFD inside
-each bucket, make bin ids globally unique by bucket offset.
+best-fit-decreasing (BFD): hash-bucket the corpus, run BFD inside
+each bucket (bisected sorted bin list, O(n log n)), make bin ids
+globally unique by bucket offset.
 
 Scale design (100 TB corpus):
 
@@ -19,11 +20,11 @@ Scale design (100 TB corpus):
 - Each bucket packs independently in one Arrow batch
   (`applyInPandas`); buckets are sized by count, so executor memory
   holds ~|corpus|/num_buckets longs — pick num_buckets ≈ rows/5M.
-- FFD degrades gracefully: per-bucket efficiency keeps the FFD
-  11/9·OPT+1 bound; bucketing costs at most one underfull bin per
+- BFD degrades gracefully: per-bucket efficiency keeps the
+  11/9·OPT+1 decreasing-fit bound; bucketing costs at most one underfull bin per
   bucket, negligible when buckets hold ≫ budget/mean_len docs.
 - Deterministic end-to-end: hash bucketing + stable sort
-  (len desc, id asc) + sequential FFD — same corpus, same packs, on
+  (len desc, id asc) + sequential BFD — same corpus, same packs, on
   any cluster shape. No RNG, no partition-order dependence.
 """
 
@@ -70,21 +71,27 @@ def pack_sequences(
                     f"doc {int(bad['id'].iloc[0])} has {int(bad['length'].iloc[0])} "
                     f"tokens > budget {budget}"
                 )
-        # FFD with a simple first-fit scan; bins stay few enough per
-        # bucket that the linear scan is fine (bins ≈ docs·mean/budget)
-        bin_space: list[int] = []
+        # Best-fit-decreasing via a bisected sorted list of
+        # (remaining_space, bin_id): O(n log n) per bucket — a naive
+        # first-fit scan is O(n·bins) and degrades quadratically on
+        # buckets where most docs open their own bin. Same 11/9·OPT+1
+        # guarantee class as FFD; ties go to the lowest bin id, so
+        # assignment stays deterministic.
+        import bisect
+
+        open_bins: list[tuple[int, int]] = []  # (space, bin_id) ascending
+        n_bins = 0
         bin_of: list[int] = []
         for ln in pdf["length"].astype(int):
             ln = min(ln, budget) if oversize == "own_pack" else ln
-            placed = -1
-            for b, space in enumerate(bin_space):
-                if space >= ln:
-                    placed = b
-                    break
-            if placed < 0:
-                placed = len(bin_space)
-                bin_space.append(budget)
-            bin_space[placed] -= ln
+            i = bisect.bisect_left(open_bins, (ln, -1))
+            if i == len(open_bins):
+                placed, space = n_bins, budget
+                n_bins += 1
+            else:
+                space, placed = open_bins.pop(i)
+            space -= ln
+            bisect.insort(open_bins, (space, placed))
             bin_of.append(placed)
         out = pdf[["id", "length"]].copy()
         out["pack_id"] = [(bucket << _BUCKET_SHIFT) | b for b in bin_of]
