@@ -102,15 +102,16 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
 
 
 def encode_png(img: np.ndarray) -> bytes:
-    """8-bit truecolor PNG (color type 2/6, non-interlaced, filter 0
+    """8-bit PNG (grayscale/truecolor/RGBA = color type 0/2/6,
+    non-interlaced, filter 0
     per scanline, one zlib IDAT) from an (h, w, 3|4) uint8 array —
     pure stdlib (struct + zlib), the PNG spec's minimal writer."""
     import zlib as _z
 
     h, w, c = img.shape
-    if c not in (3, 4):
-        raise ValueError("encode_png needs (h, w, 3|4)")
-    color_type = 2 if c == 3 else 6
+    if c not in (1, 3, 4):
+        raise ValueError("encode_png needs (h, w, 1|3|4)")
+    color_type = {1: 0, 3: 2, 4: 6}[c]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
     return (
@@ -151,8 +152,8 @@ def _png_unfilter(kind: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.
 
 
 def _decode_png(data: bytes) -> np.ndarray:
-    """Real PNG decode — 8-bit color type 2 (RGB) / 6 (RGBA),
-    non-interlaced, all five scanline filters: chunk walk, zlib
+    """Real PNG decode — 8-bit color type 0 (gray) / 2 (RGB) / 6
+    (RGBA), non-interlaced, all five scanline filters: chunk walk, zlib
     inflate, per-line unfilter. Palette/16-bit/interlaced variants
     raise NotImplementedError (the documented swap-in boundary)."""
     import zlib as _z
@@ -174,11 +175,11 @@ def _decode_png(data: bytes) -> np.ndarray:
     if meta is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = meta
-    if depth != 8 or color_type not in (2, 6) or comp or filt or interlace:
+    if depth != 8 or color_type not in (0, 2, 6) or comp or filt or interlace:
         raise NotImplementedError(
             f"PNG variant depth={depth} color={color_type} interlace={interlace}"
         )
-    c = 3 if color_type == 2 else 4
+    c = {0: 1, 2: 3, 6: 4}[color_type]
     raw = _z.decompress(idat)
     stride = w * c
     img = np.empty((h, stride), np.uint8)

@@ -242,3 +242,12 @@ def test_png_unsupported_variants_raise():
     img = np.zeros((4, 4, 3), np.uint8)
     out = decode_payload(encode_png(img), "png", (4, 4, 3))
     assert out.shape == (4, 4, 3)
+
+
+def test_png_grayscale_roundtrip():
+    import numpy as np
+
+    from fenix_spark.multimodal.media import _decode_png, encode_png
+
+    img = np.random.default_rng(5).integers(0, 256, size=(9, 13, 1), dtype=np.uint8)
+    assert np.array_equal(_decode_png(encode_png(img)), img)
