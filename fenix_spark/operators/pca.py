@@ -53,6 +53,7 @@ def fit_pca(df: DataFrame, column: str, k: int) -> tuple[np.ndarray, np.ndarray,
 
     rows = (
         df.select(vec_double(column).alias("__v"))
+        .where(F.col("__v").isNotNull())  # a null row would poison the Gram
         .mapInPandas(partials, "n long, s array<double>, g array<double>")
         .collect()
     )
