@@ -46,16 +46,21 @@ def _complete(path: str) -> bool:
 
 def _source_stamp(sf_dir: str) -> str:
     """Content-correlated fingerprint of the embeddings source: file
-    size + row count + column-0 stats from the parquet footer. Stable
-    across checkouts and identical regenerations (no mtime), different
-    whenever the driver regenerates the table with different values."""
+    size + row count + min/max stats of EVERY leaf column in row
+    group 0. The vector leaf's float stats bind the stamp to the
+    actual embedding values (column 0 alone is vec_id, whose 0..N−1
+    stats never change between regenerations). Stable across
+    checkouts and identical regenerations — no mtime."""
     import pyarrow.parquet as pq
 
     path = f"{sf_dir}/embeddings.parquet"
     md = pq.read_metadata(path)
-    rg0 = md.row_group(0).column(0).statistics
-    extra = f":{rg0.min}:{rg0.max}" if rg0 is not None else ""
-    return f"{os.path.getsize(path)}:{md.num_rows}{extra}"
+    rg0 = md.row_group(0)
+    parts = [str(os.path.getsize(path)), str(md.num_rows)]
+    for i in range(rg0.num_columns):
+        st = rg0.column(i).statistics
+        parts.append(f"{st.min!r}:{st.max!r}" if st is not None else "-")
+    return ":".join(parts)
 
 
 def _check_source_stamp(sf_dir: str) -> None:

@@ -54,19 +54,38 @@ def zorder_key(
     to an equi-width bucket in [0, 2^bits) from the column's (min,
     max) — one tiny aggregate job — then bucket ids interleave.
     Constant and null values land in bucket 0."""
+    import math
+
     hi = (1 << bits) - 1
     if bucket_exprs is None:
+        # NaN-safe stats: Spark's max() treats NaN as greatest, so one
+        # NaN row would make top=NaN and silently collapse the whole
+        # column to bucket 0 (no locality, no error). Filter non-finite
+        # values out of the stats and send them to bucket 0 per-row.
+        def _finite(c: str) -> Column:
+            d = F.col(c).cast("double")
+            return F.when(~F.isnan(d), d)
+
         stats = df.agg(
-            *[F.min(c).cast("double").alias(f"lo_{c}") for c in columns],
-            *[F.max(c).cast("double").alias(f"hi_{c}") for c in columns],
+            *[F.min(_finite(c)).alias(f"lo_{c}") for c in columns],
+            *[F.max(_finite(c)).alias(f"hi_{c}") for c in columns],
         ).first()
         bucket_exprs = []
         for c in columns:
             lo, top = stats[f"lo_{c}"], stats[f"hi_{c}"]
-            if lo is None or top is None or top <= lo:
+            if (
+                lo is None
+                or top is None
+                or not math.isfinite(lo)
+                or not math.isfinite(top)
+                or top <= lo
+            ):
                 bucket_exprs.append(F.lit(0))
                 continue
-            scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(top - lo) * F.lit(hi)
+            scaled = F.nanvl(
+                (F.col(c).cast("double") - F.lit(lo)) / F.lit(top - lo) * F.lit(hi),
+                F.lit(0.0),
+            )
             bucket_exprs.append(
                 F.coalesce(
                     F.greatest(F.lit(0), F.least(F.lit(hi), F.floor(scaled))),

@@ -129,7 +129,10 @@ def coding_to_numpy(coding: DataFrame) -> tuple[np.ndarray, str, int, int]:
 
     if _CODING_MEMO is None:
         _CODING_MEMO = weakref.WeakKeyDictionary()
-    hit = _CODING_MEMO.get(coding)
+    try:
+        hit = _CODING_MEMO.get(coding)
+    except TypeError:  # unhashable/unweakrefable frame impl: no memo
+        hit = None
     if hit is not None:
         return hit
     rows = coding.collect()

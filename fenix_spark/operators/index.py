@@ -680,7 +680,9 @@ def ivfpq_residual_search(
     if n != 1:
         raise ValueError("residual search needs a single-codebook coarse coding")
     _, _, fk, _fn = coding_to_numpy(fine)
-    cells = rank_cells(coarse, target, metric, limit=probes if probes else ck)
+    # probes=0 must mean ZERO candidates (matching ivfpq_search), not
+    # probe-everything — `if probes` treated 0 as falsy/None before.
+    cells = rank_cells(coarse, target, metric, limit=probes if probes is not None else ck)
     if probes is None or probes >= ck:
         cells = cells[:ck]
     tgt = [float(x) for x in target]

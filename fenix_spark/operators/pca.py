@@ -51,9 +51,15 @@ def fit_pca(df: DataFrame, column: str, k: int) -> tuple[np.ndarray, np.ndarray,
                 }
             )
 
+    v = vec_double(column)
     rows = (
-        df.select(vec_double(column).alias("__v"))
-        .where(F.col("__v").isNotNull())  # a null row would poison the Gram
+        df.select(v.alias("__v"))
+        # a null row, a null ELEMENT, or a NaN element would each turn
+        # the whole Gram partial to NaN and crash (or corrupt) eigh
+        .where(
+            F.col("__v").isNotNull()
+            & F.forall(F.col("__v"), lambda x: x.isNotNull() & ~F.isnan(x))
+        )
         .mapInPandas(partials, "n long, s array<double>, g array<double>")
         .collect()
     )

@@ -530,3 +530,27 @@ def test_residual_ivfpq_exactness_and_quantization_gain(spark, embeddings, tmp_p
         return err / len(rows)
 
     assert mse(idx, fr_cents, True) < mse(raw_idx, fw_cents, False)
+
+
+def test_residual_probes_zero_means_zero_candidates(spark, embeddings, tmp_path_factory):
+    """probes=0 = empty candidate set, matching ivfpq_search (it used
+    to fall through to probe-ALL via `if probes`)."""
+    from fenix_spark.operators.coder import CodingConfig, train_coding
+    from fenix_spark.operators.index import (
+        build_ivfpq_residual_index,
+        ivfpq_residual_search,
+        train_residual_coding,
+    )
+
+    coarse = train_coding(
+        embeddings, "embedding", CodingConfig(metric="l2", codebook_size=8, num_codebooks=1, seed=3)
+    )
+    fine = train_residual_coding(
+        embeddings, "embedding", coarse, CodingConfig(metric="l2", codebook_size=8, num_codebooks=2, seed=4)
+    )
+    path = str(tmp_path_factory.mktemp("respz"))
+    build_ivfpq_residual_index(embeddings, "embedding", coarse, fine, path)
+    idx = spark.read.parquet(path)
+    t = embeddings.where("vec_id = 1").head()["embedding"]
+    assert ivfpq_residual_search(idx, coarse, fine, "embedding", t, k=5, probes=0).count() == 0
+    assert ivfpq_residual_search(idx, coarse, fine, "embedding", t, k=5, probes=2).count() == 5

@@ -62,3 +62,15 @@ def test_variance_ordering_and_capture(spark, embeddings, emb_mat):
     assert all(var[i] >= var[i + 1] - 1e-12 for i in range(d - 1))
     total = emb_mat.var(axis=0, ddof=0).sum()
     assert np.isclose(var.sum(), total, rtol=1e-9)
+
+
+def test_fit_ignores_null_and_nan_rows(spark):
+    import numpy as np
+
+    clean = [(i, [float(i), 1.0]) for i in range(20)]
+    dirty = clean + [(100, None), (101, [float("nan"), 2.0]), (102, [None, 3.0])]
+    a = spark.createDataFrame(clean, "id bigint, embedding array<double>")
+    b = spark.createDataFrame(dirty, "id bigint, embedding array<double>")
+    ma, ca, va = fit_pca(a, "embedding", k=2)
+    mb, cb, vb = fit_pca(b, "embedding", k=2)
+    assert np.allclose(ma, mb) and np.allclose(va, vb)

@@ -94,3 +94,15 @@ def test_compact_zorder_by(spark, tmp_path):
     assert n >= 1
     with pytest.raises(ValueError, match="not both"):
         compact(spark, root, "t", sort_by=["a"], zorder_by=["b"])
+
+
+def test_zorder_nan_rows_dont_collapse_clustering(spark):
+    """A NaN row must not poison a column's (min, max): finite rows
+    keep their spread; the NaN row lands in bucket 0."""
+    df = spark.createDataFrame(
+        [(float("nan"), 1.0)] + [(float(i), float(i)) for i in range(100)],
+        "a double, b double",
+    )
+    out = zorder_key(df, ["a", "b"], bits=4)
+    keys = {r["__zkey"] for r in out.collect()}
+    assert len(keys) > 10  # clustering survives (collapse would give ~few keys)
