@@ -15,16 +15,17 @@ executor memory), and (c) project early so scans of feature outputs
 never re-read payload bytes (parquet column pruning).
 
 DECODERS: ``wav`` (8/16-bit PCM, stdlib ``wave``), ``bmp`` (24-bit
-uncompressed, stdlib ``struct``) and ``png`` (8-bit RGB/RGBA,
+uncompressed, stdlib ``struct``), ``png`` (8-bit RGB/RGBA,
 non-interlaced, all five scanline filters — stdlib ``zlib`` +
-``struct``) are REAL codecs — bytes in, samples/pixels out,
-round-trip tested against their encoders below. Formats that need
-external libs (jpeg/mp3/mp4) raise NotImplementedError
-at the single swap-in point (``decode_payload`` /
+``struct``) and ``jpeg`` (baseline sequential DCT, 4:4:4/4:2:2/4:2:0,
+restart markers — numpy codec in ``multimodal/jpeg.py``) are REAL
+codecs — bytes in, samples/pixels out, round-trip tested against
+their encoders. Formats that need external libs (mp3/mp4/webp) raise
+NotImplementedError at the single swap-in point (``decode_payload`` /
 ``decode_audio``); the ``raw*`` pseudo-formats remain as deterministic
-fakes for synthetic benchmarks. Swapping in ``PIL.Image.open`` /
-``soundfile.read`` / ``av`` changes ONLY those two functions — every
-operator downstream consumes the decoded ndarray and is already real.
+fakes for synthetic benchmarks. Swapping in ``soundfile.read`` /
+``av`` changes ONLY those two functions — every operator downstream
+consumes the decoded ndarray and is already real.
 """
 
 from __future__ import annotations
@@ -241,12 +242,20 @@ def decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
 
 
 def decode_payload(data: bytes, fmt: str, shape: tuple[int, ...]) -> np.ndarray:
-    """Pixel-payload decoder. REAL for ``bmp`` and ``png`` (stdlib
-    codecs above); deterministic fake for the ``raw*`` pseudo-formats
+    """Pixel-payload decoder. REAL for ``bmp``, ``png`` (stdlib codecs
+    above) and ``jpeg``/``jpg`` (baseline numpy codec, multimodal/
+    jpeg.py); deterministic fake for the ``raw*`` pseudo-formats
     (payload bytes tiled to ``shape``, uint8); NotImplementedError is
-    where ``PIL.Image.open(io.BytesIO(data))`` would go for jpeg."""
-    if fmt in ("bmp", "png"):
-        img = _decode_bmp(data) if fmt == "bmp" else _decode_png(data)
+    the swap-in point for the remaining codec-lib formats (webp/tiff)."""
+    if fmt in ("bmp", "png", "jpeg", "jpg"):
+        if fmt == "bmp":
+            img = _decode_bmp(data)
+        elif fmt == "png":
+            img = _decode_png(data)
+        else:
+            from fenix_spark.multimodal.jpeg import decode_jpeg
+
+            img = decode_jpeg(data)
         if shape and tuple(img.shape) != tuple(shape):
             raise ValueError(f"{fmt} decodes to {img.shape}, meta says {shape}")
         return img

@@ -28,7 +28,7 @@ def media(spark):
 
 def test_unknown_format_raises_not_implemented():
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_payload(b"\x00\x01", "jpeg", (2, 1))
+        decode_payload(b"\x00\x01", "webp", (2, 1))
 
 
 def test_image_features_schema_and_determinism(spark, media):
@@ -251,3 +251,110 @@ def test_png_grayscale_roundtrip():
 
     img = np.random.default_rng(5).integers(0, 256, size=(9, 13, 1), dtype=np.uint8)
     assert np.array_equal(_decode_png(encode_png(img)), img)
+
+
+# ------------------------------------------------------------------ jpeg
+
+
+def _smooth_rgb(h, w):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            xx * 255 / max(w - 1, 1),
+            yy * 255 / max(h - 1, 1),
+            127 + 120 * np.sin(xx / 9.0) * np.cos(yy / 7.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+import numpy as np  # noqa: E402  (shared by the jpeg tests below)
+
+
+def test_jpeg_roundtrip_444_and_420_error_bounds():
+    from fenix_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth_rgb(41, 57)  # non-multiple-of-8/16 dims on purpose
+    d444 = decode_jpeg(encode_jpeg(img, quality=95))
+    assert d444.shape == img.shape and d444.dtype == np.uint8
+    err444 = np.abs(d444.astype(int) - img.astype(int))
+    assert err444.max() <= 12 and err444.mean() < 2.0
+
+    d420 = decode_jpeg(encode_jpeg(img, quality=95, subsample=True))
+    assert d420.shape == img.shape
+    err420 = np.abs(d420.astype(int) - img.astype(int))
+    assert err420.max() <= 40 and err420.mean() < 5.0  # chroma halved
+
+
+def test_jpeg_uniform_block_near_exact():
+    from fenix_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 24, 3), [90, 160, 200], dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_grayscale_roundtrip():
+    from fenix_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:30, 0:22]
+    g = (127 + 100 * np.sin(xx / 5.0) * np.cos(yy / 4.0)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    assert out.shape == g.shape
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 4
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    from fenix_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth_rgb(48, 80)
+    base = decode_jpeg(encode_jpeg(img, quality=90, subsample=True))
+    for ri in (1, 3, 7):
+        d = encode_jpeg(img, quality=90, subsample=True, restart_interval=ri)
+        assert b"\xff\xdd" in d  # DRI segment present
+        assert np.array_equal(decode_jpeg(d), base)
+
+
+def test_jpeg_quality_monotone_size():
+    from fenix_spark.multimodal.jpeg import encode_jpeg
+
+    img = _smooth_rgb(40, 40)
+    sizes = [len(encode_jpeg(img, quality=q)) for q in (10, 50, 90)]
+    assert sizes == sorted(sizes)
+
+
+def test_jpeg_unsupported_variants_raise():
+    import struct
+
+    import pytest
+
+    from fenix_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"JUNKJUNK")
+    # splice a progressive SOF2 into a valid stream's header area
+    good = encode_jpeg(_smooth_rgb(16, 16))
+    sof0 = good.find(b"\xff\xc0")
+    bad = good[:sof0] + b"\xff\xc2" + good[sof0 + 2 :]
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bad)
+    with pytest.raises(ValueError, match="uint8"):
+        encode_jpeg(np.zeros((8, 8), np.float64))
+
+
+def test_jpeg_decode_payload_dispatch_and_features():
+    from fenix_spark.multimodal.jpeg import encode_jpeg
+    from fenix_spark.multimodal.media import decode_payload
+
+    img = _smooth_rgb(24, 32)
+    data = encode_jpeg(img, quality=95)
+    out = decode_payload(data, "jpeg", (24, 32, 3))
+    assert out.shape == (24, 32, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 2.0
+    # meta-shape mismatch is a loud error, not silent reshaping
+    import pytest
+
+    with pytest.raises(ValueError, match="decodes to"):
+        decode_payload(data, "jpeg", (32, 24, 3))
