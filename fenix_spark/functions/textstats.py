@@ -82,17 +82,27 @@ def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic: rewards prose-like alpha
     ratio, mean word length near 5, and some stopword presence;
     penalizes punctuation soup. (Gopher/C4-style rule-of-thumb
-    filters, folded into one deterministic score.)"""
-    toks = tokens(text)
-    wl = mean_token_len(toks)
-    wl_term = F.lit(1.0) - F.least(F.abs(wl - F.lit(5.0)) / F.lit(5.0), F.lit(1.0))
-    return F.round(
-        F.lit(0.4) * alpha_ratio(text)
-        + F.lit(0.3) * wl_term
-        + F.lit(0.2) * F.least(stopword_ratio(toks) * F.lit(4.0), F.lit(1.0))
-        + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio(text) * F.lit(5.0), F.lit(1.0))),
-        6,
-    )
+    filters, folded into one deterministic score.)
+
+    The token array is ``let``-bound: Catalyst inlines plain expression
+    references at every use site, so without the binding the regex
+    tokenizer would run once per consumer (mean length, size, stopword
+    intersect) instead of once per row."""
+    from fenix_spark.functions.texthash import let
+
+    def body(toks: Column) -> Column:
+        # term order preserved exactly (float + is order-sensitive and
+        # the DuckDB mirror adds in this same order)
+        wl = mean_token_len(toks)
+        wl_term = F.lit(1.0) - F.least(F.abs(wl - F.lit(5.0)) / F.lit(5.0), F.lit(1.0))
+        return (
+            F.lit(0.4) * alpha_ratio(text)
+            + F.lit(0.3) * wl_term
+            + F.lit(0.2) * F.least(stopword_ratio(toks) * F.lit(4.0), F.lit(1.0))
+            + F.lit(0.1) * (F.lit(1.0) - F.least(punct_ratio(text) * F.lit(5.0), F.lit(1.0)))
+        )
+
+    return F.round(let(tokens(text), body), 6)
 
 
 def lang_scores(toks: Column) -> list[tuple[str, Column]]:
@@ -105,18 +115,39 @@ def lang_scores(toks: Column) -> list[tuple[str, Column]]:
 
 
 def lang_id(text: Column) -> Column:
-    """Argmax language by marker-word overlap, alphabetical tiebreak:
-    fold over (score, lang) pairs keeping the strictly-better one."""
-    toks = tokens(text)
-    best_lang, best_score = None, None
-    for lang, score in lang_scores(toks):
-        if best_lang is None:
-            best_lang, best_score = F.lit(lang), score
-        else:
-            better = score > best_score
-            best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-            best_score = F.when(better, score).otherwise(best_score)
-    return best_lang
+    """Argmax language by marker-word overlap, alphabetical tiebreak.
+
+    Shape matters here: the obvious fold of nested ``when``s embeds the
+    running best TWICE per step (condition + otherwise), growing the
+    expression tree 2^|langs|-fold, and conditional branches defeat
+    Spark's subexpression elimination — the tokenizer re-ran per
+    branch. Instead: ``let``-bind the distinct-token array, build the
+    score vector once, and take ``array_position`` of the max (first
+    position = alphabetical tiebreak, langs are sorted)."""
+    from fenix_spark.functions.texthash import let
+
+    langs = sorted(LANG_MARKERS)
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+
+    def body(dt: Column) -> Column:
+        scores = F.array(
+            *[
+                F.size(
+                    F.array_intersect(
+                        dt, F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+                    )
+                )
+                for lang in langs
+            ]
+        )
+        return let(
+            scores,
+            lambda s: F.element_at(
+                lang_arr, F.array_position(s, F.array_max(s)).cast("int")
+            ),
+        )
+
+    return let(F.array_distinct(tokens(text)), body)
 
 
 # -- DuckDB side -----------------------------------------------------------

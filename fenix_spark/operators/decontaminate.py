@@ -38,10 +38,16 @@ def doc_gram_hashes(
     """(id, distinct 60-bit n-gram hash) pairs — one row per distinct
     gram per document; hashing happens before the explode so only
     8-byte values ever widen the plan."""
+    from fenix_spark.operators.dedup import spread
+
     grams: Column = F.array_distinct(
         F.transform(word_shingles(tokens(F.col(text_col)), n), hash60)
     )
-    return df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
+    # spread: a few-file input would otherwise tokenize+hash the whole
+    # corpus in as few tasks (one, for a single parquet file)
+    return spread(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+    )
 
 
 def contamination_report(

@@ -1868,10 +1868,11 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     |vocab| rows) → score → window top-3. The explode is map-side; the
     only shuffles are the two aggregations and the final window."""
     from fenix_spark.functions.texthash import tokens
+    from fenix_spark.operators.dedup import spread
 
     docs = table(spark, sf_dir, "documents")
     n_docs = docs.count()
-    terms = docs.select(
+    terms = spread(docs).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -2358,8 +2359,11 @@ def _text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
         ws_token_count,
     )
+    from fenix_spark.operators.dedup import spread
 
-    docs = table(spark, sf_dir, "documents")
+    # spread: regex-heavy per-row expressions over a one-file input
+    # would otherwise run in a single task (dedup.spread docstring)
+    docs = spread(table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         ws_token_count(F.col("text")).alias("ws_tokens"),
