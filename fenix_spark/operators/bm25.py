@@ -1,0 +1,117 @@
+"""BM25 full-text ranking — the classic IR scoring the reference's
+vector search family lacks, built fully relationally so Catalyst owns
+the physical plan.
+
+    score(d, q) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1)
+                             ─────────────────────────────────
+                             tf(t,d) + k1·(1 − b + b·|d|/avgdl)
+
+    idf(t) = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )   (Lucene form,
+    always positive)
+
+Scale shape:
+
+- The POSTINGS build is the one corpus-sized job: explode tokens →
+  per-(doc, term) term frequency — (8-byte id, term, count) rows in
+  the shuffle, never text. Build once, write through the catalog,
+  reuse across queries (``build_postings`` output is a plain table).
+- Document lengths and document frequencies are two small aggregations
+  of the postings.
+- A QUERY is: filter postings to the query's terms (broadcast semi-
+  join against a literal-array explode — prunes to the tiny slice of
+  matching postings), join document frequencies (vocab-sized,
+  broadcast), score natively, one top-k. Per-query cost is
+  |matching postings|, independent of corpus width.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fenix_spark.functions.texthash import tokens
+
+
+@dataclass(frozen=True)
+class BM25Index:
+    postings: DataFrame  # (doc_id, term, tf, dl) — dl denormalized in
+    doc_freq: DataFrame  # (term, df)
+    n_docs: int
+    avgdl: float
+
+
+def build_postings(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, term, tf) — one row per distinct term per document."""
+    from fenix_spark.operators.dedup import spread
+
+    return (
+        spread(df)
+        .select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def build_bm25_index(df: DataFrame, text_col: str, id_col: str) -> BM25Index:
+    """Postings with the document length DENORMALIZED in (one window
+    over doc_id at build time — Lucene stores per-doc norms the same
+    way) so queries never join a corpus-sized lengths table. ``n_docs``
+    counts every input document (empty docs too — they shape avgdl the
+    same way Lucene's maxDoc does)."""
+    from pyspark.sql import Window
+
+    raw = build_postings(df, text_col, id_col)
+    postings = raw.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+    ).localCheckpoint(eager=False)
+    doc_freq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.count()
+    total_len = (
+        postings.groupBy("doc_id").agg(F.max("dl").alias("dl")).agg(F.sum("dl")).head()[0]
+        or 0
+    )
+    avgdl = float(total_len) / n_docs if n_docs else 0.0
+    return BM25Index(postings, doc_freq, int(n_docs), avgdl)
+
+
+def bm25_search(
+    spark: SparkSession,
+    index: BM25Index,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k (doc_id, score) for a free-text query; deterministic
+    (score rounded at 6dp, doc_id tiebreak). Documents match if they
+    share ANY query term (disjunctive, the standard BM25 retrieval)."""
+    q_terms = (
+        spark.createDataFrame([(t,) for t in set(query.split())], "qt string")
+        .select(tokens(F.col("qt")).alias("ts"))
+        .select(F.explode("ts").alias("term"))
+        .distinct()
+    )
+    hits = index.postings.join(F.broadcast(q_terms), "term")
+    # prune doc_freq to the query's terms BEFORE broadcasting — the
+    # broadcast is |query| rows, not |vocabulary|
+    q_df = index.doc_freq.join(F.broadcast(q_terms), "term")
+    scored = (
+        hits.join(F.broadcast(q_df), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(index.n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(index.avgdl))),
+        )
+        .groupBy("doc_id")
+        .agg((F.round(F.sum("w"), 6) + F.lit(0.0)).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(k)
