@@ -141,6 +141,25 @@ def train_bpe(
     return train_bpe_on_histogram([(r["word"], r["count"]) for r in rows], num_merges)
 
 
+def merges_to_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
+    """Merge table as a DataFrame — write it through the catalog like
+    any table (``catalog.make(root, name, merges_to_df(...))``) and the
+    tokenizer becomes a versioned, shareable artifact."""
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
+def merges_from_df(df: DataFrame) -> list[tuple[str, str]]:
+    """Inverse of ``merges_to_df`` (rank order restored regardless of
+    storage order)."""
+    return [
+        (r["left"], r["right"])
+        for r in sorted(df.collect(), key=lambda r: r["rank"])
+    ]
+
+
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Apply merges to one word by rank order (lowest rank first —
     exactly the training greedy order, the standard BPE inference)."""

@@ -4,23 +4,26 @@ with typed metadata, processed by Arrow-batched pandas functions over
 
 The reference's tensor extension types (src/fenix/ex/arrow/) carry raw
 numeric payloads with shape metadata; this package is the same idea at
-the media level. The byte→pixels/samples DECODE step is REAL for formats the stdlib
-can parse — 24-bit BMP (``struct``) and 8/16-bit PCM WAV (``wave``),
-round-trip tested against the encoders in ``media.py`` — and stubbed
-behind ``decode_payload``/``decode_audio`` for formats that need
-codec libraries absent from this container (jpeg/mp3/mp4); BMP, PNG
-and WAV are real stdlib codecs.
-Everything Spark-side is real and tested: the schema, the mapInPandas
-batch plumbing, partitioning behavior, and the feature/resize/
-frame-sample operators' shapes.
+the media level. The byte→pixels/samples DECODE step is REAL for
+24-bit BMP (``struct``), 8/16-bit PCM WAV (``wave``), 8-bit PNG
+(``zlib`` + ``struct``, all five scanline filters) and baseline JPEG
+(numpy DCT codec in ``jpeg.py`` — 4:4:4/4:2:2/4:2:0, restart markers),
+each round-trip tested against its encoder; formats that need codec
+libraries absent from this container (mp3/mp4/webp) raise
+NotImplementedError at the single ``decode_payload``/``decode_audio``
+swap-in point. Everything Spark-side is real and tested: the schema,
+the mapInPandas batch plumbing, partitioning behavior, and the
+feature/resize/frame-sample operators' shapes.
 """
 
+from fenix_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
 from fenix_spark.multimodal.media import (
     MEDIA_SCHEMA,
     audio_features,
     decode_audio,
     decode_payload,
     encode_bmp,
+    encode_png,
     encode_wav,
     image_features,
     resize_images,
@@ -32,8 +35,11 @@ __all__ = [
     "MEDIA_SCHEMA",
     "audio_features",
     "decode_audio",
+    "decode_jpeg",
     "decode_payload",
     "encode_bmp",
+    "encode_jpeg",
+    "encode_png",
     "encode_wav",
     "image_features",
     "resize_images",

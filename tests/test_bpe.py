@@ -107,3 +107,14 @@ def test_bpe_token_count_decreases_with_merges(spark, documents):
 def test_max_words_cap_is_loud(spark, documents):
     with pytest.raises(ValueError, match="max_words"):
         train_bpe(documents.limit(100), "text", num_merges=5, max_words=3)
+
+
+def test_merge_table_catalog_roundtrip(spark, tmp_path):
+    from fenix_spark import catalog
+    from fenix_spark.functions.bpe import merges_from_df, merges_to_df
+
+    merges = train_bpe_on_histogram(SENNRICH, 6)
+    root = str(tmp_path / "store")
+    catalog.make(root, "bpe_merges", merges_to_df(spark, merges))
+    back = merges_from_df(catalog.load(spark, root, "bpe_merges"))
+    assert back == merges
