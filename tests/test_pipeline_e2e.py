@@ -72,3 +72,76 @@ def test_corpus_build_pipeline(spark, documents):
     assert eff["fill_frac"] > 0.5  # budget mostly used, not one-chunk-per-pack
     over = packed.where((F.col("pack_docs") > 1) & (F.col("pack_len") > 128))
     assert over.count() == 0  # only oversize own-packs may exceed budget
+
+
+def test_curation_pipeline_v2(spark, documents, embeddings):
+    """The session-3 operators composed: semantic dedup → LM-perplexity
+    quality gate → BPE token counts → leakage-safe split → BM25 over
+    the train split. Again: every stage consumes the previous stage's
+    real output."""
+    from fenix_spark.functions.bpe import bpe_encode, train_bpe
+    from fenix_spark.functions.ngram_lm import perplexity, train_bigram_lm
+    from fenix_spark.operators.bm25 import bm25_search, build_bm25_index
+    from fenix_spark.operators.coder import CodingConfig, train_coding
+    from fenix_spark.operators.dedup import minhash_neardup_pairs
+    from fenix_spark.operators.leakage import (
+        leakage_safe_split,
+        split_leakage_report,
+    )
+    from fenix_spark.operators.semdedup import semantic_dedup
+
+    corpus = documents.select("doc_id", "text")
+    n0 = corpus.count()
+
+    # 1. semantic dedup over the doc embeddings (vec_id aligns doc_id)
+    emb = embeddings.limit(400).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding")
+    )
+    coding = train_coding(
+        emb, "embedding", CodingConfig(metric="l2", codebook_size=4, num_codebooks=1)
+    )
+    decisions = semantic_dedup(emb, "embedding", "doc_id", coding, threshold=0.999)
+    survivors = corpus.join(
+        decisions.where("keep").select(F.col("id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    n1 = survivors.count()
+    assert 0 < n1 <= n0
+
+    # 2. LM perplexity gate: train on survivors, drop the worst 10%
+    lm = train_bigram_lm(survivors, "text", "doc_id")
+    scored = perplexity(survivors, "text", "doc_id", lm)
+    cut = scored.where(F.col("ppl").isNotNull()).approxQuantile("ppl", [0.9], 0.01)[0]
+    good_ids = scored.where(F.col("ppl").isNotNull() & (F.col("ppl") <= cut))
+    filtered = survivors.join(good_ids.select(F.col("id").alias("doc_id")), "doc_id", "left_semi")
+    n2 = filtered.count()
+    assert 0 < n2 < n1
+
+    # 3. BPE token counts from a corpus-trained tokenizer
+    merges = train_bpe(filtered, "text", num_merges=50)
+    counted = bpe_encode(filtered, "text", merges).select(
+        "doc_id", "text", F.size("bpe_tokens").alias("n_tokens")
+    )
+    assert counted.where(F.col("n_tokens") <= 0).count() == 0
+
+    # 4. leakage-safe split on lexical near-dup pairs
+    pairs = minhash_neardup_pairs(filtered, "text", "doc_id", threshold=0.8).select(
+        "id_l", "id_r"
+    )
+    split = leakage_safe_split(counted, pairs, "doc_id", (0.8, 0.2), ("train", "test"))
+    rep = split_leakage_report(split, pairs, "doc_id").collect()
+    assert all(r.split_l == r.split_r for r in rep)
+
+    # 5. BM25 searchable index over the train split only
+    train = split.where("split = 'train'")
+    idx = build_bm25_index(train, "text", "doc_id")
+    probe_doc = train.head()
+    probe_terms = " ".join(probe_doc.text.split()[:5])
+    n_train = train.count()
+    hits = bm25_search(spark, idx, probe_terms, k=n_train).collect()
+    # the probe's own doc matches (it contains every query term) and
+    # the ranking is descending on (score, doc_id)
+    assert probe_doc.doc_id in {h.doc_id for h in hits}
+    ordered = [(h.score, h.doc_id) for h in hits]
+    assert ordered == sorted(ordered, key=lambda p: (-p[0], p[1]))
