@@ -38,16 +38,13 @@ def doc_gram_hashes(
     """(id, distinct 60-bit n-gram hash) pairs — one row per distinct
     gram per document; hashing happens before the explode so only
     8-byte values ever widen the plan."""
-    from fenix_spark.operators.dedup import spread
-
     grams: Column = F.array_distinct(
         F.transform(word_shingles(tokens(F.col(text_col)), n), hash60)
     )
-    # spread: a few-file input would otherwise tokenize+hash the whole
-    # corpus in as few tasks (one, for a single parquet file)
-    return spread(df).select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
-    )
+    # no spread() here: measured no win (the gram hash work is light
+    # relative to the hit-count shuffle) and the plan contract pins the
+    # pipeline at one corpus-sized exchange (tests/test_plans.py)
+    return df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
 
 
 def contamination_report(

@@ -284,6 +284,129 @@ def minhash_neardup_pairs(
     return cross.unionByName(intra)
 
 
+def minhash_state(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle: int = 1,
+    num_components: int = 24,
+    bands: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable dedup-index state for INCREMENTAL near-dup:
+    ``(sets, band_rows)`` where sets = (id, s, sz) and band_rows =
+    (id, sz, band, key). Write both through the catalog once; each
+    increment then joins against them instead of re-banding the corpus
+    (``incremental_neardup_pairs``). Band geometry must match between
+    state builds and increments — it is data, not configuration."""
+    from fenix_spark.functions.texthash import minhash_signature_hashed
+
+    sets = hashed_token_sets(df, text_col, id_col, shingle).withColumn(
+        "sz", F.size("s")
+    )
+    signed = sets.select(
+        "id", "sz", minhash_signature_hashed(F.col("s"), num_components).alias("sig")
+    )
+    rows_per_band = num_components // bands
+    band_rows = signed.select(
+        "id",
+        "sz",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    return sets, band_rows
+
+
+def incremental_neardup_pairs(
+    new_docs: DataFrame,
+    corpus_sets: DataFrame,
+    corpus_bands: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    shingle: int = 1,
+    num_components: int = 24,
+    bands: int = 3,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING the increment: (new × corpus) ∪
+    (new × new), exact-Jaccard verified — without re-banding the
+    corpus.
+
+    Scale shape: the increment's band rows PROBE the persisted corpus
+    band table on (band, key) — increment ≪ corpus, so the probe side
+    broadcasts or shuffles only increment-sized data; corpus text is
+    never touched (the verify join reads the persisted hashed sets of
+    candidate ids only). Equivalent to the full recompute restricted
+    to increment-touching pairs (tested). Ids must be disjoint between
+    corpus and increment (the caller's contract; same id = same doc).
+    """
+    new_sets, new_bands = minhash_state(
+        new_docs, text_col, id_col, shingle, num_components, bands
+    )
+    new_sets = new_sets.localCheckpoint(eager=False)
+    new_bands = new_bands.localCheckpoint(eager=False)
+
+    all_bands = corpus_bands.unionByName(new_bands)
+    probe = new_bands.select(
+        F.col("id").alias("id_l"), F.col("sz").alias("sz_l"), "band", "key"
+    )
+    build = all_bands.select(
+        F.col("id").alias("id_r"), F.col("sz").alias("sz_r"), "band", "key"
+    )
+    new_ids = new_bands.select("id").distinct()
+    cand = (
+        probe.join(build, ["band", "key"])
+        .where(F.col("id_l") != F.col("id_r"))
+        # canonicalize new×new both-direction matches; new×corpus pairs
+        # match in one direction only (corpus rows never probe)
+        .withColumn(
+            "keep",
+            F.col("id_l") < F.col("id_r"),
+        )
+        .join(
+            new_ids.withColumnRenamed("id", "id_r").withColumn("r_new", F.lit(True)),
+            "id_r",
+            "left",
+        )
+        .where(F.col("keep") | F.col("r_new").isNull())
+        .where(
+            F.least("sz_l", "sz_r")
+            >= (threshold - 1e-6) * F.greatest("sz_l", "sz_r")
+        )
+        .select("id_l", "id_r")
+        .distinct()
+    )
+    all_sets = corpus_sets.unionByName(new_sets)
+    l = new_sets.select(F.col("id").alias("id_l"), F.col("s").alias("s_l"))
+    r = all_sets.select(F.col("id").alias("id_r"), F.col("s").alias("s_r"))
+    return (
+        cand.join(l, "id_l")
+        .join(r, "id_r")
+        .withColumn("jaccard", F.round(jaccard(F.col("s_l"), F.col("s_r")), 6))
+        .where(F.col("jaccard") >= threshold)
+        # two-step rename (lateral-column-alias shadow, verify gotcha)
+        .select(
+            F.least("id_l", "id_r").alias("a"),
+            F.greatest("id_l", "id_r").alias("b"),
+            "jaccard",
+        )
+        .select(
+            F.col("a").alias("id_l"), F.col("b").alias("id_r"), "jaccard"
+        )
+    )
+
+
 def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """(id, sim) — classic simhash: per-bit majority vote over the
     document's (non-distinct) token hashes, so term frequency weights

@@ -146,3 +146,65 @@ def test_lang_id_picks_marker_language(spark):
     )
     rows = {r.doc_id: r.lang for r in df.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
     assert rows == {1: "en", 2: "es", 3: "fr"}
+
+
+def test_incremental_neardup_equals_full_recompute(spark, documents):
+    """Split the corpus into base + increment; the incremental path
+    (persisted state probed by the increment) must produce EXACTLY the
+    full-recompute pairs that touch the increment."""
+    from fenix_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_state,
+    )
+
+    docs = documents.limit(600).select("doc_id", "text")
+    base = docs.where(F.col("doc_id") % 5 != 0)
+    inc = docs.where(F.col("doc_id") % 5 == 0)
+    inc_ids = {r.doc_id for r in inc.select("doc_id").collect()}
+    assert inc_ids and base.count() > 0
+
+    sets, bands = minhash_state(base, "text", "doc_id")
+    got = {
+        (r.id_l, r.id_r, r.jaccard)
+        for r in incremental_neardup_pairs(
+            inc, sets, bands, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+
+    full = {
+        (r.id_l, r.id_r, r.jaccard)
+        for r in minhash_neardup_pairs(docs, "text", "doc_id", threshold=0.8).collect()
+        if r.id_l in inc_ids or r.id_r in inc_ids
+    }
+    assert got == full
+    assert got, "split must actually produce increment-touching pairs"
+
+
+def test_incremental_neardup_new_vs_new_and_identical_docs(spark):
+    """An increment doc identical to a corpus doc, plus two identical
+    docs inside the increment, must all pair at jaccard 1."""
+    from fenix_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_state,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "totally different words here")],
+        "doc_id bigint, text string",
+    )
+    inc = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),
+            (11, "alpha beta gamma delta"),
+            (12, "unrelated content entirely"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sets, bands = minhash_state(base, "text", "doc_id")
+    got = {
+        (r.id_l, r.id_r): r.jaccard
+        for r in incremental_neardup_pairs(
+            inc, sets, bands, "text", "doc_id", threshold=0.95
+        ).collect()
+    }
+    assert got == {(1, 10): 1.0, (1, 11): 1.0, (10, 11): 1.0}
