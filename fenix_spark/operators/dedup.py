@@ -356,7 +356,20 @@ def incremental_neardup_pairs(
     )
     new_sets = new_sets.localCheckpoint(eager=False)
     new_bands = new_bands.localCheckpoint(eager=False)
+    return incremental_pairs_from_state(
+        new_sets, new_bands, corpus_sets, corpus_bands, threshold
+    )
 
+
+def incremental_pairs_from_state(
+    new_sets: DataFrame,
+    new_bands: DataFrame,
+    corpus_sets: DataFrame,
+    corpus_bands: DataFrame,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """``incremental_neardup_pairs`` with the increment's state already
+    built (e.g. by a streaming foreachBatch that also persists it)."""
     all_bands = corpus_bands.unionByName(new_bands)
     probe = new_bands.select(
         F.col("id").alias("id_l"), F.col("sz").alias("sz_l"), "band", "key"

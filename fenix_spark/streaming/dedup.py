@@ -79,3 +79,80 @@ def stream_simhash_tag(events: DataFrame, text_col: str) -> DataFrame:
     the whole corpus in streaming state."""
     sim = simhash(tokens(F.col(text_col)), 32)
     return events.withColumn("sim", sim).withColumn("sim_bands", simhash_band_keys(F.col("sim")))
+
+
+def stream_incremental_neardup(
+    stream_docs: DataFrame,
+    state_root: str,
+    pairs_root: str,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    shingle: int = 1,
+    num_components: int = 24,
+    bands: int = 3,
+):
+    """Continuous MinHash near-dup: each micro-batch is an INCREMENT
+    probed against the persisted corpus band state
+    (operators/dedup.incremental_neardup_pairs), then folded into it.
+
+    - State = two growing parquet tables under ``state_root``
+      (``sets``, ``bands``), written per batch into
+      ``batch_id=N`` subdirectories — a retried batch OVERWRITES its
+      own subdirectory, so both the state fold and the pair output are
+      idempotent (exactly-once results over at-least-once foreachBatch).
+    - Emitted pairs land under ``pairs_root/batch_id=N``: each pair
+      appears exactly once, in the batch where its LATER member
+      arrived. The union over batches equals the one-shot batch
+      recompute over all arrived docs (asserted in tests).
+    - Per-batch cost is increment-bands × corpus-bands on (band, key)
+      — the corpus is never re-banded or re-read beyond the band join
+      and the candidate ids' hashed sets.
+
+    Returns a started ``StreamingQuery`` (availableNow semantics are
+    the caller's trigger choice — pass the writeStream through
+    ``.trigger(availableNow=True)`` workflows by configuring the
+    returned query's parent; here we start with the default trigger
+    unless the source bounds it).
+    """
+    import os
+
+    from fenix_spark.operators.dedup import (
+        incremental_pairs_from_state,
+        minhash_state,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sets_dir = f"{state_root}/sets"
+        bands_dir = f"{state_root}/bands"
+        new_sets, new_bands = minhash_state(
+            batch_df, text_col, id_col, shingle, num_components, bands
+        )
+        new_sets = new_sets.localCheckpoint(eager=True)
+        new_bands = new_bands.localCheckpoint(eager=True)
+        prior = [
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(sets_dir) if os.path.isdir(sets_dir) else [])
+            if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < batch_id
+        ]
+        if prior:
+            # read only PRIOR batches' state (a retry of batch N must
+            # not see N's own half-written fold)
+            corpus_sets = spark.read.parquet(
+                *[f"{sets_dir}/batch_id={b}" for b in prior]
+            ).select("id", "s", "sz")
+            corpus_bands = spark.read.parquet(
+                *[f"{bands_dir}/batch_id={b}" for b in prior]
+            ).select("id", "sz", "band", "key")
+        else:
+            corpus_sets = spark.createDataFrame([], new_sets.schema)
+            corpus_bands = spark.createDataFrame([], new_bands.schema)
+        pairs = incremental_pairs_from_state(
+            new_sets, new_bands, corpus_sets, corpus_bands, threshold
+        )
+        pairs.write.mode("overwrite").parquet(f"{pairs_root}/batch_id={batch_id}")
+        new_sets.write.mode("overwrite").parquet(f"{sets_dir}/batch_id={batch_id}")
+        new_bands.write.mode("overwrite").parquet(f"{bands_dir}/batch_id={batch_id}")
+
+    return stream_docs.writeStream.foreachBatch(process)

@@ -384,3 +384,55 @@ def test_stream_interval_join_matches_batch(spark, events_prepared):
     batch = {(r.view_id, r.r_click_id) for r in attributed(views_b, clicks_b).collect()}
     assert streamed == batch
     assert len(batch) > 0
+
+
+@pytest.mark.slow
+def test_stream_incremental_neardup_equals_batch(spark, documents, tmp_path):
+    """Drive the foreachBatch incremental near-dup over a 3-file
+    availableNow stream; the union of per-batch pair outputs must equal
+    the one-shot batch recompute over all docs — each pair emitted
+    exactly once, in its later member's batch."""
+    from fenix_spark.operators.dedup import minhash_neardup_pairs
+    from fenix_spark.streaming.dedup import stream_incremental_neardup
+
+    docs = documents.limit(300).select("doc_id", "text")
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_incremental_neardup(
+            stream,
+            str(tmp_path / "state"),
+            str(tmp_path / "pairs"),
+            "text",
+            "doc_id",
+            threshold=0.8,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    got = {
+        (r.id_l, r.id_r, r.jaccard)
+        for r in spark.read.parquet(str(tmp_path / "pairs"))
+        .select("id_l", "id_r", "jaccard")
+        .collect()
+    }
+    want = {
+        (r.id_l, r.id_r, r.jaccard)
+        for r in minhash_neardup_pairs(docs, "text", "doc_id", threshold=0.8).collect()
+    }
+    assert got == want
+    assert want, "corpus must contain near-dup pairs for the test to bite"
+    # state grew one fold per batch
+    import os
+
+    folds = [d for d in os.listdir(str(tmp_path / "state" / "sets")) if d.startswith("batch_id=")]
+    assert len(folds) == 3
