@@ -1,0 +1,128 @@
+"""Time-series gap fill + interpolation — the hypertable-style
+operator family around the suite's ``time_rollup``: regularize an
+irregular event stream onto a fixed grid, materialize MISSING buckets,
+and fill them (TimescaleDB's ``time_bucket_gapfill`` + ``locf`` /
+``interpolate``, rebuilt relationally).
+
+Scale shape:
+
+- Bucketing is a scan-local projection (integer division).
+- The dense grid is generated PER KEY from that key's own [min, max]
+  bucket span — ``sequence`` + ``explode``, map-side after one small
+  per-key extent aggregation; no global calendar table, no cross join.
+- Fill is a window function per key ordered by bucket: LOCF is
+  ``last(value, ignorenulls)``; linear interpolation brackets each gap
+  with the previous/next real observation via the same window frames.
+  One shuffle total (by key), which the grid generation already paid.
+
+Grid density is the user's contract: a key spanning years at
+millisecond grain explodes — ``max_buckets_per_key`` errors loudly
+instead of silently OOMing a task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucketize(
+    df: DataFrame, ts_col: str, grain_ms: int, out_col: str = "bucket_ms"
+) -> DataFrame:
+    """Floor ``ts_col`` (epoch millis) onto the ``grain_ms`` grid."""
+    return df.withColumn(
+        out_col,
+        ((F.col(ts_col) / F.lit(grain_ms)).cast("bigint") * F.lit(grain_ms)),
+    )
+
+
+def gapfill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    grain_ms: int,
+    agg: str = "avg",
+    fill: str = "none",
+    max_buckets_per_key: int = 1_000_000,
+) -> DataFrame:
+    """(key, bucket_ms, value, filled) on the DENSE per-key grid.
+
+    1. aggregate observations per (key, bucket) with ``agg``
+       (avg/sum/min/max/count);
+    2. explode each key's full bucket range — every missing bucket
+       becomes a row with null value and ``filled = true``;
+    3. ``fill``: 'none' (leave nulls), 'locf' (last observation
+       carried forward; leading nulls stay null), 'linear'
+       (interpolate between the bracketing real observations; nulls
+       before the first / after the last observation stay null —
+       Timescale's semantics), 'zero' (coalesce 0).
+    """
+    if agg not in ("avg", "sum", "min", "max", "count"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    if fill not in ("none", "locf", "linear", "zero"):
+        raise ValueError(f"unsupported fill {fill!r}")
+
+    agg_fn = {
+        "avg": F.avg,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "count": lambda c: F.count(c).cast("double"),
+    }[agg]
+    sparse = (
+        bucketize(df, ts_col, grain_ms)
+        .groupBy(F.col(key_col).alias("key"), "bucket_ms")
+        .agg(agg_fn(F.col(value_col)).alias("value"))
+    )
+
+    extent = sparse.groupBy("key").agg(
+        F.min("bucket_ms").alias("lo"), F.max("bucket_ms").alias("hi")
+    )
+    n_buckets = (F.col("hi") - F.col("lo")) / grain_ms + 1
+    over = extent.where(n_buckets > max_buckets_per_key)
+    if over.head(1):
+        raise ValueError(
+            f"gapfill would emit > max_buckets_per_key={max_buckets_per_key} "
+            "buckets for at least one key — coarsen grain_ms or raise the cap"
+        )
+    grid = extent.select(
+        "key",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(grain_ms))
+        ).alias("bucket_ms"),
+    )
+    dense = grid.join(sparse, ["key", "bucket_ms"], "left").withColumn(
+        "filled", F.col("value").isNull()
+    )
+
+    if fill == "zero":
+        return dense.withColumn("value", F.coalesce("value", F.lit(0.0)))
+    if fill == "none":
+        return dense
+
+    w = Window.partitionBy("key").orderBy("bucket_ms")
+    prev_val = F.last("value", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    if fill == "locf":
+        return dense.withColumn("value", prev_val)
+
+    # linear: bracket each gap with the previous/next real observation
+    next_val = F.first("value", ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_ts = F.last(
+        F.when(F.col("value").isNotNull(), F.col("bucket_ms")), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    next_ts = F.first(
+        F.when(F.col("value").isNotNull(), F.col("bucket_ms")), ignorenulls=True
+    ).over(w.rowsBetween(0, Window.unboundedFollowing))
+    frac = (F.col("bucket_ms") - prev_ts) / (next_ts - prev_ts)
+    interp = prev_val + (next_val - prev_val) * frac
+    return dense.withColumn(
+        "value",
+        F.when(F.col("value").isNotNull(), F.col("value")).otherwise(
+            F.when(prev_ts.isNotNull() & next_ts.isNotNull(), interp)
+        ),
+    )

@@ -1,0 +1,128 @@
+"""Gap-fill tests: hand-checked grids, Timescale fill semantics
+(locf / linear / zero / none), a DuckDB mirror on real events, and the
+density/cap contracts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fenix_spark.operators.timeseries import gapfill
+
+ROWS = [
+    # key, ts_ms, value — key "a" has buckets 0,10,40 (gaps 20,30)
+    ("a", 0, 10.0),
+    ("a", 5, 20.0),      # same bucket as ts 0 at grain 10 → avg 15
+    ("a", 12, 30.0),
+    ("a", 40, 60.0),
+    # key "b": single observation → no gaps
+    ("b", 100, 5.0),
+]
+
+
+@pytest.fixture(scope="module")
+def ts_df(spark):
+    return spark.createDataFrame(ROWS, "key string, ts_ms bigint, value double")
+
+
+def _rows(df):
+    return {
+        (r.key, r.bucket_ms): (r.value, r.filled)
+        for r in df.collect()
+    }
+
+
+def test_dense_grid_and_agg(spark, ts_df):
+    got = _rows(gapfill(ts_df, "key", "ts_ms", "value", grain_ms=10))
+    assert got[("a", 0)] == (15.0, False)   # avg of 10, 20
+    assert got[("a", 10)] == (30.0, False)
+    assert got[("a", 20)] == (None, True)
+    assert got[("a", 30)] == (None, True)
+    assert got[("a", 40)] == (60.0, False)
+    assert got[("b", 100)] == (5.0, False)
+    assert len(got) == 6  # 5 buckets for a, 1 for b — dense, no extras
+
+
+def test_locf_and_zero_and_linear(spark, ts_df):
+    locf = _rows(gapfill(ts_df, "key", "ts_ms", "value", 10, fill="locf"))
+    assert locf[("a", 20)][0] == 30.0 and locf[("a", 30)][0] == 30.0
+
+    zero = _rows(gapfill(ts_df, "key", "ts_ms", "value", 10, fill="zero"))
+    assert zero[("a", 20)][0] == 0.0
+
+    lin = _rows(gapfill(ts_df, "key", "ts_ms", "value", 10, fill="linear"))
+    # 30 → 60 over buckets 10..40: 20 → 40, 30 → 50
+    assert lin[("a", 20)][0] == pytest.approx(40.0)
+    assert lin[("a", 30)][0] == pytest.approx(50.0)
+    assert lin[("a", 0)][0] == 15.0  # real values untouched
+
+
+def test_linear_edges_stay_null(spark):
+    df = spark.createDataFrame(
+        [("k", 10, 1.0), ("k", 30, 3.0)], "key string, ts_ms bigint, value double"
+    )
+    # leading/trailing buckets beyond observations: only the span is
+    # generated (10..30), so nulls-outside-span never exist; interior
+    # gap interpolates
+    got = _rows(gapfill(df, "key", "ts_ms", "value", 10, fill="linear"))
+    assert got == {
+        ("k", 10): (1.0, False),
+        ("k", 20): (2.0, True),
+        ("k", 30): (3.0, False),
+    }
+
+
+def test_cap_is_loud(spark, ts_df):
+    with pytest.raises(ValueError, match="max_buckets_per_key"):
+        gapfill(ts_df, "key", "ts_ms", "value", 1, max_buckets_per_key=10).collect()
+
+
+def test_duckdb_mirror_on_events(spark, sf_dir):
+    """Gap-fill the real events table per event_type at 1-hour grain
+    (agg=sum, locf) and mirror the whole thing in DuckDB."""
+    import duckdb
+
+    from fenix_spark.suite import events_table
+
+    ev = events_table(spark, sf_dir).select("event_type", "ts_ms", "value")
+    grain = 3_600_000
+    got = {
+        (r.key, r.bucket_ms): (
+            round(r.value, 6) if r.value is not None else None,
+            r.filled,
+        )
+        for r in gapfill(ev, "event_type", "ts_ms", "value", grain, agg="sum", fill="locf").collect()
+    }
+
+    con = duckdb.connect()
+    want = {}
+    for key, bucket, value, filled in con.execute(f"""
+        WITH e AS (
+            SELECT event_type AS key,
+                   (epoch_ms(ts) // {grain}) * {grain} AS bucket_ms, value
+            FROM read_parquet('{sf_dir}/events.parquet')
+        ),
+        sparse AS (
+            SELECT key, bucket_ms, sum(value) AS value
+            FROM e GROUP BY key, bucket_ms
+        ),
+        extent AS (
+            SELECT key, min(bucket_ms) AS lo, max(bucket_ms) AS hi FROM sparse GROUP BY key
+        ),
+        grid AS (
+            SELECT key, unnest(range(lo, hi + {grain}, {grain})) AS bucket_ms FROM extent
+        ),
+        dense AS (
+            SELECT g.key, g.bucket_ms, s.value, s.value IS NULL AS filled
+            FROM grid g LEFT JOIN sparse s USING (key, bucket_ms)
+        )
+        SELECT key, bucket_ms,
+               last_value(value IGNORE NULLS) OVER
+                   (PARTITION BY key ORDER BY bucket_ms
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+               filled
+        FROM dense
+    """).fetchall():
+        want[(key, bucket)] = (round(value, 6) if value is not None else None, filled)
+    assert got == want
+    assert any(f for _, f in got.values()), "events must actually have gaps"
