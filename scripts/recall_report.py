@@ -125,6 +125,38 @@ def main() -> None:
             hits += len(got & set(exact[q["vec_id"]]))
         adc_rows.append((rerank, hits / (K * len(queries))))
 
+    # Binary tier: 1-bit sign packing; hamming-only vs rerank depth.
+    from fenix_spark.operators.binary_ann import (
+        binarize,
+        hamming_knn,
+        hamming_knn_rerank,
+    )
+
+    dim = len(queries[0]["embedding"])
+    bits_df = binarize(emb.select("vec_id", "embedding"), "embedding", dim)
+    bits_df = bits_df.localCheckpoint(eager=False)
+    bin_rows = []
+    for shortlist in (None, 20, 50, 100):
+        hits = 0
+        for q in queries:
+            if shortlist is None:
+                got = {
+                    r["vec_id"]
+                    for r in hamming_knn(
+                        bits_df, "bits", "vec_id", q["embedding"], k=K
+                    ).collect()
+                }
+            else:
+                got = {
+                    r["vec_id"]
+                    for r in hamming_knn_rerank(
+                        bits_df, "bits", "embedding", "vec_id", q["embedding"],
+                        k=K, shortlist=shortlist, metric="l2",
+                    ).collect()
+                }
+            hits += len(got & set(exact[q["vec_id"]]))
+        bin_rows.append((shortlist, hits / (K * len(queries))))
+
     # Coding-size sweep: ADC recall as the PQ coding gets finer. Codes
     # stay a single bigint; the candidate pass reads zero vector bytes
     # at every size — accuracy is bought with code bits, not IO.
@@ -234,6 +266,19 @@ def main() -> None:
     ]
     for rerank, rec in adc_rows:
         lines.append(f"| {rerank if rerank else 'off'} | {rec:.3f} |")
+    lines += [
+        "",
+        "## Binary tier (operators/binary_ann.py)",
+        "",
+        f"1-bit sign packing: {-(-dim // 64)} int64 word(s) per {dim}d",
+        "vector (32x under float32); candidate pass reads the packed",
+        "column only. `shortlist=s` reranks the hamming top-s exactly.",
+        "",
+        "| shortlist | recall@10 |",
+        "|---|---|",
+    ]
+    for shortlist, rec in bin_rows:
+        lines.append(f"| {shortlist if shortlist else 'off (hamming only)'} | {rec:.3f} |")
     lines += [
         "",
         "### Coding-size sweep (accuracy is bought with code bits, not IO)",
