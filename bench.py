@@ -112,18 +112,24 @@ def main() -> None:
         for name in BENCH_QUERIES:
             SPARK_QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
-    # min-of-2 per query: single-pass timings on this shared box swing
-    # ±25% with ambient load (r4 observed 24.3-32.2 s totals for
-    # identical code); the min of two back-to-back runs is the standard
-    # load-noise filter and tracks the data-proportional cost.
+    # min-of-2 per query (min-of-3 when the two runs disagree >30%):
+    # single-pass timings on this shared box swing ±25% with ambient
+    # load (r4 observed 24.3-32.2 s totals for identical code); the
+    # min of back-to-back runs is the standard load-noise filter and
+    # tracks the data-proportional cost. The adaptive third run only
+    # triggers for queries a noise spike actually hit.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        best = float("inf")
+        runs = []
         for _ in range(2):
             start = time.perf_counter()
             SPARK_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - start)
+        if abs(runs[0] - runs[1]) > 0.3 * min(runs):
+            start = time.perf_counter()
+            SPARK_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(min(runs), 3)
 
     print(
         json.dumps(
