@@ -290,3 +290,123 @@ def test_asof_all_directions_match_pandas(spark, lts, rts, direction):
     else:
         exp = {t: None for _, t in lrows}
     assert got == exp
+
+
+words = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=5), min_size=2, max_size=12, unique=True
+)
+
+
+@given(vocab=words)
+@settings(**_SETTINGS)
+def test_fuzzy_join_exact_vs_bruteforce_property(spark, vocab):
+    """Deletion-neighborhood join == brute-force levenshtein filter for
+    ANY vocabulary (tiny alphabet maximizes collisions/adversity)."""
+    import itertools
+
+    from fenix_spark.operators.fuzzy import fuzzy_self_pairs
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(list(enumerate(vocab)), "id bigint, s string")
+    got = {
+        (r.id_l, r.id_r, r.dist)
+        for r in fuzzy_self_pairs(df, "s", "id", max_dist=2).collect()
+    }
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(enumerate(vocab), 2)
+        if lev(a, b) <= 2
+    }
+    assert got == want
+
+
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    grain=st.sampled_from([1, 3, 7]),
+)
+@settings(**_SETTINGS)
+def test_gapfill_grid_properties(spark, obs, grain):
+    """For any observation set: the grid is dense over the key's
+    extent, real buckets keep their aggregate, locf never leaves an
+    interior null, and linear fill is bounded by its bracket values."""
+    from fenix_spark.operators.timeseries import gapfill
+
+    df = spark.createDataFrame(
+        [("k", t, v) for t, v in obs], "key string, ts_ms bigint, value double"
+    )
+    dense = {
+        r.bucket_ms: (r.value, r.filled)
+        for r in gapfill(df, "key", "ts_ms", "value", grain).collect()
+    }
+    buckets = sorted(dense)
+    lo, hi = min(t // grain * grain for t, _ in obs), max(t // grain * grain for t, _ in obs)
+    assert buckets == list(range(lo, hi + 1, grain))
+
+    locf = {
+        r.bucket_ms: r.value
+        for r in gapfill(df, "key", "ts_ms", "value", grain, fill="locf").collect()
+    }
+    assert all(locf[b] is not None for b in buckets)  # first bucket is real
+
+    lin = {
+        r.bucket_ms: r.value
+        for r in gapfill(df, "key", "ts_ms", "value", grain, fill="linear").collect()
+    }
+    reals = [b for b in buckets if not dense[b][1]]
+    for b in buckets:
+        if dense[b][1] and lin[b] is not None:
+            prev = max(rb for rb in reals if rb < b)
+            nxt = min(rb for rb in reals if rb > b)
+            low, high = sorted((dense[prev][0], dense[nxt][0]))
+            assert low - 1e-9 <= lin[b] <= high + 1e-9
+
+
+@given(
+    hist=st.lists(
+        st.tuples(st.text(alphabet="ab", min_size=1, max_size=6), st.integers(1, 9)),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+    n_merges=st.integers(min_value=0, max_value=20),
+)
+@settings(**_SETTINGS)
+def test_bpe_histogram_invariants(hist, n_merges):
+    """Any histogram: merges are distinct, encode concat restores the
+    word, and total token count is non-increasing in merge count."""
+    from fenix_spark.functions.bpe import (
+        END,
+        encode_word,
+        train_bpe_on_histogram,
+    )
+
+    merges = train_bpe_on_histogram(hist, n_merges)
+    assert len(set(merges)) == len(merges) <= n_merges
+    ranks = {p: i for i, p in enumerate(merges)}
+    prev_total = None
+    for cut in range(len(merges) + 1):
+        sub = {p: i for i, p in enumerate(merges[:cut])}
+        total = 0
+        for w, c in hist:
+            toks = encode_word(w, sub)
+            assert "".join(toks).replace(END, "") == w
+            total += len(toks) * c
+        if prev_total is not None:
+            assert total <= prev_total
+        prev_total = total
+    _ = ranks
