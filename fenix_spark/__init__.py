@@ -61,6 +61,29 @@ __all__ = [
     "train_residual_coding",
     "build_ivfpq_residual_index",
     "ivfpq_residual_search",
+    # semantic dedup / incremental dedup
+    "semantic_dedup",
+    "semantic_dedup_pairs",
+    "minhash_state",
+    "incremental_neardup_pairs",
+    # text tooling
+    "train_bpe",
+    "bpe_encode",
+    "train_bigram_lm",
+    "perplexity",
+    "build_bm25_index",
+    "bm25_search",
+    "fuzzy_join",
+    "fuzzy_self_pairs",
+    # splits / export
+    "leakage_safe_split",
+    "split_leakage_report",
+    "write_webdataset",
+    # vectors / time series
+    "binarize",
+    "hamming_knn",
+    "hamming_knn_rerank",
+    "gapfill",
 ]
 __version__ = "0.1.0"
 
@@ -103,6 +126,25 @@ def __getattr__(name: str):
         "train_residual_coding": "fenix_spark.operators.index",
         "build_ivfpq_residual_index": "fenix_spark.operators.index",
         "ivfpq_residual_search": "fenix_spark.operators.index",
+        "semantic_dedup": "fenix_spark.operators.semdedup",
+        "semantic_dedup_pairs": "fenix_spark.operators.semdedup",
+        "minhash_state": "fenix_spark.operators.dedup",
+        "incremental_neardup_pairs": "fenix_spark.operators.dedup",
+        "train_bpe": "fenix_spark.functions.bpe",
+        "bpe_encode": "fenix_spark.functions.bpe",
+        "train_bigram_lm": "fenix_spark.functions.ngram_lm",
+        "perplexity": "fenix_spark.functions.ngram_lm",
+        "build_bm25_index": "fenix_spark.operators.bm25",
+        "bm25_search": "fenix_spark.operators.bm25",
+        "fuzzy_join": "fenix_spark.operators.fuzzy",
+        "fuzzy_self_pairs": "fenix_spark.operators.fuzzy",
+        "leakage_safe_split": "fenix_spark.operators.leakage",
+        "split_leakage_report": "fenix_spark.operators.leakage",
+        "write_webdataset": "fenix_spark.operators.webdataset",
+        "binarize": "fenix_spark.operators.binary_ann",
+        "hamming_knn": "fenix_spark.operators.binary_ann",
+        "hamming_knn_rerank": "fenix_spark.operators.binary_ann",
+        "gapfill": "fenix_spark.operators.timeseries",
     }
     if name in _HOMES:
         return getattr(import_module(_HOMES[name]), name)
