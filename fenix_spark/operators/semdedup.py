@@ -58,6 +58,12 @@ def cluster_assignments(
     """
     cents, _metric, k, n = coding_to_numpy(coding)
     spark = df.sparkSession
+    if k**n > 65536:
+        raise ValueError(
+            f"coding has {k}^{n} joint cells — too many to materialize as "
+            "a centroid table; SemDeDup wants a flat clustering "
+            "(num_codebooks=1, k ~ n_rows/target_cluster_size)"
+        )
     # joint-cell centroid table: concatenation of per-codebook centroids
     cent_rows = []
     for joint in range(k**n):

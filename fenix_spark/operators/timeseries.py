@@ -74,6 +74,9 @@ def gapfill(
         bucketize(df, ts_col, grain_ms)
         .groupBy(F.col(key_col).alias("key"), "bucket_ms")
         .agg(agg_fn(F.col(value_col)).alias("value"))
+        # three consumers (extent probe, grid, dense join): materialize
+        # the aggregation once instead of re-scanning the source
+        .localCheckpoint(eager=False)
     )
 
     extent = sparse.groupBy("key").agg(
