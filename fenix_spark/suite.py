@@ -1868,11 +1868,10 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     |vocab| rows) → score → window top-3. The explode is map-side; the
     only shuffles are the two aggregations and the final window."""
     from fenix_spark.functions.texthash import tokens
-    from fenix_spark.operators.dedup import spread
 
     docs = table(spark, sf_dir, "documents")
     n_docs = docs.count()
-    terms = spread(docs).select(
+    terms = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
