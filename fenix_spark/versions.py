@@ -102,6 +102,71 @@ def rollback(root: str, name: str, version: int) -> None:
     _flip_latest(root, name, version)
 
 
+def merge_upsert(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    updates: DataFrame,
+    key: str,
+    delete_col: str | None = None,
+) -> int:
+    """MERGE INTO, snapshot-style: combine the latest snapshot with
+    ``updates`` (matched keys take the update row — last-wins; new keys
+    insert; rows whose ``delete_col`` is true are dropped) and write
+    the result as the next version. Readers on the old version see a
+    consistent snapshot throughout; the flip is atomic.
+
+    The combine is one full-outer-shaped pass built as
+    anti-join + union (cheaper than a true full outer: base rows whose
+    key has an update are filtered by a broadcast-able key set when
+    updates are increment-sized)."""
+    base = read_version(spark, root, name)
+    from pyspark.sql import functions as F
+
+    upd = updates
+    if delete_col is not None:
+        deletes = upd.where(F.col(delete_col)).select(key)
+        upd = upd.where(~F.col(delete_col)).drop(delete_col)
+        base = base.join(deletes, key, "left_anti")
+    survivors = base.join(upd.select(key), key, "left_anti")
+    merged = survivors.unionByName(upd)
+    return write_version(root, name, merged)
+
+
+def diff_versions(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    v_from: int,
+    v_to: int,
+    key: str,
+) -> DataFrame:
+    """Change feed between two snapshots: (key, change) with change ∈
+    insert | delete | update — the CDC view a downstream consumer
+    replays instead of re-reading the whole table. Row equality is an
+    xxhash64 over all non-key columns (order-normalized), so the diff
+    shuffles (key, 8-byte hash) pairs, never full rows."""
+    from pyspark.sql import functions as F
+
+    def keyed(version: int) -> DataFrame:
+        df = read_version(spark, root, name, version)
+        cols = sorted(c for c in df.columns if c != key)
+        return df.select(
+            F.col(key), F.xxhash64(*[F.col(c) for c in cols]).alias("__h")
+        )
+
+    a = keyed(v_from).withColumnRenamed("__h", "__h_from")
+    b = keyed(v_to).withColumnRenamed("__h", "__h_to")
+    j = a.join(b, key, "full_outer")
+    return j.select(
+        key,
+        F.when(F.col("__h_from").isNull(), F.lit("insert"))
+        .when(F.col("__h_to").isNull(), F.lit("delete"))
+        .when(F.col("__h_from") != F.col("__h_to"), F.lit("update"))
+        .alias("change"),
+    ).where(F.col("change").isNotNull())
+
+
 def vacuum(root: str, name: str, keep: int = 2) -> list[int]:
     """Delete versions beyond the newest ``keep``, never the one
     ``_LATEST`` points at; returns the deleted version ids."""

@@ -87,3 +87,49 @@ def test_flip_is_atomic_rename_no_partial_pointer(spark, root):
     assert [e for e in os.listdir(d) if e.startswith("._latest_")] == []
     with open(os.path.join(d, "_LATEST")) as f:
         assert f.read().strip() == "1"
+
+
+def test_merge_upsert_insert_update_delete(spark, root):
+    from fenix_spark.versions import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, val string"
+    )
+    write_version(root, "t", base)
+    updates = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        "id bigint, val string, is_delete boolean",
+    )
+    v = merge_upsert(spark, root, "t", updates, "id", delete_col="is_delete")
+    assert v == 2
+    got = {r.id: r.val for r in read_version(spark, root, "t").collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}  # 3 deleted, 2 updated, 4 inserted
+    # time travel still shows the pre-merge state
+    old = {r.id: r.val for r in read_version(spark, root, "t", version=1).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+
+
+def test_diff_versions_cdc(spark, root):
+    from fenix_spark.versions import diff_versions, merge_upsert
+
+    write_version(
+        root, "t", spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id bigint, val string")
+    )
+    merge_upsert(
+        spark,
+        root,
+        "t",
+        spark.createDataFrame(
+            [(2, "B", False), (4, "d", False), (3, None, True)],
+            "id bigint, val string, is_delete boolean",
+        ),
+        "id",
+        delete_col="is_delete",
+    )
+    got = {r.id: r.change for r in diff_versions(spark, root, "t", 1, 2, "id").collect()}
+    assert got == {2: "update", 3: "delete", 4: "insert"}
+    # symmetric direction flips the verbs
+    rev = {r.id: r.change for r in diff_versions(spark, root, "t", 2, 1, "id").collect()}
+    assert rev == {2: "update", 3: "insert", 4: "delete"}
+    # no-change diff is empty
+    assert diff_versions(spark, root, "t", 1, 1, "id").count() == 0
