@@ -84,6 +84,15 @@ __all__ = [
     "hamming_knn",
     "hamming_knn_rerank",
     "gapfill",
+    # substring search / versioned tables
+    "build_trigram_index",
+    "substring_search",
+    "write_version",
+    "read_version",
+    "merge_upsert",
+    "diff_versions",
+    "rollback",
+    "vacuum",
 ]
 __version__ = "0.1.0"
 
@@ -145,6 +154,14 @@ def __getattr__(name: str):
         "hamming_knn": "fenix_spark.operators.binary_ann",
         "hamming_knn_rerank": "fenix_spark.operators.binary_ann",
         "gapfill": "fenix_spark.operators.timeseries",
+        "build_trigram_index": "fenix_spark.operators.trigram",
+        "substring_search": "fenix_spark.operators.trigram",
+        "write_version": "fenix_spark.versions",
+        "read_version": "fenix_spark.versions",
+        "merge_upsert": "fenix_spark.versions",
+        "diff_versions": "fenix_spark.versions",
+        "rollback": "fenix_spark.versions",
+        "vacuum": "fenix_spark.versions",
     }
     if name in _HOMES:
         return getattr(import_module(_HOMES[name]), name)
