@@ -68,3 +68,53 @@ def sliding_event_rates(
             "n_events",
         )
     )
+
+
+def windowed_trending_terms(
+    docs: DataFrame,
+    text_col: str,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked per-window TERM counts — the state half of a
+    streaming trending-terms pipeline. Tokenize+explode is stateless
+    map-side work; the windowed count is the only stateful stage
+    (state per (window, term), watermark-bounded exactly like
+    ``windowed_event_counts``). Works identically on batch frames.
+
+    The per-window top-k CUT is not part of the streaming plan on
+    purpose: rank-within-window needs the window CLOSED, so the
+    production shape is append-mode output of closed windows →
+    ``top_terms_per_window`` over the landed data (or inside a
+    foreachBatch) — same split as the simhash tag/join pair.
+    """
+    from fenix_spark.functions.texthash import tokens
+
+    if docs.isStreaming:
+        docs = docs.withWatermark(ts_col, watermark)
+    return (
+        docs.select(F.window(ts_col, window_duration).alias("w"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("w", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "term",
+            "n",
+        )
+    )
+
+
+def top_terms_per_window(term_counts: DataFrame, k: int = 10) -> DataFrame:
+    """Deterministic per-window top-k over (closed-)window term counts
+    — (count desc, term) ordering, one window shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start", "window_end").orderBy(
+        F.desc("n"), "term"
+    )
+    return (
+        term_counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

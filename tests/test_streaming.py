@@ -436,3 +436,46 @@ def test_stream_incremental_neardup_equals_batch(spark, documents, tmp_path):
 
     folds = [d for d in os.listdir(str(tmp_path / "state" / "sets")) if d.startswith("batch_id=")]
     assert len(folds) == 3
+
+
+def test_trending_terms_streaming_equals_batch(spark, documents, tmp_path):
+    """Stream docs (with synthetic timestamps) through the windowed
+    term counts; complete-mode drain must match the batch run of the
+    same function, and the top-k cut is deterministic."""
+    from fenix_spark.streaming.windows import (
+        top_terms_per_window,
+        windowed_trending_terms,
+    )
+
+    docs = documents.limit(200).select(
+        "doc_id",
+        "text",
+        F.timestamp_millis(
+            (F.lit(1_700_000_000_000) + F.col("doc_id") * 600_000).cast("bigint")
+        ).alias("ts"),
+    )
+    src = str(tmp_path / "docs_src")
+    docs.repartition(2).write.parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    agg = windowed_trending_terms(stream, "text", ts_col="ts")
+    _drain(agg, "trend_terms", "complete")
+    streamed = {
+        (r.window_start, r.term): r.n
+        for r in spark.sql("SELECT * FROM trend_terms").collect()
+    }
+    batch_counts = windowed_trending_terms(spark.read.parquet(src), "text", ts_col="ts")
+    batch = {(r.window_start, r.term): r.n for r in batch_counts.collect()}
+    assert streamed == batch and batch
+
+    top = top_terms_per_window(batch_counts, k=3).collect()
+    by_win: dict = {}
+    for r in top:
+        by_win.setdefault(r.window_start, []).append((r.rank, r.n, r.term))
+    for rows in by_win.values():
+        assert len(rows) <= 3
+        ranked = sorted(rows)
+        assert [r[0] for r in ranked] == list(range(1, len(rows) + 1))
+        # ordering law: higher count first, term asc on ties
+        for (r1, n1, t1), (r2, n2, t2) in zip(ranked, ranked[1:]):
+            assert (n1 > n2) or (n1 == n2 and t1 < t2)
