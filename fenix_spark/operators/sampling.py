@@ -43,6 +43,32 @@ def deterministic_sample(
     return df.where(hash_bucket(id_col, salt) < int(round(fraction * _BUCKETS)))
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    keep_per_unit_weight: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Poisson-style weighted sampling: row i survives
+    with probability ``min(1, keep_per_unit_weight · w_i)``, decided by
+    its hash bucket — the curation move for up-weighting high-quality
+    sources without an RNG (same retry/repartition/engine stability as
+    ``deterministic_sample``; mirrors the Bernoulli thinning used for
+    quality-weighted corpus mixing).
+
+    Still a scan-level filter: the threshold is a per-row expression of
+    the weight column. Weights ≤ 0 never survive; weights ≥
+    1/keep_per_unit_weight always survive (probability caps at 1)."""
+    thresh = F.round(
+        F.least(F.col(weight_col) * F.lit(keep_per_unit_weight), F.lit(1.0))
+        * _BUCKETS
+    ).cast("bigint")
+    return df.where(
+        (F.col(weight_col) > 0) & (hash_bucket(id_col, salt) < thresh)
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

@@ -126,3 +126,28 @@ def test_write_shards_deterministic_and_sized(spark, embeddings, tmp_path):
     assert layout(p1) == layout(p2)
     # shards are balanced-ish: no shard more than 2x target
     assert all(len(s) <= 300 for s in layout(p1))
+
+
+def test_weighted_sample_properties(spark):
+    from fenix_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, [0.0, 0.2, 1.0, 5.0][i % 4]) for i in range(8000)],
+        "id bigint, w double",
+    )
+    out = weighted_sample(df, "id", "w", keep_per_unit_weight=0.5)
+    got = {r.id for r in out.collect()}
+    # zero weight never survives
+    assert not any(i % 4 == 0 for i in got)
+    # w=5.0 → p=min(1, 2.5)=1: all survive
+    assert all(i in got for i in range(8000) if i % 4 == 3)
+    # w=0.2 → p=0.1 and w=1.0 → p=0.5: proportions within tolerance
+    n_02 = sum(1 for i in got if i % 4 == 1)
+    n_10 = sum(1 for i in got if i % 4 == 2)
+    assert abs(n_02 / 2000 - 0.1) < 0.03
+    assert abs(n_10 / 2000 - 0.5) < 0.04
+    # deterministic under repartitioning; salted sample decorrelates
+    again = {r.id for r in weighted_sample(df.repartition(7), "id", "w", 0.5).collect()}
+    assert again == got
+    salted = {r.id for r in weighted_sample(df, "id", "w", 0.5, salt="x").collect()}
+    assert salted != got
