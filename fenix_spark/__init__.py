@@ -75,6 +75,10 @@ __all__ = [
     "bm25_search",
     "fuzzy_join",
     "fuzzy_self_pairs",
+    # importance resampling (DSIR)
+    "fit_importance_model",
+    "importance_weights",
+    "dsir_select",
     # splits / export
     "leakage_safe_split",
     "split_leakage_report",
@@ -135,6 +139,9 @@ def __getattr__(name: str):
         "train_residual_coding": "fenix_spark.operators.index",
         "build_ivfpq_residual_index": "fenix_spark.operators.index",
         "ivfpq_residual_search": "fenix_spark.operators.index",
+        "fit_importance_model": "fenix_spark.operators.dsir",
+        "importance_weights": "fenix_spark.operators.dsir",
+        "dsir_select": "fenix_spark.operators.dsir",
         "semantic_dedup": "fenix_spark.operators.semdedup",
         "semantic_dedup_pairs": "fenix_spark.operators.semdedup",
         "minhash_state": "fenix_spark.operators.dedup",
