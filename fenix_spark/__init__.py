@@ -51,6 +51,8 @@ __all__ = [
     "hash_split",
     "per_group_limit",
     "mixture",
+    "temperature_mixture",
+    "temperature_rates",
     "write_shards",
     "profile",
     # index maintenance & ADC
@@ -139,6 +141,8 @@ def __getattr__(name: str):
         "hash_split": "fenix_spark.operators.sampling",
         "per_group_limit": "fenix_spark.operators.sampling",
         "mixture": "fenix_spark.operators.sampling",
+        "temperature_mixture": "fenix_spark.operators.sampling",
+        "temperature_rates": "fenix_spark.operators.sampling",
         "write_shards": "fenix_spark.operators.sampling",
         "profile": "fenix_spark.operators.profile",
         "append_to_index": "fenix_spark.operators.index",

@@ -177,3 +177,67 @@ def write_shards(
         .parquet(path)
     )
     return n_shards
+
+
+def temperature_rates(
+    counts: Sequence[int], temperature: float, budget: int
+) -> list[float]:
+    """Per-source keep rates implementing temperature-scaled corpus
+    mixing (the mT5 / XLM-R recipe): source s receives a share of the
+    ``budget`` ∝ count_s^T. T=1 is natural proportions; T→0 flattens
+    toward uniform across sources (up-weighting low-resource sources).
+
+    Rates are capped at 1 (a scan filter cannot repeat rows) and the
+    overflow of saturated sources is WATER-FILLED back into the
+    unsaturated ones, renormalizing their shares each pass — so the
+    realized total stays as close to ``budget`` as availability
+    allows. Pure driver arithmetic over one int per source; the data
+    itself is never touched."""
+    if not 0.0 < temperature <= 1.0:
+        raise ValueError(f"temperature {temperature} not in (0, 1]")
+    if budget <= 0:
+        raise ValueError(f"budget {budget} must be positive")
+    n = len(counts)
+    rates = [0.0] * n
+    free = list(range(n))
+    remaining = float(budget)
+    # each pass fixes newly-saturated sources at rate 1; shares of the
+    # still-free sources renormalize over the remaining budget
+    while free and remaining > 0:
+        shares = [counts[i] ** temperature for i in free]
+        tot = sum(shares)
+        if tot == 0:
+            break
+        saturated = []
+        for i, sh in zip(free, shares):
+            want = remaining * sh / tot
+            if want >= counts[i]:
+                rates[i] = 1.0
+                saturated.append(i)
+        if not saturated:
+            for i, sh in zip(free, shares):
+                rates[i] = (remaining * sh / tot) / counts[i] if counts[i] else 0.0
+            break
+        remaining -= sum(counts[i] for i in saturated)
+        free = [i for i in free if i not in saturated]
+    return rates
+
+
+def temperature_mixture(
+    sources: Sequence[DataFrame],
+    id_col: str,
+    temperature: float,
+    budget: int,
+    counts: Sequence[int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-mixed corpus: compute per-source rates from source
+    sizes (``counts`` if the catalog already knows them — at 100 TB
+    use table statistics, don't re-count — else one count() job per
+    source) and delegate to :func:`mixture`, so the result remains a
+    pure scan filter per source with a ``__source`` provenance
+    column."""
+    if counts is None:
+        counts = [df.count() for df in sources]
+    rates = temperature_rates(list(counts), temperature, budget)
+    return mixture(list(zip(sources, rates)), id_col, salt=salt)

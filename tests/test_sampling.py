@@ -151,3 +151,49 @@ def test_weighted_sample_properties(spark):
     assert again == got
     salted = {r.id for r in weighted_sample(df, "id", "w", 0.5, salt="x").collect()}
     assert salted != got
+
+
+# ------------------------------------------------- temperature mixing
+
+
+def test_temperature_rates_natural_and_flat():
+    from fenix_spark.operators.sampling import temperature_rates
+
+    counts = [8000, 1000, 1000]
+    # T=1: shares ∝ counts → rates all equal (budget/total)
+    r1 = temperature_rates(counts, 1.0, 5000)
+    assert all(abs(r - 0.5) < 1e-12 for r in r1)
+    # T→0 limit: shares uniform → equal row counts per source
+    r0 = temperature_rates(counts, 1e-9, 3000)
+    got = [r * c for r, c in zip(r0, counts)]
+    assert all(abs(g - 1000) < 1.0 for g in got)
+
+
+def test_temperature_rates_water_filling():
+    from fenix_spark.operators.sampling import temperature_rates
+
+    counts = [10_000, 100]
+    # uniform shares want 2500 from each; source 1 has only 100 —
+    # overflow refills source 0
+    r = temperature_rates(counts, 1e-9, 5000)
+    assert r[1] == 1.0
+    assert abs(r[0] * counts[0] - 4900) < 1.0
+
+
+def test_temperature_rates_budget_exceeds_total():
+    from fenix_spark.operators.sampling import temperature_rates
+
+    r = temperature_rates([50, 70], 0.5, 10_000)
+    assert r == [1.0, 1.0]
+
+
+def test_temperature_mixture_realized_counts(spark):
+    from fenix_spark.operators.sampling import temperature_mixture
+
+    a = spark.range(8000).select(F.col("id").alias("doc_id"))
+    b = spark.range(2000).select((F.col("id") + 100_000).alias("doc_id"))
+    out = temperature_mixture([a, b], "doc_id", 1e-9, 2000, salt="t")
+    per_src = {r["__source"]: r.c for r in out.groupBy("__source").agg(F.count(F.lit(1)).alias("c")).collect()}
+    # uniform shares: ~1000 from each; hash sampling is ±~3σ of binomial
+    for s in (0, 1):
+        assert abs(per_src[s] - 1000) < 120
