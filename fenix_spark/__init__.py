@@ -86,6 +86,10 @@ __all__ = [
     "cms_merge",
     "cms_estimate",
     "heavy_hitters",
+    # quality classifier
+    "train_quality_classifier",
+    "quality_scores",
+    "quality_filter",
     # importance resampling (DSIR)
     "fit_importance_model",
     "importance_weights",
@@ -160,6 +164,9 @@ def __getattr__(name: str):
         "cms_merge": "fenix_spark.operators.sketches",
         "cms_estimate": "fenix_spark.operators.sketches",
         "heavy_hitters": "fenix_spark.operators.sketches",
+        "train_quality_classifier": "fenix_spark.operators.quality",
+        "quality_scores": "fenix_spark.operators.quality",
+        "quality_filter": "fenix_spark.operators.quality",
         "fit_importance_model": "fenix_spark.operators.dsir",
         "importance_weights": "fenix_spark.operators.dsir",
         "dsir_select": "fenix_spark.operators.dsir",
