@@ -63,6 +63,10 @@ __all__ = [
     "train_residual_coding",
     "build_ivfpq_residual_index",
     "ivfpq_residual_search",
+    # OPQ rotation
+    "fit_opq",
+    "opq_transform",
+    "rotate_query",
     # semantic dedup / incremental dedup
     "semantic_dedup",
     "semantic_dedup_pairs",
@@ -170,6 +174,9 @@ def __getattr__(name: str):
         "fit_importance_model": "fenix_spark.operators.dsir",
         "importance_weights": "fenix_spark.operators.dsir",
         "dsir_select": "fenix_spark.operators.dsir",
+        "fit_opq": "fenix_spark.operators.opq",
+        "opq_transform": "fenix_spark.operators.opq",
+        "rotate_query": "fenix_spark.operators.opq",
         "semantic_dedup": "fenix_spark.operators.semdedup",
         "semantic_dedup_pairs": "fenix_spark.operators.semdedup",
         "minhash_state": "fenix_spark.operators.dedup",
