@@ -81,6 +81,12 @@ __all__ = [
     "bm25_search",
     "fuzzy_join",
     "fuzzy_self_pairs",
+    # web extraction
+    "html_to_text",
+    "extract_title",
+    "extract_links",
+    "boilerplate_features",
+    "url_parts",
     # mergeable sketches
     "hll_rollup",
     "hll_merge",
@@ -160,6 +166,11 @@ def __getattr__(name: str):
         "train_residual_coding": "fenix_spark.operators.index",
         "build_ivfpq_residual_index": "fenix_spark.operators.index",
         "ivfpq_residual_search": "fenix_spark.operators.index",
+        "html_to_text": "fenix_spark.functions.html",
+        "extract_title": "fenix_spark.functions.html",
+        "extract_links": "fenix_spark.functions.html",
+        "boilerplate_features": "fenix_spark.functions.html",
+        "url_parts": "fenix_spark.functions.html",
         "hll_rollup": "fenix_spark.operators.sketches",
         "hll_merge": "fenix_spark.operators.sketches",
         "bitmap_rollup": "fenix_spark.operators.sketches",
