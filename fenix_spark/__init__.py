@@ -46,6 +46,7 @@ __all__ = [
     "winnow_fingerprints",
     "connected_components",
     "dedup_keep_list",
+    "pagerank",
     # curation
     "deterministic_sample",
     "hash_split",
@@ -150,6 +151,7 @@ def __getattr__(name: str):
         "simhash_neardup_pairs": "fenix_spark.operators.dedup",
         "winnow_fingerprints": "fenix_spark.operators.dedup",
         "connected_components": "fenix_spark.operators.components",
+        "pagerank": "fenix_spark.operators.graph",
         "dedup_keep_list": "fenix_spark.operators.components",
         "deterministic_sample": "fenix_spark.operators.sampling",
         "hash_split": "fenix_spark.operators.sampling",
