@@ -17,10 +17,22 @@ from fenix_spark.streaming.dedup import stream_exact_dedup, stream_simhash_tag
 from fenix_spark.streaming.ingest import enrich_stream, stream_ingest, stream_source
 from fenix_spark.streaming.joins import stream_interval_join
 from fenix_spark.streaming.sessions import sessionize_stateful
+from fenix_spark.streaming.sketches import (
+    compact_state,
+    read_cms,
+    read_hll_rollup,
+    stream_cms,
+    stream_hll_rollup,
+)
 from fenix_spark.streaming.windows import sliding_event_rates, windowed_event_counts
 
 __all__ = [
+    "compact_state",
+    "read_cms",
+    "read_hll_rollup",
     "sessionize_stateful",
+    "stream_cms",
+    "stream_hll_rollup",
     "sliding_event_rates",
     "stream_exact_dedup",
     "enrich_stream",

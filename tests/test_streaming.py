@@ -479,3 +479,85 @@ def test_trending_terms_streaming_equals_batch(spark, documents, tmp_path):
         # ordering law: higher count first, term asc on ties
         for (r1, n1, t1), (r2, n2, t2) in zip(ranked, ranked[1:]):
             assert (n1 > n2) or (n1 == n2 and t1 < t2)
+
+
+# ---------------------------------------------------- streaming sketches
+
+
+def test_stream_hll_rollup_matches_batch(spark, events_prepared, tmp_path):
+    from fenix_spark.operators.sketches import hll_estimate, hll_rollup
+    from fenix_spark.streaming.sketches import read_hll_rollup, stream_hll_rollup
+
+    src, batch_df = events_prepared
+    state = str(tmp_path / "hll_state")
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_hll_rollup(stream, ["event_type"], "user_id", state)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.event_type: r.distinct_est
+        for r in read_hll_rollup(spark, state, ["event_type"]).collect()
+    }
+    want = {
+        r.event_type: r.distinct_est
+        for r in hll_estimate(
+            hll_rollup(batch_df, ["event_type"], "user_id")
+        ).collect()
+    }
+    # same sketch algorithm over the same values: merged micro-batch
+    # partials must estimate within the union-path wobble of the batch
+    # sketch (registers identical; estimator path may differ)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) <= max(2, 0.01 * want[k])
+
+
+def test_stream_cms_matches_batch_and_compacts(spark, events_prepared, tmp_path):
+    from fenix_spark.operators.sketches import cms_build
+    from fenix_spark.streaming.sketches import (
+        compact_state,
+        read_cms,
+        stream_cms,
+    )
+
+    src, batch_df = events_prepared
+    state = str(tmp_path / "cms_state")
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_cms(stream, "event_type", state, depth=2, width=64)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r.r, r.b): r.c for r in read_cms(spark, state).collect()}
+    want = {
+        (r.r, r.b): r.c
+        for r in cms_build(
+            batch_df.select(F.col("event_type").alias("term")), "term", 2, 64
+        ).collect()
+    }
+    assert got == want  # CMS is linear: stream merge == single build
+
+    # compaction folds partials into one dir with identical content
+    import os
+
+    new_id = compact_state(spark, state)
+    assert [d for d in os.listdir(state) if d.startswith("batch_id=")] == [
+        f"batch_id={new_id}"
+    ]
+    assert {(r.r, r.b): r.c for r in read_cms(spark, state).collect()} == want
