@@ -97,6 +97,9 @@ __all__ = [
     "cms_merge",
     "cms_estimate",
     "heavy_hitters",
+    "hist_rollup",
+    "hist_merge",
+    "hist_quantiles",
     # quality classifier
     "train_quality_classifier",
     "quality_scores",
@@ -181,6 +184,9 @@ def __getattr__(name: str):
         "cms_merge": "fenix_spark.operators.sketches",
         "cms_estimate": "fenix_spark.operators.sketches",
         "heavy_hitters": "fenix_spark.operators.sketches",
+        "hist_rollup": "fenix_spark.operators.sketches",
+        "hist_merge": "fenix_spark.operators.sketches",
+        "hist_quantiles": "fenix_spark.operators.sketches",
         "train_quality_classifier": "fenix_spark.operators.quality",
         "quality_scores": "fenix_spark.operators.quality",
         "quality_filter": "fenix_spark.operators.quality",

@@ -245,3 +245,82 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("count"))
     )
     return exact.orderBy(F.col("count").desc(), F.col("term").asc()).limit(k)
+
+
+# ----------------------------------------------- histogram / quantiles
+
+
+def hist_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """(keys..., bin, c) — an EXACT-mergeable equi-width histogram
+    summary for quantile queries at any grain (the fixed-layout cousin
+    of t-digest: coarser tails, but merge = plain sum and the layout
+    is engine-portable so DuckDB reproduces it bit-for-bit).
+
+    Values are clamped into [lo, hi] (bin 0 / bins−1 catch
+    out-of-range mass); quantile error is bounded by the bin width
+    (hi−lo)/bins. Per group the summary is ≤ bins rows — like the
+    other sketches, persist at the finest grain and merge upward."""
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    return (
+        df.select(*keys, b.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def hist_merge(rollup: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Merge to a coarser grain: (keys..., bin, c)."""
+    return rollup.groupBy(*keys, "bin").agg(F.sum("c").alias("c"))
+
+
+def hist_quantiles(
+    rollup: DataFrame,
+    keys: Sequence[str],
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """(keys..., q, value) — quantile estimates from a (merged)
+    histogram summary: the upper edge of the first bin whose
+    cumulative count reaches q·N. Error ≤ one bin width by
+    construction. Windowed cumulative over ≤ bins rows per group —
+    summary-sized work, not data-sized."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    merged = hist_merge(rollup, keys)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("bin") if keys else Window.orderBy("bin")
+    tot = Window.partitionBy(*[F.col(k) for k in keys]) if keys else Window.partitionBy()
+    cum = merged.select(
+        *keys,
+        "bin",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(tot).alias("n"),
+    )
+    out = None
+    for q in qs:
+        hit = (
+            cum.where(F.col("cum") >= F.lit(q) * F.col("n"))
+            .groupBy(*keys)
+            .agg(F.min("bin").alias("bin"))
+            .select(
+                *keys,
+                F.lit(float(q)).alias("q"),
+                (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("value"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

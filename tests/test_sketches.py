@@ -170,3 +170,65 @@ def test_heavy_hitters_survive_adversarial_partitioning(spark):
     df = spark.createDataFrame(rows, "doc_id string, text string").repartition(16)
     got = heavy_hitters(df, "text", k=1, m=8).collect()
     assert got[0].term == "common" and got[0]["count"] == 200
+
+
+# ----------------------------------------------- histogram / quantiles
+
+
+def test_hist_rollup_mergeable_and_quantiles(spark, events):
+    from fenix_spark.operators.sketches import (
+        hist_merge,
+        hist_quantiles,
+        hist_rollup,
+    )
+
+    LO, HI, BINS = 0.0, 1000.0, 200
+    roll = hist_rollup(events, ["event_type"], "value", LO, HI, BINS)
+
+    # merged total counts are exact
+    n = hist_merge(roll, []).agg(F.sum("c")).first()[0]
+    assert n == events.count()
+
+    # per-type medians within one bin width of the exact median
+    width = (HI - LO) / BINS
+    got = {
+        (r.event_type, r.q): r.value
+        for r in hist_quantiles(roll, ["event_type"], [0.5, 0.9], LO, HI, BINS).collect()
+    }
+    exact = {
+        r.event_type: (r.m, r.p90)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("m"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    for t, (m, p90) in exact.items():
+        assert abs(got[(t, 0.5)] - m) <= width + 1e-9
+        assert abs(got[(t, 0.9)] - p90) <= width + 1e-9
+
+
+def test_hist_duckdb_mirror(spark, events):
+    import duckdb
+
+    from fenix_spark.operators.sketches import hist_rollup
+
+    LO, HI, BINS = 0.0, 500.0, 64
+    got = {
+        (r.event_type, r.bin): r.c
+        for r in hist_rollup(events, ["event_type"], "value", LO, HI, BINS).collect()
+    }
+    con = duckdb.connect()
+    con.register("ev", events.select("event_type", "value").toPandas())
+    want = {
+        (t, b): c
+        for t, b, c in con.execute(f"""
+            SELECT event_type,
+                   least({BINS - 1}, greatest(0,
+                       floor((value::DOUBLE - {LO}) / {(HI - LO) / BINS})::INT)) AS bin,
+                   count(*) AS c
+            FROM ev GROUP BY 1, 2
+        """).fetchall()
+    }
+    assert got == want
