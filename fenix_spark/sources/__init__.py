@@ -16,4 +16,16 @@ from fenix_spark.sources.readers import (
     read_jsonl,
 )
 
-__all__ = ["ingest_arrow_ipc", "read_arrow_ipc", "read_csv", "read_jsonl"]
+from fenix_spark.sources.webdataset_source import (
+    WebDatasetDataSource,
+    register as register_webdataset_source,
+)
+
+__all__ = [
+    "WebDatasetDataSource",
+    "ingest_arrow_ipc",
+    "read_arrow_ipc",
+    "read_csv",
+    "read_jsonl",
+    "register_webdataset_source",
+]

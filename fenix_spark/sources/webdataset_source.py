@@ -1,0 +1,127 @@
+"""A Spark Python DataSource that reads WebDataset tar shards back as
+a DataFrame — the ingest side of ``operators/webdataset.py``'s export,
+built on Spark 4's Python DataSource API (SPARK-44076) so shard
+reading is a first-class, partition-parallel scan:
+
+    from fenix_spark.sources.webdataset_source import register
+    register(spark)
+    df = spark.read.format("webdataset").load("/path/to/shards")
+
+Scale shape:
+
+- ONE input partition PER TAR SHARD (`partitions()`), so a
+  1000-executor cluster reads 100k shards with full parallelism and
+  locality-friendly whole-file access (tars are sequential media —
+  exactly why trainers shard this way).
+- Each partition streams its tar member-by-member (`tarfile` in
+  streaming mode, no index materialization); samples are grouped by
+  basename per the webdataset convention (``<key>.<ext>`` payload +
+  ``<key>.json`` metadata) and yielded as Arrow-bound tuples.
+- Column pruning: Spark passes the pruned schema to ``reader``; when
+  ``data`` is not requested the payload bytes are never read into
+  Python objects (seek past members) — metadata-only scans of
+  petabyte shard sets stay cheap.
+"""
+
+from __future__ import annotations
+
+import os
+import tarfile
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+FULL_SCHEMA = "key string, ext string, data binary, meta string, shard string"
+
+
+class WebDatasetDataSource(DataSource):
+    """format("webdataset"): options — ``path`` (or load(path)),
+    ``suffix`` (shard filename suffix, default ``.tar``)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "webdataset"
+
+    def schema(self) -> str:
+        return FULL_SCHEMA
+
+    def reader(self, schema) -> "WebDatasetReader":
+        return WebDatasetReader(self.options, schema)
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class WebDatasetReader(DataSourceReader):
+    def __init__(self, options, schema):
+        path = options.get("path")
+        if not path:
+            raise ValueError("webdataset source requires a path")
+        self.path = path
+        self.suffix = options.get("suffix", ".tar")
+        self.fields = [f.name for f in schema.fields]
+
+    def partitions(self):
+        if os.path.isfile(self.path):
+            shards = [self.path]
+        else:
+            shards = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(self.suffix)
+            )
+        if not shards:
+            raise FileNotFoundError(
+                f"no {self.suffix} shards under {self.path}"
+            )
+        return [_ShardPartition(s) for s in shards]
+
+    def read(self, partition):
+        want_data = "data" in self.fields
+        shard = partition.path
+        # webdataset contract: a sample's members are CONSECUTIVE in
+        # the tar; flush the current sample whenever the key changes
+        cur_key = None
+        cur = {}
+
+        def emit():
+            if cur_key is None:
+                return None
+            row = {
+                "key": cur_key,
+                "ext": cur.get("ext"),
+                "data": cur.get("data") if want_data else None,
+                "meta": cur.get("meta"),
+                "shard": shard,
+            }
+            return tuple(row[f] for f in self.fields)
+
+        with tarfile.open(shard, "r") as tar:
+            for info in tar:
+                if not info.isfile():
+                    continue
+                base, dot, ext = info.name.rpartition(".")
+                if not dot:
+                    base, ext = info.name, ""
+                if base != cur_key:
+                    out = emit()
+                    if out is not None:
+                        yield out
+                    cur_key, cur = base, {}
+                if ext == "json":
+                    cur["meta"] = (
+                        tar.extractfile(info).read().decode("utf-8")
+                    )
+                else:
+                    cur["ext"] = ext
+                    if want_data:
+                        cur["data"] = tar.extractfile(info).read()
+        out = emit()
+        if out is not None:
+            yield out
+
+
+def register(spark) -> None:
+    """Idempotent registration of the ``webdataset`` format."""
+    spark.dataSource.register(WebDatasetDataSource)

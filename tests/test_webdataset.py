@@ -8,6 +8,7 @@ import os
 import tarfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from fenix_spark.multimodal import synthesize_media
 from fenix_spark.operators.webdataset import write_webdataset
@@ -91,3 +92,64 @@ def test_salt_changes_layout(spark, tmp_path):
     assert {m.n_samples for m in m1} != {m.n_samples for m in m2} or [
         open(m.shard, "rb").read() for m in m1[:1]
     ] != [open(m.shard, "rb").read() for m in m2[:1]]
+
+
+# ------------------------------------------- python datasource reader
+
+
+def test_datasource_roundtrip(spark, tmp_path):
+    """write_webdataset → read.format('webdataset') recovers every
+    sample: keys, payload bytes, extension, metadata."""
+    import json
+
+    from fenix_spark.operators.webdataset import write_webdataset
+    from fenix_spark.sources.webdataset_source import register
+
+    rows = [
+        (i, bytes([i % 251]) * (10 + i), "bin", f"label{i % 3}")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, data binary, ext string, label string"
+    )
+    out = str(tmp_path / "wds")
+    manifest = write_webdataset(
+        df, out, "id", "data", "ext", meta_cols=("label",), shard_rows=20
+    )
+    n_shards = manifest.count()
+    assert n_shards == 3
+
+    register(spark)
+    back = spark.read.format("webdataset").load(out)
+    got = {r.key: r for r in back.collect()}
+    assert len(got) == 60
+    for i, payload, ext, label in rows:
+        r = got[str(i)]
+        assert bytes(r.data) == payload
+        assert r.ext == ext
+        assert json.loads(r.meta) == {"label": label}
+
+    # one input partition per shard → full scan parallelism
+    parts = back.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert parts == n_shards
+
+
+def test_datasource_metadata_only_scan(spark, tmp_path):
+    from fenix_spark.operators.webdataset import write_webdataset
+    from fenix_spark.sources.webdataset_source import register
+
+    df = spark.createDataFrame(
+        [(i, b"x" * 1000, "bin", i % 2) for i in range(30)],
+        "id bigint, data binary, ext string, parity bigint",
+    )
+    out = str(tmp_path / "wds2")
+    write_webdataset(df, out, "id", "data", "ext", meta_cols=("parity",), shard_rows=15)
+
+    register(spark)
+    meta = (
+        spark.read.format("webdataset")
+        .load(out)
+        .select("key", "meta")
+    )
+    assert meta.count() == 30
+    assert set(meta.columns) == {"key", "meta"}
