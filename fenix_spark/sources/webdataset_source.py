@@ -17,9 +17,11 @@ Scale shape:
   streaming mode, no index materialization); samples are grouped by
   basename per the webdataset convention (``<key>.<ext>`` payload +
   ``<key>.json`` metadata) and yielded as Arrow-bound tuples.
-- Column pruning: Spark passes the pruned schema to ``reader``; when
-  ``data`` is not requested the payload bytes are never read into
-  Python objects (seek past members) — metadata-only scans of
+- Payload skipping: the Python DataSource API does not push column
+  pruning into ``read`` automatically, but a USER-SUPPLIED read
+  schema does reach the reader — ``spark.read.format("webdataset")
+  .schema("key string, meta string").load(p)`` never materializes
+  payload bytes into Python objects, so metadata-only scans of
   petabyte shard sets stay cheap.
 """
 
