@@ -24,6 +24,7 @@ from fenix_spark.streaming.sketches import (
     stream_cms,
     stream_hll_rollup,
 )
+from fenix_spark.streaming.topk import merged_heavy_hitters, stream_heavy_hitters
 from fenix_spark.streaming.windows import sliding_event_rates, windowed_event_counts
 
 __all__ = [
@@ -32,6 +33,8 @@ __all__ = [
     "read_hll_rollup",
     "sessionize_stateful",
     "stream_cms",
+    "stream_heavy_hitters",
+    "merged_heavy_hitters",
     "stream_hll_rollup",
     "sliding_event_rates",
     "stream_exact_dedup",

@@ -561,3 +561,49 @@ def test_stream_cms_matches_batch_and_compacts(spark, events_prepared, tmp_path)
         f"batch_id={new_id}"
     ]
     assert {(r.r, r.b): r.c for r in read_cms(spark, state).collect()} == want
+
+
+# ------------------------------------------ transformWithState top-k
+
+
+def test_stream_heavy_hitters_transform_with_state(spark, tmp_path):
+    """Multi-batch stream of docs; the merged streaming MG summaries
+    must surface the true heavy term with its full count (no shrink
+    ever evicts it at this m), matching the batch operator."""
+    import pandas as pd
+
+    from fenix_spark.operators.sketches import heavy_hitters
+    from fenix_spark.streaming.topk import merged_heavy_hitters, stream_heavy_hitters
+
+    rows = [(f"doc{i}", "common " + f"rare{i} noise{i % 7} filler{i % 3}") for i in range(300)]
+    docs_pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    src = str(tmp_path / "hh_src")
+    batch_df = spark.createDataFrame(docs_pdf)
+    batch_df.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = stream_heavy_hitters(stream, "text", shards=8, m=16, emit_top=16)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hh_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emissions = spark.table("hh_sink")
+    assert emissions.where(F.col("version") > 1).count() > 0  # state folded across batches
+    got = merged_heavy_hitters(emissions, k=1).collect()
+    assert got[0].term == "common"
+    # "common" dominates its shard: MG never evicts it and its lower
+    # bound stays within the per-shard error of the true 300
+    assert 300 - 300 // (16 + 1) <= got[0].lb <= 300
+
+    want = heavy_hitters(spark.read.parquet(src), "text", k=1, m=512).collect()
+    assert want[0].term == got[0].term
