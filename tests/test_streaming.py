@@ -563,10 +563,10 @@ def test_stream_cms_matches_batch_and_compacts(spark, events_prepared, tmp_path)
     assert {(r.r, r.b): r.c for r in read_cms(spark, state).collect()} == want
 
 
-# ------------------------------------------ transformWithState top-k
+# ------------------------------------------- stateful streaming top-k
 
 
-def test_stream_heavy_hitters_transform_with_state(spark, tmp_path):
+def test_stream_heavy_hitters_stateful(spark, tmp_path):
     """Multi-batch stream of docs; the merged streaming MG summaries
     must surface the true heavy term with its full count (no shrink
     ever evicts it at this m), matching the batch operator."""
