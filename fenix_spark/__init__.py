@@ -108,6 +108,9 @@ __all__ = [
     "fit_importance_model",
     "importance_weights",
     "dsir_select",
+    # recipes
+    "run_pipeline",
+    "standard_curation",
     # splits / export
     "leakage_safe_split",
     "split_leakage_report",
@@ -208,6 +211,8 @@ def __getattr__(name: str):
         "bm25_search": "fenix_spark.operators.bm25",
         "fuzzy_join": "fenix_spark.operators.fuzzy",
         "fuzzy_self_pairs": "fenix_spark.operators.fuzzy",
+        "run_pipeline": "fenix_spark.recipes",
+        "standard_curation": "fenix_spark.recipes",
         "leakage_safe_split": "fenix_spark.operators.leakage",
         "split_leakage_report": "fenix_spark.operators.leakage",
         "write_webdataset": "fenix_spark.operators.webdataset",

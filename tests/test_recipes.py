@@ -1,0 +1,88 @@
+"""Recipe-pipeline tests: the standard curation order end-to-end on a
+corpus with planted duplicates / near-dups / junk / contamination /
+PII, with per-stage audit accounting verified against the planted
+ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fenix_spark.recipes import (
+    exact_dedup_stage,
+    near_dedup_stage,
+    run_pipeline,
+    sample_stage,
+    standard_curation,
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    # 10 clean docs
+    for i in range(10):
+        rows.append((i, f"{base} variant {i} with unique content token{i}"))
+    # exact duplicates of doc 0 (different ids)
+    rows += [(100, rows[0][1]), (101, rows[0][1])]
+    # near-duplicate of doc 1: same token SET (an existing token is
+    # repeated), different text — exact dedup misses it (different
+    # hash), minhash catches it deterministically (identical shingle
+    # sets group before banding, J=1.0 regardless of band draws)
+    rows.append((102, rows[1][1] + " again"))
+    # contaminated doc (contains the eval passage verbatim)
+    eval_text = "benchmark question about the capital of atlantis answered here"
+    rows.append((103, f"prefix text {eval_text} suffix text"))
+    # PII doc
+    rows.append((104, f"{base} contact me at alice@example.com please token104"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    evals = spark.createDataFrame([(0, eval_text)], "qid bigint, text string")
+    return docs, evals
+
+
+def test_standard_curation_end_to_end(spark, planted):
+    docs, evals = planted
+    stages = standard_curation(
+        "text", "doc_id", neardup_threshold=0.9, eval_df=evals, scrub=True
+    )
+    out, reports = run_pipeline(docs, stages, audit=True)
+    by_name = {r.name: r for r in reports}
+
+    # 15 in → exact dedup removes the 2 exact copies
+    assert by_name["exact_dedup"].rows_in == 15
+    assert by_name["exact_dedup"].dropped == 2
+    # near dedup removes the one near-copy
+    assert by_name["near_dedup"].dropped == 1
+    # decontamination removes the planted contaminated doc
+    assert by_name["decontaminate"].dropped == 1
+    # scrub rewrites, never drops
+    assert by_name["scrub_pii"].dropped == 0
+
+    final = {r.doc_id: r.text for r in out.collect()}
+    assert 100 not in final and 101 not in final  # exact dups gone
+    assert 102 not in final  # near dup gone
+    assert 103 not in final  # contaminated gone
+    assert 104 in final and "alice@example.com" not in final[104]  # scrubbed
+
+
+def test_unaudited_run_matches_audited(spark, planted):
+    docs, evals = planted
+    stages = standard_curation("text", "doc_id", neardup_threshold=0.9, eval_df=evals)
+    audited, _ = run_pipeline(docs, stages, audit=True)
+    lazy, reports = run_pipeline(docs, stages, audit=False)
+    assert reports == []
+    a = sorted((r.doc_id, r.text) for r in audited.collect())
+    b = sorted((r.doc_id, r.text) for r in lazy.collect())
+    assert a == b
+
+
+def test_custom_stage_composition(spark, planted):
+    docs, _ = planted
+    stages = [
+        exact_dedup_stage("text", "doc_id"),
+        sample_stage("doc_id", 0.5, salt="s"),
+    ]
+    out, reports = run_pipeline(docs, stages)
+    assert [r.name for r in reports] == ["exact_dedup", "sample"]
+    assert reports[1].rows_out <= reports[1].rows_in
