@@ -229,6 +229,36 @@ def main() -> None:
         denom = K * len(sweep_queries)
         residual_rows.append((rer, h_raw / denom, h_res / denom))
 
+    # OPQ vs plain PQ at identical code bits (16^4): learned rotation
+    # vs identity. Reconstruction MSE is the trained objective; ADC
+    # recall shows whether it buys retrieval quality on this data.
+    from fenix_spark.operators.index import assign_code_expr as _ace
+    from fenix_spark.operators.opq import fit_opq, opq_transform, rotate_query
+
+    opq_cfg = CodingConfig(metric="l2", codebook_size=16, num_codebooks=4)
+    opq_model = fit_opq(emb, "embedding", opq_cfg, iters=3)
+    rot = opq_transform(emb.select("vec_id", "embedding"), "embedding", opq_model, "opq")
+    rot = rot.withColumn(CODE_COL, _ace("opq", opq_model.coding, "l2")).localCheckpoint(
+        eager=False
+    )
+    opq_rows = []
+    for rer in (None, 40):
+        hits = 0
+        for q in sweep_queries:
+            got = {
+                r["vec_id"]
+                for r in adc_search(
+                    rot, opq_model.coding, "opq",
+                    rotate_query(q["embedding"], opq_model), metric="l2",
+                    k=K, rerank=rer, id_col="vec_id",
+                ).collect()
+            }
+            hits += len(got & set(exact[q["vec_id"]]))
+        opq_rows.append((rer, hits / (K * len(sweep_queries))))
+    # plain-PQ 16^4 recalls from the coding-size sweep (same geometry)
+    pq_off = next(r[3] for r in sweep_rows if r[:3] == (16, 4, None))
+    pq_rr = next(r[3] for r in sweep_rows if r[:3] == (16, 4, 40))
+
     lines = [
         "# RECALL — measured ANN quality (the guardrail the reference lacks)",
         "",
@@ -309,6 +339,25 @@ def main() -> None:
     ]
     for rer, r_raw, r_res in residual_rows:
         lines.append(f"| {rer if rer else 'off'} | {r_raw:.3f} | {r_res:.3f} |")
+    lines += [
+        "",
+        "### OPQ vs plain PQ (operators/opq.py — 16^4 codes, ADC scan)",
+        "",
+        "Same code bits; OPQ learns an orthogonal rotation minimizing",
+        "reconstruction MSE before coding (3 alternations). MSE is the",
+        "trained objective (strict improvement asserted in",
+        "tests/test_opq.py); recall gains track how much cross-block",
+        "correlation the data has.",
+        "",
+        f"Reconstruction MSE: plain {opq_model.mse_history[0]:.4f} → "
+        f"OPQ {opq_model.mse_history[-1]:.4f} "
+        f"({(1 - opq_model.mse_history[-1] / max(opq_model.mse_history[0], 1e-12)) * 100:.1f}% lower).",
+        "",
+        "| rerank | plain PQ recall@10 | OPQ recall@10 |",
+        "|---|---|---|",
+    ]
+    for (rer, rec_opq), rec_pq in zip(opq_rows, (pq_off, pq_rr)):
+        lines.append(f"| {rer if rer else 'off'} | {rec_pq:.3f} | {rec_opq:.3f} |")
     lines += [
         "",
         "Reading: `recall / scan` > 1 means the index beats random",
