@@ -360,6 +360,10 @@ def main() -> None:
         lines.append(f"| {rer if rer else 'off'} | {rec_pq:.3f} | {rec_opq:.3f} |")
     lines += [
         "",
+        "Note: the testdata embeddings are near-isotropic (little cross-block correlation), so the rotation is ~neutral here — MSE improves slightly and the recall deltas are within sampling noise at 10 queries; the correlated-data case where OPQ pays off is pinned deterministically in tests/test_opq.py.",
+    ]
+    lines += [
+        "",
         "Reading: `recall / scan` > 1 means the index beats random",
         "scanning; IVF (data-adaptive centroids) should dominate SRP",
         "(data-oblivious planes) on clustered data, and probes=64 must",
