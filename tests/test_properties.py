@@ -410,3 +410,47 @@ def test_bpe_histogram_invariants(hist, n_merges):
             assert total <= prev_total
         prev_total = total
     _ = ranks
+
+
+# ----------------------------------------------- temperature mixing laws
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=8),
+    t=st.floats(min_value=0.05, max_value=1.0),
+    budget=st.integers(min_value=1, max_value=50_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_temperature_rates_laws(counts, t, budget):
+    """Driver-side arithmetic laws: rates in [0,1]; realized total =
+    min(budget, available) up to float slack; saturated sources only
+    at rate exactly 1."""
+    from fenix_spark.operators.sampling import temperature_rates
+
+    rates = temperature_rates(counts, t, budget)
+    assert len(rates) == len(counts)
+    assert all(0.0 <= r <= 1.0 for r in rates)
+    realized = sum(r * c for r, c in zip(rates, counts))
+    want = min(budget, sum(counts))
+    assert abs(realized - want) < 1e-6 * max(want, 1)
+
+
+@given(
+    counts=st.lists(st.integers(min_value=10, max_value=10_000), min_size=2, max_size=6),
+    budget=st.integers(min_value=5, max_value=1_000),
+)
+@settings(max_examples=100, deadline=None)
+def test_temperature_flattening_monotone(counts, budget):
+    """Lower temperature shifts share toward smaller sources: the
+    smallest source's allocation is non-decreasing as T drops (when
+    nothing saturates)."""
+    from fenix_spark.operators.sampling import temperature_rates
+
+    small = min(range(len(counts)), key=lambda i: counts[i])
+    allocs = []
+    for t in (1.0, 0.5, 0.2):
+        r = temperature_rates(counts, t, budget)
+        if any(x == 1.0 for x in r):
+            return  # saturation changes the geometry; covered elsewhere
+        allocs.append(r[small] * counts[small])
+    assert allocs[0] <= allocs[1] + 1e-9 <= allocs[2] + 2e-9
