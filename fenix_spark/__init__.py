@@ -27,6 +27,7 @@ __all__ = [
     "knn",
     "probe_search",
     "batch_probe_search",
+    "filtered_probe_search",
     "train_coding",
     "build_index",
     "CodingConfig",
@@ -144,6 +145,7 @@ def __getattr__(name: str):
         "similarity_join_brute": "fenix_spark.operators.search",
         "probe_search": "fenix_spark.operators.index",
         "batch_probe_search": "fenix_spark.operators.index",
+        "filtered_probe_search": "fenix_spark.operators.index",
         "build_index": "fenix_spark.operators.index",
         "train_coding": "fenix_spark.operators.coder",
         "CodingConfig": "fenix_spark.operators.coder",

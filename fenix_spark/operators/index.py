@@ -726,3 +726,61 @@ def ivfpq_residual_search(
         .orderBy(F.col(DISTANCE_COL).asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def filtered_probe_search(
+    indexed: DataFrame,
+    coding: DataFrame,
+    column: str,
+    target: Sequence[float],
+    filter: Column,  # noqa: A002 - mirrors reference kwarg
+    metric: str | None = None,
+    k: int = 10,
+    probes: int = 8,
+    selectivity: float | None = None,
+    brute_threshold: int = 100_000,
+    select: Sequence[str] | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Filtered ANN with an explicit strategy crossover — the
+    production concern plain ``probe_search`` ignores: a selective
+    filter starves the probed cells (most candidates fail the filter,
+    recall collapses), while a permissive filter makes brute force
+    wasteful.
+
+    - **Pre-filter (exact) path**: if the filtered row count is small
+      (≤ ``brute_threshold``, checked with a ``limit``-capped count so
+      the probe stops scanning at the bound), run EXACT knn over the
+      filtered rows — the filter pushes down to the scan, the index is
+      not needed, recall is 1.0 by construction.
+    - **Over-probed post-filter path**: otherwise probe
+      ``ceil(probes / s)`` cells (capped at all cells), where ``s`` is
+      the filter's selectivity — restoring the EXPECTED number of
+      filter-surviving candidates to what ``probes`` cells would hold
+      unfiltered (the standard over-probe compensation). Pass
+      ``selectivity`` when known (catalog stats / prior run); when
+      None it costs one counting scan over the filter columns —
+      cheap relative to a recall collapse, and stated here rather
+      than hidden.
+    """
+    import math
+
+    _, coding_metric, kk, n = coding_to_numpy(coding)
+    metric = metric or coding_metric
+    capped = indexed.where(filter).limit(brute_threshold + 1).count()
+    if capped <= brute_threshold:
+        return knn(
+            indexed, column, target, metric=metric, k=k, filter=filter,
+            select=select, id_col=id_col,
+        )
+    if selectivity is None:
+        n_total = indexed.count()
+        selectivity = capped / max(n_total, 1) if capped <= brute_threshold else (
+            indexed.where(filter).count() / max(n_total, 1)
+        )
+    total_cells = kk**n
+    boosted = min(total_cells, int(math.ceil(probes / max(selectivity, 1e-6))))
+    return probe_search(
+        indexed, coding, column, target, metric=metric, k=k,
+        probes=boosted, filter=filter, select=select, id_col=id_col,
+    )

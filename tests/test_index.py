@@ -554,3 +554,66 @@ def test_residual_probes_zero_means_zero_candidates(spark, embeddings, tmp_path_
     t = embeddings.where("vec_id = 1").head()["embedding"]
     assert ivfpq_residual_search(idx, coarse, fine, "embedding", t, k=5, probes=0).count() == 0
     assert ivfpq_residual_search(idx, coarse, fine, "embedding", t, k=5, probes=2).count() == 5
+
+
+# ------------------------------------------------------- filtered ANN
+
+
+class TestFilteredProbeSearch:
+    def test_small_filter_takes_exact_path(self, spark, indexed, coding):
+        """A selective filter (few surviving rows) must return the
+        EXACT filtered top-k — identical to brute force."""
+        from fenix_spark.operators.index import filtered_probe_search
+        from fenix_spark.operators.search import knn
+
+        q = indexed.orderBy("vec_id").first()["embedding"]
+        filt = F.col("vec_id") % 50 == 0  # ~2% of rows
+        got = [
+            r.vec_id
+            for r in filtered_probe_search(
+                indexed, coding, "embedding", q, filt, k=5,
+                brute_threshold=10_000, id_col="vec_id",
+            ).collect()
+        ]
+        want = [
+            r.vec_id
+            for r in knn(
+                indexed, "embedding", q, metric="l2", k=5, filter=filt,
+                id_col="vec_id",
+            ).collect()
+        ]
+        assert got == want
+
+    def test_over_probe_beats_naive_postfilter(self, spark, indexed, coding):
+        """With a 25%-selective filter and the brute path disabled,
+        over-probing must recall at least as much of the true filtered
+        top-k as naive probe_search at base probes."""
+        from fenix_spark.operators.index import filtered_probe_search, probe_search
+        from fenix_spark.operators.search import knn
+
+        q = indexed.orderBy("vec_id").first()["embedding"]
+        filt = F.col("vec_id") % 4 == 0
+        want = {
+            r.vec_id
+            for r in knn(
+                indexed, "embedding", q, metric="l2", k=10, filter=filt,
+                id_col="vec_id",
+            ).collect()
+        }
+        naive = {
+            r.vec_id
+            for r in probe_search(
+                indexed, coding, "embedding", q, k=10, probes=4,
+                filter=filt, id_col="vec_id",
+            ).collect()
+        }
+        boosted = {
+            r.vec_id
+            for r in filtered_probe_search(
+                indexed, coding, "embedding", q, filt, k=10, probes=4,
+                brute_threshold=0, selectivity=0.25, id_col="vec_id",
+            ).collect()
+        }
+        assert len(boosted & want) >= len(naive & want)
+        # 4/0.25 = 16 probed cells of 64 — strictly more than naive's 4
+        assert len(boosted) == 10
