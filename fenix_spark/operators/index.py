@@ -774,10 +774,8 @@ def filtered_probe_search(
             select=select, id_col=id_col,
         )
     if selectivity is None:
-        n_total = indexed.count()
-        selectivity = capped / max(n_total, 1) if capped <= brute_threshold else (
-            indexed.where(filter).count() / max(n_total, 1)
-        )
+        # the stated counting scan: exact filtered fraction
+        selectivity = indexed.where(filter).count() / max(indexed.count(), 1)
     total_cells = kk**n
     boosted = min(total_cells, int(math.ceil(probes / max(selectivity, 1e-6))))
     return probe_search(
