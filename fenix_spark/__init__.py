@@ -45,6 +45,8 @@ __all__ = [
     "minhash_neardup_pairs",
     "simhash_neardup_pairs",
     "winnow_fingerprints",
+    "dedup_paragraphs",
+    "doc_overlap_pairs",
     "connected_components",
     "dedup_keep_list",
     "pagerank",
@@ -158,6 +160,8 @@ def __getattr__(name: str):
         "minhash_neardup_pairs": "fenix_spark.operators.dedup",
         "simhash_neardup_pairs": "fenix_spark.operators.dedup",
         "winnow_fingerprints": "fenix_spark.operators.dedup",
+        "dedup_paragraphs": "fenix_spark.operators.paragraphs",
+        "doc_overlap_pairs": "fenix_spark.operators.paragraphs",
         "connected_components": "fenix_spark.operators.components",
         "pagerank": "fenix_spark.operators.graph",
         "dedup_keep_list": "fenix_spark.operators.components",
