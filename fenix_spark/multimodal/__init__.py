@@ -17,6 +17,11 @@ feature/resize/frame-sample operators' shapes.
 """
 
 from fenix_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+from fenix_spark.multimodal.mp4 import (
+    encode_minimal_mp4,
+    parse_mp4_metadata,
+    video_metadata,
+)
 from fenix_spark.multimodal.media import (
     MEDIA_SCHEMA,
     audio_features,
@@ -40,9 +45,12 @@ __all__ = [
     "encode_bmp",
     "encode_jpeg",
     "encode_png",
+    "encode_minimal_mp4",
     "encode_wav",
     "image_features",
     "resize_images",
     "sample_frames",
+    "parse_mp4_metadata",
     "synthesize_media",
+    "video_metadata",
 ]
