@@ -262,7 +262,9 @@ def decode_payload(data: bytes, fmt: str, shape: tuple[int, ...]) -> np.ndarray:
     if fmt not in _FAKE_FORMATS:
         raise NotImplementedError(
             f"no codec for format {fmt!r} in this environment; "
-            "decode_payload is the single swap-in point for real codecs"
+            "decode_payload is the single swap-in point for real codecs "
+            "(mp4 CONTAINER metadata — duration/tracks/codecs/dims — is "
+            "already real without any codec: multimodal/mp4.py)"
         )
     n = int(np.prod(shape))
     buf = np.frombuffer(data, dtype=np.uint8)
