@@ -111,6 +111,12 @@ __all__ = [
     "fit_importance_model",
     "importance_weights",
     "dsir_select",
+    # expectations
+    "validate",
+    "quarantine",
+    "require",
+    "expect_unique",
+    "expect_subset",
     # recipes
     "run_pipeline",
     "standard_curation",
@@ -217,6 +223,11 @@ def __getattr__(name: str):
         "bm25_search": "fenix_spark.operators.bm25",
         "fuzzy_join": "fenix_spark.operators.fuzzy",
         "fuzzy_self_pairs": "fenix_spark.operators.fuzzy",
+        "validate": "fenix_spark.operators.expectations",
+        "quarantine": "fenix_spark.operators.expectations",
+        "require": "fenix_spark.operators.expectations",
+        "expect_unique": "fenix_spark.operators.expectations",
+        "expect_subset": "fenix_spark.operators.expectations",
         "run_pipeline": "fenix_spark.recipes",
         "standard_curation": "fenix_spark.recipes",
         "leakage_safe_split": "fenix_spark.operators.leakage",

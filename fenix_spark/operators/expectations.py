@@ -1,0 +1,106 @@
+"""Data-quality expectations — declarative rule checking for pipeline
+gates (the Great-Expectations pattern, Spark-native and scan-shaped).
+
+Three check classes by cost:
+
+- **Row rules** (`validate`): arbitrary boolean Column predicates,
+  ALL evaluated in ONE aggregation pass (each rule is a summed cast
+  inside the same agg — adding a rule adds a column, never a scan).
+  Optional quarantine split routes failing rows to a side output.
+- **Uniqueness** (`expect_unique`): one groupBy on the key columns —
+  the unavoidable shuffle, keyed only by the checked columns.
+- **Referential integrity** (`expect_subset`): one anti-join against
+  the dimension (broadcast when small — dimension keys usually are).
+
+Failing loudly is a mode, not the default: `validate` RETURNS the
+violation ledger; `require` wraps it and raises when any rule
+exceeds its tolerance — put `require` at pipeline gates, `validate`
+in monitoring.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Rule = tuple[str, Column]
+
+
+def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """(rule, violations, total, fraction) — one row per rule, ONE
+    scan total. A rule's predicate states what SHOULD hold; nulls
+    count as violations (an unknown is not a pass)."""
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for name, pred in rules:
+        aggs.append(
+            F.sum((~F.coalesce(pred, F.lit(False))).cast("long")).alias(name)
+        )
+    row = df.agg(*aggs).first()
+    total = row["__total"]
+    spark = df.sparkSession
+    out = [
+        (name, int(row[name]), int(total), (row[name] / total) if total else 0.0)
+        for name, _ in rules
+    ]
+    return spark.createDataFrame(
+        out, "rule string, violations bigint, total bigint, fraction double"
+    )
+
+
+def quarantine(
+    df: DataFrame, rules: Sequence[Rule]
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, bad): rows failing ANY rule go to ``bad`` with a
+    ``__failed`` array naming the rules they broke. Both outputs are
+    filters over the same scan — Catalyst shares the upstream plan."""
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.coalesce(pred, F.lit(False)), F.lit(name))
+                for name, pred in rules
+            ]
+        )
+    )
+    tagged = df.withColumn("__failed", failed)
+    clean = tagged.where(F.size("__failed") == 0).drop("__failed")
+    bad = tagged.where(F.size("__failed") > 0)
+    return clean, bad
+
+
+def require(
+    df: DataFrame, rules: Sequence[Rule], max_fraction: float = 0.0
+) -> DataFrame:
+    """Gate mode: raise if any rule's violation fraction exceeds
+    ``max_fraction``; returns ``df`` unchanged otherwise (chainable)."""
+    ledger = validate(df, rules).collect()
+    broken = [
+        r for r in ledger if r.total and r.fraction > max_fraction
+    ]
+    if broken:
+        detail = ", ".join(
+            f"{r.rule}: {r.violations}/{r.total} ({r.fraction:.2%})" for r in broken
+        )
+        raise ValueError(
+            f"expectation gate failed (tolerance {max_fraction:.2%}): {detail}"
+        )
+    return df
+
+
+def expect_unique(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """(…cols…, n) for every duplicated key — empty means unique."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def expect_subset(
+    df: DataFrame, col: str, dim: DataFrame, dim_col: str
+) -> DataFrame:
+    """Rows of ``df`` whose ``col`` has no match in ``dim.dim_col``
+    (dangling foreign keys) — empty means referentially intact."""
+    keys = F.broadcast(dim.select(F.col(dim_col).alias(col)).distinct())
+    return df.join(keys, col, "left_anti")

@@ -1,0 +1,82 @@
+"""Expectations tests: rule-ledger correctness (nulls are
+violations), one-scan plan contract, quarantine split semantics,
+gate raising, uniqueness and referential checks on real tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fenix_spark.operators.expectations import (
+    expect_subset,
+    expect_unique,
+    quarantine,
+    require,
+    validate,
+)
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    rows = [
+        (0, "ok", 10.0),
+        (1, "ok", -3.0),  # negative value
+        (2, None, 5.0),  # null status
+        (3, "ok", None),  # null value → violates value rule (unknown ≠ pass)
+        (4, "weird", 2.0),  # bad status
+    ]
+    return spark.createDataFrame(rows, "id bigint, status string, value double")
+
+
+def _rules():
+    # built lazily: Column construction needs an active session
+    return [
+        ("status_known", F.col("status").isin("ok", "closed")),
+        ("value_nonneg", F.col("value") >= 0),
+    ]
+
+
+def test_validate_ledger(spark, messy):
+    got = {r.rule: (r.violations, r.total) for r in validate(messy, _rules()).collect()}
+    assert got == {"status_known": (2, 5), "value_nonneg": (2, 5)}
+
+
+def test_validate_is_one_scan(spark, messy):
+    plan = validate(messy, _rules())  # plan inspection happens pre-collect
+    # the AGG dataframe: one aggregate over the source, no join/shuffle
+    agg_df = messy.agg(
+        F.count(F.lit(1)).alias("t"),
+        *[F.sum((~F.coalesce(p, F.lit(False))).cast("long")).alias(n) for n, p in _rules()],
+    )
+    s = agg_df._jdf.queryExecution().executedPlan().toString()
+    assert s.count("Scan") == 1
+    assert plan.count() == 2  # ledger rows, one per rule
+
+
+def test_quarantine_split(spark, messy):
+    clean, bad = quarantine(messy, _rules())
+    assert sorted(r.id for r in clean.collect()) == [0]
+    bad_rows = {r.id: list(r["__failed"]) for r in bad.collect()}
+    assert bad_rows[1] == ["value_nonneg"]
+    assert bad_rows[2] == ["status_known"]
+    assert bad_rows[3] == ["value_nonneg"]
+    assert bad_rows[4] == ["status_known"]
+    assert "__failed" not in clean.columns
+
+
+def test_require_gate(spark, messy):
+    with pytest.raises(ValueError, match="status_known"):
+        require(messy, _rules())
+    # generous tolerance passes and returns the frame unchanged
+    out = require(messy, _rules(), max_fraction=0.5)
+    assert out.count() == 5
+
+
+def test_unique_and_subset_on_tpch(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    assert expect_unique(orders, ["o_orderkey"]).count() == 0
+    assert expect_subset(orders, "o_custkey", customer, "c_custkey").count() == 0
+    # planted violation is caught
+    dangling = orders.limit(5).withColumn("o_custkey", F.lit(-999))
+    assert expect_subset(dangling, "o_custkey", customer, "c_custkey").count() == 5
