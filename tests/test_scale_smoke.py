@@ -1,0 +1,95 @@
+"""sf0.1 scale smoke (slow): the session-4 operator families on the
+largest local testdata — not micro-benchmarks, just proof that each
+runs to completion at 100× the unit-test size with sane outputs.
+The per-operator scale ARGUMENTS live in SCALE.md; this is the
+executable backstop."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.slow
+
+SF01 = "/root/testdata/sf0.1"
+
+
+@pytest.fixture(scope="module")
+def docs01(spark):
+    return spark.read.parquet(f"{SF01}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def events01(spark):
+    return spark.read.parquet(f"{SF01}/events.parquet")
+
+
+def test_heavy_hitters_sf01(spark, docs01):
+    from fenix_spark.operators.sketches import heavy_hitters
+
+    top = heavy_hitters(docs01, "text", k=10, m=1024).collect()
+    assert len(top) == 10
+    assert all(top[i]["count"] >= top[i + 1]["count"] for i in range(9))
+
+
+def test_dsir_sf01(spark, docs01):
+    from fenix_spark.operators.dsir import dsir_select, fit_importance_model
+
+    target = docs01.limit(500)
+    model = fit_importance_model(target, docs01, "text", "doc_id")
+    sel = dsir_select(docs01, "text", "doc_id", model, k=100, salt="s")
+    assert sel.count() == 100
+
+
+def test_hll_and_hist_rollups_sf01(spark, events01):
+    from fenix_spark.operators.sketches import (
+        hist_quantiles,
+        hist_rollup,
+        hll_merge,
+        hll_rollup,
+    )
+
+    total = hll_merge(
+        hll_rollup(events01, ["event_type"], "user_id"), []
+    ).first().distinct_est
+    exact = events01.agg(F.countDistinct("user_id")).first()[0]
+    assert abs(total - exact) <= 0.05 * exact
+
+    roll = hist_rollup(events01, ["event_type"], "value", 0.0, 1000.0, 256)
+    q = hist_quantiles(roll, ["event_type"], [0.5], 0.0, 1000.0, 256)
+    assert q.count() == events01.select("event_type").distinct().count()
+
+
+def test_paragraph_dedup_sf01(spark, docs01):
+    from fenix_spark.operators.paragraphs import dedup_paragraphs
+
+    out = dedup_paragraphs(docs01, "text", "doc_id")
+    n = out.count()
+    assert n == docs01.count()
+    # conservation at scale: every doc accounted, no text invented
+    assert out.where(F.col("kept_paragraphs") < 0).count() == 0
+
+
+def test_html_extraction_sf01(spark, docs01):
+    """documents.text isn't HTML; wrap it to exercise the extractor
+    at volume (regex chains over ~60k docs)."""
+    from fenix_spark.functions.html import boilerplate_features, html_to_text
+
+    wrapped = docs01.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+        ).alias("html"),
+    )
+    out = wrapped.select(
+        "doc_id",
+        html_to_text(F.col("html")).alias("t"),
+        boilerplate_features(F.col("html")).alias("f"),
+    )
+    row = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.length("t") > 0).cast("long")).alias("nonempty"),
+        F.avg("f.text_ratio").alias("ratio"),
+    ).first()
+    assert row.n == row.nonempty
+    assert 0.5 < row.ratio <= 1.0

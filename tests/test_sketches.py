@@ -232,3 +232,34 @@ def test_hist_duckdb_mirror(spark, events):
         """).fetchall()
     }
     assert got == want
+
+
+# ------------------------------------------------------ plan contracts
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_cms_plan_single_partial_agg_shuffle(spark, term_stream):
+    terms, _ = term_stream
+    p = _plan(cms_build(terms, "term", 4, 256))
+    # partial + final HashAggregate around exactly one exchange: the
+    # shuffle carries ≤ d·w keys, map-side combined
+    assert p.count("HashAggregate") == 2
+    assert p.count("Exchange") == 1
+
+
+def test_heavy_hitters_exact_pass_is_broadcast_semi(spark, documents):
+    from fenix_spark.functions.texthash import tokens
+    from fenix_spark.operators.sketches import heavy_hitters
+
+    p = _plan(heavy_hitters(documents.limit(50), "text", k=5, m=64))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+
+
+def test_hll_rollup_partial_aggregates(spark, events):
+    p = _plan(hll_rollup(events, ["event_type"], "user_id"))
+    # sketch agg is object-hash-aggregated with a partial phase
+    assert "ObjectHashAggregate" in p
+    assert p.count("Exchange") == 1
