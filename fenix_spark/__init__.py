@@ -46,6 +46,7 @@ __all__ = [
     "simhash_neardup_pairs",
     "winnow_fingerprints",
     "dedup_paragraphs",
+    "hashed_doc_embeddings",
     "doc_overlap_pairs",
     "connected_components",
     "dedup_keep_list",
@@ -167,6 +168,7 @@ def __getattr__(name: str):
         "simhash_neardup_pairs": "fenix_spark.operators.dedup",
         "winnow_fingerprints": "fenix_spark.operators.dedup",
         "dedup_paragraphs": "fenix_spark.operators.paragraphs",
+        "hashed_doc_embeddings": "fenix_spark.operators.embed",
         "doc_overlap_pairs": "fenix_spark.operators.paragraphs",
         "connected_components": "fenix_spark.operators.components",
         "pagerank": "fenix_spark.operators.graph",
