@@ -50,6 +50,7 @@ __all__ = [
     "doc_overlap_pairs",
     "connected_components",
     "dedup_keep_list",
+    "dedup_eval",
     "pagerank",
     # curation
     "deterministic_sample",
@@ -72,6 +73,8 @@ __all__ = [
     "fit_opq",
     "opq_transform",
     "rotate_query",
+    "build_opq_ivfpq_index",
+    "opq_ivfpq_search",
     # semantic dedup / incremental dedup
     "semantic_dedup",
     "semantic_dedup_pairs",
@@ -213,9 +216,12 @@ def __getattr__(name: str):
         "fit_opq": "fenix_spark.operators.opq",
         "opq_transform": "fenix_spark.operators.opq",
         "rotate_query": "fenix_spark.operators.opq",
+        "build_opq_ivfpq_index": "fenix_spark.operators.opq",
+        "opq_ivfpq_search": "fenix_spark.operators.opq",
         "semantic_dedup": "fenix_spark.operators.semdedup",
         "semantic_dedup_pairs": "fenix_spark.operators.semdedup",
         "minhash_state": "fenix_spark.operators.dedup",
+        "dedup_eval": "fenix_spark.operators.dedup",
         "incremental_neardup_pairs": "fenix_spark.operators.dedup",
         "train_bpe": "fenix_spark.functions.bpe",
         "bpe_encode": "fenix_spark.functions.bpe",

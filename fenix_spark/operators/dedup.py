@@ -494,3 +494,45 @@ def winnow_fingerprints(
     return spread(df).select(
         F.col(id_col).alias("id"), F.explode(let(hashes, mins)).alias("fp")
     )
+
+
+def dedup_eval(
+    predicted: DataFrame,
+    truth: DataFrame,
+    pred_cols: tuple[str, str] = ("id_l", "id_r"),
+    truth_cols: tuple[str, str] = ("id_l", "id_r"),
+) -> dict:
+    """Precision/recall/F1 of a predicted pair set against labeled
+    truth pairs — the tuning loop for threshold/band geometry.
+
+    Pairs are canonicalized (min, max) on both sides so orientation
+    never miscounts; the three counts are two semi/anti joins on
+    16-byte pair keys. Returns a dict (driver scalars) because this
+    is an evaluation summary, not a data product."""
+
+    def canon(df: DataFrame, cols: tuple[str, str]) -> DataFrame:
+        a, b = (F.col(cols[0]), F.col(cols[1]))
+        return df.select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        ).distinct()
+
+    p = canon(predicted, pred_cols).localCheckpoint(eager=False)
+    t = canon(truth, truth_cols).localCheckpoint(eager=False)
+    n_pred = p.count()
+    n_truth = t.count()
+    tp = p.join(t, ["a", "b"], "left_semi").count()
+    precision = tp / n_pred if n_pred else 1.0
+    recall = tp / n_truth if n_truth else 1.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
+    return {
+        "predicted": n_pred,
+        "truth": n_truth,
+        "true_positives": tp,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }

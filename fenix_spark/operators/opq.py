@@ -154,3 +154,44 @@ def fit_opq(
     rotated = df.withColumn("__opq", rotate_expr(column, rotation))
     coding = train_coding(rotated, "__opq", config, dim=dim)
     return OPQModel(rotation, coding, history)
+
+
+def build_opq_ivfpq_index(
+    df: DataFrame,
+    column: str,
+    model: OPQModel,
+    coarse_coding: DataFrame,
+    path: str,
+):
+    """Convenience composition: rotate → standard IVF-PQ build on the
+    rotated column (fine coding = the OPQ-trained one). Search with
+    ``opq_ivfpq_search`` which rotates the query. The index layout is
+    EXACTLY operators/index.build_ivfpq_index's — OPQ changes the
+    geometry, not the storage or query machinery.
+
+    ``coarse_coding`` must be trained on the ROTATED column (train it
+    on ``opq_transform(df, column, model)`` output) — coarse cells and
+    fine codes must live in the same rotated space."""
+    from fenix_spark.operators.index import build_ivfpq_index
+
+    rotated = opq_transform(df, column, model, out_col="__opq")
+    return build_ivfpq_index(rotated, "__opq", coarse_coding, model.coding, path)
+
+
+def opq_ivfpq_search(
+    indexed: DataFrame,
+    model: OPQModel,
+    coarse_coding: DataFrame,
+    query,
+    k: int = 10,
+    probes: int = 8,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    from fenix_spark.operators.index import ivfpq_search
+
+    return ivfpq_search(
+        indexed, coarse_coding, model.coding, "__opq",
+        rotate_query(query, model), metric="l2", k=k, probes=probes,
+        rerank=rerank, id_col=id_col,
+    )

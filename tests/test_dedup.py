@@ -208,3 +208,20 @@ def test_incremental_neardup_new_vs_new_and_identical_docs(spark):
         ).collect()
     }
     assert got == {(1, 10): 1.0, (1, 11): 1.0, (10, 11): 1.0}
+
+
+def test_dedup_eval_metrics(spark):
+    from fenix_spark.operators.dedup import dedup_eval
+
+    pred = spark.createDataFrame(
+        [(1, 2), (3, 4), (6, 5)], "id_l bigint, id_r bigint"
+    )
+    truth = spark.createDataFrame(
+        # (2,1) tests orientation canonicalization; (7,8) is missed
+        [(2, 1), (5, 6), (7, 8)], "id_l bigint, id_r bigint"
+    )
+    m = dedup_eval(pred, truth)
+    assert m["true_positives"] == 2
+    assert abs(m["precision"] - 2 / 3) < 1e-12
+    assert abs(m["recall"] - 2 / 3) < 1e-12
+    assert abs(m["f1"] - 2 / 3) < 1e-12

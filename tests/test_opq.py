@@ -90,3 +90,27 @@ def test_end_to_end_with_pq_surface(spark, correlated, model):
     q = rotate_query(x[7], model)
     hits = knn(rotated, "opq", q, k=1, metric="l2", id_col="id").collect()
     assert hits[0].id == 7
+
+
+def test_opq_ivfpq_composition(spark, correlated, model, tmp_path):
+    """rotate → IVF-PQ build → rotated-query search returns self as
+    nearest for database vectors (the end-to-end contract)."""
+    from fenix_spark.operators.coder import CodingConfig, train_coding
+    from fenix_spark.operators.opq import (
+        build_opq_ivfpq_index,
+        opq_ivfpq_search,
+        opq_transform,
+    )
+
+    df, x = correlated
+    rotated = opq_transform(df, "vec", model, out_col="__opq")
+    coarse = train_coding(
+        rotated, "__opq", CodingConfig(metric="l2", codebook_size=4, num_codebooks=1)
+    )
+    path = str(tmp_path / "opq_idx")
+    build_opq_ivfpq_index(df.withColumnRenamed("id", "vec_id"), "vec", model, coarse, path)
+    indexed = spark.read.parquet(path)
+    hits = opq_ivfpq_search(
+        indexed, model, coarse, x[11], k=3, probes=4, rerank=10
+    ).collect()
+    assert hits[0].vec_id == 11
