@@ -116,6 +116,11 @@ __all__ = [
     "fit_importance_model",
     "importance_weights",
     "dsir_select",
+    # conversations (SFT data)
+    "conversation_stats",
+    "conversation_checks",
+    "truncate_to_budget",
+    "render_training_text",
     # expectations
     "validate",
     "quarantine",
@@ -233,6 +238,10 @@ def __getattr__(name: str):
         "bm25_search": "fenix_spark.operators.bm25",
         "fuzzy_join": "fenix_spark.operators.fuzzy",
         "fuzzy_self_pairs": "fenix_spark.operators.fuzzy",
+        "conversation_stats": "fenix_spark.operators.conversations",
+        "conversation_checks": "fenix_spark.operators.conversations",
+        "truncate_to_budget": "fenix_spark.operators.conversations",
+        "render_training_text": "fenix_spark.operators.conversations",
         "validate": "fenix_spark.operators.expectations",
         "quarantine": "fenix_spark.operators.expectations",
         "require": "fenix_spark.operators.expectations",
