@@ -121,6 +121,10 @@ __all__ = [
     "conversation_checks",
     "truncate_to_budget",
     "render_training_text",
+    # preferences (RLHF data)
+    "preference_checks",
+    "preference_stats",
+    "length_debias_sample",
     # expectations
     "validate",
     "quarantine",
@@ -238,6 +242,9 @@ def __getattr__(name: str):
         "bm25_search": "fenix_spark.operators.bm25",
         "fuzzy_join": "fenix_spark.operators.fuzzy",
         "fuzzy_self_pairs": "fenix_spark.operators.fuzzy",
+        "preference_checks": "fenix_spark.operators.preferences",
+        "preference_stats": "fenix_spark.operators.preferences",
+        "length_debias_sample": "fenix_spark.operators.preferences",
         "conversation_stats": "fenix_spark.operators.conversations",
         "conversation_checks": "fenix_spark.operators.conversations",
         "truncate_to_budget": "fenix_spark.operators.conversations",
