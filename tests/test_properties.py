@@ -454,3 +454,76 @@ def test_temperature_flattening_monotone(counts, budget):
             return  # saturation changes the geometry; covered elsewhere
         allocs.append(r[small] * counts[small])
     assert allocs[0] <= allocs[1] + 1e-9 <= allocs[2] + 2e-9
+
+
+# ------------------------------------------------ paragraph dedup laws
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha beta gamma delta words", "epsilon zeta eta theta words",
+                             "iota kappa lambda mu words", "nu xi omicron pi words"]),
+            min_size=1, max_size=4,
+        ),
+        min_size=1, max_size=5,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_paragraph_dedup_identity_without_cross_doc_dups(spark, docs):
+    """Corpora where every paragraph is made unique per doc must pass
+    through dedup_paragraphs byte-identically (text rebuilt with the
+    canonical blank-line separator it was built with)."""
+    from fenix_spark.operators.paragraphs import dedup_paragraphs
+
+    rows = [
+        (i, "\n\n".join(f"{p} doc{i} para{j}" for j, p in enumerate(ps)))
+        for i, ps in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.id: r.text for r in dedup_paragraphs(df, "text", "doc_id").collect()}
+    for i, text in rows:
+        assert out[i] == text
+
+
+# --------------------------------------------- conversation budget law
+
+
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=8),
+    budget=st.integers(min_value=1, max_value=40),
+    with_sys=st.booleans(),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_truncate_budget_laws(spark, lens, budget, with_sys):
+    """Output is always a suffix of the input body (plus the system
+    turn), never exceeds the budget unless it is the bare system
+    turn, and is untouched when already within budget."""
+    from fenix_spark.operators.conversations import truncate_to_budget
+
+    msgs = ([{"role": "system", "content": "s y s"}] if with_sys else []) + [
+        {"role": "user" if i % 2 == 0 else "assistant", "content": "w " * n}
+        for i, n in enumerate(lens)
+    ]
+    df = spark.createDataFrame(
+        [(0, msgs)], "id bigint, messages array<struct<role string, content string>>"
+    )
+    out = truncate_to_budget(df, "messages", budget=budget).first().messages
+    out_contents = [m.content for m in out]
+    in_contents = [m["content"] for m in msgs]
+    sys_tok = 3 if with_sys else 0
+
+    body_out = out_contents[1:] if with_sys else out_contents
+    body_in = in_contents[1:] if with_sys else in_contents
+    # suffix law
+    assert body_out == (body_in[len(body_in) - len(body_out):] if body_out else [])
+    if with_sys:
+        assert out_contents[:1] == in_contents[:1]
+    # budget law (bare-system degenerate case exempt)
+    total = sys_tok + sum(len(c.split()) for c in body_out)
+    if body_out:
+        assert total <= budget
+    # identity law
+    full_total = sys_tok + sum(len(c.split()) for c in body_in)
+    if full_total <= budget:
+        assert out_contents == in_contents
