@@ -106,6 +106,7 @@ __all__ = [
     "cms_estimate",
     "heavy_hitters",
     "hist_rollup",
+    "hist_rollup_auto",
     "hist_merge",
     "hist_quantiles",
     # quality classifier
@@ -216,6 +217,7 @@ def __getattr__(name: str):
         "cms_estimate": "fenix_spark.operators.sketches",
         "heavy_hitters": "fenix_spark.operators.sketches",
         "hist_rollup": "fenix_spark.operators.sketches",
+        "hist_rollup_auto": "fenix_spark.operators.sketches",
         "hist_merge": "fenix_spark.operators.sketches",
         "hist_quantiles": "fenix_spark.operators.sketches",
         "train_quality_classifier": "fenix_spark.operators.quality",

@@ -197,6 +197,7 @@ def heavy_hitters(
     k: int = 20,
     m: int = 512,
     tokenize: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """The k most frequent terms with EXACT counts, at a cost that
     never shuffles the full term universe.
@@ -219,17 +220,20 @@ def heavy_hitters(
     from fenix_spark.functions.texthash import tokens
 
     src = spread(df)
+    w = F.col(weight_col).cast("bigint") if weight_col else F.lit(1).cast("bigint")
     if tokenize:
-        terms = src.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        if weight_col:
+            raise ValueError("weight_col applies to pre-tokenized term rows (tokenize=False)")
+        terms = src.select(F.explode(tokens(F.col(text_col))).alias("term"), F.lit(1).cast("bigint").alias("w"))
     else:
-        terms = src.select(F.col(text_col).alias("term"))
+        terms = src.select(F.col(text_col).alias("term"), w.alias("w"))
 
     mm = m
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict = {}
         for pdf in batches:
-            for t, c in pdf["term"].value_counts().items():
+            for t, c in pdf.groupby("term")["w"].sum().items():
                 counts[t] = counts.get(t, 0) + int(c)
             counts = _mg_shrink(counts, mm)
         yield pd.DataFrame(
@@ -242,7 +246,7 @@ def heavy_hitters(
     exact = (
         terms.join(F.broadcast(candidates.select("term")), "term", "left_semi")
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("count"))
+        .agg(F.sum("w").alias("count"))
     )
     return exact.orderBy(F.col("count").desc(), F.col("term").asc()).limit(k)
 
@@ -324,3 +328,23 @@ def hist_quantiles(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+def hist_rollup_auto(
+    df: DataFrame, keys: Sequence[str], value_col: str, bins: int = 128
+) -> tuple[DataFrame, float, float]:
+    """``hist_rollup`` with the range read from the data (one min/max
+    aggregation — a cheap pushdown-friendly scan). Returns
+    (rollup, lo, hi) so quantile queries reuse the fitted range.
+    The range is a FIT parameter: persist (lo, hi) with the rollup;
+    merging rollups requires identical ranges (assert, don't guess)."""
+    row = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        F.max(F.col(value_col).cast("double")).alias("hi"),
+    ).first()
+    lo, hi = row["lo"], row["hi"]
+    if lo is None or hi is None:
+        raise ValueError(f"hist_rollup_auto: {value_col} has no non-null values")
+    if hi <= lo:
+        hi = lo + 1.0  # degenerate single-value column: one bin wide
+    return hist_rollup(df, keys, value_col, lo, hi, bins), lo, hi

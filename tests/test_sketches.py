@@ -263,3 +263,24 @@ def test_hll_rollup_partial_aggregates(spark, events):
     # sketch agg is object-hash-aggregated with a partial phase
     assert "ObjectHashAggregate" in p
     assert p.count("Exchange") == 1
+
+
+def test_heavy_hitters_weighted(spark):
+    rows = [("a", 100), ("b", 1)] * 30 + [("c", 5)] * 30
+    df = spark.createDataFrame(rows, "term string, w bigint")
+    got = [
+        (r.term, r["count"])
+        for r in heavy_hitters(
+            df, "term", k=3, m=16, tokenize=False, weight_col="w"
+        ).collect()
+    ]
+    assert got == [("a", 3000), ("c", 150), ("b", 30)]
+
+
+def test_hist_rollup_auto_range(spark, events):
+    from fenix_spark.operators.sketches import hist_merge, hist_rollup_auto
+
+    roll, lo, hi = hist_rollup_auto(events, ["event_type"], "value", bins=64)
+    assert lo <= hi
+    n = hist_merge(roll, []).agg(F.sum("c")).first()[0]
+    assert n == events.count()
