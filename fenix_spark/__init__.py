@@ -84,6 +84,8 @@ __all__ = [
     # text tooling
     "train_bpe",
     "bpe_encode",
+    "train_unigram",
+    "unigram_encode",
     "train_bigram_lm",
     "perplexity",
     "build_bm25_index",
@@ -237,6 +239,8 @@ def __getattr__(name: str):
         "dedup_eval": "fenix_spark.operators.dedup",
         "incremental_neardup_pairs": "fenix_spark.operators.dedup",
         "train_bpe": "fenix_spark.functions.bpe",
+        "train_unigram": "fenix_spark.functions.unigram",
+        "unigram_encode": "fenix_spark.functions.unigram",
         "bpe_encode": "fenix_spark.functions.bpe",
         "train_bigram_lm": "fenix_spark.functions.ngram_lm",
         "perplexity": "fenix_spark.functions.ngram_lm",
