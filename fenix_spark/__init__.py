@@ -90,6 +90,8 @@ __all__ = [
     "perplexity",
     "build_bm25_index",
     "bm25_search",
+    "rrf_fuse",
+    "hybrid_search",
     "fuzzy_join",
     "fuzzy_self_pairs",
     # web extraction
@@ -246,6 +248,8 @@ def __getattr__(name: str):
         "perplexity": "fenix_spark.functions.ngram_lm",
         "build_bm25_index": "fenix_spark.operators.bm25",
         "bm25_search": "fenix_spark.operators.bm25",
+        "rrf_fuse": "fenix_spark.operators.hybrid",
+        "hybrid_search": "fenix_spark.operators.hybrid",
         "fuzzy_join": "fenix_spark.operators.fuzzy",
         "fuzzy_self_pairs": "fenix_spark.operators.fuzzy",
         "preference_checks": "fenix_spark.operators.preferences",

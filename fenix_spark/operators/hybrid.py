@@ -1,0 +1,98 @@
+"""Hybrid retrieval — fuse lexical (BM25) and vector (KNN) rankings
+with Reciprocal Rank Fusion (Cormack et al., SIGIR 2009): the
+standard production combiner because it needs NO score calibration
+(ranks only), is robust to one ranker failing, and is a one-line
+formula: ``rrf(d) = Σ_rankers 1 / (rrf_k + rank_d)``.
+
+Spark shape: each ranker returns its top-n as a small DataFrame
+(both are TakeOrderedAndProject plans); the fusion is a full-outer
+join of two ≤n-row frames + one ranking — driver-scale work by
+construction, independent of corpus size. Missing ranks contribute
+nothing (the 1/(k+rank) term is absent, per the original RRF paper).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Fuse ranker outputs (each already best-first; row order is
+    made explicit with a window rank per input) into top-k
+    (id, rrf_score, n_rankers). Deterministic: 6dp-rounded score,
+    id tiebreak."""
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked frame")
+    scored = None
+    for i, df in enumerate(ranked):
+        # materialize this ranker's rank from its own ordering columns:
+        # callers pass frames whose FIRST non-id column is the ranking
+        # key, best-first after their own orderBy — re-rank explicitly
+        # so fusion never depends on physical row order
+        order_col = [c for c in df.columns if c != id_col][0]
+        asc = order_col.lower().endswith(("distance", "dist"))
+        w = Window.orderBy(
+            F.col(order_col).asc() if asc else F.col(order_col).desc(),
+            F.col(id_col).asc(),
+        )
+        r = df.select(
+            F.col(id_col).alias("id"),
+            F.row_number().over(w).alias(f"rank_{i}"),
+        )
+        scored = r if scored is None else scored.join(r, "id", "full_outer")
+    terms = [
+        F.when(
+            F.col(f"rank_{i}").isNotNull(),
+            F.lit(1.0) / (F.lit(rrf_k) + F.col(f"rank_{i}")),
+        ).otherwise(F.lit(0.0))
+        for i in range(len(ranked))
+    ]
+    present = sum(
+        F.col(f"rank_{i}").isNotNull().cast("int") for i in range(len(ranked))
+    )
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return (
+        scored.select(
+            "id",
+            (F.round(total, 6) + F.lit(0.0)).alias("rrf_score"),
+            present.alias("n_rankers"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def hybrid_search(
+    spark: SparkSession,
+    docs: DataFrame,
+    bm25_index,
+    query_text: str,
+    query_vec,
+    embedding_col: str = "embedding",
+    id_col: str = "doc_id",
+    k: int = 10,
+    candidates_per_ranker: int = 50,
+    metric: str = "cosine",
+) -> DataFrame:
+    """BM25 + brute-KNN top-``candidates_per_ranker`` each, RRF-fused
+    to top-k. Swap the knn arm for ``probe_search``/``ivfpq_search``
+    at index scale — fusion only sees the two small result frames."""
+    from fenix_spark.operators.bm25 import bm25_search
+    from fenix_spark.operators.search import knn
+
+    lex = bm25_search(spark, bm25_index, query_text, k=candidates_per_ranker)
+    vec = knn(
+        docs, embedding_col, query_vec, metric=metric,
+        k=candidates_per_ranker, id_col=id_col,
+    ).select(F.col(id_col), F.col("__DISTANCE__").alias("distance"))
+    return rrf_fuse(
+        [lex.select(id_col, "score"), vec], id_col=id_col, k=k
+    )
