@@ -100,3 +100,40 @@ def repetition_flags(
             & (F.col("top_ngram_frac") <= max_top_ngram_frac),
         )
     )
+
+
+def compression_ratios(
+    df: "DataFrame", text_col: str, id_col: str, level: int = 6
+) -> "DataFrame":
+    """(id, raw_len, zlib_len, ratio) — DEFLATE compressibility as a
+    repetitiveness signal (the Gopher-family quality rule the n-gram
+    fractions approximate): boilerplate/template/spam text compresses
+    far below prose (~0.3 ratio vs ~0.6+), and the signal is
+    tokenizer-free.
+
+    This is the text family's ONE non-native column op — Spark SQL
+    has no DEFLATE expression — so it runs as an Arrow-batched pandas
+    UDF (zlib is C-speed; the batch boundary, not the row, is the
+    Python cost). Keep it out of hot scans; score once, persist."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("struct<raw_len: int, zlib_len: int, ratio: double>")
+    def comp(texts):
+        import zlib
+
+        raw, comp_len, ratio = [], [], []
+        for t in texts:
+            b = (t or "").encode("utf-8")
+            c = len(zlib.compress(b, level)) if b else 0
+            raw.append(len(b))
+            comp_len.append(c)
+            ratio.append(round(c / len(b), 6) if b else None)
+        return pd.DataFrame({"raw_len": raw, "zlib_len": comp_len, "ratio": ratio})
+
+    from fenix_spark.operators.dedup import spread
+
+    out = spread(df).select(
+        F.col(id_col).alias("id"), comp(F.col(text_col)).alias("c")
+    )
+    return out.select("id", "c.raw_len", "c.zlib_len", "c.ratio")

@@ -62,3 +62,25 @@ def test_repetition_flags_on_documents(spark, documents):
     # plan must stay expression-only (no Python eval)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_compression_ratio_separates_repetitive_from_prose(spark):
+    from fenix_spark.functions.scrub import compression_ratios
+
+    rows = [
+        (0, "spam spam spam spam " * 50),
+        (1, "The quarterly report outlines revenue growth across distinct "
+            "regions, with particular strength in renewables and logistics, "
+            "while cautioning that currency headwinds may compress margins."),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.id: r for r in compression_ratios(df, "text", "doc_id").collect()}
+    assert got[0].ratio < 0.1          # highly repetitive
+    assert got[1].ratio > 0.5          # prose
+    assert got[2].ratio is None and got[2].raw_len == 0
+    # exact zlib parity with the driver
+    import zlib
+
+    b = rows[1][1].encode()
+    assert got[1].zlib_len == len(zlib.compress(b, 6))
