@@ -35,7 +35,7 @@ from __future__ import annotations
 from collections import Counter, defaultdict
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fenix_spark.functions.texthash import BPE_TOKEN_RE
@@ -208,3 +208,17 @@ def bpe_encode(
         return texts.map(one)
 
     return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+def save_bpe(spark: SparkSession, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the merge table as an ordered parquet table (rank is
+    the merge priority — the WHOLE model state, engine-readable)."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    spark.createDataFrame(rows, "rank int, left string, right string").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_bpe(spark: SparkSession, path: str) -> list[tuple[str, str]]:
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"]) for r in rows]

@@ -168,3 +168,15 @@ def unigram_encode(
         return pd.Series([one(t) for t in texts])
 
     return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+def save_unigram(spark, logp: dict[str, float], path: str) -> None:
+    """Persist piece→logprob as a parquet table (the whole model)."""
+    rows = [(p, float(s)) for p, s in sorted(logp.items())]
+    spark.createDataFrame(rows, "piece string, logp double").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_unigram(spark, path: str) -> dict[str, float]:
+    return {r["piece"]: r["logp"] for r in spark.read.parquet(path).collect()}

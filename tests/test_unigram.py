@@ -101,3 +101,25 @@ def test_spark_encode_matches_driver_viterbi(spark, corpus, model):
     for w in lexer.findall(row.text):
         want.extend(_viterbi(w, model, max_len))
     assert list(got) == want
+
+
+def test_tokenizer_persistence_roundtrip(spark, corpus, model, tmp_path):
+    """Saved models reload into byte-identical encoders (BPE and
+    unigram both)."""
+    from fenix_spark.functions.bpe import bpe_encode, load_bpe, save_bpe, train_bpe
+    from fenix_spark.functions.unigram import load_unigram, save_unigram
+
+    save_unigram(spark, model, str(tmp_path / "uni"))
+    back = load_unigram(spark, str(tmp_path / "uni"))
+    assert back == model
+    a = unigram_encode(corpus.limit(3), "text", model).collect()
+    b = unigram_encode(corpus.limit(3), "text", back).collect()
+    assert [list(r.unigram_tokens) for r in a] == [list(r.unigram_tokens) for r in b]
+
+    merges = train_bpe(corpus, "text", num_merges=30)
+    save_bpe(spark, merges, str(tmp_path / "bpe"))
+    merges2 = load_bpe(spark, str(tmp_path / "bpe"))
+    assert merges2 == merges
+    x = bpe_encode(corpus.limit(3), "text", merges).collect()
+    y = bpe_encode(corpus.limit(3), "text", merges2).collect()
+    assert [list(r.bpe_tokens) for r in x] == [list(r.bpe_tokens) for r in y]
