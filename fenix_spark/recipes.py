@@ -197,3 +197,62 @@ def standard_curation(
     if scrub:
         stages.append(scrub_stage(text_col))
     return stages
+
+
+def paragraph_dedup_stage(text_col: str, id_col: str, min_chars: int = 20) -> Stage:
+    """Rewrite documents with globally-repeated paragraphs removed
+    (operators/paragraphs.py); rows survive (possibly emptied — pair
+    with ``min_length_stage`` downstream)."""
+    from fenix_spark.operators.paragraphs import dedup_paragraphs
+
+    def fn(df: DataFrame) -> DataFrame:
+        deduped = dedup_paragraphs(df, text_col, id_col, min_chars).select(
+            F.col("id").alias(id_col), F.col("text").alias("__new_text")
+        )
+        return (
+            df.join(deduped, id_col)
+            .withColumn(text_col, F.col("__new_text"))
+            .drop("__new_text")
+        )
+
+    return ("paragraph_dedup", fn)
+
+
+def compression_stage(
+    text_col: str, id_col: str, min_ratio: float = 0.15
+) -> Stage:
+    """Drop pathologically compressible (repetitive) documents —
+    ratio below ``min_ratio`` (functions/scrub.compression_ratios);
+    empty docs (null ratio) are dropped too."""
+    from fenix_spark.functions.scrub import compression_ratios
+
+    def fn(df: DataFrame) -> DataFrame:
+        keep = compression_ratios(df, text_col, id_col).where(
+            F.col("ratio") >= min_ratio
+        ).select(F.col("id").alias(id_col))
+        return df.join(keep, id_col, "left_semi")
+
+    return ("compression", fn)
+
+
+def min_length_stage(text_col: str, min_chars: int = 1) -> Stage:
+    def fn(df: DataFrame) -> DataFrame:
+        return df.where(F.length(F.trim(F.col(text_col))) >= min_chars)
+
+    return ("min_length", fn)
+
+
+def dsir_stage(
+    text_col: str, id_col: str, model, k: int, salt: str = ""
+) -> Stage:
+    """Importance-resample down to k documents (operators/dsir.py) —
+    the terminal budget stage of a target-matched curation recipe."""
+    from fenix_spark.operators.dsir import dsir_select
+
+    def fn(df: DataFrame) -> DataFrame:
+        keep = dsir_select(df, text_col, id_col, model, k, salt).select(
+            F.col("id").alias(id_col)
+        )
+        return df.join(keep, id_col, "left_semi")
+
+    return ("dsir_select", fn)

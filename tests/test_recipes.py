@@ -86,3 +86,44 @@ def test_custom_stage_composition(spark, planted):
     out, reports = run_pipeline(docs, stages)
     assert [r.name for r in reports] == ["exact_dedup", "sample"]
     assert reports[1].rows_out <= reports[1].rows_in
+
+
+def test_extended_stages_compose(spark, planted):
+    from fenix_spark.operators.dsir import fit_importance_model
+    from fenix_spark.recipes import (
+        compression_stage,
+        dsir_stage,
+        min_length_stage,
+        paragraph_dedup_stage,
+    )
+
+    docs, _ = planted
+    # add a repetitive doc and a shared-paragraph pair
+    para = "this exact paragraph repeats across documents in the corpus today"
+    extra = spark.createDataFrame(
+        [
+            (300, "junk " * 200),
+            (301, f"unique intro alpha\n\n{para}"),
+            (302, f"unique intro beta\n\n{para}"),
+        ],
+        "doc_id bigint, text string",
+    )
+    corpus = docs.unionByName(extra)
+    model = fit_importance_model(
+        docs.limit(5), corpus, "text", "doc_id", buckets=499
+    )
+    stages = [
+        paragraph_dedup_stage("text", "doc_id"),
+        compression_stage("text", "doc_id", min_ratio=0.15),
+        min_length_stage("text", min_chars=5),
+        dsir_stage("text", "doc_id", model, k=8, salt="r"),
+    ]
+    out, reports = run_pipeline(corpus, stages, audit=True)
+    by_name = {r.name: r for r in reports}
+    assert by_name["paragraph_dedup"].dropped == 0  # rewrites, not drops
+    assert by_name["compression"].dropped >= 1  # the junk doc dies
+    assert by_name["dsir_select"].rows_out == 8
+    final = {r.doc_id: r.text for r in out.collect()}
+    # the shared paragraph survives in at most one of 301/302
+    n_para = sum(1 for t in final.values() if para in t)
+    assert n_para <= 1
