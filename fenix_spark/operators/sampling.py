@@ -241,3 +241,40 @@ def temperature_mixture(
         counts = [df.count() for df in sources]
     rates = temperature_rates(list(counts), temperature, budget)
     return mixture(list(zip(sources, rates)), id_col, salt=salt)
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Diversity-balanced sampling: spread ``budget`` rows EQUALLY
+    across the values of ``cluster_col`` (semantic clusters, sources,
+    languages — any partition of the corpus), water-filling quotas
+    when small clusters can't absorb their share
+    (:func:`temperature_rates` at the uniform limit).
+
+    The cluster pass is one tiny groupBy count; the sample itself is
+    the usual pure row-hash filter — the per-cluster rate arrives via
+    a broadcast join of ≤ |clusters| rows, so the whole operator adds
+    ZERO corpus-sized shuffles. Pair with ``coder.train_coding`` +
+    ``index.assign_code_expr`` to derive ``cluster_col`` from an
+    embedding column (the SemDeDup-style semantic grid)."""
+    counts = df.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    clusters = [r[cluster_col] for r in counts]
+    rates = temperature_rates([r["__n"] for r in counts], 1e-9, budget)
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(
+        [(c, float(r)) for c, r in zip(clusters, rates)],
+        schema=df.select(cluster_col).schema.add("__rate", "double"),
+    )
+    return (
+        df.join(F.broadcast(rate_df), cluster_col)
+        .where(
+            hash_bucket(F.col(id_col), salt)
+            < F.round(F.col("__rate") * _BUCKETS).cast("int")
+        )
+        .drop("__rate")
+    )

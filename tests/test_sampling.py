@@ -197,3 +197,28 @@ def test_temperature_mixture_realized_counts(spark):
     # uniform shares: ~1000 from each; hash sampling is ±~3σ of binomial
     for s in (0, 1):
         assert abs(per_src[s] - 1000) < 120
+
+
+def test_cluster_balanced_sample(spark):
+    from fenix_spark.operators.sampling import cluster_balanced_sample
+
+    # three lopsided clusters: 6000 / 3000 / 60 rows
+    df = spark.range(9060).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 6000, "a")
+        .when(F.col("id") < 9000, "b")
+        .otherwise("c")
+        .alias("cluster"),
+    )
+    out = cluster_balanced_sample(df, "cluster", "doc_id", budget=3000, salt="s")
+    per = {r.cluster: r.n for r in out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # c (60 rows) is fully taken; a/b water-fill the remainder ~1470 each
+    assert per["c"] == 60
+    assert abs(per["a"] - 1470) < 130 and abs(per["b"] - 1470) < 130
+    # deterministic under repartition
+    again = cluster_balanced_sample(
+        df.repartition(11), "cluster", "doc_id", budget=3000, salt="s"
+    )
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in out.collect()
+    )
