@@ -199,3 +199,13 @@ def test_artifact_stamp_rebuilds_on_source_change(spark, tmp_path, monkeypatch):
     assert not os.path.isfile(marker)
     c2 = {(r["codebook"], r["cell"]): r["centroid"] for r in coding2.collect()}
     assert c1 != c2  # retrained on the new distribution
+
+
+def test_tune_session_idempotent_and_utc(spark):
+    from fenix_spark.session import tune_session
+
+    out = tune_session(spark)
+    assert out is spark
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    # safe to call repeatedly (the driver entry point does)
+    tune_session(spark)
