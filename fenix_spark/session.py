@@ -47,3 +47,72 @@ def tune_session(spark: SparkSession) -> SparkSession:
     except Exception:
         pass  # immutable on some deployments; defaults are acceptable
     return spark
+
+
+def recommend_confs(
+    input_bytes: int,
+    cores_total: int = 32,
+    executor_mem_bytes: int = 4 << 30,
+    cores_per_executor: int = 4,
+    target_partition_bytes: int = 128 << 20,
+    shuffle_amplification: float = 1.0,
+    memory_safety: int = 5,
+) -> dict:
+    """Spill-aware sizing for a dataset of ``input_bytes`` — the
+    arithmetic behind "set shuffle.partitions so a partition fits in
+    memory", written down once instead of re-derived per incident:
+
+    - scan parallelism: ``maxPartitionBytes`` stays at the 128 MiB
+      sweet spot (row-group aligned); the file source yields
+      ``input/128MiB`` splits on its own, no conf needed.
+    - shuffle width: a shuffle task must hold ~its partition
+      deserialized (×2-8 expansion off parquet; ``memory_safety``
+      covers expansion + execution overhead). Budget per task =
+      ``executor_mem / cores_per_executor / memory_safety``; width =
+      shuffled bytes / budget, rounded UP to a multiple of
+      ``cores_total`` (full final waves), floored at 2×cores.
+      ``shuffle_amplification`` scales for plans that shuffle more
+      than they scan (self-joins) or less (pre-aggregations — but
+      leave 1.0 unless measured: AQE coalesces over-partitioning
+      cheaply, under-partitioning spills).
+    - AQE advisory size: 64 MiB post-shuffle targets keep coalesced
+      partitions task-sized without re-fragmenting.
+
+    Returns {conf: value} plus a ``rationale`` map; apply with
+    ``apply_confs``. At 100 TB / 1000 executors × 4 cores this lands
+    ~200k shuffle partitions — the scale where the default 200 means
+    500 GB per task and certain death."""
+    import math
+
+    shuffled = int(input_bytes * shuffle_amplification)
+    per_task_budget = max(1, executor_mem_bytes // cores_per_executor // memory_safety)
+    width = max(2 * cores_total, math.ceil(shuffled / per_task_budget))
+    width = math.ceil(width / cores_total) * cores_total
+    confs = {
+        "spark.sql.shuffle.partitions": str(width),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_bytes),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(64 << 20),
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+    }
+    rationale = {
+        "spark.sql.shuffle.partitions": (
+            f"{shuffled / 2**40:.1f} TiB shuffled / "
+            f"{per_task_budget / 2**20:.0f} MiB per-task budget "
+            f"(mem {executor_mem_bytes / 2**30:.0f}g ÷ {cores_per_executor} cores "
+            f"÷ safety {memory_safety}), rounded to ×{cores_total} cores"
+        ),
+        "spark.sql.files.maxPartitionBytes": "128 MiB row-group-aligned scan splits",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64 MiB post-shuffle coalesce target",
+    }
+    return {"confs": confs, "rationale": rationale}
+
+
+def apply_confs(spark: SparkSession, rec: dict) -> SparkSession:
+    for k, v in rec["confs"].items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 - immutable conf on this deployment
+            pass
+    return spark

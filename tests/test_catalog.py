@@ -209,3 +209,32 @@ def test_tune_session_idempotent_and_utc(spark):
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     # safe to call repeatedly (the driver entry point does)
     tune_session(spark)
+
+
+def test_recommend_confs_arithmetic():
+    from fenix_spark.session import recommend_confs
+
+    # 100 TB on 1000 executors × 4 cores, 16g each
+    rec = recommend_confs(
+        100 << 40, cores_total=4000, executor_mem_bytes=16 << 30,
+        cores_per_executor=4, memory_safety=5,
+    )
+    width = int(rec["confs"]["spark.sql.shuffle.partitions"])
+    # per-task budget 16g/4/5 ≈ 819 MiB → ~131k partitions, ×cores rounded
+    assert 120_000 <= width <= 140_000
+    assert width % 4000 == 0
+    # tiny input floors at 2× cores
+    small = recommend_confs(1 << 30, cores_total=32)
+    assert int(small["confs"]["spark.sql.shuffle.partitions"]) == 64
+    assert "rationale" in small and "spark.sql.shuffle.partitions" in small["rationale"]
+
+
+def test_apply_confs(spark):
+    from fenix_spark.session import apply_confs, recommend_confs
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    rec = recommend_confs(1 << 30, cores_total=16)
+    apply_confs(spark, rec)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == rec["confs"]["spark.sql.shuffle.partitions"]
+    # restore the session conf for the rest of the suite
+    spark.conf.set("spark.sql.shuffle.partitions", before)
