@@ -64,6 +64,8 @@ def pagerank(
         "node", "deg"
     ).localCheckpoint(eager=False)
 
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be ≥ 1 (got {max_iter})")
     ranks = nd.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     for _ in range(max_iter):

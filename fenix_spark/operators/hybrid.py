@@ -22,21 +22,35 @@ def rrf_fuse(
     id_col: str = "doc_id",
     k: int = 10,
     rrf_k: int = 60,
+    ascending: list[bool] | None = None,
 ) -> DataFrame:
     """Fuse ranker outputs (each already best-first; row order is
     made explicit with a window rank per input) into top-k
     (id, rrf_score, n_rankers). Deterministic: 6dp-rounded score,
-    id tiebreak."""
+    id tiebreak.
+
+    Rank direction per input: pass ``ascending`` explicitly (True =
+    smaller-is-better, e.g. distances). When omitted, a NAME
+    heuristic applies — columns ending in 'distance'/'dist' rank
+    ascending, everything else descending — which is right for this
+    repo's rankers but is a guess for arbitrary frames; passing the
+    list is the contract-safe form."""
     if not ranked:
         raise ValueError("rrf_fuse needs at least one ranked frame")
+    if ascending is not None and len(ascending) != len(ranked):
+        raise ValueError(
+            f"ascending has {len(ascending)} entries for {len(ranked)} frames"
+        )
     scored = None
     for i, df in enumerate(ranked):
-        # materialize this ranker's rank from its own ordering columns:
-        # callers pass frames whose FIRST non-id column is the ranking
-        # key, best-first after their own orderBy — re-rank explicitly
-        # so fusion never depends on physical row order
+        # re-rank from the frame's FIRST non-id column so fusion never
+        # depends on physical row order
         order_col = [c for c in df.columns if c != id_col][0]
-        asc = order_col.lower().endswith(("distance", "dist"))
+        asc = (
+            ascending[i]
+            if ascending is not None
+            else order_col.lower().endswith(("distance", "dist"))
+        )
         w = Window.orderBy(
             F.col(order_col).asc() if asc else F.col(order_col).desc(),
             F.col(id_col).asc(),

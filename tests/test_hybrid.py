@@ -66,3 +66,16 @@ def test_hybrid_end_to_end(spark):
     ).collect()
     assert top[0].id == 0
     assert top[0].n_rankers == 2
+
+
+def test_rrf_explicit_ascending_overrides_heuristic(spark):
+    # a column named "score" that is actually a DISTANCE: the
+    # heuristic would rank it descending; explicit ascending fixes it
+    a = spark.createDataFrame([(1, 0.1), (2, 9.0)], "doc_id bigint, score double")
+    heur = rrf_fuse([a], k=1).first()
+    expl = rrf_fuse([a], k=1, ascending=[True]).first()
+    assert heur.id == 2 and expl.id == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ascending"):
+        rrf_fuse([a, a], ascending=[True])
