@@ -108,5 +108,8 @@ def hybrid_search(
         k=candidates_per_ranker, id_col=id_col,
     ).select(F.col(id_col), F.col("__DISTANCE__").alias("distance"))
     return rrf_fuse(
-        [lex.select(id_col, "score"), vec], id_col=id_col, k=k
+        [lex.select(id_col, "score"), vec],
+        id_col=id_col,
+        k=k,
+        ascending=[False, True],  # bm25 score desc, distance asc
     )
