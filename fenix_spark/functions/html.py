@@ -66,8 +66,9 @@ def html_to_text(html: Column) -> Column:
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
     for ent, rep in _NAMED_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(rep))
-    # decimal + hex numeric entities for the ASCII range are safe to
-    # decode positionally via chr; beyond that, count as residue
+    # numeric entities (&#66; / &#x44;) are NOT decoded here — they
+    # stay literal and show up in entity_residue, which is the routing
+    # signal for the heavy (html.unescape) decoder
     c = F.regexp_replace(c, r"[ \t\x0b\f\r]+", " ")
     c = F.regexp_replace(c, r" ?\n ?", "\n")
     c = F.regexp_replace(c, r"\n{2,}", "\n\n")

@@ -54,6 +54,13 @@ def mine_contrastive_pairs(
     hard_negative}; per-anchor output capped at ``max_pairs_per_doc``
     per label (highest-jaccard kept — for negatives, closest-but-
     distinct is hardest, which is the point)."""
+    if num_components < bands or num_components % bands:
+        raise ValueError(
+            f"num_components={num_components} must be a positive multiple "
+            f"of bands={bands}: rows_per_band = num_components // bands "
+            "would be 0 and every row would share one empty band key — "
+            "a silent all-pairs cross join"
+        )
     if not (neg_low < neg_high <= pos_threshold):
         raise ValueError(
             f"thresholds must satisfy neg_low < neg_high <= pos_threshold "
@@ -96,30 +103,38 @@ def mine_contrastive_pairs(
 
 
 def easy_negative_pairs(
-    df: DataFrame, id_col: str, salt: str = ""
+    df: DataFrame, id_col: str, salt: str = "", buckets: int = 1024
 ) -> DataFrame:
     """(id_a, id_b, label='easy_negative') — each id paired with its
-    successor in hash-permutation order (a cyclic shift: every id
-    appears exactly once as anchor and once as pair, no self-pairs
-    for n ≥ 2). Deterministic, one window over the hash order, no
-    sampling state."""
+    successor in hash order WITHIN its hash bucket (per-bucket cyclic
+    shift). Deterministic, and the window is PARTITIONED by bucket so
+    the sort parallelizes across the cluster — a global-order window
+    would funnel the whole corpus through one task, the exact
+    anti-pattern this module's scale ledger forbids.
+
+    Hash-bucketed pairing is statistically identical to a global
+    shift for the 'easy negative' purpose (partners are hash-random
+    either way). Ids in singleton buckets (only when corpus size ≲
+    buckets) have no in-bucket partner and are dropped — shrink
+    ``buckets`` for tiny corpora if full anchor coverage matters."""
+    h = hash60(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     keyed = df.select(
         F.col(id_col).alias("id_a"),
-        hash60(F.concat(F.col(id_col).cast("string"), F.lit(salt))).alias("__h"),
+        h.alias("__h"),
+        (h % buckets).alias("__bucket"),
     )
-    w = Window.orderBy("__h", "id_a")
-    nxt = keyed.select(
+    w = Window.partitionBy("__bucket").orderBy("__h", "id_a")
+    w_full = (
+        Window.partitionBy("__bucket")
+        .orderBy("__h", "id_a")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    closed = keyed.select(
         "id_a",
-        F.lead("id_a", 1).over(w).alias("id_b"),
-        F.row_number().over(w).alias("__rn"),
-    )
-    first = keyed.orderBy("__h", "id_a").limit(1).select(
-        F.col("id_a").alias("__first")
-    )
-    # close the cycle: the last row pairs with the first
-    closed = nxt.crossJoin(F.broadcast(first)).select(
-        "id_a",
-        F.coalesce(F.col("id_b"), F.col("__first")).alias("id_b"),
+        # successor in the bucket; the last row wraps to the bucket's first
+        F.coalesce(
+            F.lead("id_a", 1).over(w), F.first("id_a").over(w_full)
+        ).alias("id_b"),
     )
     return closed.where(F.col("id_a") != F.col("id_b")).withColumn(
         "label", F.lit("easy_negative")

@@ -168,11 +168,17 @@ def render_training_text(
 ) -> DataFrame:
     """Flatten to ``<|role|>\\ncontent`` blocks — the hand-off format
     for the tokenize/pack stages (operators/packing.py)."""
+    # coalesce role/content: concat null-propagates and array_join
+    # then DROPS the whole turn — a malformed message must surface as
+    # an empty-content block, not silently vanish from training text
     rendered = F.array_join(
         F.transform(
             F.col(messages_col),
             lambda x: F.concat(
-                F.lit("<|"), x["role"], F.lit("|>\n"), x["content"]
+                F.lit("<|"),
+                F.coalesce(x["role"], F.lit("unknown")),
+                F.lit("|>\n"),
+                F.coalesce(x["content"], F.lit("")),
             ),
         ),
         "\n",

@@ -35,7 +35,12 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("__total")]
     for name, pred in rules:
         aggs.append(
-            F.sum((~F.coalesce(pred, F.lit(False))).cast("long")).alias(name)
+            # coalesce the SUM too: over zero rows it is NULL, and an
+            # empty gate input must yield a 0-violation ledger, not a
+            # TypeError at int(None)
+            F.coalesce(
+                F.sum((~F.coalesce(pred, F.lit(False))).cast("long")), F.lit(0)
+            ).alias(name)
         )
     row = df.agg(*aggs).first()
     total = row["__total"]

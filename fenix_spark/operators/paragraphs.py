@@ -43,7 +43,7 @@ def paragraph_hashes(
 
     paras = spread(df).select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), r"\n{2,}")).alias("pos", "para"),
+        F.posexplode(F.split(F.col(text_col), r"(?:\r?\n){2,}")).alias("pos", "para"),
     )
     normed = paras.select(
         "id", "pos", "para", normalized_text(F.col("para")).alias("norm")
@@ -76,7 +76,7 @@ def dedup_paragraphs(
 
     all_paras = spread(df).select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), r"\n{2,}")).alias("pos", "para"),
+        F.posexplode(F.split(F.col(text_col), r"(?:\r?\n){2,}")).alias("pos", "para"),
     )
     all_paras = all_paras.select(
         "id",

@@ -211,9 +211,10 @@ def heavy_hitters(
 
     Pass 2 (one scan): exact counts for the candidate union via a
     broadcast semi-join on ≤ m·P candidate terms — groupBy shuffles
-    only candidate terms. Returned counts are exact; completeness
-    bound (count_floor = N/(m+1)) is attached so callers know which
-    tail is trustworthy."""
+    only candidate terms. Returned counts are exact; the
+    completeness bound is ATTACHED as the ``count_floor`` column
+    (⌊N/(m+1)⌋, N = total term weight): every term with true count
+    above it is guaranteed present, the tail below it may not be."""
     import pandas as pd
 
     from fenix_spark.operators.dedup import spread
@@ -232,23 +233,42 @@ def heavy_hitters(
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict = {}
+        total_w = 0
         for pdf in batches:
+            total_w += int(pdf["w"].sum())
             for t, c in pdf.groupby("term")["w"].sum().items():
                 counts[t] = counts.get(t, 0) + int(c)
             counts = _mg_shrink(counts, mm)
         yield pd.DataFrame(
-            {"term": list(counts.keys()), "lb": list(counts.values())}
+            {
+                "term": list(counts.keys()) + [None],
+                "lb": list(counts.values()) + [total_w],
+            }
         )
 
     partials = terms.mapInPandas(summarize, "term string, lb bigint")
-    candidates = partials.groupBy("term").agg(F.sum("lb").alias("lb"))
+    # the NULL-term sentinel row per partition carries that partition's
+    # total weight, so N (the completeness bound's numerator) comes out
+    # of the SAME pass — no third scan
+    candidates = (
+        partials.where(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.sum("lb").alias("lb"))
+    )
+    n_total = (
+        partials.where(F.col("term").isNull()).agg(F.sum("lb")).first()[0] or 0
+    )
 
     exact = (
         terms.join(F.broadcast(candidates.select("term")), "term", "left_semi")
         .groupBy("term")
         .agg(F.sum("w").alias("count"))
     )
-    return exact.orderBy(F.col("count").desc(), F.col("term").asc()).limit(k)
+    return (
+        exact.withColumn("count_floor", F.lit(int(n_total // (mm + 1))))
+        .orderBy(F.col("count").desc(), F.col("term").asc())
+        .limit(k)
+    )
 
 
 # ----------------------------------------------- histogram / quantiles
@@ -277,8 +297,12 @@ def hist_rollup(
         F.lit(bins - 1),
         F.greatest(F.lit(0), F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")),
     )
+    # nulls OUT, explicitly: greatest() skips nulls, so a null value
+    # would otherwise silently land in bin 0 and drag every quantile
+    # toward lo — the histogram summarizes the non-null distribution
     return (
-        df.select(*keys, b.alias("bin"))
+        df.where(v.isNotNull())
+        .select(*keys, b.alias("bin"))
         .groupBy(*keys, "bin")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -13,9 +13,10 @@ its own ``batch_id=N`` subdirectory, so
 - the state is append-only; readers never see a torn merge because
   merging happens at READ time (`read_hll_rollup` / `read_cms`) over
   whatever complete batch directories exist;
-- compaction is optional hygiene, not correctness: when batch count
-  grows, `compact_state` folds all partials into one batch-shaped
-  directory under a fresh id (idempotent the same way).
+- compaction is optional hygiene, not correctness: when partial count
+  grows, `compact_state` folds everything into one dir under the
+  separate ``compact=K`` namespace (never a batch id — the stream's
+  checkpoint owns those and would overwrite a fold).
 
 Cost ledger: per batch, the HLL fold shuffles ≤ |groups| sketch rows
 (~1.5 KB each) and the CMS fold ≤ depth×width count rows — both
@@ -35,14 +36,31 @@ from pyspark.sql import functions as F
 from fenix_spark.operators.sketches import cms_build, hll_merge, hll_rollup
 
 
-def _batch_dirs(root: str) -> list[int]:
+def _complete_dirs(root: str, prefix: str) -> list[int]:
+    """Ids of COMPLETE ``{prefix}=N`` partial dirs — completeness is
+    the _SUCCESS marker, so a crash mid-write (or a retried batch's
+    cleared-but-unwritten dir) is invisible to readers rather than a
+    torn merge / schema-inference failure."""
     if not os.path.isdir(root):
         return []
-    return sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(root)
-        if d.startswith("batch_id=")
-    )
+    out = []
+    for d in os.listdir(root):
+        if d.startswith(f"{prefix}=") and os.path.exists(
+            os.path.join(root, d, "_SUCCESS")
+        ):
+            out.append(int(d.split("=", 1)[1]))
+    return sorted(out)
+
+
+def _partial_paths(root: str) -> list[str]:
+    """Every complete partial: live batch dirs PLUS compaction folds
+    (folds use their own ``compact=K`` namespace — the streaming
+    query numbers ``batch_id`` from its OWN checkpoint, so a fold
+    stored under a future batch id would be overwritten by that
+    batch's foreachBatch when it arrives)."""
+    return [
+        f"{root}/batch_id={b}" for b in _complete_dirs(root, "batch_id")
+    ] + [f"{root}/compact={k}" for k in _complete_dirs(root, "compact")]
 
 
 def stream_hll_rollup(
@@ -69,13 +87,10 @@ def read_hll_rollup(
     """Merge every landed batch partial to the requested grain:
     (keys..., hll, distinct_est). ``keys`` ⊆ the rollup keys (empty →
     grand total)."""
-    batches = _batch_dirs(state_root)
-    if not batches:
+    paths = _partial_paths(state_root)
+    if not paths:
         raise FileNotFoundError(f"no sketch state under {state_root}")
-    parts = spark.read.parquet(
-        *[f"{state_root}/batch_id={b}" for b in batches]
-    )
-    return hll_merge(parts, list(keys))
+    return hll_merge(spark.read.parquet(*paths), list(keys))
 
 
 def stream_cms(
@@ -105,42 +120,44 @@ def stream_cms(
 def read_cms(spark: SparkSession, state_root: str) -> DataFrame:
     """The merged sketch (r, b, c) over all landed batches — feed it
     to ``sketches.cms_estimate``."""
-    batches = _batch_dirs(state_root)
-    if not batches:
+    paths = _partial_paths(state_root)
+    if not paths:
         raise FileNotFoundError(f"no sketch state under {state_root}")
-    parts = spark.read.parquet(
-        *[f"{state_root}/batch_id={b}" for b in batches]
-    )
+    parts = spark.read.parquet(*paths)
     return parts.groupBy("r", "b").agg(F.sum("c").alias("c"))
 
 
 def compact_state(spark: SparkSession, state_root: str) -> int:
-    """Fold all batch partials into one: write the merged summary
-    under ``batch_id=<max+1>``, then drop the inputs. Write-then-
-    delete ordering means a crash mid-compaction leaves EXTRA partials
-    (merge-safe: merging a batch with its own fold double-counts —
-    so the fold lands under a NEW id and inputs are removed only
-    after the write commits; a reader between the two sees the fold
-    plus originals, which for HLL unions is idempotent by
-    set-semantics and for CMS is the one documented over-count window
-    — run compaction in the maintenance lane, not concurrent with
-    point reads that must be exact). Returns the new batch id."""
+    """Fold all partials into one dir under the ``compact=K``
+    NAMESPACE — never a ``batch_id``: the streaming query numbers its
+    micro-batches from its OWN checkpoint, so a fold written to
+    ``batch_id=max+1`` would be OVERWRITTEN (history silently lost)
+    when that batch id eventually fires. Folds and batches are
+    disjoint namespaces; readers merge both.
+
+    Write-then-delete ordering means a crash mid-compaction leaves
+    EXTRA partials (merge-safe for HLL by union set-semantics; for
+    CMS it is a bounded over-count window — run compaction in the
+    maintenance lane, not concurrent with point reads that must be
+    exact). Returns the new compact id."""
     import shutil
 
-    batches = _batch_dirs(state_root)
-    if len(batches) <= 1:
-        return batches[0] if batches else -1
-    parts = spark.read.parquet(
-        *[f"{state_root}/batch_id={b}" for b in batches]
-    )
+    batch_ids = _complete_dirs(state_root, "batch_id")
+    compact_ids = _complete_dirs(state_root, "compact")
+    inputs = [f"{state_root}/batch_id={b}" for b in batch_ids] + [
+        f"{state_root}/compact={k}" for k in compact_ids
+    ]
+    if len(inputs) <= 1:
+        return compact_ids[-1] if compact_ids else -1
+    parts = spark.read.parquet(*inputs)
     cols = parts.columns
     if {"r", "b", "c"} <= set(cols):
         folded = parts.groupBy("r", "b").agg(F.sum("c").alias("c"))
     else:
         group = [c for c in cols if c != "hll"]
         folded = parts.groupBy(*group).agg(F.hll_union_agg("hll").alias("hll"))
-    new_id = batches[-1] + 1
-    folded.write.mode("overwrite").parquet(f"{state_root}/batch_id={new_id}")
-    for b in batches:
-        shutil.rmtree(f"{state_root}/batch_id={b}")
+    new_id = (compact_ids[-1] + 1) if compact_ids else 0
+    folded.write.mode("overwrite").parquet(f"{state_root}/compact={new_id}")
+    for p in inputs:
+        shutil.rmtree(p)
     return new_id

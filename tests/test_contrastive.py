@@ -61,16 +61,21 @@ def test_threshold_validation(spark, tiers):
 
 
 def test_easy_negatives_are_a_derangement(spark):
+    # buckets=2 on 50 ids: both buckets hold many members, so every id
+    # is in a cycle — per-bucket bijection gives full coverage
     df = spark.createDataFrame([(i,) for i in range(50)], "doc_id bigint")
-    pairs = easy_negative_pairs(df, "doc_id", salt="s").collect()
+    pairs = easy_negative_pairs(df, "doc_id", salt="s", buckets=2).collect()
     assert len(pairs) == 50
     anchors = [r.id_a for r in pairs]
     partners = [r.id_b for r in pairs]
     assert sorted(anchors) == list(range(50))
-    assert sorted(partners) == list(range(50))  # cyclic shift: a bijection
+    assert sorted(partners) == list(range(50))  # per-bucket cycles: a bijection
     assert all(r.id_a != r.id_b for r in pairs)
     # deterministic
-    again = easy_negative_pairs(df.repartition(7), "doc_id", salt="s").collect()
+    again = easy_negative_pairs(df.repartition(7), "doc_id", salt="s", buckets=2).collect()
     assert sorted((r.id_a, r.id_b) for r in again) == sorted(
         (r.id_a, r.id_b) for r in pairs
     )
+    # the window partitions by the bucket column (parallel, not global)
+    plan = easy_negative_pairs(df, "doc_id", buckets=2)._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan

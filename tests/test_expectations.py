@@ -80,3 +80,11 @@ def test_unique_and_subset_on_tpch(spark, sf_dir):
     # planted violation is caught
     dangling = orders.limit(5).withColumn("o_custkey", F.lit(-999))
     assert expect_subset(dangling, "o_custkey", customer, "c_custkey").count() == 5
+
+
+def test_validate_on_empty_frame(spark, messy):
+    empty = messy.where(F.lit(False))
+    got = {r.rule: (r.violations, r.total, r.fraction) for r in validate(empty, _rules()).collect()}
+    assert got == {"status_known": (0, 0, 0.0), "value_nonneg": (0, 0, 0.0)}
+    # gate passes on empty input instead of crashing
+    require(empty, _rules())

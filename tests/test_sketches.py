@@ -284,3 +284,26 @@ def test_hist_rollup_auto_range(spark, events):
     assert lo <= hi
     n = hist_merge(roll, []).agg(F.sum("c")).first()[0]
     assert n == events.count()
+
+
+def test_hist_rollup_excludes_nulls(spark):
+    from fenix_spark.operators.sketches import hist_merge, hist_rollup
+
+    df = spark.createDataFrame(
+        [(1, 900.0)] * 5 + [(1, None)] * 10, "g int, v double"
+    )
+    roll = hist_rollup(df, ["g"], "v", 0.0, 1000.0, 10)
+    n = hist_merge(roll, []).agg(F.sum("c")).first()[0]
+    assert n == 5  # nulls are not silently binned at lo
+    bins = {r.bin for r in roll.collect()}
+    assert bins == {9}
+
+
+def test_heavy_hitters_attaches_count_floor(spark, documents):
+    docs = documents.limit(100)
+    rows = heavy_hitters(docs, "text", k=5, m=256).collect()
+    assert all(r.count_floor == rows[0].count_floor for r in rows)
+    from fenix_spark.functions.texthash import tokens
+
+    n = docs.select(F.explode(tokens(F.col("text")))).count()
+    assert rows[0].count_floor == n // 257

@@ -557,8 +557,11 @@ def test_stream_cms_matches_batch_and_compacts(spark, events_prepared, tmp_path)
     import os
 
     new_id = compact_state(spark, state)
-    assert [d for d in os.listdir(state) if d.startswith("batch_id=")] == [
-        f"batch_id={new_id}"
+    # folds live in their OWN namespace: a fold under batch_id=N would
+    # be overwritten when the stream's checkpoint reaches batch N
+    assert [d for d in os.listdir(state) if d.startswith("batch_id=")] == []
+    assert [d for d in os.listdir(state) if d.startswith("compact=")] == [
+        f"compact={new_id}"
     ]
     assert {(r.r, r.b): r.c for r in read_cms(spark, state).collect()} == want
 
