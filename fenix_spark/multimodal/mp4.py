@@ -72,9 +72,13 @@ def parse_mp4_metadata(data: bytes) -> dict:
                 out["brand"] = data[b : b + 4].decode("ascii", "replace")
             elif typ == b"mvhd" and e - b >= 20:
                 ver = data[b]
-                if ver == 1 and e - b >= 32:
+                if ver == 1:
                     # v1: u64 creation + u64 modification, then u32
-                    # timescale + u64 duration
+                    # timescale + u64 duration. A TRUNCATED v1 box must
+                    # yield no duration — falling back to the v0 layout
+                    # would read creation-time bytes as timescale
+                    if e - b < 32:
+                        continue
                     (ts,) = struct.unpack_from(">I", data, b + 20)
                     (dur,) = struct.unpack_from(">Q", data, b + 24)
                 else:
@@ -173,11 +177,14 @@ def video_metadata(
     df: DataFrame, data_col: str = "data", id_col: str = "id"
 ) -> DataFrame:
     """(id, ok, brand, duration_s, …) — parse every blob's box tree
-    in Arrow batches; bytes never leave the executor."""
+    in Arrow batches; bytes never leave the executor. The id column
+    keeps ITS OWN type (string keys from the webdataset source work
+    as well as bigint ids)."""
     import pandas as pd
 
+    id_type = df.schema[id_col].dataType.simpleString()
     schema = (
-        "id bigint, ok boolean, brand string, duration_s double, "
+        f"id {id_type}, ok boolean, brand string, duration_s double, "
         "timescale bigint, n_tracks int, track_kinds array<string>, "
         "codecs array<string>, width int, height int"
     )
@@ -187,7 +194,7 @@ def video_metadata(
             rows = []
             for rid, blob in zip(pdf["id"], pdf[data_col]):
                 m = parse_mp4_metadata(bytes(blob) if blob is not None else b"")
-                rows.append({"id": int(rid), **m})
+                rows.append({"id": rid, **m})
             yield pd.DataFrame(rows)
 
     from pyspark.sql import functions as F

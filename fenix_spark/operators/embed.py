@@ -64,7 +64,8 @@ def hashed_embedding(text: Column, dim: int = 60) -> Column:
             ),
         )
 
-    raw = let(tokens(text), body)
+    # null text → empty token list → the documented zero vector
+    raw = let(tokens(F.coalesce(text, F.lit(""))), body)
 
     def normalize(v: Column) -> Column:
         norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))

@@ -69,7 +69,12 @@ def pagerank(
     ranks = nd.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     for _ in range(max_iter):
-        with_deg = ranks.join(nd.select("node", "deg"), "node")
+        # localCheckpoint: the dangling aggregate AND the contribs plan
+        # both consume this join — without materialization each round
+        # pays the ranks⋈deg shuffle twice
+        with_deg = ranks.join(nd.select("node", "deg"), "node").localCheckpoint(
+            eager=False
+        )
         dangling = (
             with_deg.where(F.col("deg").isNull()).agg(F.sum("rank")).head()[0]
             or 0.0

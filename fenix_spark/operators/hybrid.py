@@ -45,7 +45,13 @@ def rrf_fuse(
     for i, df in enumerate(ranked):
         # re-rank from the frame's FIRST non-id column so fusion never
         # depends on physical row order
-        order_col = [c for c in df.columns if c != id_col][0]
+        others = [c for c in df.columns if c != id_col]
+        if not others:
+            raise ValueError(
+                f"ranked frame {i} has only {id_col!r} — each input needs "
+                "a ranking column (score or distance)"
+            )
+        order_col = others[0]
         asc = (
             ascending[i]
             if ascending is not None
@@ -102,13 +108,16 @@ def hybrid_search(
     from fenix_spark.operators.bm25 import bm25_search
     from fenix_spark.operators.search import knn
 
+    # bm25_search returns a hard-coded (doc_id, score) — realias to
+    # the caller's id_col so the fusion join lines up
     lex = bm25_search(spark, bm25_index, query_text, k=candidates_per_ranker)
+    lex = lex.select(F.col("doc_id").alias(id_col), "score")
     vec = knn(
         docs, embedding_col, query_vec, metric=metric,
         k=candidates_per_ranker, id_col=id_col,
     ).select(F.col(id_col), F.col("__DISTANCE__").alias("distance"))
     return rrf_fuse(
-        [lex.select(id_col, "score"), vec],
+        [lex, vec],
         id_col=id_col,
         k=k,
         ascending=[False, True],  # bm25 score desc, distance asc

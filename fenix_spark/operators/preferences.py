@@ -21,8 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fenix_spark.functions.texthash import hash60
 from fenix_spark.functions.textstats import ws_token_count
+from fenix_spark.operators.sampling import _BUCKETS, hash_bucket
 
 
 def preference_checks(
@@ -92,10 +92,9 @@ def length_debias_sample(
     delta = F.abs(
         ws_token_count(F.col(chosen_col)) - ws_token_count(F.col(rejected_col))
     )
-    bucket = hash60(
-        F.concat(F.col(id_col).cast("string"), F.lit(salt))
-    ) % 10_000
+    # the shared sampling bucket (operators/sampling.hash_bucket), not
+    # a private copy — one hash scheme to maintain
     return df.where(
         (delta <= max_abs_delta)
-        | (bucket < int(round(keep_fraction * 10_000)))
+        | (hash_bucket(id_col, salt) < int(round(keep_fraction * _BUCKETS)))
     )

@@ -54,7 +54,11 @@ def _featurize(
 
     grams = spread(df).select(
         F.col(id_col).alias("id"),
-        gram_occurrences(F.col(text_col), max_ngram).alias("grams"),
+        # null text → empty gram list (HashingTF NPEs on a null array;
+        # a null-text crawl row must score ~neutral, not kill the job)
+        gram_occurrences(
+            F.coalesce(F.col(text_col), F.lit("")), max_ngram
+        ).alias("grams"),
     )
     tf = HashingTF(
         inputCol="grams", outputCol="features", numFeatures=num_features

@@ -103,7 +103,10 @@ class WebDatasetReader(DataSourceReader):
             for info in tar:
                 if not info.isfile():
                     continue
-                base, dot, ext = info.name.rpartition(".")
+                # FIRST-dot split (webdataset convention): the key is
+                # everything before the first dot, so multi-segment
+                # extensions (seg.png, json.gz) group with their sample
+                base, dot, ext = info.name.partition(".")
                 if not dot:
                     base, ext = info.name, ""
                 if base != cur_key:
