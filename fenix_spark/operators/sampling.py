@@ -239,6 +239,10 @@ def temperature_mixture(
     column."""
     if counts is None:
         counts = [df.count() for df in sources]
+    elif len(counts) != len(sources):
+        raise ValueError(
+            f"counts has {len(counts)} entries for {len(sources)} sources"
+        )
     rates = temperature_rates(list(counts), temperature, budget)
     return mixture(list(zip(sources, rates)), id_col, salt=salt)
 
@@ -261,7 +265,11 @@ def cluster_balanced_sample(
     a broadcast join of ≤ |clusters| rows, so the whole operator adds
     ZERO corpus-sized shuffles. Pair with ``coder.train_coding`` +
     ``index.assign_code_expr`` to derive ``cluster_col`` from an
-    embedding column (the SemDeDup-style semantic grid)."""
+    embedding column (the SemDeDup-style semantic grid).
+
+    Rows with a NULL cluster are excluded (a null key never matches
+    the rate join) — assign unclustered rows a sentinel cluster first
+    if they must participate."""
     counts = df.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("__n")).collect()
     clusters = [r[cluster_col] for r in counts]
     rates = temperature_rates([r["__n"] for r in counts], 1e-9, budget)
