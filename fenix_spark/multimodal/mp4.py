@@ -88,15 +88,13 @@ def parse_mp4_metadata(data: bytes) -> dict:
                     out["duration_s"] = round(dur / ts, 6)
             elif typ == b"tkhd" and e - b >= 84:
                 ver = data[b]
-                base = b + (32 if ver == 1 else 20)
-                # layer..matrix(36)..width/height at fixed offsets from
-                # the end of the box body
+                # width/height are the LAST 8 bytes of the box body in
+                # both versions (16.16 fixed point)
                 if e - b >= (96 if ver else 84):
                     w, h = struct.unpack_from(">II", data, e - 8)
                     if w and h:
                         out["width"] = w >> 16
                         out["height"] = h >> 16
-                _ = base
             elif typ == b"hdlr" and e - b >= 12:
                 kind = data[b + 8 : b + 12].decode("ascii", "replace")
                 out["track_kinds"].append(kind)
