@@ -17,6 +17,11 @@ feature/resize/frame-sample operators' shapes.
 """
 
 from fenix_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+from fenix_spark.multimodal.phash import (
+    dhash64,
+    image_dhashes,
+    image_neardup_pairs,
+)
 from fenix_spark.multimodal.mp4 import (
     encode_minimal_mp4,
     parse_mp4_metadata,
@@ -45,9 +50,12 @@ __all__ = [
     "encode_bmp",
     "encode_jpeg",
     "encode_png",
+    "dhash64",
     "encode_minimal_mp4",
     "encode_wav",
+    "image_dhashes",
     "image_features",
+    "image_neardup_pairs",
     "resize_images",
     "sample_frames",
     "parse_mp4_metadata",
