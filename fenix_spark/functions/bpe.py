@@ -211,14 +211,10 @@ def bpe_encode(
 
 
 def save_bpe(spark: SparkSession, merges: list[tuple[str, str]], path: str) -> None:
-    """Persist the merge table as an ordered parquet table (rank is
-    the merge priority — the WHOLE model state, engine-readable)."""
-    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
-    spark.createDataFrame(rows, "rank int, left string, right string").write.mode(
-        "overwrite"
-    ).parquet(path)
+    """Persist the merge table (delegates to ``merges_to_df`` — ONE
+    schema definition for the catalog and the file paths)."""
+    merges_to_df(spark, merges).write.mode("overwrite").parquet(path)
 
 
 def load_bpe(spark: SparkSession, path: str) -> list[tuple[str, str]]:
-    rows = spark.read.parquet(path).orderBy("rank").collect()
-    return [(r["left"], r["right"]) for r in rows]
+    return merges_from_df(spark.read.parquet(path))

@@ -41,6 +41,17 @@ def dhash64(img: np.ndarray) -> int:
     if a.ndim == 3:
         a = a.mean(axis=2)  # luminance-ish: plain channel mean
     h, w = a.shape
+    if h == 0 or w == 0:
+        raise ValueError("dhash64: empty image")
+    # sub-grid images (tracker pixels, tiny thumbnails) would leave
+    # empty pooling cells (NaN means → a degenerate hash-0 attractor
+    # that glues unrelated tiny images); nearest-neighbor upsample to
+    # at least the grid first
+    if h < _GRID_H or w < _GRID_W:
+        a = np.repeat(
+            np.repeat(a, -(-_GRID_H // h), axis=0), -(-_GRID_W // w), axis=1
+        )
+        h, w = a.shape
     # mean-pool onto the 9×8 grid with edge-aligned bucket boundaries
     ys = np.linspace(0, h, _GRID_H + 1).round().astype(int)
     xs = np.linspace(0, w, _GRID_W + 1).round().astype(int)
@@ -76,22 +87,32 @@ def image_dhashes(
         for pdf in batches:
             ids, hashes = [], []
             for i in range(len(pdf)):
-                ids.append(pdf[id_col].iloc[i])
+                ids.append(pdf["__id"].iloc[i])
                 try:
                     shape = (
-                        int(pdf[hc].iloc[i]),
-                        int(pdf[wc].iloc[i]),
-                        int(pdf[cc].iloc[i]),
+                        int(pdf["__h"].iloc[i]),
+                        int(pdf["__w"].iloc[i]),
+                        int(pdf["__c"].iloc[i]),
                     )
                     img = decode_payload(
-                        bytes(pdf[data_col].iloc[i]), pdf[fmt_col].iloc[i], shape
+                        bytes(pdf["__data"].iloc[i]), pdf["__fmt"].iloc[i], shape
                     )
                     hashes.append(np.int64(np.uint64(dhash64(img)) - (1 << 63)))
                 except Exception:  # noqa: BLE001 - undecodable crawl blob
                     hashes.append(None)
             yield pd.DataFrame({"id": ids, "dhash": pd.array(hashes, dtype="Int64")})
 
-    src = df.select(id_col, data_col, fmt_col, *shape_cols)
+    # ALIAS every input: nested refs like "meta.format" resolve in
+    # select() but arrive in pandas under the LEAF name — fixed names
+    # make the lookup correct for flat and nested columns alike
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(data_col).alias("__data"),
+        F.col(fmt_col).alias("__fmt"),
+        F.col(hc).alias("__h"),
+        F.col(wc).alias("__w"),
+        F.col(cc).alias("__c"),
+    )
     return src.mapInPandas(gen, "id bigint, dhash bigint")
 
 

@@ -767,6 +767,12 @@ def filtered_probe_search(
 
     _, coding_metric, kk, n = coding_to_numpy(coding)
     metric = metric or coding_metric
+    if selectivity is not None and not 0.0 < selectivity <= 1.0:
+        raise ValueError(
+            f"selectivity {selectivity} outside (0, 1] — a value > 1 would "
+            "SHRINK the probe count below the requested base (passing a "
+            "percentage instead of a fraction is the classic mistake)"
+        )
     capped = indexed.where(filter).limit(brute_threshold + 1).count()
     if capped <= brute_threshold:
         return knn(
@@ -774,8 +780,12 @@ def filtered_probe_search(
             select=select, id_col=id_col,
         )
     if selectivity is None:
-        # the stated counting scan: exact filtered fraction
-        selectivity = indexed.where(filter).count() / max(indexed.count(), 1)
+        # ONE combined scan for both counts (not a filtered count plus
+        # a total count — two extra full scans at 100 TB)
+        row = indexed.agg(
+            F.count(F.lit(1)).alias("n"), F.count_if(filter).alias("m")
+        ).first()
+        selectivity = row["m"] / max(row["n"], 1)
     total_cells = kk**n
     boosted = min(total_cells, int(math.ceil(probes / max(selectivity, 1e-6))))
     return probe_search(

@@ -270,7 +270,17 @@ def cluster_balanced_sample(
     Rows with a NULL cluster are excluded (a null key never matches
     the rate join) — assign unclustered rows a sentinel cluster first
     if they must participate."""
-    counts = df.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    # counts over NON-NULL clusters only: the rate join drops null-
+    # cluster rows, so giving the null group a share would silently
+    # underrun the budget
+    counts = (
+        df.where(F.col(cluster_col).isNotNull())
+        .groupBy(cluster_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    if not counts:
+        return df.where(F.lit(False))
     clusters = [r[cluster_col] for r in counts]
     rates = temperature_rates([r["__n"] for r in counts], 1e-9, budget)
     spark = df.sparkSession
@@ -278,11 +288,12 @@ def cluster_balanced_sample(
         [(c, float(r)) for c, r in zip(clusters, rates)],
         schema=df.select(cluster_col).schema.add("__rate", "double"),
     )
+    # full-precision hash threshold (rate · 2^60), not the 10k-bucket
+    # grid: a huge cluster's tiny equal-share rate must not round to
+    # zero (rate quantization would step realized counts by n/10000)
+    h = hash60(F.concat(F.col(id_col).cast("string"), F.lit(salt))).cast("double")
     return (
         df.join(F.broadcast(rate_df), cluster_col)
-        .where(
-            hash_bucket(F.col(id_col), salt)
-            < F.round(F.col("__rate") * _BUCKETS).cast("int")
-        )
+        .where(h < F.col("__rate") * F.lit(float(1 << 60)))
         .drop("__rate")
     )

@@ -101,3 +101,16 @@ def test_end_to_end_over_real_codecs(spark):
         max_hamming=2,
     ).collect()
     assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(0, 1, 0)]
+
+
+def test_tiny_images_hash_distinctly():
+    # sub-grid images (tracker pixels) must not collapse to hash 0
+    a = np.arange(20, dtype=np.uint8).reshape(4, 5)
+    b = (255 - np.arange(20, dtype=np.uint8)).reshape(4, 5)
+    ha, hb = dhash64(a), dhash64(b)
+    assert ha != 0 or hb != 0
+    assert _ham(ha, hb) > 8  # opposite gradients → far apart
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty image"):
+        dhash64(np.zeros((0, 5), dtype=np.uint8))

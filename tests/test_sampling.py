@@ -222,3 +222,20 @@ def test_cluster_balanced_sample(spark):
     assert sorted(r.doc_id for r in again.collect()) == sorted(
         r.doc_id for r in out.collect()
     )
+
+
+def test_cluster_balanced_fine_rates_and_null_exclusion(spark):
+    from fenix_spark.operators.sampling import cluster_balanced_sample
+
+    # tiny budget over a huge cluster: the old 1/10000 rate grid would
+    # round the rate to zero; the fine threshold must keep ~its share
+    df = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 50 == 0, None).otherwise(
+            (F.col("id") % 2).cast("string")
+        ).alias("cluster"),
+    )
+    out = cluster_balanced_sample(df, "cluster", "doc_id", budget=40, salt="s")
+    n = out.count()
+    assert 10 <= n <= 90  # ~40 expected; 1/10000 rounding would give 0
+    assert out.where(F.col("cluster").isNull()).count() == 0
