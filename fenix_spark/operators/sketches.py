@@ -8,7 +8,7 @@ MERGING summaries — never by re-scanning the raw data. Re-aggregating
 a 100 TB fact table for every dashboard tile is the anti-pattern these
 replace.
 
-Four summaries, by exactness and key type:
+Five summaries, by exactness and key type:
 
 - **HLL distinct rollup** (`hll_rollup` / `hll_merge`): approximate
   COUNT(DISTINCT x) for any type, ~1.5 KB per group at lg_k=12
@@ -24,6 +24,9 @@ Four summaries, by exactness and key type:
   of at most depth×width rows, so it is engine-portable (md5 bucket
   hashing, DuckDB-mirrorable), mergeable by plain sum, and inspectable
   with SQL. Estimate error ≤ e/width · N with prob ≥ 1 − e^-depth.
+- **Histogram rollup** (`hist_rollup` / `hist_quantiles`): exact-
+  mergeable equi-width histograms for quantile queries at any grain
+  (error ≤ one bin width); merge is plain sum, DuckDB-mirrorable.
 - **Misra-Gries heavy hitters** (`heavy_hitters`): the deterministic
   frequent-items summary. Per-partition Misra-Gries summaries (m
   counters each, Counter-per-Arrow-batch then summary-merge, so the
