@@ -148,7 +148,10 @@ def truncate_to_budget(
             )
             <= F.lit(budget),
         )
-        return F.element_at(fits, 1)
+        # try_element_at: when even the bare system turn exceeds the
+        # budget, fits is EMPTY — element_at would raise
+        # ArrayIndexOutOfBounds; null cut → empty history below
+        return F.try_element_at(fits, F.lit(1))
 
     cut = let(toks, pick_cut)
     sys_arr = F.when(has_sys, F.slice(m, 1, 1)).otherwise(

@@ -101,3 +101,12 @@ def test_render_format(spark):
     )
     txt = render_training_text(df, "messages").first().text
     assert txt == "<|user|>\nhi\n<|assistant|>\nyo"
+
+
+def test_truncate_oversized_system_turn(spark):
+    # the hypothesis-found crash: system turn alone exceeds the budget
+    df = spark.createDataFrame(
+        [(0, _conv(("system", "s y s"), ("user", "w")))], SCHEMA
+    )
+    out = truncate_to_budget(df, "messages", budget=1).first().messages
+    assert [m.role for m in out] == ["system"]  # null cut → empty history
