@@ -17,6 +17,11 @@ feature/resize/frame-sample operators' shapes.
 """
 
 from fenix_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+from fenix_spark.multimodal.audiofp import (
+    audio_fingerprints,
+    audio_match_pairs,
+    frame_hashes,
+)
 from fenix_spark.multimodal.phash import (
     dhash64,
     image_dhashes,
@@ -44,6 +49,8 @@ from fenix_spark.multimodal.media import (
 __all__ = [
     "MEDIA_SCHEMA",
     "audio_features",
+    "audio_fingerprints",
+    "audio_match_pairs",
     "decode_audio",
     "decode_jpeg",
     "decode_payload",
@@ -52,6 +59,7 @@ __all__ = [
     "encode_png",
     "dhash64",
     "encode_minimal_mp4",
+    "frame_hashes",
     "encode_wav",
     "image_dhashes",
     "image_features",
