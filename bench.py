@@ -6,12 +6,27 @@ Each query executes via the noop sink — full computation, no
 driver-side result transfer — so the timing measures the plan, not
 collect() serialization. A tiny warm-up job first amortizes JVM/codegen
 startup out of the first measured query.
+
+The Spark work runs in a CHILD process whose stderr is captured to
+``_artifacts/bench_stderr.log``; the parent scans it for JVM error
+stacks and embeds a named classification in the JSON line
+(``log_errors``), so the artifact never ends with an anonymous stack
+trace. The one known-benign entry is
+``benign_post_limit_accumulator_race``: after a limit
+(TakeOrderedAndProject) short-circuits a stage, straggler tasks can
+report back after the query's SQL-metric accumulators were GC-cleaned,
+and DAGScheduler.updateAccumulators logs
+``IllegalStateException: Attempted to access garbage collected
+accumulator`` at ERROR — harmless (results already returned, rc 0),
+intermittent, and now named when it occurs.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
+import subprocess
 import sys
 import time
 
@@ -49,7 +64,7 @@ BENCH_QUERIES = [
 ]
 
 
-def main() -> None:
+def _child_main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf"))
     spark = get_session("fenix_spark_bench")
@@ -142,6 +157,74 @@ def main() -> None:
             }
         )
     )
+
+
+_ACCUM_RACE_MARKERS = (
+    "Attempted to access garbage collected accumulator",
+    "DAGScheduler.updateAccumulators",
+    "Failed to update accumulator",
+)
+_EXC_RE = re.compile(r"\b([A-Za-z_][\w.$]*(?:Exception|Error))\b")
+
+
+def _scan_stderr(path: str) -> dict[str, int]:
+    """Classify JVM error stacks in the child's stderr: the known
+    benign post-limit accumulator race by name, anything else by its
+    exception class (or 'unclassified_error_line')."""
+    found: dict[str, int] = {}
+    try:
+        with open(path, errors="replace") as f:
+            for line in f:
+                if any(m in line for m in _ACCUM_RACE_MARKERS):
+                    key = "benign_post_limit_accumulator_race"
+                elif " ERROR " in line or line.startswith("Exception"):
+                    m = _EXC_RE.search(line)
+                    key = m.group(1) if m else "unclassified_error_line"
+                else:
+                    continue
+                found[key] = found.get(key, 0) + 1
+    except OSError:
+        pass
+    return found
+
+
+def main() -> None:
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1":
+        _child_main()
+        return
+    repo = os.path.dirname(os.path.abspath(__file__))
+    err_path = os.path.join(repo, "_artifacts", "bench_stderr.log")
+    os.makedirs(os.path.dirname(err_path), exist_ok=True)
+    env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+    with open(err_path, "w") as ef:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=ef,
+            text=True,
+        )
+    lines = [ln for ln in (proc.stdout or "").strip().splitlines() if ln.strip()]
+    try:
+        payload = json.loads(lines[-1]) if lines else None
+    except json.JSONDecodeError:
+        payload = None
+    if payload is None:
+        # child died before printing the JSON line: replay its output
+        # and the stderr tail so the failure is diagnosable, fail loud
+        sys.stdout.write(proc.stdout or "")
+        try:
+            with open(err_path, errors="replace") as f:
+                sys.stderr.write(f.read()[-8000:])
+        except OSError:
+            pass
+        sys.exit(proc.returncode or 1)
+    errs = _scan_stderr(err_path)
+    if errs:
+        payload["log_errors"] = errs
+        payload["log_errors_detail"] = f"see {err_path}"
+    print(json.dumps(payload))
+    sys.exit(proc.returncode)
 
 
 if __name__ == "__main__":

@@ -88,10 +88,13 @@ def parse_mp4_metadata(data: bytes) -> dict:
                     out["duration_s"] = round(dur / ts, 6)
             elif typ == b"tkhd" and e - b >= 84:
                 ver = data[b]
-                # width/height are the LAST 8 bytes of the box body in
-                # both versions (16.16 fixed point)
-                if e - b >= (96 if ver else 84):
-                    w, h = struct.unpack_from(">II", data, e - 8)
+                # width/height at the version-fixed spec offsets
+                # (body+76 for v0, body+88 for v1; 16.16 fixed point).
+                # Reading "the last 8 bytes of the box" instead would
+                # misread any tkhd with trailing padding/extensions.
+                o = b + (88 if ver else 76)
+                if o + 8 <= e:
+                    w, h = struct.unpack_from(">II", data, o)
                     if w and h:
                         out["width"] = w >> 16
                         out["height"] = h >> 16

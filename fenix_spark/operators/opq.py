@@ -138,7 +138,13 @@ def fit_opq(
             f"with metric='l2' (got {config.metric!r})"
         )
     if dim is None:
-        dim = len(df.select(column).head()[0])
+        head = df.select(column).head()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "fit_opq: empty input frame (or null first vector) — "
+                "cannot infer dim; pass dim= explicitly"
+            )
+        dim = len(head[0])
     rotation = np.eye(dim)
     coding = None
     history: list[float] = []

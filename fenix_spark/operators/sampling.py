@@ -253,6 +253,7 @@ def cluster_balanced_sample(
     id_col: str,
     budget: int,
     salt: str = "",
+    max_clusters: int = 100_000,
 ) -> DataFrame:
     """Diversity-balanced sampling: spread ``budget`` rows EQUALLY
     across the values of ``cluster_col`` (semantic clusters, sources,
@@ -269,16 +270,36 @@ def cluster_balanced_sample(
 
     Rows with a NULL cluster are excluded (a null key never matches
     the rate join) — assign unclustered rows a sentinel cluster first
-    if they must participate."""
+    if they must participate.
+
+    The per-cluster count is collected to the driver to run the
+    water-filling law, so cardinality is gated at ``max_clusters``
+    (default 100k — far above any sane semantic grid): the collect is
+    bounded by ``limit(max_clusters + 1)`` and raises loudly if a
+    high-cardinality ``cluster_col`` (e.g. a document-level key) would
+    otherwise materialize millions of rows on the driver."""
     # counts over NON-NULL clusters only: the rate join drops null-
     # cluster rows, so giving the null group a share would silently
-    # underrun the budget
+    # underrun the budget. limit(cap+1) bounds the driver transfer
+    # BEFORE collecting — same fail-fast pattern as
+    # similarity_join_brute's broadcast gate (search.py).
     counts = (
         df.where(F.col(cluster_col).isNotNull())
         .groupBy(cluster_col)
         .agg(F.count(F.lit(1)).alias("__n"))
+        .limit(max_clusters + 1)
         .collect()
     )
+    if len(counts) > max_clusters:
+        raise ValueError(
+            f"cluster_balanced_sample: {cluster_col!r} has more than "
+            f"{max_clusters:,} distinct values; the per-cluster quota "
+            "table would be collected to the driver. Balanced sampling "
+            "wants a COARSE partition (a k-means cell id, source, or "
+            "language — 64-64k values). Derive a coarse cluster first "
+            "(coder.train_coding + index.assign_code_expr), or raise "
+            "max_clusters if the cardinality is genuinely intended."
+        )
     if not counts:
         return df.where(F.lit(False))
     clusters = [r[cluster_col] for r in counts]

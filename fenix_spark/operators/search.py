@@ -119,33 +119,44 @@ def similarity_join_brute(
     import pandas as pd
 
     spark = left.sparkSession
-    # Byte-aware bound: dim read from one row (cheap single-row scan;
-    # a null vector yields a null size — treat as unknown dim and fall
-    # back to the row cap alone). NOTE the right-side plan runs three
-    # times (dim probe, count gate, collect); for a right side derived
-    # from expensive lineage, localCheckpoint it before calling.
-    dim_row = right.select(F.size(vec_double(column)).alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row is not None and dim_row["d"] is not None else 0
-    if dim < 0:
-        dim = 0
-    row_cap = max_broadcast_rows
-    if dim > 0:
-        row_cap = min(row_cap, max_broadcast_bytes // (dim * 8))
-    # limit(N+1).count() instead of count(): stops scanning as soon as
-    # the bound is exceeded, so the guard is cheap even on a huge input.
-    n_right = right.select(right_id).limit(row_cap + 1).count()
-    if n_right > row_cap:
-        raise ValueError(
-            f"similarity_join_brute: right side exceeds the broadcast "
-            f"budget (cap {row_cap:,} rows at dim={dim}: "
-            f"max_broadcast_rows={max_broadcast_rows:,}, "
-            f"max_broadcast_bytes={max_broadcast_bytes:,}); it would be "
-            "collected to the driver and broadcast. For large×large "
-            "similarity joins use operators.index.batch_probe_search "
-            "(IVF cell equi-join) instead, or raise the budgets if the "
-            "right side genuinely fits in executor memory."
-        )
-    r_rows = right.select(right_id, column).collect()
+    # The three right-side passes (dim probe, count gate, collect)
+    # share one persisted projection, so expensive right-side lineage
+    # (a join, a mapInPandas) evaluates at most once. persist — not
+    # localCheckpoint — keeps the fail-fast property: the probe and
+    # the capped gate still early-terminate, caching only the
+    # partitions they touch, so a right side that FAILS the gate never
+    # fully materializes.
+    r_proj = right.select(F.col(right_id).alias(right_id), F.col(column).alias(column))
+    r_proj.persist()
+    try:
+        # Byte-aware bound: dim read from one row (cheap single-row
+        # scan; a null vector yields a null size — treat as unknown
+        # dim and fall back to the row cap alone).
+        dim_row = r_proj.select(F.size(vec_double(column)).alias("d")).first()
+        dim = int(dim_row["d"]) if dim_row is not None and dim_row["d"] is not None else 0
+        if dim < 0:
+            dim = 0
+        row_cap = max_broadcast_rows
+        if dim > 0:
+            row_cap = min(row_cap, max_broadcast_bytes // (dim * 8))
+        # limit(N+1).count() instead of count(): stops scanning as soon
+        # as the bound is exceeded, so the guard is cheap even on a
+        # huge input.
+        n_right = r_proj.select(right_id).limit(row_cap + 1).count()
+        if n_right > row_cap:
+            raise ValueError(
+                f"similarity_join_brute: right side exceeds the broadcast "
+                f"budget (cap {row_cap:,} rows at dim={dim}: "
+                f"max_broadcast_rows={max_broadcast_rows:,}, "
+                f"max_broadcast_bytes={max_broadcast_bytes:,}); it would be "
+                "collected to the driver and broadcast. For large×large "
+                "similarity joins use operators.index.batch_probe_search "
+                "(IVF cell equi-join) instead, or raise the budgets if the "
+                "right side genuinely fits in executor memory."
+            )
+        r_rows = r_proj.collect()
+    finally:
+        r_proj.unpersist()
     rid = np.array([r[0] for r in r_rows], dtype="int64")
     rmat = np.array([r[1] for r in r_rows], dtype="float64")
     out_schema = f"left_id bigint, right_id bigint, {dist_col} double, rank int"

@@ -17,6 +17,15 @@ Scale shape:
   streaming mode, no index materialization); samples are grouped by
   basename per the webdataset convention (``<key>.<ext>`` payload +
   ``<key>.json`` metadata) and yielded as Arrow-bound tuples.
+- A sample with SEVERAL payload members (``key.jpg`` + ``key.cls``)
+  yields one ROW PER PAYLOAD, each carrying the sample's key and
+  json metadata — nothing is silently dropped; re-group with
+  ``groupBy("key")`` when a one-row-per-sample view is wanted. The
+  webdataset convention requires a sample's members to be
+  CONSECUTIVE in the tar; members of the same key that are split by
+  another key start a NEW sample (spec-compliant reading of a
+  non-conforming tar), with the json metadata attaching only to the
+  contiguous run it appears in.
 - Payload skipping: the Python DataSource API does not push column
   pruning into ``read`` automatically, but a USER-SUPPLIED read
   schema does reach the reader — ``spark.read.format("webdataset")
@@ -83,21 +92,28 @@ class WebDatasetReader(DataSourceReader):
         want_data = "data" in self.fields
         shard = partition.path
         # webdataset contract: a sample's members are CONSECUTIVE in
-        # the tar; flush the current sample whenever the key changes
+        # the tar; flush the current sample whenever the key changes.
+        # Every payload member is kept — one output row per payload,
+        # all sharing the sample's json metadata (last-wins retention
+        # of a single slot would silently drop key.cls next to
+        # key.jpg).
         cur_key = None
-        cur = {}
+        cur_meta = None
+        cur_payloads: list[tuple[str, bytes | None]] = []
 
         def emit():
             if cur_key is None:
-                return None
-            row = {
-                "key": cur_key,
-                "ext": cur.get("ext"),
-                "data": cur.get("data") if want_data else None,
-                "meta": cur.get("meta"),
-                "shard": shard,
-            }
-            return tuple(row[f] for f in self.fields)
+                return
+            payloads = cur_payloads if cur_payloads else [(None, None)]
+            for ext, data in payloads:
+                row = {
+                    "key": cur_key,
+                    "ext": ext,
+                    "data": data if want_data else None,
+                    "meta": cur_meta,
+                    "shard": shard,
+                }
+                yield tuple(row[f] for f in self.fields)
 
         with tarfile.open(shard, "r") as tar:
             for info in tar:
@@ -110,21 +126,15 @@ class WebDatasetReader(DataSourceReader):
                 if not dot:
                     base, ext = info.name, ""
                 if base != cur_key:
-                    out = emit()
-                    if out is not None:
-                        yield out
-                    cur_key, cur = base, {}
+                    yield from emit()
+                    cur_key, cur_meta, cur_payloads = base, None, []
                 if ext == "json":
-                    cur["meta"] = (
-                        tar.extractfile(info).read().decode("utf-8")
-                    )
+                    cur_meta = tar.extractfile(info).read().decode("utf-8")
                 else:
-                    cur["ext"] = ext
-                    if want_data:
-                        cur["data"] = tar.extractfile(info).read()
-        out = emit()
-        if out is not None:
-            yield out
+                    cur_payloads.append(
+                        (ext, tar.extractfile(info).read() if want_data else None)
+                    )
+        yield from emit()
 
 
 def register(spark) -> None:

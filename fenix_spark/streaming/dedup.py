@@ -115,12 +115,11 @@ def stream_incremental_neardup(
     returned query's parent; here we start with the default trigger
     unless the source bounds it).
     """
-    import os
-
     from fenix_spark.operators.dedup import (
         incremental_pairs_from_state,
         minhash_state,
     )
+    from fenix_spark.streaming.fsutil import list_child_names
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -131,9 +130,10 @@ def stream_incremental_neardup(
         )
         new_sets = new_sets.localCheckpoint(eager=True)
         new_bands = new_bands.localCheckpoint(eager=True)
+        # Hadoop-FS listing (fsutil): state_root may be HDFS/S3A
         prior = [
             int(d.split("=", 1)[1])
-            for d in (os.listdir(sets_dir) if os.path.isdir(sets_dir) else [])
+            for d in list_child_names(spark, sets_dir)
             if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < batch_id
         ]
         if prior:

@@ -27,40 +27,30 @@ what `compact_state` bounds.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fenix_spark.operators.sketches import cms_build, hll_merge, hll_rollup
+from fenix_spark.streaming.fsutil import complete_partial_ids, delete_path
 
 
-def _complete_dirs(root: str, prefix: str) -> list[int]:
-    """Ids of COMPLETE ``{prefix}=N`` partial dirs — completeness is
-    the _SUCCESS marker, so a crash mid-write (or a retried batch's
-    cleared-but-unwritten dir) is invisible to readers rather than a
-    torn merge / schema-inference failure."""
-    if not os.path.isdir(root):
-        return []
-    out = []
-    for d in os.listdir(root):
-        if d.startswith(f"{prefix}=") and os.path.exists(
-            os.path.join(root, d, "_SUCCESS")
-        ):
-            out.append(int(d.split("=", 1)[1]))
-    return sorted(out)
-
-
-def _partial_paths(root: str) -> list[str]:
+def _partial_paths(spark: SparkSession, root: str) -> list[str]:
     """Every complete partial: live batch dirs PLUS compaction folds
     (folds use their own ``compact=K`` namespace — the streaming
     query numbers ``batch_id`` from its OWN checkpoint, so a fold
     stored under a future batch id would be overwritten by that
-    batch's foreachBatch when it arrives)."""
+    batch's foreachBatch when it arrives). Discovery goes through the
+    Hadoop FileSystem API (fsutil), so an HDFS/S3A state_root works
+    the same as a local one."""
     return [
-        f"{root}/batch_id={b}" for b in _complete_dirs(root, "batch_id")
-    ] + [f"{root}/compact={k}" for k in _complete_dirs(root, "compact")]
+        f"{root}/batch_id={b}"
+        for b in complete_partial_ids(spark, root, "batch_id")
+    ] + [
+        f"{root}/compact={k}"
+        for k in complete_partial_ids(spark, root, "compact")
+    ]
 
 
 def stream_hll_rollup(
@@ -87,7 +77,7 @@ def read_hll_rollup(
     """Merge every landed batch partial to the requested grain:
     (keys..., hll, distinct_est). ``keys`` ⊆ the rollup keys (empty →
     grand total)."""
-    paths = _partial_paths(state_root)
+    paths = _partial_paths(spark, state_root)
     if not paths:
         raise FileNotFoundError(f"no sketch state under {state_root}")
     return hll_merge(spark.read.parquet(*paths), list(keys))
@@ -120,7 +110,7 @@ def stream_cms(
 def read_cms(spark: SparkSession, state_root: str) -> DataFrame:
     """The merged sketch (r, b, c) over all landed batches — feed it
     to ``sketches.cms_estimate``."""
-    paths = _partial_paths(state_root)
+    paths = _partial_paths(spark, state_root)
     if not paths:
         raise FileNotFoundError(f"no sketch state under {state_root}")
     parts = spark.read.parquet(*paths)
@@ -140,10 +130,8 @@ def compact_state(spark: SparkSession, state_root: str) -> int:
     CMS it is a bounded over-count window — run compaction in the
     maintenance lane, not concurrent with point reads that must be
     exact). Returns the new compact id."""
-    import shutil
-
-    batch_ids = _complete_dirs(state_root, "batch_id")
-    compact_ids = _complete_dirs(state_root, "compact")
+    batch_ids = complete_partial_ids(spark, state_root, "batch_id")
+    compact_ids = complete_partial_ids(spark, state_root, "compact")
     inputs = [f"{state_root}/batch_id={b}" for b in batch_ids] + [
         f"{state_root}/compact={k}" for k in compact_ids
     ]
@@ -159,5 +147,5 @@ def compact_state(spark: SparkSession, state_root: str) -> int:
     new_id = (compact_ids[-1] + 1) if compact_ids else 0
     folded.write.mode("overwrite").parquet(f"{state_root}/compact={new_id}")
     for p in inputs:
-        shutil.rmtree(p)
+        delete_path(spark, p)
     return new_id

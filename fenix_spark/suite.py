@@ -1866,21 +1866,32 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document, fully relational: explode
     tokens → per-(doc, term) TF → document-frequency join (broadcast;
     |vocab| rows) → score → window top-3. The explode is map-side; the
-    only shuffles are the two aggregations and the final window."""
+    only shuffles are the two aggregations and the final window.
+
+    The corpus size N enters the plan as a 1-row count aggregate
+    cross-joined (broadcast) into the |vocab|-row df frame — mirroring
+    the oracle's ``n`` CTE — instead of a driver-side ``docs.count()``,
+    so the query is a single job with no driver round-trip."""
     from fenix_spark.functions.texthash import tokens
 
     docs = table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
     terms = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n))
+    )
     scored = tf.join(F.broadcast(dfreq), "term").select(
         "doc_id",
         "term",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)), 6
+            F.col("tf")
+            * F.log((F.col("n_docs") + F.lit(1)).cast("double") / (F.col("df") + 1)),
+            6,
         ).alias("score"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())

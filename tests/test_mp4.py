@@ -83,3 +83,47 @@ def test_curation_filter_shape(spark):
     df = spark.createDataFrame(rows, "id bigint, data binary")
     kept = video_metadata(df).where(F.col("duration_s") >= 5.0)
     assert sorted(r.id for r in kept.collect()) == [10, 30]
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def test_tkhd_trailing_padding_dims():
+    """Dims live at the version-fixed offsets (body+76 for v0) — a
+    tkhd with trailing padding after width/height must still parse
+    correctly (reading 'the last 8 bytes' would return garbage)."""
+    body = (
+        b"\x00\x00\x00\x07"
+        + struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4
+        + struct.pack(">I", 1000)  # duration
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 1280 << 16, 720 << 16)
+        + b"\x00" * 8  # trailing padding/extension bytes
+    )
+    blob = _box(b"moov", _box(b"trak", _box(b"tkhd", body)))
+    m = parse_mp4_metadata(blob)
+    assert (m["width"], m["height"]) == (1280, 720)
+
+
+def test_tkhd_v1_layout_dims():
+    """v1 tkhd: 64-bit creation/modification/duration shift the dims
+    to body+88."""
+    body = (
+        b"\x01\x00\x00\x07"
+        + struct.pack(">QQ", 0, 0)  # creation, modification (u64)
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4
+        + struct.pack(">Q", 1000)  # duration (u64)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 640 << 16, 480 << 16)
+    )
+    blob = _box(b"moov", _box(b"trak", _box(b"tkhd", body)))
+    m = parse_mp4_metadata(blob)
+    assert (m["width"], m["height"]) == (640, 480)

@@ -114,3 +114,9 @@ def test_opq_ivfpq_composition(spark, correlated, model, tmp_path):
         indexed, model, coarse, x[11], k=3, probes=4, rerank=10
     ).collect()
     assert hits[0].vec_id == 11
+
+
+def test_fit_opq_empty_frame_raises(spark):
+    df = spark.createDataFrame([], "id bigint, vec array<double>")
+    with pytest.raises(ValueError, match="empty input frame"):
+        fit_opq(df, "vec", CodingConfig(num_codebooks=2, codebook_size=4))

@@ -239,3 +239,25 @@ def test_cluster_balanced_fine_rates_and_null_exclusion(spark):
     n = out.count()
     assert 10 <= n <= 90  # ~40 expected; 1/10000 rounding would give 0
     assert out.where(F.col("cluster").isNull()).count() == 0
+
+
+def test_cluster_balanced_gate_high_cardinality(spark):
+    """A document-level cluster_col must raise LOUDLY instead of
+    collecting every distinct value to the driver (the quota table is
+    driver-side; the gate is limit(cap+1) so the check itself is
+    bounded)."""
+    import pytest
+
+    from fenix_spark.operators.sampling import cluster_balanced_sample
+
+    df = spark.range(500).selectExpr("id AS doc_id", "id AS cluster")
+    with pytest.raises(ValueError, match="distinct values"):
+        cluster_balanced_sample(
+            df, "cluster", "doc_id", budget=10, max_clusters=100
+        )
+    # at-or-under the cap still works
+    coarse = spark.range(500).selectExpr("id AS doc_id", "id % 50 AS cluster")
+    out = cluster_balanced_sample(
+        coarse, "cluster", "doc_id", budget=100, max_clusters=100
+    )
+    assert out.count() > 0

@@ -159,3 +159,42 @@ def test_datasource_metadata_only_scan(spark, tmp_path):
     import json as _json
 
     assert all(_json.loads(r.meta)["parity"] in (0, 1) for r in rows)
+
+
+def test_datasource_multi_payload_sample(spark, tmp_path):
+    """A sample with several payload members (key.jpg + key.cls)
+    yields one row per payload, each carrying the sample's json
+    metadata — nothing silently dropped."""
+    import io
+    import json
+    import tarfile
+
+    from fenix_spark.sources.webdataset_source import register
+
+    shard = tmp_path / "multi.tar"
+
+    def add(tar, name, data):
+        ti = tarfile.TarInfo(name)
+        ti.size = len(data)
+        tar.addfile(ti, io.BytesIO(data))
+
+    with tarfile.open(shard, "w") as tar:
+        add(tar, "a.jpg", b"JPGBYTES")
+        add(tar, "a.cls", b"7")
+        add(tar, "a.json", json.dumps({"label": "x"}).encode())
+        add(tar, "b.jpg", b"OTHER")
+
+    register(spark)
+    rows = spark.read.format("webdataset").load(str(shard)).collect()
+    by_key: dict[str, list] = {}
+    for r in rows:
+        by_key.setdefault(r.key, []).append(r)
+    assert {r.ext for r in by_key["a"]} == {"jpg", "cls"}
+    for r in by_key["a"]:
+        assert json.loads(r.meta) == {"label": "x"}
+    assert {r.ext: bytes(r.data) for r in by_key["a"]} == {
+        "jpg": b"JPGBYTES",
+        "cls": b"7",
+    }
+    assert len(by_key["b"]) == 1
+    assert by_key["b"][0].meta is None
