@@ -237,7 +237,9 @@ def decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
         return x, 0
     raise NotImplementedError(
         f"no audio codec for format {fmt!r} in this environment; "
-        "decode_audio is the single swap-in point for real codecs"
+        "decode_audio is the single swap-in point for real PCM codecs "
+        "(mp3 CONTAINER metadata — duration/bitrate/rate/channels/VBR "
+        "— is already real without any codec: multimodal/mp3.py)"
     )
 
 

@@ -1,0 +1,254 @@
+"""MPEG audio (mp3/mp2/mp1) FRAME-HEADER parsing — container-level
+metadata (duration, bitrate, sample rate, channels, CBR/VBR) from the
+raw byte stream with no codec dependency, the audio sibling of
+``multimodal/mp4.py``'s box-tree walk. Everything here derives from
+the public MPEG-1/2 audio framing spec (ISO/IEC 11172-3 / 13818-3
+header layout, the standard bitrate/samplerate index tables, and the
+de-facto Xing/Info VBR tag).
+
+What's REAL: sync-word scanning (with ID3v2 skip via its synchsafe
+size), per-frame header decode, frame-size arithmetic, the full frame
+walk (so duration comes from counted frames, not a one-frame
+extrapolation — correct for VBR), and Xing/Info frame-count reading.
+What's NOT claimed: PCM synthesis (huffman/IMDCT) — ``media.py``'s
+``decode_audio`` remains the swap-in point for actual sample decode.
+
+Scale shape: pure per-blob byte math inside ``mapInPandas`` — bytes
+never leave the executor, output is a fixed small struct per blob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# bitrate tables in kbps, indexed 1..14 (0 = free-format, 15 = bad);
+# rows keyed by (mpeg1?, layer)
+_BITRATES = {
+    (True, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (True, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (True, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (False, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (False, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (False, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+# sample-rate tables by version id (0=MPEG2.5, 2=MPEG2, 3=MPEG1)
+_SAMPLE_RATES = {
+    0: (11025, 12000, 8000),
+    2: (22050, 24000, 16000),
+    3: (44100, 48000, 32000),
+}
+_VERSION_NAMES = {0: "MPEG2.5", 2: "MPEG2", 3: "MPEG1"}
+
+
+def _parse_header(b0: int, b1: int, b2: int, b3: int) -> dict | None:
+    """Decode one 32-bit frame header; None if not a valid sync."""
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version_id = (b1 >> 3) & 3
+    layer_id = (b1 >> 1) & 3
+    if version_id == 1 or layer_id == 0:  # reserved
+        return None
+    layer = 4 - layer_id  # 3->I, 2->II, 1->III
+    bitrate_idx = (b2 >> 4) & 15
+    sr_idx = (b2 >> 2) & 3
+    if bitrate_idx in (0, 15) or sr_idx == 3:
+        # free-format (0) is legal but frame size is undefined without
+        # decoding — treat as unwalkable, like a reserved value
+        return None
+    mpeg1 = version_id == 3
+    bitrate = _BITRATES[(mpeg1, layer)][bitrate_idx - 1] * 1000
+    sr = _SAMPLE_RATES[version_id][sr_idx]
+    padding = (b2 >> 1) & 1
+    channel_mode = (b3 >> 6) & 3
+    if layer == 1:
+        spf = 384
+        size = (12 * bitrate // sr + padding) * 4
+    else:
+        spf = 1152 if (mpeg1 or layer == 2) else 576
+        size = spf // 8 * bitrate // sr + padding
+    return {
+        "version_id": version_id,
+        "layer": layer,
+        "bitrate": bitrate,
+        "sample_rate": sr,
+        "channels": 1 if channel_mode == 3 else 2,
+        "samples_per_frame": spf,
+        "frame_size": size,
+        "mpeg1": mpeg1,
+    }
+
+
+def _skip_id3v2(data: bytes) -> int:
+    """Byte offset past a leading ID3v2 tag (synchsafe 28-bit size),
+    0 when absent or malformed."""
+    if len(data) < 10 or data[:3] != b"ID3":
+        return 0
+    if any(b & 0x80 for b in data[6:10]):
+        return 0  # size bytes must be synchsafe
+    size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+    footer = 10 if (data[5] & 0x10) else 0
+    return min(10 + size + footer, len(data))
+
+
+def parse_mp3_metadata(data: bytes, max_resync: int = 65536) -> dict:
+    """Walk every MPEG audio frame: counted frames × samples-per-frame
+    give the duration (exact for CBR and VBR alike), the set of
+    per-frame bitrates gives CBR/VBR and the average bitrate, and the
+    first frame's Xing/Info tag (when present) cross-checks the frame
+    count. Never raises on malformed bytes — ``ok=False`` instead.
+
+    ``max_resync`` bounds the garbage scanned while hunting the first
+    sync word (dirty crawl blobs); after lock-on, a frame that doesn't
+    land on the next sync ends the walk (no mid-stream rescue, which
+    would happily "parse" random bytes)."""
+    out: dict = {
+        "ok": False,
+        "version": None,
+        "layer": None,
+        "sample_rate": None,
+        "channels": None,
+        "bitrate_kbps": None,
+        "vbr": None,
+        "n_frames": 0,
+        "duration_s": None,
+        "xing_frames": None,
+    }
+    try:
+        pos = _skip_id3v2(data)
+        end = len(data)
+        # hunt the first valid header, bounded
+        first = None
+        limit = min(end - 4, pos + max_resync)
+        while pos <= limit:
+            if data[pos] == 0xFF:
+                h = _parse_header(
+                    data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+                )
+                if h is not None and h["frame_size"] > 4:
+                    first = h
+                    break
+            pos += 1
+        if first is None:
+            return out
+        # Xing/Info VBR tag sits after the side info of frame 1
+        side = (17 if first["channels"] == 1 else 32) if first["mpeg1"] else (
+            9 if first["channels"] == 1 else 17
+        )
+        tag_at = pos + 4 + side
+        if tag_at + 8 <= end and data[tag_at : tag_at + 4] in (b"Xing", b"Info"):
+            flags = int.from_bytes(data[tag_at + 4 : tag_at + 8], "big")
+            if flags & 1 and tag_at + 12 <= end:
+                out["xing_frames"] = int.from_bytes(
+                    data[tag_at + 8 : tag_at + 12], "big"
+                )
+        n_frames = 0
+        total_samples = 0
+        bitrates = set()
+        h = first
+        while h is not None:
+            n_frames += 1
+            total_samples += h["samples_per_frame"]
+            bitrates.add(h["bitrate"])
+            pos += h["frame_size"]
+            if pos + 4 > end:
+                break
+            h = _parse_header(
+                data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+            )
+            if h is not None and h["frame_size"] <= 4:
+                h = None
+        out["ok"] = True
+        out["version"] = _VERSION_NAMES[first["version_id"]]
+        out["layer"] = first["layer"]
+        out["sample_rate"] = first["sample_rate"]
+        out["channels"] = first["channels"]
+        out["vbr"] = len(bitrates) > 1
+        out["n_frames"] = n_frames
+        out["duration_s"] = round(total_samples / first["sample_rate"], 6)
+        out["bitrate_kbps"] = round(
+            sum(bitrates) / len(bitrates) / 1000
+            if len(bitrates) > 1
+            else first["bitrate"] / 1000,
+            3,
+        )
+    except Exception:  # noqa: BLE001 - malformed bytes: partial out
+        pass
+    return out
+
+
+def encode_silent_mp3(
+    duration_s: float,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    with_id3: bool = False,
+) -> bytes:
+    """Structurally-valid CBR MPEG1 Layer III stream (real headers,
+    zeroed payloads — no encoder) for testing the parser and pipeline
+    plumbing, like ``mp4.encode_minimal_mp4`` / the synthesized BMP
+    fixtures. ``with_id3`` prepends a 64-byte ID3v2 tag to exercise
+    the synchsafe skip."""
+    br_idx = _BITRATES[(True, 3)].index(bitrate_kbps) + 1
+    sr_idx = _SAMPLE_RATES[3].index(sample_rate)
+    header = bytes(
+        [
+            0xFF,
+            0xFB,  # MPEG1, Layer III, no CRC
+            (br_idx << 4) | (sr_idx << 2),  # no padding
+            0xC0,  # mono
+        ]
+    )
+    size = 1152 // 8 * (bitrate_kbps * 1000) // sample_rate
+    frame = header + b"\x00" * (size - 4)
+    n = max(1, round(duration_s * sample_rate / 1152))
+    id3 = b""
+    if with_id3:
+        body_size = 54
+        id3 = (
+            b"ID3\x04\x00\x00"
+            + bytes([0, 0, body_size >> 7, body_size & 0x7F])
+            + b"\x00" * body_size
+        )
+    return id3 + frame * n
+
+
+def mp3_metadata(
+    df: DataFrame, data_col: str = "data", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, ok, version, layer, sample_rate, channels, bitrate_kbps,
+    vbr, n_frames, duration_s, xing_frames) — frame-walk every blob;
+    bytes stay on the executors."""
+    import pandas as pd
+
+    schema = (
+        "id bigint, ok boolean, version string, layer int, "
+        "sample_rate int, channels int, bitrate_kbps double, "
+        "vbr boolean, n_frames int, duration_s double, xing_frames int"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                m = parse_mp3_metadata(bytes(pdf["__data"].iloc[i]))
+                rows.append(
+                    {
+                        "id": pdf["__id"].iloc[i],
+                        "ok": m["ok"],
+                        "version": m["version"],
+                        "layer": m["layer"],
+                        "sample_rate": m["sample_rate"],
+                        "channels": m["channels"],
+                        "bitrate_kbps": m["bitrate_kbps"],
+                        "vbr": m["vbr"],
+                        "n_frames": m["n_frames"],
+                        "duration_s": m["duration_s"],
+                        "xing_frames": m["xing_frames"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    src = df.select(
+        F.col(id_col).alias("__id"), F.col(data_col).alias("__data")
+    )
+    return src.mapInPandas(gen, schema)

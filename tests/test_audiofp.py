@@ -74,3 +74,43 @@ def test_crop_matches_with_correct_offset(spark):
     assert votes >= 8
     # the unrelated track matches neither
     assert not any(2 in k for k in pairs)
+
+
+def test_ber_recovers_transcode_and_rejects_snippet(spark):
+    """BER verification (Haitsma-Kalker decision variable) in both
+    directions: a gain+re-quantization transcode that exact-hash
+    voting MISSES at a safe threshold is accepted (BER ~0.14), while a
+    track sharing only a short spliced snippet — which racks up exact
+    votes at one offset like a duplicate would — is REJECTED (BER near
+    the 0.5 unrelated-audio floor over the full overlap)."""
+    from fenix_spark.multimodal.audiofp import audio_match_pairs_ber
+
+    x = _tone_mix(21, seconds=8.0)
+    transcode = (x * 0.25).astype(np.int64)
+    y = _tone_mix(22, seconds=8.0).copy()
+    s, n = 1024 * 10, 1024 * 14
+    y[s : s + n] = x[s : s + n]  # shared jingle/snippet, same position
+    rows = [
+        (0, encode_wav(x, SR), "wav"),
+        (1, encode_wav(transcode, SR), "wav"),
+        (2, encode_wav(y, SR), "wav"),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, data binary, fmt string")
+    fps = audio_fingerprints(df).localCheckpoint(eager=True)
+
+    strict = {
+        (r.id_a, r.id_b) for r in audio_match_pairs(fps, min_votes=8).collect()
+    }
+    assert (0, 1) not in strict  # voting alone misses the transcode
+    assert (0, 2) in strict  # ...and false-positives on the snippet
+
+    verified = {
+        (r.id_a, r.id_b): r
+        for r in audio_match_pairs_ber(
+            fps, candidate_min_votes=2, max_ber=0.25, min_overlap=32
+        ).collect()
+    }
+    assert (0, 1) in verified  # BER recovers the transcode
+    assert verified[(0, 1)].offset == 0
+    assert verified[(0, 1)].ber <= 0.25
+    assert (0, 2) not in verified  # BER rejects the snippet-sharer
