@@ -122,8 +122,13 @@ def _band_expr(dhash: Column, band: int, n_bands: int) -> Column:
     base, extra = divmod(64, n_bands)
     start = band * base + min(band, extra)
     width = base + (1 if band < extra else 0)
+    shifted = F.shiftrightunsigned(dhash, start)
+    if width >= 64:
+        # single 64-bit band (max_hamming=0): the all-ones mask does
+        # not fit a positive int64 literal, and masking is a no-op
+        return shifted
     # bitwiseAND, not `&`: Python `&` on Columns is logical AND
-    return F.shiftrightunsigned(dhash, start).bitwiseAND(F.lit((1 << width) - 1))
+    return shifted.bitwiseAND(F.lit((1 << width) - 1))
 
 
 def image_neardup_pairs(

@@ -114,3 +114,43 @@ def test_ber_recovers_transcode_and_rejects_snippet(spark):
     assert verified[(0, 1)].offset == 0
     assert verified[(0, 1)].ber <= 0.25
     assert (0, 2) not in verified  # BER rejects the snippet-sharer
+
+
+def test_planted_corpus_floor(spark):
+    """Pinned floor on the planted audio corpus (the RECALL.md
+    evaluation at smaller size): BER verification at the paper's 0.35
+    operating point with hamming-1 probe candidates reaches perfect
+    component-level precision, recall ≥ 0.95, and rejects every
+    snippet confuser — while strict exact-hash voting false-positives
+    on them."""
+    from fenix_spark.multimodal.audiofp import audio_match_pairs_ber
+    from fenix_spark.multimodal.planted import (
+        audio_corpus,
+        clique_expand,
+    )
+    from fenix_spark.operators.dedup import dedup_eval
+
+    df, truth, confusers = audio_corpus(spark, n_base=6, n_confusers=3)
+    fps = audio_fingerprints(df).localCheckpoint(eager=True)
+    conf = set(confusers)
+
+    strict = [
+        (r.id_a, r.id_b)
+        for r in audio_match_pairs(fps, min_votes=8).collect()
+    ]
+    assert any(a in conf or b in conf for a, b in strict)
+
+    pred = [
+        (r.id_a, r.id_b)
+        for r in audio_match_pairs_ber(
+            fps, candidate_min_votes=4, max_ber=0.35, probe_bits=1
+        ).collect()
+    ]
+    assert not any(a in conf or b in conf for a, b in pred)
+    truth_df = spark.createDataFrame(truth, "id_l bigint, id_r bigint")
+    pred_df = spark.createDataFrame(
+        clique_expand(pred) or [(-1, -2)], "id_a bigint, id_b bigint"
+    )
+    m = dedup_eval(pred_df, truth_df, ("id_a", "id_b"), ("id_l", "id_r"))
+    assert m["precision"] == 1.0
+    assert m["recall"] >= 0.95

@@ -114,3 +114,30 @@ def test_tiny_images_hash_distinctly():
 
     with _pytest.raises(ValueError, match="empty image"):
         dhash64(np.zeros((0, 5), dtype=np.uint8))
+
+
+def test_planted_corpus_floor(spark):
+    """Pinned floor on the planted image corpus (the RECALL.md
+    evaluation at smaller size): at max_hamming=4, component-level
+    precision is perfect and recall ≥ 0.95."""
+    from fenix_spark.multimodal.planted import (
+        clique_expand,
+        image_corpus,
+    )
+    from fenix_spark.operators.dedup import dedup_eval
+
+    df, truth = image_corpus(spark, n_base=12)
+    hashes = image_dhashes(df)
+    pred = [
+        (r.id_a, r.id_b)
+        for r in image_neardup_pairs(hashes, max_hamming=4)
+        .select("id_a", "id_b")
+        .collect()
+    ]
+    truth_df = spark.createDataFrame(truth, "id_l bigint, id_r bigint")
+    pred_df = spark.createDataFrame(
+        clique_expand(pred) or [(-1, -2)], "id_a bigint, id_b bigint"
+    )
+    m = dedup_eval(pred_df, truth_df, ("id_a", "id_b"), ("id_l", "id_r"))
+    assert m["precision"] == 1.0
+    assert m["recall"] >= 0.95
