@@ -1921,6 +1921,54 @@ def _tfidf_top_terms_sql() -> str:
     """
 
 
+_BM25_QUERY = "spark window merge join"
+
+
+def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed free-text query, through the product
+    API (operators/bm25.py): postings build → query-term pruned
+    broadcast joins → native scoring → deterministic top-k. The
+    retrieval family's first oracle row (VERDICT r04 #8)."""
+    from fenix_spark.operators.bm25 import bm25_search, build_bm25_index
+
+    docs = table(spark, sf_dir, "documents")
+    idx = build_bm25_index(docs, "text", "doc_id")
+    return bm25_search(spark, idx, _BM25_QUERY, k=10)
+
+
+def _bm25_search_sql() -> str:
+    """DuckDB mirror of the Lucene-form BM25 (k1=1.2, b=0.75), with
+    every float expression shaped to evaluate in the same operand
+    order as operators/bm25.py (k1+1 folded to 2.2, 1-b to 0.25)."""
+    from fenix_spark.functions.texthash import duck_tokens
+
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY.split())
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, unnest({duck_tokens("text")}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term
+    ), dl AS (
+        SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+    ), n AS (SELECT count(*) AS n_docs FROM documents),
+    stats AS (
+        SELECT (SELECT sum(dl)::DOUBLE FROM dl) / (SELECT n_docs FROM n) AS avgdl
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id,
+           round(sum(
+             ln(((SELECT n_docs FROM n) - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * 2.2)
+             / (tf + 1.2 * (0.25 + 0.75 * dl / (SELECT avgdl FROM stats)))
+           ), 6) + 0.0 AS score
+    FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+    WHERE term IN ({terms})
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 10
+    """
+
+
 # --------------------------------------------------------------------------
 # Quantization (functions/tensors.py — QUInt8TensorType analog,
 # ref: src/fenix/ex/arrow/quint8/quint8.py:23-87)
@@ -2411,7 +2459,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- search / index family (reference flagship) --
     "knn_metrics": _knn_metrics,
     "knn_filtered": _knn_spark("l2", where="label = 3"),
-    "knn_select": _knn_spark("cosine", select=("vec_id",)),
+    # (knn_select retired for bm25_search under the driver's 50-row
+    #  cap, VERDICT r04 #8 — its projection+cosine pattern stays
+    #  covered by knn_metrics' cosine row and knn_filtered's pruning.)
     "code_assign": _code_assign,
     "ivf_probe_search": _ivf_probe_search,
     "ivf_batch_search": _ivf_batch_search,
@@ -2433,6 +2483,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_metrics": _text_metrics,
     "text_stats": _text_stats,
     "tfidf_top_terms": _tfidf_top_terms,
+    "bm25_search": _bm25_search,
     "curation_stats": _curation_stats,
     "label_centroids": _label_centroids,
     # -- relational corpus (TPC-H-style) --
@@ -2477,7 +2528,6 @@ _ORACLE_SF_DIR = "/root/testdata/sf0.01"
 ORACLE_SQL: dict[str, str] = {
     "knn_metrics": _knn_metrics_oracle(),
     "knn_filtered": _knn_oracle("l2", where="WHERE label = 3"),
-    "knn_select": _knn_oracle("cosine", select="vec_id"),
     "code_assign": _code_assign_sql(_ORACLE_SF_DIR),
     "ivf_probe_search": _ivf_probe_search_sql(_ORACLE_SF_DIR),
     "ivf_batch_search": _ivf_batch_search_sql(_ORACLE_SF_DIR),
@@ -2496,6 +2546,7 @@ ORACLE_SQL: dict[str, str] = {
     "text_metrics": _text_metrics_sql(),
     "text_stats": _TEXT_STATS_SQL,
     "tfidf_top_terms": _tfidf_top_terms_sql(),
+    "bm25_search": _bm25_search_sql(),
     "curation_stats": _CURATION_STATS_SQL,
     "label_centroids": _LABEL_CENTROIDS_SQL,
     "scan_filter_project": _SCAN_FILTER_PROJECT_SQL,

@@ -372,8 +372,15 @@ def main() -> None:
         "",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RECALL.md")
+    # preserve the media-dedup section owned by scripts/media_recall.py
+    media = ""
+    if os.path.exists(out):
+        prev = open(out).read()
+        begin, end = "<!-- media-recall:begin -->", "<!-- media-recall:end -->"
+        if begin in prev and end in prev:
+            media = "\n" + begin + prev.split(begin, 1)[1].split(end, 1)[0] + end + "\n"
     with open(out, "w") as f:
-        f.write("\n".join(lines))
+        f.write("\n".join(lines) + media)
     print(f"wrote {out}")
     for row in ivf_rows:
         print("ivf", row)
