@@ -74,6 +74,7 @@ def _child_main() -> None:
         ensure_artifacts,
         ensure_ivfpq_artifacts,
         ensure_ivfpq_residual_artifacts,
+        ensure_large_flat_index,
         ensure_media_artifact,
     )
     from fenix_spark.suite import SPARK_QUERIES, events_table
@@ -82,6 +83,7 @@ def _child_main() -> None:
     ensure_artifacts(spark, sf_dir)
     ensure_ivfpq_artifacts(spark, sf_dir)
     ensure_ivfpq_residual_artifacts(spark, sf_dir)
+    ensure_large_flat_index(spark, sf_dir)
     ensure_media_artifact(spark, sf_dir)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM/codegen warm-up
     # Scan-path warm-up: footer reads + first-touch page cache for the

@@ -188,6 +188,44 @@ def _ensure_ivfpq(spark: SparkSession, sf_dir: str):
     return coarse, fine, spark.read.parquet(ipath)
 
 
+def large_flat_index_dir(sf_dir: str) -> str:
+    """The 65,536-cell coding used FLAT (code as a data column, no
+    hive partitioning — 65k partition dirs would be pathological at
+    any SF; the batch search equi-joins on the column)."""
+    return catalog.index_path(
+        artifact_root(sf_dir), "embeddings", "embedding", "pq_fine_flat"
+    )
+
+
+def ensure_large_flat_index(spark: SparkSession, sf_dir: str):
+    """Return (fine_coding, indexed_flat) for the large-codebook batch
+    search arm: embeddings + ``__CODED_ID__`` assigned through the
+    O(n·k) beam path (``probe_cells_join``, probes=1 — the only exact
+    assignment that never enumerates the 65,536 joint cells). Stored
+    as plain parquet so the DuckDB oracle can independently RE-DERIVE
+    every code by separable per-codebook argmin — a wrong beam
+    assignment would candidate-mismatch the oracle row."""
+    return _memo(spark, f"large_flat:{sf_dir}", lambda: _ensure_large_flat(spark, sf_dir))
+
+
+def _ensure_large_flat(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from fenix_spark.operators.index import CODE_COL, PROBE_COL, probe_cells_join
+
+    _, fine, _ = ensure_ivfpq_artifacts(spark, sf_dir)
+    ipath = large_flat_index_dir(sf_dir)
+    if not _complete(ipath):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned = probe_cells_join(emb, fine, "embedding", probes=1, metric="l2")
+        assigned.select(
+            F.col("query_id").alias("vec_id"),
+            F.col("__qvec").alias("embedding"),
+            F.element_at(F.col(PROBE_COL), 1).alias(CODE_COL),
+        ).write.mode("overwrite").parquet(ipath)
+    return fine, spark.read.parquet(ipath)
+
+
 def ensure_ivfpq_residual_artifacts(spark: SparkSession, sf_dir: str):
     """Return (coarse, fine, indexed) for the RESIDUAL IVF-PQ layout."""
     return _memo(spark, f"ivfpq_r:{sf_dir}", lambda: _ensure_ivfpq_residual(spark, sf_dir))

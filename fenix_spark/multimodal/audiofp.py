@@ -8,12 +8,22 @@ the band-difference time-derivative — 16 bits per frame, invariant to
 amplitude scaling (a global gain multiplies every band energy, signs
 of differences survive) and robust to mild noise/transcoding.
 
-Matching is the Shazam-style offset-voting join (Wang 2003): explode
-tracks to (id, frame, fhash) rows, equi-join on fhash, and let each
-collision VOTE for the frame offset ``frame_a − frame_b``; true
-copies (including time-shifted crops) concentrate votes on one
-offset, random collisions scatter. The pipeline shape is the repo's
-standard candidate-join discipline:
+Matching is two-stage:
+
+1. Shazam-style offset-voting join (Wang 2003): explode tracks to
+   (id, frame, fhash) rows, equi-join on fhash (optionally the
+   hamming-1 probe neighborhood — the paper's fragile-bit fix), and
+   let each collision VOTE for the frame offset ``frame_a −
+   frame_b``; true copies (including time-shifted crops) concentrate
+   votes on one offset, random collisions scatter.
+2. Haitsma-Kalker bit-error-rate verification
+   (:func:`audio_match_pairs_ber`): align frames at the voted offset
+   and threshold the mean ``bit_count(xor)/16`` over the overlap —
+   recovers transcodes voting misses, rejects snippet-sharing false
+   positives. Measured separations on the planted corpus are pinned
+   in RECALL.md.
+
+The pipeline shape is the repo's standard candidate-join discipline:
 
 - fingerprinting is ``mapInPandas`` over the audio column — sample
   bytes never leave the executor, output is 12-byte rows;
