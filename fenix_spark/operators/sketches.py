@@ -35,6 +35,14 @@ Five summaries, by exactness and key type:
   (semi-join on the ≤ m·P candidate terms) replaces lower-bound
   estimates with EXACT counts, so returned counts carry no error —
   only completeness has the N/m bound, and it is reported.
+- **Bloom filter** (`bloom_build` / `bloom_merge` /
+  `bloom_contains_expr`): one-sided set membership (no false
+  negatives) as a sparse (word, bits) DataFrame — md5 positions like
+  CMS, mergeable by bitwise OR, DuckDB-mirrorable. The scale use is
+  KEY PRE-FILTERING: a 1M-bit filter of table B's join keys is
+  ~128 KB; testing table A against it as a pure scan expression
+  drops most non-matching rows BEFORE the join shuffle, with the
+  false-positive stragglers eliminated by the join itself.
 """
 
 from __future__ import annotations
@@ -375,3 +383,105 @@ def hist_rollup_auto(
     if hi <= lo:
         hi = lo + 1.0  # degenerate single-value column: one bin wide
     return hist_rollup(df, keys, value_col, lo, hi, bins), lo, hi
+
+
+# ---------------------------------------------------------------- Bloom
+
+_BLOOM_WORD_BITS = 32
+# bits live in the LOW 32 bits of a stored BIGINT word: shifting into
+# bit 63 would overflow DuckDB's checked << (and flip the sign in
+# Spark), so the portable choice is 32-bit words in 64-bit storage
+
+
+def _bloom_positions(value: Column, m_bits: int, k: int) -> list[Column]:
+    """k md5-derived bit positions for a value — engine-portable (the
+    same ``hash60(i‖value)`` scheme as CMS rows; no seeds to
+    coordinate between builders)."""
+    return [
+        hash60(F.concat(F.lit(f"{i}|"), value.cast("string"))) % m_bits
+        for i in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Sparse relational Bloom filter of a value column: (word, bits)
+    rows, ``word = pos >> 5``, low-32 bit set per position. NULL
+    values are skipped (a null key can never be asked for).
+
+    The only shuffle carries ≤ m_bits/32 words (map-side bit_or
+    collapses each partition first), so build cost is independent of
+    value cardinality. Size the filter as usual: false-positive rate
+    ≈ (1 − e^(−k·n/m))^k — m_bits=2^20, k=5 gives < 1% up to ~100k
+    distinct values; scale m_bits with n."""
+    positions = df.where(F.col(value_col).isNotNull()).select(
+        F.explode(
+            F.array(*_bloom_positions(F.col(value_col), m_bits, k))
+        ).alias("pos")
+    )
+    bit_lut = F.lit([1 << j for j in range(_BLOOM_WORD_BITS)])
+    return (
+        positions.select(
+            F.shiftright(F.col("pos"), 5).alias("word"),
+            F.element_at(bit_lut, (F.col("pos") % _BLOOM_WORD_BITS + 1).cast("int")).alias(
+                "bit"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge filters built with the same (m_bits, k): bitwise OR —
+    the union-of-sets semantics that makes Bloom a distributed /
+    streaming summary (idempotent under re-merge, so at-least-once
+    partial folds are safe)."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_to_words(sketch: DataFrame, m_bits: int = 1 << 20) -> list[int]:
+    """Densify a (word, bits) filter to a driver-side word list for
+    :func:`bloom_contains_expr`. Driver/plan cost is m_bits/8 bytes
+    (2^20 bits → 128 KB) — bounded by the FILTER size you chose, never
+    by data size; beyond ~2^26 bits prefer the relational join form
+    (explode positions → join the sparse sketch on ``word``)."""
+    n_words = m_bits // _BLOOM_WORD_BITS
+    words = [0] * n_words
+    for r in sketch.collect():
+        w = int(r["word"])
+        if 0 <= w < n_words:
+            words[w] = int(r["bits"])
+    return words
+
+
+def bloom_contains_expr(
+    value: Column,
+    words: list[int],
+    m_bits: int = 1 << 20,
+    k: int = 5,
+) -> Column:
+    """Pure scan-side membership test: true iff every one of the k
+    positions is set (one-sided — false negatives are impossible, so
+    filtering on this NEVER drops a real match). All native
+    expressions (md5 + array lookups) inside whole-stage codegen; use
+    it to pre-filter a big table's rows against another table's key
+    set before the join shuffle."""
+    word_lut = F.lit(words)
+    bit_lut = F.lit([1 << j for j in range(_BLOOM_WORD_BITS)])
+    checks = []
+    for pos in _bloom_positions(value, m_bits, k):
+        word = F.element_at(word_lut, F.shiftright(pos, 5).cast("int") + 1)
+        bit = F.element_at(bit_lut, (pos % _BLOOM_WORD_BITS + 1).cast("int"))
+        checks.append(word.bitwiseAND(bit) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out

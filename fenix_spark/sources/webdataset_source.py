@@ -74,19 +74,55 @@ class WebDatasetReader(DataSourceReader):
         self.fields = [f.name for f in schema.fields]
 
     def partitions(self):
-        if os.path.isfile(self.path):
-            shards = [self.path]
-        else:
-            shards = sorted(
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if f.endswith(self.suffix)
-            )
+        shards = self._list_shards()
         if not shards:
             raise FileNotFoundError(
                 f"no {self.suffix} shards under {self.path}"
             )
         return [_ShardPartition(s) for s in shards]
+
+    def _list_shards(self) -> list[str]:
+        """Shard discovery via the Hadoop FileSystem API when a
+        session is active (HDFS/S3A paths work like local ones —
+        partitions() runs on the driver); plain os.listdir as the
+        fallback for sessionless use. Note `read()` itself opens the
+        shard with tarfile, which needs a locally reachable path on
+        the EXECUTOR — remote shard BYTES still require a mounted or
+        fuse-exposed store, stated here rather than discovered as a
+        worker crash."""
+        try:
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+        except Exception:  # noqa: BLE001 - no pyspark context
+            spark = None
+        if spark is not None:
+            from fenix_spark.streaming.fsutil import _fs
+
+            fs, p = _fs(spark, self.path)
+            if fs.exists(p) and fs.getFileStatus(p).isFile():
+                return [self.path]
+            if fs.exists(p):
+                # rebuild child paths from the caller's own root
+                # string so its scheme/authority form is preserved
+                # (str(Path) would turn /local into file:/local,
+                # toUri().getPath() would strip an s3a:// bucket)
+                root = self.path.rstrip("/")
+                return sorted(
+                    f"{root}/{st.getPath().getName()}"
+                    for st in fs.listStatus(p)
+                    if st.getPath().getName().endswith(self.suffix)
+                )
+            return []
+        if os.path.isfile(self.path):
+            return [self.path]
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(self.suffix)
+        )
 
     def read(self, partition):
         want_data = "data" in self.fields

@@ -307,3 +307,102 @@ def test_heavy_hitters_attaches_count_floor(spark, documents):
 
     n = docs.select(F.explode(tokens(F.col("text")))).count()
     assert rows[0].count_floor == n // 257
+
+
+# ---------------------------------------------------------------- Bloom
+
+
+def _py_bloom_positions(v: str, m: int, k: int) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{i}|{v}".encode()).hexdigest()[:15], 16) % m
+        for i in range(k)
+    ]
+
+
+def test_bloom_build_matches_python_reference(spark):
+    from fenix_spark.operators.sketches import bloom_build
+
+    m, k = 1 << 14, 5
+    vals = [f"key{i}" for i in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = {r.word: r.bits for r in bloom_build(df, "v", m, k).collect()}
+    words = [0] * (m // 32)
+    for v in vals:
+        for p in _py_bloom_positions(v, m, k):
+            words[p >> 5] |= 1 << (p & 31)
+    assert got == {i: w for i, w in enumerate(words) if w}
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    from fenix_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains_expr,
+        bloom_to_words,
+    )
+
+    m, k = 1 << 16, 5
+    present = [f"in{i}" for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in present], "v string")
+    words = bloom_to_words(bloom_build(df, "v", m, k), m)
+    probe = spark.createDataFrame(
+        [(v, True) for v in present]
+        + [(f"out{i}", False) for i in range(2000)],
+        "v string, is_in boolean",
+    ).withColumn("maybe", bloom_contains_expr(F.col("v"), words, m, k))
+    rows = probe.collect()
+    # one-sided: every inserted value MUST test positive
+    assert all(r.maybe for r in rows if r.is_in)
+    fp = sum(1 for r in rows if not r.is_in and r.maybe) / 2000
+    assert fp <= 0.01  # sized for ~2e-6 expected
+
+
+def test_bloom_merge_equals_union_build(spark):
+    from fenix_spark.operators.sketches import bloom_build, bloom_merge
+
+    m, k = 1 << 12, 4
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "v string")
+    merged = {
+        r.word: r.bits
+        for r in bloom_merge(
+            bloom_build(a, "v", m, k), bloom_build(b, "v", m, k)
+        ).collect()
+    }
+    full = {
+        r.word: r.bits
+        for r in bloom_build(a.unionByName(b), "v", m, k).collect()
+    }
+    assert merged == full
+    # idempotent under re-merge (at-least-once folds are safe)
+    twice = {
+        r.word: r.bits
+        for r in bloom_merge(
+            bloom_build(a, "v", m, k),
+            bloom_build(b, "v", m, k),
+            bloom_build(b, "v", m, k),
+        ).collect()
+    }
+    assert twice == full
+
+
+def test_bloom_nulls_skipped_and_prefilter_keeps_all_matches(spark):
+    from fenix_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains_expr,
+        bloom_to_words,
+    )
+
+    m, k = 1 << 12, 4
+    right = spark.createDataFrame(
+        [("k1",), (None,), ("k2",)], "key string"
+    )
+    words = bloom_to_words(bloom_build(right, "key", m, k), m)
+    left = spark.createDataFrame(
+        [(i, f"k{i % 5}") for i in range(100)], "id bigint, key string"
+    )
+    pre = left.where(bloom_contains_expr(F.col("key"), words, m, k))
+    joined_pre = pre.join(right.where(F.col("key").isNotNull()), "key").count()
+    joined_full = left.join(right.where(F.col("key").isNotNull()), "key").count()
+    assert joined_pre == joined_full  # the pre-filter NEVER drops a match
