@@ -265,8 +265,9 @@ def decode_payload(data: bytes, fmt: str, shape: tuple[int, ...]) -> np.ndarray:
         raise NotImplementedError(
             f"no codec for format {fmt!r} in this environment; "
             "decode_payload is the single swap-in point for real codecs "
-            "(mp4 CONTAINER metadata — duration/tracks/codecs/dims — is "
-            "already real without any codec: multimodal/mp4.py)"
+            "(CONTAINER metadata is already real without any codec: "
+            "mp4 duration/tracks/codecs/dims in multimodal/mp4.py, "
+            "webp format/dims/alpha/animation in multimodal/webp.py)"
         )
     n = int(np.prod(shape))
     buf = np.frombuffer(data, dtype=np.uint8)
