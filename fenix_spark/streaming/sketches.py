@@ -107,6 +107,40 @@ def stream_cms(
     return stream_df.writeStream.foreachBatch(process)
 
 
+def stream_bloom(
+    stream_df: DataFrame,
+    value_col: str,
+    state_root: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+):
+    """foreachBatch writer for a streaming Bloom filter of a key
+    column — the continuously-maintained "have we ever seen this key"
+    summary (e.g. ingested URL/doc-id sets for downstream join
+    pre-filtering). Same idempotent ``batch_id=N`` layout: a retried
+    batch overwrites its own partial, and the read-time bit_or merge
+    is the union-of-sets semantics, so at-least-once delivery can
+    only re-set already-set bits."""
+    from fenix_spark.operators.sketches import bloom_build
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        part = bloom_build(batch_df, value_col, m_bits, k)
+        part.write.mode("overwrite").parquet(f"{state_root}/batch_id={batch_id}")
+
+    return stream_df.writeStream.foreachBatch(process)
+
+
+def read_bloom(spark: SparkSession, state_root: str) -> DataFrame:
+    """The merged (word, bits) filter over all landed batches — feed
+    it to ``sketches.bloom_to_words`` / ``bloom_contains_expr``."""
+    from fenix_spark.operators.sketches import bloom_merge
+
+    paths = _partial_paths(spark, state_root)
+    if not paths:
+        raise FileNotFoundError(f"no sketch state under {state_root}")
+    return bloom_merge(spark.read.parquet(*paths))
+
+
 def read_cms(spark: SparkSession, state_root: str) -> DataFrame:
     """The merged sketch (r, b, c) over all landed batches — feed it
     to ``sketches.cms_estimate``."""
@@ -141,6 +175,8 @@ def compact_state(spark: SparkSession, state_root: str) -> int:
     cols = parts.columns
     if {"r", "b", "c"} <= set(cols):
         folded = parts.groupBy("r", "b").agg(F.sum("c").alias("c"))
+    elif {"word", "bits"} <= set(cols):
+        folded = parts.groupBy("word").agg(F.bit_or("bits").alias("bits"))
     else:
         group = [c for c in cols if c != "hll"]
         folded = parts.groupBy(*group).agg(F.hll_union_agg("hll").alias("hll"))

@@ -610,3 +610,41 @@ def test_stream_heavy_hitters_stateful(spark, tmp_path):
 
     want = heavy_hitters(spark.read.parquet(src), "text", k=1, m=512).collect()
     assert want[0].term == got[0].term
+
+
+def test_stream_bloom_matches_batch_and_compacts(spark, events_prepared, tmp_path):
+    from fenix_spark.operators.sketches import bloom_build
+    from fenix_spark.streaming.sketches import (
+        compact_state,
+        read_bloom,
+        stream_bloom,
+    )
+
+    src, batch_df = events_prepared
+    state = str(tmp_path / "bloom_state")
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_bloom(stream, "user_id", state, m_bits=1 << 12, k=4)
+        .option("checkpointLocation", str(tmp_path / "ckb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r.word, r.bits) for r in read_bloom(spark, state).collect()}
+    want = {
+        (r.word, r.bits)
+        for r in bloom_build(batch_df, "user_id", 1 << 12, 4).collect()
+    }
+    assert got == want  # Bloom OR-merge: stream union == single build
+
+    new_id = compact_state(spark, state)
+    compact = {
+        (r.word, r.bits)
+        for r in spark.read.parquet(f"{state}/compact={new_id}").collect()
+    }
+    assert compact == want
