@@ -1,0 +1,122 @@
+"""URL curation tests: canonicalization cases, registrable-domain
+heuristic, URL dedup keep-lists, blocklist subdomain semantics, and
+the zero-shuffle plan contract for the expression tier."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fenix_spark.functions.urls import (
+    canonicalize_url,
+    domain_block_filter,
+    registrable_domain,
+    url_dedup_keep_list,
+    url_host,
+)
+
+
+def _canon(spark, urls: list[str], **kw) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    return [
+        r.c for r in df.select(canonicalize_url(F.col("u"), **kw).alias("c")).collect()
+    ]
+
+
+def test_canonicalize_cases(spark):
+    got = _canon(
+        spark,
+        [
+            "HTTP://WWW.Example.COM:80/path?b=2&a=1",
+            "https://example.com:443/",
+            "https://example.com/page?utm_source=x&utm_medium=y&id=7",
+            "https://example.com/page?gclid=abc&id=7",
+            "https://example.com/page#section-3",
+            "https://example.com/page?fbclid=zzz",
+        ],
+    )
+    assert got[0] == "http://example.com/path?a=1&b=2"  # case, port, www, sort
+    assert got[1] == "https://example.com"  # default port + bare slash
+    assert got[2] == "https://example.com/page?id=7"  # utm_* stripped
+    assert got[3] == "https://example.com/page?id=7"  # gclid stripped
+    assert got[4] == "https://example.com/page"  # fragment dropped
+    assert got[5] == "https://example.com/page"  # all-tracking query → none
+
+
+def test_canonicalize_preserves_meaningful_differences(spark):
+    a, b, c = _canon(
+        spark,
+        [
+            "https://example.com/page?id=7",
+            "https://example.com/page?id=8",
+            "https://example.com/other?id=7",
+        ],
+    )
+    assert len({a, b, c}) == 3  # real params and paths never merge
+
+
+def test_registrable_domain_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://deep.sub.example.com/x",),
+            ("https://shop.example.co.uk/y",),
+            ("http://localhost/z",),
+            ("https://192.168.0.1/a",),
+            ("example.com",),  # bare host accepted too
+        ],
+        "u string",
+    )
+    got = [r.d for r in df.select(registrable_domain(F.col("u")).alias("d")).collect()]
+    assert got == [
+        "example.com",
+        "example.co.uk",
+        "localhost",
+        "192.168.0.1",
+        "example.com",
+    ]
+
+
+def test_url_dedup_keep_list(spark):
+    rows = [
+        (1, "https://www.example.com/a?utm_source=x"),
+        (2, "http://example.com:80/a"),  # hmm: scheme differs → distinct
+        (3, "https://example.com/a"),
+        (4, "https://other.com/a"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, url string")
+    out = {r.id: (r.canonical_url, r.keep) for r in url_dedup_keep_list(df, "url", "id").collect()}
+    # 1 and 3 share the https canonical; 2 is http (kept separately)
+    assert out[1][0] == out[3][0] == "https://example.com/a"
+    assert out[1][1] is True and out[3][1] is False
+    assert out[2][1] is True and out[4][1] is True
+
+
+def test_domain_block_filter_blocks_subdomains(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://evil.example.com/x"),
+            (2, "https://example.com/y"),
+            (3, "https://fine.org/z"),
+            (4, "https://notexample.com/w"),  # sibling, NOT blocked
+        ],
+        "id bigint, url string",
+    )
+    blocked = spark.createDataFrame([("example.com",)], "domain string")
+    kept = sorted(r.id for r in domain_block_filter(df, "url", blocked).collect())
+    assert kept == [3, 4]
+
+
+def test_expression_tier_is_scan_local(spark):
+    """canonicalize/registrable_domain over a table is a pure scan
+    pass: no exchange anywhere in the plan."""
+    df = spark.createDataFrame([(i, f"https://s{i}.example.com/p?x={i}") for i in range(10)], "id bigint, url string")
+    plan = (
+        df.select(
+            canonicalize_url(F.col("url")).alias("c"),
+            registrable_domain(F.col("url")).alias("d"),
+            url_host(F.col("url")).alias("h"),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
