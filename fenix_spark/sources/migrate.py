@@ -1,0 +1,184 @@
+"""Migrate a reference-engine store into this engine's parquet
+catalog — the switching path for an existing user: their data lives
+as Arrow IPC files in the reference layout
+(ref: src/fenix/io/table/table.py:9, io/index/index.py:16,23)
+
+    <ref_root>/sources/<name>.arrow
+    <ref_root>/codings/<name>.torch          (torch pickle — see below)
+    <ref_root>/indexes/<source>/<column>/<coding>.arrow
+
+and becomes the catalog layout (catalog.py) under ``out_root``.
+
+Mechanics per artifact class:
+
+- **sources**: read through the ``arrowipc`` DataSource (per-file
+  partition parallelism, Arrow-batch fast path) and written with
+  ``catalog.make`` — a plain distributed read→write.
+- **indexes**: the reference sidecar is ROW-POSITION aligned with its
+  source (one ``__CODED_ID__`` column, no key). Spark has no stable
+  row order, so the positional zip happens at migration time with a
+  STREAMING pyarrow pass (batch-by-batch zip of the two IPC streams,
+  parquet written incrementally — nothing fully materialized); the
+  result is the co-written keyed layout this engine uses, partitioned
+  by code so probe pruning is physical from the first query.
+  This pass runs on the driver: single-file streaming IO, bounded by
+  the reference's own one-file-per-table model (a store the reference
+  could serve fits through a one-time streamed copy).
+- **codings**: the reference persists codings as torch pickles
+  (ref: io/coder/coder.py) — unreadable without torch. Migration
+  RAISES by default listing them; pass ``skip_codings=True`` to
+  migrate everything else and retrain codings with
+  ``coder.train_coding`` (training data = the migrated source, seeds
+  fixed), which is the supported path in a torch-free deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from fenix_spark import catalog
+
+CODE_COL = "__CODED_ID__"
+
+
+def _strip(name: str, suffix: str) -> str:
+    return name[: -len(suffix)] if name.endswith(suffix) else name
+
+
+def migrate_reference_store(
+    spark: SparkSession,
+    ref_root: str,
+    out_root: str,
+    skip_codings: bool = False,
+) -> dict:
+    """Run the migration; returns a manifest dict
+    ``{"sources": [...], "indexes": [...], "codings_skipped": [...]}``.
+    Idempotent: re-running overwrites the same outputs."""
+    from fenix_spark.sources.arrowipc_source import register
+
+    register(spark)
+    manifest: dict = {"sources": [], "indexes": [], "codings_skipped": []}
+
+    codings_dir = os.path.join(ref_root, "codings")
+    codings = (
+        sorted(os.listdir(codings_dir)) if os.path.isdir(codings_dir) else []
+    )
+    if codings and not skip_codings:
+        raise NotImplementedError(
+            f"reference codings are torch pickles ({codings}); they cannot "
+            "be read without torch. Re-run with skip_codings=True, then "
+            "retrain with coder.train_coding over the migrated source "
+            "(fixed seeds) — the supported torch-free path."
+        )
+    manifest["codings_skipped"] = codings
+
+    src_dir = os.path.join(ref_root, "sources")
+    for f in sorted(os.listdir(src_dir)) if os.path.isdir(src_dir) else []:
+        if not f.endswith(".arrow"):
+            continue
+        name = _strip(f, ".arrow")
+        df = spark.read.format("arrowipc").load(os.path.join(src_dir, f))
+        catalog.make(out_root, name, df)
+        manifest["sources"].append(name)
+
+    idx_root = os.path.join(ref_root, "indexes")
+    if os.path.isdir(idx_root):
+        for source in sorted(os.listdir(idx_root)):
+            for column in sorted(os.listdir(os.path.join(idx_root, source))):
+                cdir = os.path.join(idx_root, source, column)
+                for f in sorted(os.listdir(cdir)):
+                    if not f.endswith(".arrow"):
+                        continue
+                    coding = _strip(f, ".arrow")
+                    out = catalog.index_path(out_root, source, column, coding)
+                    _zip_index(
+                        os.path.join(src_dir, f"{source}.arrow"),
+                        os.path.join(cdir, f),
+                        out,
+                    )
+                    manifest["indexes"].append(f"{source}/{column}/{coding}")
+    return manifest
+
+
+def _zip_index(source_path: str, sidecar_path: str, out_dir: str) -> None:
+    """Streaming positional zip of source + sidecar IPC files into a
+    code-partitioned parquet index dir; raises on row-count drift
+    (a misaligned sidecar must fail loudly, not shear rows)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from fenix_spark.sources.arrowipc_source import _normalize_batch, _open_ipc
+
+    src = _open_ipc(source_path)
+    side = _open_ipc(sidecar_path)
+
+    def batches(reader):
+        if isinstance(reader, pa.ipc.RecordBatchFileReader):
+            for i in range(reader.num_record_batches):
+                yield reader.get_batch(i)
+        else:
+            yield from reader
+
+    def rows(reader):
+        # re-batch to a common chunk size so the zip never needs to
+        # align mismatched batch boundaries
+        for b in batches(reader):
+            yield _normalize_batch(b)
+
+    def rechunk(gen, size=65536):
+        buf: list[pa.RecordBatch] = []
+        n = 0
+        for b in gen:
+            buf.append(b)
+            n += b.num_rows
+            while n >= size:
+                t = pa.Table.from_batches(buf)
+                head = t.slice(0, size)
+                rest = t.slice(size)
+                yield head.combine_chunks().to_batches()[0]
+                buf = rest.combine_chunks().to_batches() if rest.num_rows else []
+                n = rest.num_rows
+        if n:
+            yield pa.Table.from_batches(buf).combine_chunks().to_batches()[0]
+
+    from fenix_spark.sources.arrowipc_source import _normalize_schema
+
+    out_schema = pa.schema(
+        list(_normalize_schema(src.schema)) + list(_normalize_schema(side.schema))
+    )
+
+    def zipped():
+        # rechunk emits equal-size chunks while both streams have
+        # data, so any count drift surfaces as one side ending early
+        # or an unequal final chunk — raise loudly, never shear rows
+        s_iter, c_iter = rechunk(rows(src)), rechunk(rows(side))
+        while True:
+            sb = next(s_iter, None)
+            cb = next(c_iter, None)
+            if sb is None and cb is None:
+                return
+            if sb is None or cb is None or sb.num_rows != cb.num_rows:
+                raise ValueError(
+                    "index sidecar misaligned with source "
+                    f"({source_path} vs {sidecar_path}): row counts differ"
+                )
+            cols = list(sb.columns) + list(cb.columns)
+            yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
+
+    # batches stream straight into the dataset writer — nothing is
+    # fully materialized; a mid-stream error leaves no _SUCCESS marker
+    pads.write_dataset(
+        zipped(),
+        out_dir,
+        schema=out_schema,
+        format="parquet",
+        partitioning=pads.partitioning(
+            pa.schema([pa.field(CODE_COL, pa.int64())]), flavor="hive"
+        ),
+        existing_data_behavior="delete_matching",
+    )
+    # completeness marker matching the catalog's _SUCCESS convention
+    with open(os.path.join(out_dir, "_SUCCESS"), "w"):
+        pass
