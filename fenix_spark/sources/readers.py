@@ -77,7 +77,14 @@ def ingest_arrow_ipc(
     as parquet under ``<root>/sources/<name>``, return the resulting
     distributed DataFrame. The reference's own ingest is also a
     single stream writer (io/arrow/arrow.py:11-21); after this
-    one-time hop the table is splittable parquet."""
+    one-time hop the table is splittable parquet.
+
+    Related tools: ``spark.read.format("arrowipc")``
+    (sources/arrowipc_source.py) reads ``.arrow`` files LAZILY and
+    distributed (per-file partitions, no catalog hop) — prefer it for
+    querying in place; ``sources.migrate.migrate_reference_store``
+    migrates a WHOLE reference store including the positional index
+    sidecars."""
     target = catalog.source_path(root, name)
     first = True
     with pa.ipc.open_stream(path) as reader:
