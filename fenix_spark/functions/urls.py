@@ -139,8 +139,15 @@ def url_dedup_keep_list(
     """(id, canonical_url, keep) — one survivor (min id) per canonical
     URL. The shuffle carries (canonical string, id); for very long
     URLs swap the key for ``hash60(canonical)`` upstream — same
-    pattern as text exact-dedup."""
-    canon = canonicalize_url(F.col(url_col), strip_www=strip_www)
+    pattern as text exact-dedup.
+
+    An uncanonicalizable URL (no parseable host — canonicalize yields
+    null) falls back to its RAW string as the dedup key: grouping
+    every null-canonical row together would silently merge all
+    malformed URLs into one "duplicate" cluster."""
+    canon = F.coalesce(
+        canonicalize_url(F.col(url_col), strip_www=strip_www), F.col(url_col)
+    )
     with_canon = df.select(
         F.col(id_col).alias("id"), canon.alias("canonical_url")
     )

@@ -144,11 +144,13 @@ def parse_mp3_metadata(data: bytes, max_resync: int = 65536) -> dict:
                 )
         n_frames = 0
         total_samples = 0
+        total_bitrate = 0
         bitrates = set()
         h = first
         while h is not None:
             n_frames += 1
             total_samples += h["samples_per_frame"]
+            total_bitrate += h["bitrate"]
             bitrates.add(h["bitrate"])
             pos += h["frame_size"]
             if pos + 4 > end:
@@ -166,12 +168,9 @@ def parse_mp3_metadata(data: bytes, max_resync: int = 65536) -> dict:
         out["vbr"] = len(bitrates) > 1
         out["n_frames"] = n_frames
         out["duration_s"] = round(total_samples / first["sample_rate"], 6)
-        out["bitrate_kbps"] = round(
-            sum(bitrates) / len(bitrates) / 1000
-            if len(bitrates) > 1
-            else first["bitrate"] / 1000,
-            3,
-        )
+        # frame-weighted mean — the actual average bitrate, not the
+        # mean of the distinct-rate set (which over-weights rare rates)
+        out["bitrate_kbps"] = round(total_bitrate / n_frames / 1000, 3)
     except Exception:  # noqa: BLE001 - malformed bytes: partial out
         pass
     return out

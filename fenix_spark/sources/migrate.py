@@ -145,9 +145,17 @@ def _zip_index(source_path: str, sidecar_path: str, out_dir: str) -> None:
 
     from fenix_spark.sources.arrowipc_source import _normalize_schema
 
-    out_schema = pa.schema(
-        list(_normalize_schema(src.schema)) + list(_normalize_schema(side.schema))
-    )
+    src_fields = list(_normalize_schema(src.schema))
+    side_fields = list(_normalize_schema(side.schema))
+    clash = {f.name for f in src_fields} & {f.name for f in side_fields}
+    if clash:
+        # pyarrow tolerates duplicate field names; a parquet table with
+        # them is a downstream landmine — refuse loudly instead
+        raise ValueError(
+            f"index sidecar column(s) {sorted(clash)} collide with source "
+            f"columns ({source_path}); rename in the sidecar before migrating"
+        )
+    out_schema = pa.schema(src_fields + side_fields)
 
     def zipped():
         # rechunk emits equal-size chunks while both streams have

@@ -157,3 +157,18 @@ def test_migrate_misaligned_sidecar_raises(spark, tmp_path):
             catalog.index_path(out, "embeddings", "embedding", "pq"), "_SUCCESS"
         )
     )
+
+
+def test_migrate_sidecar_column_collision_raises(spark, tmp_path):
+    from fenix_spark.sources.migrate import migrate_reference_store
+
+    ref = str(tmp_path / "ref3")
+    out = str(tmp_path / "out3")
+    _make_ref_store(ref)
+    # sidecar whose column collides with a source column name
+    _write_stream(
+        os.path.join(ref, "indexes", "embeddings", "embedding", "pq.arrow"),
+        pa.table({"vec_id": pa.array([0] * 120, type=pa.int64())}),
+    )
+    with pytest.raises(ValueError, match="collide"):
+        migrate_reference_store(spark, ref, out, skip_codings=True)

@@ -95,3 +95,15 @@ def test_mp3_metadata_over_spark(spark):
     assert got[0].ok and got[0].bitrate_kbps == 128.0
     assert got[1].ok and abs(got[1].duration_s - 3.0) < 0.02
     assert got[2].ok is False
+
+
+def test_vbr_bitrate_is_frame_weighted():
+    # 2:1 frame ratio between the rates → weighted mean, not set mean
+    a = encode_silent_mp3(1.0, bitrate_kbps=128)
+    b = encode_silent_mp3(0.5, bitrate_kbps=192)
+    m = parse_mp3_metadata(a + b)
+    na = parse_mp3_metadata(a)["n_frames"]
+    nb = parse_mp3_metadata(b)["n_frames"]
+    want = round((na * 128 + nb * 192) / (na + nb), 3)
+    assert m["bitrate_kbps"] == want
+    assert m["bitrate_kbps"] != 160.0  # the set mean would say 160

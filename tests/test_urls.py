@@ -120,3 +120,16 @@ def test_expression_tier_is_scan_local(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_uncanonicalizable_urls_keep_raw_identity(spark):
+    """Scheme-less/malformed URLs (canonicalize → null) must NOT all
+    merge into one dedup group — each falls back to its raw string."""
+    df = spark.createDataFrame(
+        [(1, "example.com/a"), (2, "other.com/b"), (3, "example.com/a")],
+        "id bigint, url string",
+    )
+    out = {r.id: r for r in url_dedup_keep_list(df, "url", "id").collect()}
+    assert out[1].keep is True and out[3].keep is False  # same raw string
+    assert out[2].keep is True  # different raw string → own group
+    assert out[1].canonical_url != out[2].canonical_url
