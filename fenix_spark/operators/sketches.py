@@ -473,15 +473,22 @@ def bloom_contains_expr(
     filtering on this NEVER drops a real match). All native
     expressions (md5 + array lookups) inside whole-stage codegen; use
     it to pre-filter a big table's rows against another table's key
-    set before the join shuffle."""
-    word_lut = F.lit(words)
+    set before the join shuffle.
+
+    The word array enters the plan as ONE let-bound literal: k naive
+    inlined copies of a 2^20-bit filter's 32k-element array would
+    multiply plan size (and Catalyst analysis cost) by k."""
+    from fenix_spark.functions.texthash import let
+
     bit_lut = F.lit([1 << j for j in range(_BLOOM_WORD_BITS)])
-    checks = []
-    for pos in _bloom_positions(value, m_bits, k):
-        word = F.element_at(word_lut, F.shiftright(pos, 5).cast("int") + 1)
-        bit = F.element_at(bit_lut, (pos % _BLOOM_WORD_BITS + 1).cast("int"))
-        checks.append(word.bitwiseAND(bit) != 0)
-    out = checks[0]
-    for c in checks[1:]:
-        out = out & c
-    return out
+
+    def body(word_lut: Column) -> Column:
+        out = None
+        for pos in _bloom_positions(value, m_bits, k):
+            word = F.element_at(word_lut, F.shiftright(pos, 5).cast("int") + 1)
+            bit = F.element_at(bit_lut, (pos % _BLOOM_WORD_BITS + 1).cast("int"))
+            check = word.bitwiseAND(bit) != 0
+            out = check if out is None else (out & check)
+        return out
+
+    return let(F.lit(words), body)

@@ -133,3 +133,42 @@ def test_uncanonicalizable_urls_keep_raw_identity(spark):
     assert out[1].keep is True and out[3].keep is False  # same raw string
     assert out[2].keep is True  # different raw string → own group
     assert out[1].canonical_url != out[2].canonical_url
+
+
+def test_canonicalize_idempotent(spark):
+    """The canonical form is a FIXED POINT: canonicalizing a canonical
+    URL changes nothing (hypothesis over structured URL parts)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    label = st.text("abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1, max_size=8)
+    urls = st.builds(
+        lambda scheme, labels, port, path, params, frag: (
+            scheme
+            + "://"
+            + ".".join(labels)
+            + (f":{port}" if port else "")
+            + ("/" + "/".join(path) if path else "")
+            + (
+                "?" + "&".join(f"{k}={v}" for k, v in params)
+                if params
+                else ""
+            )
+            + (f"#{frag}" if frag else "")
+        ),
+        st.sampled_from(["http", "https", "HTTP"]),
+        st.lists(label, min_size=1, max_size=4),
+        st.sampled_from([None, 80, 443, 8080]),
+        st.lists(label, max_size=3),
+        st.lists(st.tuples(label, label), max_size=3),
+        st.sampled_from([None, "frag"]),
+    )
+
+    @settings(max_examples=4, deadline=None)
+    @given(st.lists(urls, min_size=15, max_size=15))
+    def check(batch):
+        once = _canon(spark, batch)
+        twice = _canon(spark, once)
+        assert once == twice
+
+    check()
