@@ -67,15 +67,33 @@ def dup_line_frac(c: Column) -> Column:
 def top_ngram_frac(c: Column, n: int = 2) -> Column:
     """Token share of the single most frequent word n-gram (Gopher's
     top-2-gram rule): count of the modal n-gram × n / token count.
-    O(u·g) per row over the doc's own grams — scan-local, no shuffle."""
+
+    Modal count via SORT + LONGEST EQUAL RUN (one ``array_sort`` +
+    one ``aggregate`` fold) — O(g log g) per row, scan-local. The
+    naive distinct×filter form is O(g²), which turns a 100k-token
+    page into 10^10 comparisons inside one task; sorting keeps the
+    longest document a straggler-free scan cell."""
     toks = tokens(c)
-    grams = word_shingles(toks, n)
-    top = F.array_max(
-        F.transform(
-            F.array_distinct(grams),
-            lambda g: F.size(F.filter(grams, lambda x: x == g)),
-        )
+    grams = F.array_sort(word_shingles(toks, n))
+    run_state = F.aggregate(
+        grams,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
     )
+    top = run_state["best"]
     n_tok = F.size(toks)
     return F.when(
         n_tok >= n, F.least(F.lit(1.0), top * n / n_tok.cast("double"))

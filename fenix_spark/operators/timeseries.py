@@ -29,10 +29,13 @@ from pyspark.sql import functions as F
 def bucketize(
     df: DataFrame, ts_col: str, grain_ms: int, out_col: str = "bucket_ms"
 ) -> DataFrame:
-    """Floor ``ts_col`` (epoch millis) onto the ``grain_ms`` grid."""
+    """Floor ``ts_col`` (epoch millis) onto the ``grain_ms`` grid.
+    True FLOOR, not cast-truncation: a pre-1970 (negative) timestamp
+    must land in the bucket at-or-below it (-1 ms → bucket -grain),
+    where truncation would shift it up a whole bucket."""
     return df.withColumn(
         out_col,
-        ((F.col(ts_col) / F.lit(grain_ms)).cast("bigint") * F.lit(grain_ms)),
+        F.floor(F.col(ts_col) / F.lit(grain_ms)).cast("bigint") * F.lit(grain_ms),
     )
 
 

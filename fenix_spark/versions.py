@@ -20,6 +20,18 @@ copy-on-write file reuse — that is the documented difference from
 Delta/Iceberg, chosen so a snapshot is a plain self-contained parquet
 directory every tool can read directly). ``vacuum`` deletes
 out-of-pointer versions older than a keep count.
+
+Two stated contracts (not silently assumed):
+
+- SINGLE WRITER per table: version ids are assigned by listing, so
+  two concurrent writers can race to the same ``v=<N>`` and clobber
+  each other's snapshot. Readers are always safe (the pointer only
+  ever names a complete snapshot); writer serialization is the
+  caller's (scheduler's) job — the same model as a cron-owned table.
+- POSIX-path semantics: the atomic flip is ``os.replace`` and
+  listing/vacuum are local-path ops, like ``catalog.compact``
+  (SCALE.md known bounds). An object-store deployment wants a table
+  format with a real commit protocol instead.
 """
 
 from __future__ import annotations

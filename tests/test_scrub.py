@@ -84,3 +84,32 @@ def test_compression_ratio_separates_repetitive_from_prose(spark):
 
     b = rows[1][1].encode()
     assert got[1].zlib_len == len(zlib.compress(b, 6))
+
+
+def test_top_ngram_frac_matches_brute_force(spark):
+    """The sorted-run modal count must equal the brute-force modal
+    count on arbitrary token streams (the O(g log g) rewrite is
+    result-identical to the O(g^2) definition)."""
+    import collections
+    import random
+
+    rng = random.Random(9)
+    texts = [
+        " ".join(rng.choice("a b c dd e".split()) for _ in range(rng.randint(0, 40)))
+        for _ in range(30)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r.f
+        for r in df.select(
+            F.round(top_ngram_frac(F.col("text"), 2), 9).alias("f")
+        ).collect()
+    ]
+    for t, g in zip(texts, got):
+        toks = t.split()
+        if len(toks) < 2:
+            assert g == 0.0
+            continue
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        top = max(collections.Counter(grams).values())
+        assert abs(g - min(1.0, top * 2 / len(toks))) < 1e-9

@@ -126,3 +126,18 @@ def test_duckdb_mirror_on_events(spark, sf_dir):
         want[(key, bucket)] = (round(value, 6) if value is not None else None, filled)
     assert got == want
     assert any(f for _, f in got.values()), "events must actually have gaps"
+
+
+def test_bucketize_floors_negative_timestamps(spark):
+    """Pre-1970 timestamps must FLOOR onto the grid: -1 ms belongs to
+    bucket -1000 at 1 s grain (cast-truncation would say 0)."""
+    from fenix_spark.operators.timeseries import bucketize
+
+    df = spark.createDataFrame(
+        [(-1,), (-1000,), (-1001,), (0,), (999,)], "ts bigint"
+    )
+    got = [
+        r.bucket_ms
+        for r in bucketize(df, "ts", 1000).orderBy("ts").collect()
+    ]
+    assert got == [-2000, -1000, -1000, 0, 0]
