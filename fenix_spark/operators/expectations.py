@@ -32,6 +32,13 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     """(rule, violations, total, fraction) — one row per rule, ONE
     scan total. A rule's predicate states what SHOULD hold; nulls
     count as violations (an unknown is not a pass)."""
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names) or "__total" in names:
+        raise ValueError(
+            "rule names must be unique and not '__total' "
+            f"(got {names}) — duplicates would shadow each other in "
+            "the one-pass aggregation"
+        )
     aggs = [F.count(F.lit(1)).alias("__total")]
     for name, pred in rules:
         aggs.append(

@@ -88,3 +88,16 @@ def test_validate_on_empty_frame(spark, messy):
     assert got == {"status_known": (0, 0, 0.0), "value_nonneg": (0, 0, 0.0)}
     # gate passes on empty input instead of crashing
     require(empty, _rules())
+
+
+def test_duplicate_rule_names_rejected(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from fenix_spark.operators.expectations import validate
+
+    df = spark.range(5)
+    with pytest.raises(ValueError, match="unique"):
+        validate(df, [("r", F.col("id") >= 0), ("r", F.col("id") < 10)])
+    with pytest.raises(ValueError, match="__total"):
+        validate(df, [("__total", F.col("id") >= 0)])
