@@ -148,3 +148,25 @@ def test_multimodal_features_expression_only_after_decode(spark, q):
     assert shuffle_count(df) == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_bm25_search_pruned_broadcasts_bounded_shuffles(spark, q):
+    """BM25 query plan: the postings build pays its aggregation
+    shuffles; the QUERY side must stay broadcast (query terms +
+    per-term stats are tiny) — a sort-merge join on term would mean
+    the pruned-broadcast contract regressed."""
+    df = q("bm25_search")
+    assert broadcast_join_count(df) >= 2  # q_terms semi-join + stats join
+    assert shuffle_count(df) <= 4  # tf agg, dl window, df agg, top-k
+
+
+def test_ivf_batch_search_both_arms_equi_join_no_cartesian(spark, q):
+    """The two-arm batch search (64-cell expr path + 65,536-cell beam
+    path) must stay pure equi-joins: no cartesian/BNL anywhere, and
+    the small arm's probe derivation adds no aggregation beyond the
+    beam arm's two shortlist folds + the two per-query top-k windows."""
+    df = q("ivf_batch_search")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert shuffle_count(df) <= 8
