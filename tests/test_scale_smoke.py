@@ -93,3 +93,74 @@ def test_html_extraction_sf01(spark, docs01):
     ).first()
     assert row.n == row.nonempty
     assert 0.5 < row.ratio <= 1.0
+
+
+def test_bloom_prefilter_sf01(spark, docs01, events01):
+    """Bloom over the full sf0.1 doc-id key set, pre-filtering the
+    events fact table: completeness (no join match lost) at 100× the
+    unit-test size."""
+    from fenix_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains_expr,
+        bloom_to_words,
+    )
+
+    m, k = 1 << 20, 5
+    keys = docs01.select((F.col("doc_id") % 5000).alias("key")).distinct()
+    words = bloom_to_words(bloom_build(keys, "key", m, k), m)
+    fact = events01.select((F.col("user_id") % 20000).alias("key"), "event_id")
+    pre = fact.where(bloom_contains_expr(F.col("key"), words, m, k))
+    full = fact.join(keys, "key").count()
+    filtered = pre.join(keys, "key").count()
+    assert filtered == full
+
+
+def test_audio_match_pipeline_sf01(spark):
+    """Fingerprint + BER matching over the synthesized sf0.1 media
+    table's audio rows — completion + no self-pairs at scale."""
+    from fenix_spark.artifacts import ensure_media_artifact
+    from fenix_spark.multimodal.audiofp import (
+        audio_fingerprints,
+        audio_match_pairs_ber,
+    )
+
+    media = ensure_media_artifact(spark, SF01)
+    audio = (
+        media.where(F.col("kind") == "audio")
+        .select("media_id", "data", F.col("meta.format").alias("fmt"))
+        .limit(64)
+    )
+    assert audio.count() > 0
+    fps = audio_fingerprints(audio).localCheckpoint(eager=True)
+    pairs = audio_match_pairs_ber(fps, candidate_min_votes=4).collect()
+    assert all(p.id_a < p.id_b for p in pairs)
+    assert all(p.ber <= 0.25 for p in pairs)
+
+
+def test_url_canonicalize_sf01(spark, docs01):
+    """URL expression tier over ~60k synthesized URLs: one scan, no
+    exchange, canonical fixed point."""
+    from fenix_spark.functions.urls import canonicalize_url, registrable_domain
+
+    urls = docs01.select(
+        F.concat(
+            F.lit("https://sub"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x&id="),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    out = urls.select(
+        canonicalize_url(F.col("url")).alias("c"),
+        registrable_domain(F.col("url")).alias("d"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    once = out.select("c")
+    twice = once.select(canonicalize_url(F.col("c")).alias("c"))
+    assert once.exceptAll(twice).count() == 0
+    assert out.where(~F.col("d").rlike(r"^example\d+\.com$")).count() == 0
