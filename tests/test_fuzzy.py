@@ -73,10 +73,10 @@ def test_matches_brute_force_exactly(spark, d):
 
 def test_two_sided_join(spark):
     left = spark.createDataFrame(
-        [(1, "claude"), (2, "spark")], "lid bigint, name string"
+        [(1, "tables"), (2, "spark")], "lid bigint, name string"
     )
     right = spark.createDataFrame(
-        [(10, "claud"), (11, "sparc"), (12, "python")], "rid bigint, name string"
+        [(10, "table"), (11, "sparc"), (12, "python")], "rid bigint, name string"
     )
     got = {
         (r.id_l, r.id_r): r.dist
