@@ -136,6 +136,7 @@ def _child_main() -> None:
     # tracks the data-proportional cost. The adaptive third run only
     # triggers for queries a noise spike actually hit.
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         runs = []
         for _ in range(2):
@@ -147,7 +148,11 @@ def _child_main() -> None:
             SPARK_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - start)
         timings[name] = round(min(runs), 3)
+        raw_runs[name] = [round(r, 3) for r in runs]
 
+    # raw_runs: EVERY timed run, not just the min — lets a reader
+    # distinguish ambient-load noise (runs disagree, min is fine)
+    # from a real regression (all runs slow) without rerunning.
     print(
         json.dumps(
             {
@@ -155,6 +160,7 @@ def _child_main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "raw_runs": raw_runs,
                 "sf": sf,
             }
         )

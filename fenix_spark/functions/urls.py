@@ -52,11 +52,27 @@ _TRACKING_PARAMS = (
 )
 
 
+def _url_port(url: Column) -> Column:
+    """Explicit ``:port`` digits from the authority ('' when absent).
+    Spark's ``parse_url(url,'HOST')`` drops EVERY port, so the port
+    must be recovered from the raw string: skip scheme, optional
+    userinfo (``user:pass@``), then the digits after the host's
+    colon."""
+    return F.regexp_extract(
+        url, r"^[^:/?#]+://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+)", 1
+    )
+
+
 def url_host(url: Column) -> Column:
-    """Lowercased host with any ``:port`` and leading ``www.``
-    retained (strip www in canonicalize, not here — the raw host is
-    what DNS-level analyses want)."""
-    return F.lower(F.parse_url(url, F.lit("HOST")))
+    """Lowercased host with any explicit ``:port`` and leading
+    ``www.`` retained (strip www in canonicalize, not here — the raw
+    host is what DNS-level analyses want). parse_url alone drops the
+    port, so it is re-appended from the raw authority."""
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    port = _url_port(url)
+    return F.when(
+        host.isNotNull() & (port != ""), F.concat(host, F.lit(":"), port)
+    ).otherwise(host)
 
 
 def registrable_domain(
@@ -69,6 +85,9 @@ def registrable_domain(
     host = F.when(
         url_or_host.contains(F.lit("://")), url_host(url_or_host)
     ).otherwise(F.lower(url_or_host))
+    # ports never participate in domain identity (example.com:8080 and
+    # example.com are the same registrable domain)
+    host = F.regexp_replace(host, r":\d+$", "")
     labels = F.split(host, r"\.")
     n = F.size(labels)
     # try_element_at: a single-label host (localhost) has no -2 index
@@ -104,14 +123,16 @@ def canonicalize_url(url: Column, strip_www: bool = True) -> Column:
     """Crawl-dedup canonical form (module docstring lists the exact
     normalizations). Pure expression — run it in the scan."""
     scheme = F.lower(F.coalesce(F.parse_url(url, F.lit("PROTOCOL")), F.lit("http")))
-    host = url_host(url)
-    # default ports: :80 for http, :443 for https
+    host = F.lower(F.parse_url(url, F.lit("HOST")))  # parse_url drops ports
+    # keep an explicit port UNLESS it is the scheme default (:80 for
+    # http, :443 for https) — non-default ports are distinct fetch
+    # targets and must not merge under dedup
+    port = _url_port(url)
+    is_default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
     host = F.when(
-        (scheme == "http") & host.endswith(":80"),
-        F.substring(host, 1, F.length(host) - 3),
-    ).when(
-        (scheme == "https") & host.endswith(":443"),
-        F.substring(host, 1, F.length(host) - 4),
+        (port != "") & ~is_default, F.concat(host, F.lit(":"), port)
     ).otherwise(host)
     if strip_www:
         # only when labels remain after the strip (www.com stays)

@@ -169,9 +169,6 @@ def audio_match_pairs(
     sizes = fps.groupBy("fhash").agg(F.count(F.lit(1)).alias("__n"))
     informative = sizes.where(F.col("__n") <= max_group).select("fhash")
     scoped = fps.join(informative, "fhash")
-    a = scoped.select(
-        F.col("fhash"), F.col("id").alias("id_a"), F.col("frame").alias("f_a")
-    )
     if probe_bits == 1:
         probe_keys = F.array(
             F.col("fhash"),
@@ -184,6 +181,10 @@ def audio_match_pairs(
             F.explode(probe_keys).alias("fhash"),
             F.col("id").alias("id_a"),
             F.col("frame").alias("f_a"),
+        )
+    else:
+        a = scoped.select(
+            F.col("fhash"), F.col("id").alias("id_a"), F.col("frame").alias("f_a")
         )
     b = scoped.select(
         F.col("fhash"), F.col("id").alias("id_b"), F.col("frame").alias("f_b")

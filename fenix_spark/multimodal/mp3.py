@@ -136,7 +136,9 @@ def parse_mp3_metadata(data: bytes, max_resync: int = 65536) -> dict:
             9 if first["channels"] == 1 else 17
         )
         tag_at = pos + 4 + side
+        has_vbr_tag = False
         if tag_at + 8 <= end and data[tag_at : tag_at + 4] in (b"Xing", b"Info"):
+            has_vbr_tag = True
             flags = int.from_bytes(data[tag_at + 4 : tag_at + 8], "big")
             if flags & 1 and tag_at + 12 <= end:
                 out["xing_frames"] = int.from_bytes(
@@ -147,6 +149,18 @@ def parse_mp3_metadata(data: bytes, max_resync: int = 65536) -> dict:
         total_bitrate = 0
         bitrates = set()
         h = first
+        if has_vbr_tag:
+            # the Xing/Info frame carries NO audio payload — exclude
+            # it from n_frames/duration (it was previously counted,
+            # making tagged VBR files one frame long)
+            pos += first["frame_size"]
+            h = None
+            if pos + 4 <= end:
+                h = _parse_header(
+                    data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+                )
+                if h is not None and h["frame_size"] <= 4:
+                    h = None
         while h is not None:
             n_frames += 1
             total_samples += h["samples_per_frame"]
@@ -170,7 +184,11 @@ def parse_mp3_metadata(data: bytes, max_resync: int = 65536) -> dict:
         out["duration_s"] = round(total_samples / first["sample_rate"], 6)
         # frame-weighted mean — the actual average bitrate, not the
         # mean of the distinct-rate set (which over-weights rare rates)
-        out["bitrate_kbps"] = round(total_bitrate / n_frames / 1000, 3)
+        # n_frames can be 0 for a tag-only stream (Xing frame with no
+        # audio frames after it)
+        out["bitrate_kbps"] = (
+            round(total_bitrate / n_frames / 1000, 3) if n_frames else 0.0
+        )
     except Exception:  # noqa: BLE001 - malformed bytes: partial out
         pass
     return out

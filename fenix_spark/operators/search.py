@@ -99,9 +99,10 @@ def similarity_join_brute(
     Scale contract: right side must fit in executor memory, ENFORCED
     both by ``max_broadcast_rows`` AND by ``max_broadcast_bytes``
     (rows × dim × 8 — the byte bound is what actually matters: 2M rows
-    is ~1 GB at 64 dims but ~16 GB at 1024 dims). Both gates fail fast
-    BEFORE collecting, so a careless large×large call can't OOM the
-    driver at 100 TB. For large×large, prune with the IVF cell
+    is ~1 GB at 64 dims but ~16 GB at 1024 dims). The collect itself
+    is capped at the combined budget (``limit(cap+1)``), so a careless
+    large×large call pulls at most the declared byte budget to the
+    driver before raising — it can't OOM at 100 TB. For large×large, prune with the IVF cell
     equi-join first (operators/index.py:batch_probe_search) and apply
     this within cells.
 
@@ -119,44 +120,39 @@ def similarity_join_brute(
     import pandas as pd
 
     spark = left.sparkSession
-    # The three right-side passes (dim probe, count gate, collect)
-    # share one persisted projection, so expensive right-side lineage
-    # (a join, a mapInPandas) evaluates at most once. persist — not
-    # localCheckpoint — keeps the fail-fast property: the probe and
-    # the capped gate still early-terminate, caching only the
-    # partitions they touch, so a right side that FAILS the gate never
-    # fully materializes.
+    # Two right-side passes, no persist: a single-row dim probe (one
+    # partition, early-terminated) and ONE capped collect that doubles
+    # as the row-count gate. r5's persist-across-three-passes made an
+    # expensive right-side lineage evaluate once but charged the
+    # common case — a bare parquet scan — a full materialization into
+    # the memory store that cheap column-pruned scans never needed
+    # (embedding_neardup regressed 1.6×). The capped collect keeps the
+    # fail path bounded BY CONSTRUCTION: row_cap already encodes the
+    # byte budget, so collecting row_cap+1 rows before raising stays
+    # inside the memory the caller declared collectable.
     r_proj = right.select(F.col(right_id).alias(right_id), F.col(column).alias(column))
-    r_proj.persist()
-    try:
-        # Byte-aware bound: dim read from one row (cheap single-row
-        # scan; a null vector yields a null size — treat as unknown
-        # dim and fall back to the row cap alone).
-        dim_row = r_proj.select(F.size(vec_double(column)).alias("d")).first()
-        dim = int(dim_row["d"]) if dim_row is not None and dim_row["d"] is not None else 0
-        if dim < 0:
-            dim = 0
-        row_cap = max_broadcast_rows
-        if dim > 0:
-            row_cap = min(row_cap, max_broadcast_bytes // (dim * 8))
-        # limit(N+1).count() instead of count(): stops scanning as soon
-        # as the bound is exceeded, so the guard is cheap even on a
-        # huge input.
-        n_right = r_proj.select(right_id).limit(row_cap + 1).count()
-        if n_right > row_cap:
-            raise ValueError(
-                f"similarity_join_brute: right side exceeds the broadcast "
-                f"budget (cap {row_cap:,} rows at dim={dim}: "
-                f"max_broadcast_rows={max_broadcast_rows:,}, "
-                f"max_broadcast_bytes={max_broadcast_bytes:,}); it would be "
-                "collected to the driver and broadcast. For large×large "
-                "similarity joins use operators.index.batch_probe_search "
-                "(IVF cell equi-join) instead, or raise the budgets if the "
-                "right side genuinely fits in executor memory."
-            )
-        r_rows = r_proj.collect()
-    finally:
-        r_proj.unpersist()
+    # Byte-aware bound: dim read from one row (cheap single-row scan;
+    # a null vector yields a null size — treat as unknown dim and fall
+    # back to the row cap alone).
+    dim_row = r_proj.select(F.size(vec_double(column)).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row is not None and dim_row["d"] is not None else 0
+    if dim < 0:
+        dim = 0
+    row_cap = max_broadcast_rows
+    if dim > 0:
+        row_cap = min(row_cap, max_broadcast_bytes // (dim * 8))
+    r_rows = r_proj.limit(row_cap + 1).collect()
+    if len(r_rows) > row_cap:
+        raise ValueError(
+            f"similarity_join_brute: right side exceeds the broadcast "
+            f"budget (cap {row_cap:,} rows at dim={dim}: "
+            f"max_broadcast_rows={max_broadcast_rows:,}, "
+            f"max_broadcast_bytes={max_broadcast_bytes:,}); it would be "
+            "collected to the driver and broadcast. For large×large "
+            "similarity joins use operators.index.batch_probe_search "
+            "(IVF cell equi-join) instead, or raise the budgets if the "
+            "right side genuinely fits in executor memory."
+        )
     rid = np.array([r[0] for r in r_rows], dtype="int64")
     rmat = np.array([r[1] for r in r_rows], dtype="float64")
     out_schema = f"left_id bigint, right_id bigint, {dist_col} double, rank int"

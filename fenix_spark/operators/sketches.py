@@ -457,8 +457,17 @@ def bloom_to_words(sketch: DataFrame, m_bits: int = 1 << 20) -> list[int]:
     words = [0] * n_words
     for r in sketch.collect():
         w = int(r["word"])
-        if 0 <= w < n_words:
-            words[w] = int(r["bits"])
+        if not 0 <= w < n_words:
+            # silently dropping an out-of-range word would lose set
+            # bits and turn the one-sided guarantee into FALSE
+            # NEGATIVES — an m_bits mismatch between build and densify
+            # must fail loudly
+            raise ValueError(
+                f"bloom word index {w} outside 0..{n_words - 1}: the "
+                f"sketch was built with a different m_bits than "
+                f"{m_bits} — pass the same m_bits used in bloom_build"
+            )
+        words[w] = int(r["bits"])
     return words
 
 

@@ -107,3 +107,19 @@ def test_vbr_bitrate_is_frame_weighted():
     want = round((na * 128 + nb * 192) / (na + nb), 3)
     assert m["bitrate_kbps"] == want
     assert m["bitrate_kbps"] != 160.0  # the set mean would say 160
+
+
+def test_xing_frame_excluded_from_count_and_duration():
+    """The Xing/Info frame carries no audio — a tagged stream must
+    report one FEWER frame than the raw walk (ADVICE r5 off-by-one)."""
+    plain = parse_mp3_metadata(encode_silent_mp3(1.0))
+    blob = bytearray(encode_silent_mp3(1.0))
+    at = 4 + 17  # after mono MPEG1 side info of frame 1
+    blob[at : at + 4] = b"Xing"
+    blob[at + 4 : at + 8] = struct.pack(">I", 1)
+    blob[at + 8 : at + 12] = struct.pack(">I", plain["n_frames"] - 1)
+    tagged = parse_mp3_metadata(bytes(blob))
+    assert tagged["ok"]
+    assert tagged["n_frames"] == plain["n_frames"] - 1
+    assert tagged["duration_s"] < plain["duration_s"]
+    assert tagged["xing_frames"] == plain["n_frames"] - 1

@@ -406,3 +406,16 @@ def test_bloom_nulls_skipped_and_prefilter_keeps_all_matches(spark):
     joined_pre = pre.join(right.where(F.col("key").isNotNull()), "key").count()
     joined_full = left.join(right.where(F.col("key").isNotNull()), "key").count()
     assert joined_pre == joined_full  # the pre-filter NEVER drops a match
+
+
+def test_bloom_to_words_raises_on_m_bits_mismatch(spark):
+    """An m_bits mismatch between build and densify must raise, not
+    silently drop bits (which would mean FALSE NEGATIVES) (ADVICE r5)."""
+    import pytest as _pytest
+
+    from fenix_spark.operators.sketches import bloom_build, bloom_to_words
+
+    df = spark.createDataFrame([(f"v{i}",) for i in range(50)], "v string")
+    sketch = bloom_build(df, "v", m_bits=1 << 16, k=3)
+    with _pytest.raises(ValueError, match="different m_bits"):
+        bloom_to_words(sketch, m_bits=1 << 10)  # smaller than build

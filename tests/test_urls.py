@@ -172,3 +172,47 @@ def test_canonicalize_idempotent(spark):
         assert once == twice
 
     check()
+
+
+def test_nondefault_ports_are_distinct_fetch_targets(spark):
+    """Spark's parse_url drops ALL ports; the canonical form must
+    re-append non-default ones — :8080 and no-port are different
+    servers (ADVICE r5)."""
+    a, b, c, d = _canon(
+        spark,
+        [
+            "https://example.com:8080/x",
+            "https://example.com/x",
+            "http://example.com:443/x",   # 443 NOT default for http
+            "http://user:pw@example.com:8080/x",  # userinfo before port
+        ],
+    )
+    assert a == "https://example.com:8080/x"
+    assert b == "https://example.com/x"
+    assert a != b
+    assert c == "http://example.com:443/x"
+    assert d.endswith("example.com:8080/x")
+
+
+def test_url_host_retains_port_and_registrable_domain_drops_it(spark):
+    df = spark.createDataFrame(
+        [("https://Sub.Example.COM:8080/x",), ("https://example.com/y",)],
+        "url string",
+    )
+    rows = df.select(
+        url_host(F.col("url")).alias("h"),
+        registrable_domain(F.col("url")).alias("d"),
+    ).collect()
+    assert rows[0].h == "sub.example.com:8080"
+    assert rows[0].d == "example.com"  # port never splits domain identity
+    assert rows[1].h == "example.com"
+    assert rows[1].d == "example.com"
+
+
+def test_port_dedup_does_not_merge(spark):
+    df = spark.createDataFrame(
+        [(1, "https://example.com:8080/x"), (2, "https://example.com/x")],
+        "id bigint, url string",
+    )
+    out = {r.id: r.keep for r in url_dedup_keep_list(df, "url", "id").collect()}
+    assert out == {1: True, 2: True}  # both survive: distinct targets
