@@ -1521,6 +1521,47 @@ def _simhash_neardup_sql() -> str:
     """
 
 
+def _dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-based dedup DECISIONS (operators/components.py): simhash
+    near-dup pairs → distributed connected components (min-label
+    propagation, one equi-join + groupBy per round) → keep the min-id
+    member of every component. The oracle re-derives the components
+    with a DuckDB recursive transitive closure — any propagation error
+    (chain double-drop, unconverged labels) changes the survivor set
+    and hash-mismatches."""
+    from fenix_spark.operators.components import dedup_keep_list
+    from fenix_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = simhash_neardup_pairs(docs, "text", "doc_id")
+    return dedup_keep_list(docs, pairs, "doc_id", left="id_l", right="id_r").select(
+        "doc_id"
+    )
+
+
+def _dedup_keep_list_sql() -> str:
+    """Survivors via recursive reachability: a node is DROPPED iff it
+    can reach a smaller node (the component min keeps itself)."""
+    return f"""
+    WITH RECURSIVE prs AS ({_simhash_neardup_sql()}),
+    edges AS (
+        SELECT id_l AS src, id_r AS dst FROM prs
+        UNION
+        SELECT id_r AS src, id_l AS dst FROM prs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    drops AS (
+        SELECT src AS node FROM reach GROUP BY src HAVING min(dst) < src
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM drops)
+    """
+
+
 def _winnow_fingerprint_sql() -> str:
     from fenix_spark.functions.texthash import (
         duck_hash60,
@@ -2019,7 +2060,7 @@ def _bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(spark, idx, _BM25_QUERY, k=10)
 
 
-def _bm25_search_sql() -> str:
+def _bm25_search_sql(k: int = 10) -> str:
     """DuckDB mirror of the Lucene-form BM25 (k1=1.2, b=0.75), with
     every float expression shaped to evaluate in the same operand
     order as operators/bm25.py (k1+1 folded to 2.2, 1-b to 0.25)."""
@@ -2048,6 +2089,69 @@ def _bm25_search_sql() -> str:
     WHERE term IN ({terms})
     GROUP BY doc_id
     ORDER BY score DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
+def _hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/hybrid.py): BM25 top-50 on documents
+    fused with cosine-KNN top-50 on embeddings by Reciprocal Rank
+    Fusion (rrf_k=60). Both arms are TakeOrderedAndProject plans; the
+    fusion is a full-outer join of two ≤50-row frames — driver-scale by
+    construction, independent of corpus size."""
+    from fenix_spark.operators.bm25 import bm25_search, build_bm25_index
+    from fenix_spark.operators.hybrid import rrf_fuse
+
+    docs = table(spark, sf_dir, "documents")
+    idx = build_bm25_index(docs, "text", "doc_id")
+    lex = bm25_search(spark, idx, _BM25_QUERY, k=50).select(
+        F.col("doc_id").alias("id"), "score"
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    target = query_literal(_query_vector(spark, sf_dir))
+    vec = (
+        emb.select(
+            F.col("vec_id").alias("id"),
+            _round_dist(distance("cosine", vec_double("embedding"), target)).alias(
+                "distance"
+            ),
+        )
+        .orderBy("distance", "id")
+        .limit(50)
+    )
+    return rrf_fuse([lex, vec], id_col="id", k=10, ascending=[False, True])
+
+
+def _hybrid_search_sql() -> str:
+    """RRF is pure rank arithmetic over the two arms' (already
+    oracle-proven) rankings: rank each arm by its rounded score with id
+    tiebreak, sum 1/(60+rank) over present arms, top-10."""
+    return f"""
+    WITH lex AS ({_bm25_search_sql(k=50)}),
+    vec AS (
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id AS id, round({_DUCK_METRIC["cosine"]}, 6) + 0.0 AS dist
+        FROM embeddings, q
+        ORDER BY dist, vec_id
+        LIMIT 50
+    ),
+    lexr AS (
+        SELECT doc_id AS id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+        FROM lex
+    ),
+    vecr AS (
+        SELECT id, row_number() OVER (ORDER BY dist ASC, id ASC) AS r FROM vec
+    ),
+    fused AS (
+        SELECT coalesce(l.id, v.id) AS id,
+               round(coalesce(1.0 / (60 + l.r), 0.0)
+                     + coalesce(1.0 / (60 + v.r), 0.0), 6) + 0.0 AS rrf_score,
+               ((l.id IS NOT NULL)::INTEGER + (v.id IS NOT NULL)::INTEGER) AS n_rankers
+        FROM lexr l FULL OUTER JOIN vecr v ON l.id = v.id
+    )
+    SELECT id, rrf_score, n_rankers FROM fused
+    ORDER BY rrf_score DESC, id ASC
     LIMIT 10
     """
 
@@ -2550,7 +2654,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_batch_search": _ivf_batch_search,
     "lsh_ann_search": _lsh_ann_search,
     "similarity_join_topk": _similarity_join_topk,
-    "quantize_roundtrip": _quantize_roundtrip,
+    # (quantize_roundtrip retired for hybrid_search under the 50-row
+    #  cap, VERDICT r05 #3 — its qparams machinery stays end-to-end
+    #  covered by quantized_knn, which dequantizes through the same
+    #  column-metadata path.)
+    "hybrid_search": _hybrid_search,
     "quantized_knn": _quantized_knn,
     "ivfpq_search": _ivfpq_search,
     # -- multimodal --
@@ -2562,9 +2670,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprints": _fingerprints,
     "ngram_jaccard_topk": _ngram_jaccard_topk,
     "embedding_neardup": _embedding_neardup,
+    "dedup_keep_list": _dedup_keep_list,
     # -- text analysis / curation --
+    # (text_stats retired for dedup_keep_list, VERDICT r05 #3 — its
+    #  aggregate patterns are subsumed by text_metrics.)
     "text_metrics": _text_metrics,
-    "text_stats": _text_stats,
     "tfidf_top_terms": _tfidf_top_terms,
     "bm25_search": _bm25_search,
     "curation_stats": _curation_stats,
@@ -2616,7 +2726,7 @@ ORACLE_SQL: dict[str, str] = {
     "ivf_batch_search": _ivf_batch_search_sql(_ORACLE_SF_DIR),
     "lsh_ann_search": _render_lsh_sql(_ORACLE_SF_DIR),
     "similarity_join_topk": _SIMILARITY_JOIN_SQL,
-    "quantize_roundtrip": _QUANTIZE_ROUNDTRIP_SQL,
+    "hybrid_search": _hybrid_search_sql(),
     "quantized_knn": _quantized_knn_sql(_ORACLE_SF_DIR),
     "ivfpq_search": _ivfpq_search_sql(_ORACLE_SF_DIR),
     "multimodal_features": _multimodal_features_sql(_ORACLE_SF_DIR),
@@ -2626,8 +2736,8 @@ ORACLE_SQL: dict[str, str] = {
     "fingerprints": _fingerprints_sql(),
     "ngram_jaccard_topk": _ngram_jaccard_topk_sql(),
     "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+    "dedup_keep_list": _dedup_keep_list_sql(),
     "text_metrics": _text_metrics_sql(),
-    "text_stats": _TEXT_STATS_SQL,
     "tfidf_top_terms": _tfidf_top_terms_sql(),
     "bm25_search": _bm25_search_sql(),
     "curation_stats": _CURATION_STATS_SQL,

@@ -108,8 +108,11 @@ def test_knn_filtered_pushes_label_filter(spark, q):
 
 def test_column_pruning_never_reads_text_for_stats(spark, q):
     """text_stats aggregates lang/n_chars only — the scan must not
-    read the (wide) text column."""
-    for cols in read_schema_columns(q("text_stats")):
+    read the (wide) text column. (The query rotated out of the oracle
+    suite in r6 but the pruning contract stays pinned.)"""
+    from fenix_spark.suite import _text_stats
+
+    for cols in read_schema_columns(_text_stats(spark, SF01)):
         assert "text" not in cols
 
 
@@ -170,3 +173,28 @@ def test_ivf_batch_search_both_arms_equi_join_no_cartesian(spark, q):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert shuffle_count(df) <= 8
+
+
+def test_hybrid_search_arms_stay_local_topk(spark, q):
+    """RRF fusion joins two ≤50-row ranked frames: the vector arm must
+    stay a no-shuffle TakeOrderedAndProject feeding the fusion, and
+    nothing in the plan may degrade to a cartesian/BNL join."""
+    df = q("hybrid_search")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # at least the knn arm
+    # postings build (tf/dl/df aggs) + 2 rank windows + fusion join +
+    # final top-k: bounded, and every join keyed
+    assert shuffle_count(df) <= 10
+
+
+def test_dedup_keep_list_all_joins_keyed(spark, q):
+    """Components + survivor anti-join must stay keyed equi-joins over
+    (id, label) longs — no cartesian/BNL, and the document payload
+    column is never read by the pair/label side (column pruning: the
+    anti-join side reads ids only)."""
+    df = q("dedup_keep_list")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
