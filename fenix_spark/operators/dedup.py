@@ -130,11 +130,25 @@ def lsh_candidates(
     bands: int = 3,
     rows_per_band: int = 8,
     carry: tuple[str, ...] = (),
+    max_group: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_l < id_r) agreeing on ≥1 band.
     ``carry`` columns of ``signed`` travel through the band join and
     come out as ``{col}_l`` / ``{col}_r`` (they must be functionally
     dependent on id, or the distinct dedups less than it should).
+
+    ``max_group`` caps the band-bucket size: buckets with more members
+    are DROPPED before the self-join. A boilerplate-heavy corpus (one
+    license header on 30% of docs) puts one bucket's join output at
+    |bucket|² pairs — and AQE's skew split cannot rescue that task,
+    because skew detection is BYTE-based on compressed map output and
+    a bucket of identical band keys compresses to almost nothing
+    (measured: a 360-row hot bucket looks median-sized to AQE while
+    emitting 65k join rows; see SCALE.md). Capped buckets are
+    boilerplate by construction — handle that mass with exact dedup
+    (O(n) groupBy) or a stop list; the cap trades recall ONLY on
+    clusters whose pairwise verify would be quadratic anyway. None
+    (default) keeps every bucket.
 
     Band geometry sets the selectivity knee at ~(1/b)^(1/r): pairs
     above it are near-certain candidates, pairs below are near-never.
@@ -167,6 +181,12 @@ def lsh_candidates(
             )
         ).alias("band", "key"),
     )
+    if max_group is not None:
+        sizes = band_rows.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        keep = sizes.where(F.col("__n") <= max_group).select("band", "key")
+        band_rows = band_rows.join(keep, ["band", "key"])
     l = band_rows.select(
         F.col("id").alias("id_l"), *[F.col(c).alias(f"{c}_l") for c in carry], "band", "key"
     )
@@ -196,6 +216,7 @@ def minhash_neardup_pairs(
     shingle: int = 1,
     num_components: int = 24,
     bands: int = 3,
+    max_group: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -241,7 +262,12 @@ def minhash_neardup_pairs(
     # (much wider) member arrays into the verify join. The 1e-6 slack
     # covers the round(J, 6) ≥ threshold acceptance rule: round-up by
     # at most 5e-7 means raw J ≥ threshold − 5e-7 must survive.
-    cand = lsh_candidates(signed, bands, num_components // bands, carry=("sz",)).where(
+    # max_group applies AFTER identical-set grouping, so it only bites
+    # on NEAR-identical boilerplate clusters (byte-identical docs
+    # collapse to one LSH row above and never inflate a bucket)
+    cand = lsh_candidates(
+        signed, bands, num_components // bands, carry=("sz",), max_group=max_group
+    ).where(
         F.least("sz_l", "sz_r")
         >= (threshold - 1e-6) * F.greatest("sz_l", "sz_r")
     ).select("id_l", "id_r")

@@ -13,6 +13,7 @@ is chosen to also hold on a 1000-executor cluster:
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
@@ -29,6 +30,14 @@ def get_session(app_name: str = "fenix_spark", shuffle_partitions: int | None = 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # The dedup band self-joins (minhash/simhash LSH) are always
+        # followed by a distinct — a downstream shuffle that makes the
+        # default OptimizeSkewedJoin bail out (it refuses to split when
+        # the join's output partitioning is consumed). The distinct
+        # reshuffles on (id_l, id_r) regardless, so forcing the split
+        # costs nothing extra and keeps a boilerplate-heavy hot bucket
+        # from serializing one task (tests/test_dedup.py skew proofs).
+        .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
@@ -41,11 +50,20 @@ def tune_session(spark: SparkSession) -> SparkSession:
     """Apply fenix_spark runtime confs to an externally created session
     (the driver hands us its own SparkSession in ``__spark_entry__``)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-    except Exception:
-        pass  # immutable on some deployments; defaults are acceptable
+    for k, v in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.adaptive.forceOptimizeSkewedJoin", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception as exc:  # noqa: BLE001
+            # immutable on some deployments; defaults are acceptable —
+            # but log which conf was refused so driver-environment
+            # differences are triageable (ADVICE/housekeeping r5)
+            logging.getLogger(__name__).debug(
+                "tune_session: conf %s=%s refused: %s", k, v, exc
+            )
     return spark
 
 
@@ -113,6 +131,8 @@ def apply_confs(spark: SparkSession, rec: dict) -> SparkSession:
     for k, v in rec["confs"].items():
         try:
             spark.conf.set(k, v)
-        except Exception:  # noqa: BLE001 - immutable conf on this deployment
-            pass
+        except Exception as exc:  # noqa: BLE001 - immutable conf here
+            logging.getLogger(__name__).debug(
+                "apply_confs: conf %s=%s refused: %s", k, v, exc
+            )
     return spark

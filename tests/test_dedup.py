@@ -225,3 +225,92 @@ def test_dedup_eval_metrics(spark):
     assert abs(m["precision"] - 2 / 3) < 1e-12
     assert abs(m["recall"] - 2 / 3) < 1e-12
     assert abs(m["f1"] - 2 / 3) < 1e-12
+
+
+def test_minhash_mega_bucket_cap_bounds_boilerplate_blowup(spark):
+    """NEAR-identical boilerplate (one license header with a varying
+    line on 30% of docs) lands one band bucket with 30% of rows. AQE's
+    skew split CANNOT rescue that self-join task: skew detection is
+    byte-based on compressed map output, and a bucket of identical
+    band keys compresses to near nothing while its join output is
+    |bucket|² (measured: the hot bucket read as median-sized even at a
+    128-byte threshold). The scale mitigation is the max_group cap —
+    mega-buckets are dropped BEFORE the join and the boilerplate mass
+    routes to exact dedup; planted true pairs outside the hot bucket
+    must all survive the cap."""
+    from fenix_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+        token_sets,
+    )
+
+    hot = 360  # 30% of 1200 docs share the boilerplate band bucket
+    boiler = "standard license header granted to use copy and distribute"
+    rows = [(i, boiler) for i in range(hot)]
+    # 10 planted near-dup pairs OUTSIDE the hot bucket (identical text
+    # → identical sig → same small bucket of 2)
+    for j in range(10):
+        pair_text = f"planted duplicate pair {j} with shared content body"
+        rows += [(10_000 + 2 * j, pair_text), (10_001 + 2 * j, pair_text)]
+    rows += [
+        (hot + i, f"unique document body {i} alpha{i % 7} beta{i % 11} gamma{i}")
+        for i in range(820)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string").repartition(16)
+    signed = minhash_signatures(token_sets(docs, "text", "doc_id"))
+
+    capped = lsh_candidates(signed, max_group=50).collect()
+    # no candidate touches the hot bucket...
+    assert all(r.id_l >= hot or r.id_r >= hot for r in capped)
+    # ...but every planted non-boilerplate pair survives
+    planted = {(10_000 + 2 * j, 10_001 + 2 * j) for j in range(10)}
+    got = {(r.id_l, r.id_r) for r in capped}
+    assert planted <= got
+    # and the uncapped run pays the quadratic hot bucket the cap avoids
+    n_uncapped = len(lsh_candidates(signed).collect())
+    assert n_uncapped >= hot * (hot - 1) // 2 + len(planted)
+
+
+def test_simhash_band_join_survives_boilerplate_skew(spark):
+    """Same contract for the simhash pigeonhole band join: 30% of docs
+    sharing one fingerprint concentrate 4 band buckets; the join must
+    finish with the skew split (or broadcast) engaged, and recall stays
+    exact — every hot pair is found at hamming 0."""
+    from fenix_spark.operators.dedup import simhash_neardup_pairs
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # compressed-map-output sizes: near-identical hot rows compress
+        # hard, so the local proxy threshold is tiny (cluster defaults,
+        # 256MB, express the same contract on real data)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # the band join feeds a distinct (downstream shuffle) — the
+        # default OptimizeSkewedJoin refuses to split then; the
+        # session forces it (session.py) and so does this test
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    prev = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        hot = 300
+        rows = [
+            (i, "all rights reserved redistribution permitted with attribution")
+            for i in range(hot)
+        ] + [
+            (hot + i, f"body {i} delta{i % 5} epsilon{i % 13} zeta{i}")
+            for i in range(700)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string").repartition(16)
+        pairs = simhash_neardup_pairs(docs, "text", "doc_id")
+        rows2 = pairs.collect()
+        got = sum(1 for r in rows2 if r.hamming == 0)
+        assert got >= hot * (hot - 1) // 2
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
