@@ -34,6 +34,7 @@ Mechanics per artifact class:
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
@@ -52,10 +53,26 @@ def migrate_reference_store(
     ref_root: str,
     out_root: str,
     skip_codings: bool = False,
+    key_col: str | None = None,
+    max_zip_bytes: int = 8 << 30,
 ) -> dict:
     """Run the migration; returns a manifest dict
     ``{"sources": [...], "indexes": [...], "codings_skipped": [...]}``.
-    Idempotent: re-running overwrites the same outputs."""
+    Idempotent: re-running overwrites the same outputs.
+
+    Index sidecars are positional, so zipping them with their source is
+    inherently ordered work. Two paths:
+
+    - default: the driver-side streaming zip (bounded memory, but
+      single-threaded and proportional to source+sidecar BYTES). Gated
+      at ``max_zip_bytes``: a store above the gate raises loudly
+      instead of silently running a multi-hour driver job.
+    - ``key_col``: the DISTRIBUTED path for sources that carry a
+      unique key column. The driver streams only the THIN columns
+      (source key + sidecar code — mmap'd, payload buffers untouched)
+      into a (key → code) map; the wide payload then migrates as a
+      distributed keyed equi-join, and the byte gate does not apply.
+    """
     from fenix_spark.sources.arrowipc_source import register
 
     register(spark)
@@ -93,13 +110,157 @@ def migrate_reference_store(
                         continue
                     coding = _strip(f, ".arrow")
                     out = catalog.index_path(out_root, source, column, coding)
-                    _zip_index(
-                        os.path.join(src_dir, f"{source}.arrow"),
-                        os.path.join(cdir, f),
-                        out,
-                    )
+                    src_path = os.path.join(src_dir, f"{source}.arrow")
+                    side_path = os.path.join(cdir, f)
+                    if key_col is not None:
+                        _zip_index_keyed(spark, src_path, side_path, out, key_col)
+                    else:
+                        total = os.path.getsize(src_path) + os.path.getsize(side_path)
+                        if total > max_zip_bytes:
+                            raise ValueError(
+                                f"index {source}/{column}/{coding} is "
+                                f"{total:,} bytes — above the "
+                                f"max_zip_bytes gate ({max_zip_bytes:,}). "
+                                "The positional zip is a single-threaded "
+                                "driver-side stream; at this size pass "
+                                "key_col=<unique source key> for the "
+                                "distributed keyed migration, or raise "
+                                "max_zip_bytes if a long driver job is "
+                                "acceptable."
+                            )
+                        _zip_index(src_path, side_path, out)
                     manifest["indexes"].append(f"{source}/{column}/{coding}")
+                    logging.getLogger(__name__).info(
+                        "migrated index %s/%s/%s", source, column, coding
+                    )
     return manifest
+
+
+def _zip_index_keyed(
+    spark: SparkSession,
+    source_path: str,
+    sidecar_path: str,
+    out_dir: str,
+    key_col: str,
+) -> None:
+    """Distributed keyed zip: the driver streams ONLY (key, code) —
+    two thin columns, payload buffers never touched — into a keymap;
+    the wide source then joins it distributed on the key. Raises on
+    row-count drift (same contract as the positional zip) and on a
+    non-unique key (a dup key would silently fan rows out)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from pyspark.sql import functions as F
+
+    from fenix_spark.sources.arrowipc_source import (
+        _normalize_batch,
+        _normalize_schema,
+        _open_ipc,
+    )
+
+    src = _open_ipc(source_path)
+    side = _open_ipc(sidecar_path)
+    src_fields = list(_normalize_schema(src.schema))
+    side_fields = list(_normalize_schema(side.schema))
+    if key_col not in {f.name for f in src_fields}:
+        raise ValueError(
+            f"key_col {key_col!r} not in source columns "
+            f"({[f.name for f in src_fields]})"
+        )
+    clash = {f.name for f in src_fields} & {f.name for f in side_fields}
+    if clash:
+        raise ValueError(
+            f"index sidecar column(s) {sorted(clash)} collide with source "
+            f"columns ({source_path}); rename in the sidecar before migrating"
+        )
+
+    def batches(reader):
+        if isinstance(reader, pa.ipc.RecordBatchFileReader):
+            for i in range(reader.num_record_batches):
+                yield reader.get_batch(i)
+        else:
+            yield from reader
+
+    key_field = next(f for f in src_fields if f.name == key_col)
+    map_schema = pa.schema([key_field] + side_fields)
+    tmp = tempfile.mkdtemp(prefix="fenix_keymap_")
+    try:
+        keymap_path = os.path.join(tmp, "keymap.parquet")
+        n_rows = 0
+        with papq.ParquetWriter(keymap_path, map_schema) as w:
+
+            def thin(reader, cols):
+                for b in batches(reader):
+                    nb = _normalize_batch(b)
+                    yield nb.select(cols)
+
+            s_iter = _rechunk(thin(src, [key_col]))
+            c_iter = _rechunk(thin(side, [f.name for f in side_fields]))
+            while True:
+                sb = next(s_iter, None)
+                cb = next(c_iter, None)
+                if sb is None and cb is None:
+                    break
+                if sb is None or cb is None or sb.num_rows != cb.num_rows:
+                    raise ValueError(
+                        "index sidecar misaligned with source "
+                        f"({source_path} vs {sidecar_path}): row counts differ"
+                    )
+                w.write_batch(
+                    pa.RecordBatch.from_arrays(
+                        list(sb.columns) + list(cb.columns), schema=map_schema
+                    )
+                )
+                n_rows += sb.num_rows
+
+        src_df = spark.read.format("arrowipc").load(source_path)
+        keymap = spark.read.parquet(keymap_path)
+        n_distinct = keymap.select(key_col).distinct().count()
+        if n_distinct != n_rows:
+            raise ValueError(
+                f"key_col {key_col!r} is not unique in {source_path} "
+                f"({n_rows:,} rows, {n_distinct:,} distinct) — a keyed "
+                "migration would fan rows out; use the positional zip"
+            )
+        joined = src_df.join(F.broadcast(keymap) if n_rows < 2_000_000 else keymap, key_col)
+        joined.write.mode("overwrite").partitionBy(CODE_COL).parquet(out_dir)
+        # the join must be lossless: every source row got exactly one code
+        n_out = spark.read.parquet(out_dir).count()
+        if n_out != n_rows:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            raise ValueError(
+                f"keyed migration dropped rows ({n_rows:,} source, "
+                f"{n_out:,} joined) — source keys missing from the "
+                f"keymap stream; the store at {source_path} is "
+                "internally inconsistent"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _rechunk(gen, size: int = 65536):
+    """Re-batch a RecordBatch stream to fixed-size chunks so a zip of
+    two streams never needs to align mismatched batch boundaries."""
+    import pyarrow as pa
+
+    buf: list = []
+    n = 0
+    for b in gen:
+        buf.append(b)
+        n += b.num_rows
+        while n >= size:
+            t = pa.Table.from_batches(buf)
+            head = t.slice(0, size)
+            rest = t.slice(size)
+            yield head.combine_chunks().to_batches()[0]
+            buf = rest.combine_chunks().to_batches() if rest.num_rows else []
+            n = rest.num_rows
+    if n:
+        yield pa.Table.from_batches(buf).combine_chunks().to_batches()[0]
 
 
 def _zip_index(source_path: str, sidecar_path: str, out_dir: str) -> None:
@@ -127,21 +288,7 @@ def _zip_index(source_path: str, sidecar_path: str, out_dir: str) -> None:
         for b in batches(reader):
             yield _normalize_batch(b)
 
-    def rechunk(gen, size=65536):
-        buf: list[pa.RecordBatch] = []
-        n = 0
-        for b in gen:
-            buf.append(b)
-            n += b.num_rows
-            while n >= size:
-                t = pa.Table.from_batches(buf)
-                head = t.slice(0, size)
-                rest = t.slice(size)
-                yield head.combine_chunks().to_batches()[0]
-                buf = rest.combine_chunks().to_batches() if rest.num_rows else []
-                n = rest.num_rows
-        if n:
-            yield pa.Table.from_batches(buf).combine_chunks().to_batches()[0]
+    rechunk = _rechunk
 
     from fenix_spark.sources.arrowipc_source import _normalize_schema
 

@@ -172,3 +172,57 @@ def test_migrate_sidecar_column_collision_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="collide"):
         migrate_reference_store(spark, ref, out, skip_codings=True)
+
+
+def test_migrate_size_gate_raises_loudly(spark, tmp_path):
+    """A store above max_zip_bytes must refuse the silent
+    single-threaded driver zip and name both remedies."""
+    from fenix_spark.sources.migrate import migrate_reference_store
+
+    ref = str(tmp_path / "ref_gate")
+    out = str(tmp_path / "out_gate")
+    _make_ref_store(ref)
+    with pytest.raises(ValueError, match="key_col|max_zip_bytes"):
+        migrate_reference_store(
+            spark, ref, out, skip_codings=True, max_zip_bytes=1024
+        )
+
+
+def test_migrate_keyed_distributed_path(spark, tmp_path):
+    """key_col migration: thin (key, code) stream + distributed keyed
+    join must produce the same index as the positional zip — the byte
+    gate does not apply."""
+    from fenix_spark import catalog
+    from fenix_spark.sources.migrate import migrate_reference_store
+
+    ref = str(tmp_path / "ref_keyed")
+    out = str(tmp_path / "out_keyed")
+    _make_ref_store(ref)
+    manifest = migrate_reference_store(
+        spark, ref, out, skip_codings=True, key_col="vec_id", max_zip_bytes=1024
+    )
+    assert manifest["indexes"] == ["embeddings/embedding/pq"]
+    idx = spark.read.parquet(
+        catalog.index_path(out, "embeddings", "embedding", "pq")
+    )
+    assert set(idx.columns) == {"vec_id", "embedding", "label", "__CODED_ID__"}
+    got = {r.vec_id: r["__CODED_ID__"] for r in idx.collect()}
+    assert all(got[i] == i % 4 for i in range(120))
+    root = catalog.index_path(out, "embeddings", "embedding", "pq")
+    assert any(d.startswith("__CODED_ID__=") for d in os.listdir(root))
+
+
+def test_migrate_keyed_rejects_duplicate_key(spark, tmp_path):
+    from fenix_spark.sources.migrate import migrate_reference_store
+
+    ref = str(tmp_path / "ref_dup")
+    out = str(tmp_path / "out_dup")
+    _make_ref_store(ref)
+    # overwrite the source with a duplicated key
+    t = _emb_table()
+    dup = t.set_column(0, "vec_id", pa.array([0] * 120, type=pa.int64()))
+    _write_stream(os.path.join(ref, "sources", "embeddings.arrow"), dup)
+    with pytest.raises(ValueError, match="not unique"):
+        migrate_reference_store(
+            spark, ref, out, skip_codings=True, key_col="vec_id"
+        )
