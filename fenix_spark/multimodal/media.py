@@ -243,17 +243,36 @@ def decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
     )
 
 
+def _decode_webp(data: bytes) -> np.ndarray:
+    """WebP pixel decode: system libwebp (ctypes fast path — covers
+    lossy VP8 too) when loadable, else the pure-Python VP8L decoder
+    (multimodal/vp8l.py — lossless only, golden-tested byte-identical
+    to libwebp). Lossy VP8 without libwebp raises (full DCT codec)."""
+    from fenix_spark.multimodal import libwebp
+
+    if libwebp.available():
+        return libwebp.decode_rgba(data)
+    from fenix_spark.multimodal.vp8l import decode_webp_lossless
+
+    return decode_webp_lossless(data)
+
+
 def decode_payload(data: bytes, fmt: str, shape: tuple[int, ...]) -> np.ndarray:
     """Pixel-payload decoder. REAL for ``bmp``, ``png`` (stdlib codecs
-    above) and ``jpeg``/``jpg`` (baseline numpy codec, multimodal/
-    jpeg.py); deterministic fake for the ``raw*`` pseudo-formats
-    (payload bytes tiled to ``shape``, uint8); NotImplementedError is
-    the swap-in point for the remaining codec-lib formats (webp/tiff)."""
-    if fmt in ("bmp", "png", "jpeg", "jpg"):
+    above), ``jpeg``/``jpg`` (baseline numpy codec, multimodal/
+    jpeg.py) and ``webp`` (lossless VP8L pure-Python decoder in
+    multimodal/vp8l.py, system-libwebp fast path when loadable);
+    deterministic fake for the ``raw*`` pseudo-formats (payload bytes
+    tiled to ``shape``, uint8); NotImplementedError is the swap-in
+    point for the remaining codec-lib formats (tiff; lossy VP8
+    without libwebp)."""
+    if fmt in ("bmp", "png", "jpeg", "jpg", "webp"):
         if fmt == "bmp":
             img = _decode_bmp(data)
         elif fmt == "png":
             img = _decode_png(data)
+        elif fmt == "webp":
+            img = _decode_webp(data)
         else:
             from fenix_spark.multimodal.jpeg import decode_jpeg
 
@@ -266,8 +285,7 @@ def decode_payload(data: bytes, fmt: str, shape: tuple[int, ...]) -> np.ndarray:
             f"no codec for format {fmt!r} in this environment; "
             "decode_payload is the single swap-in point for real codecs "
             "(CONTAINER metadata is already real without any codec: "
-            "mp4 duration/tracks/codecs/dims in multimodal/mp4.py, "
-            "webp format/dims/alpha/animation in multimodal/webp.py)"
+            "mp4 duration/tracks/codecs/dims in multimodal/mp4.py)"
         )
     n = int(np.prod(shape))
     buf = np.frombuffer(data, dtype=np.uint8)

@@ -12,8 +12,11 @@ Everything derives from the public WebP container spec:
 - ``VP8X`` (extended): feature flags byte (ICC/alpha/EXIF/XMP/anim)
   + 24-bit little-endian canvas width−1 / height−1.
 
-What's NOT claimed: pixel decode — ``media.py``'s ``decode_payload``
-remains the swap-in point for a real VP8/VP8L decoder.
+Pixel decode lives one tier up: lossless (VP8L) payloads decode for
+real via ``multimodal/vp8l.py`` (pure Python, golden-tested
+byte-identical to libwebp), with the system libwebp as the ctypes
+fast path when loadable; lossy VP8 without libwebp remains the one
+NotImplementedError (full DCT codec).
 """
 
 from __future__ import annotations

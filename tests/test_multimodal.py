@@ -27,7 +27,14 @@ def media(spark):
 
 
 def test_unknown_format_raises_not_implemented():
+    # webp graduated to a real decoder in r6; tiff remains the
+    # swap-in exemplar
     with pytest.raises(NotImplementedError, match="codec"):
+        decode_payload(b"\x00\x01", "tiff", (2, 1))
+
+
+def test_webp_garbage_raises_value_error():
+    with pytest.raises(ValueError):
         decode_payload(b"\x00\x01", "webp", (2, 1))
 
 

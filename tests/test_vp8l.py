@@ -1,0 +1,203 @@
+"""VP8L (lossless WebP) decoder tests.
+
+The strong evidence is GOLDEN parity: whenever the system libwebp is
+loadable (ctypes, no install), every decoded image must be
+byte-identical to libwebp's own decode of the same file, over corpora
+chosen to force specific code paths (transforms, palette bundling
+widths, color cache, LZ77 near/far distance codes, meta prefix
+groups). The near-distance map is additionally pinned against the
+authoritative ``kCodeToPlaneCodes`` table extracted from the system
+binary. A small embedded fixture keeps the decoder tested even where
+libwebp is absent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fenix_spark.multimodal import libwebp
+from fenix_spark.multimodal.vp8l import (
+    _DIST_MAP,
+    decode_vp8l,
+    decode_webp_lossless,
+)
+
+HAVE_LIBWEBP = libwebp.available()
+needs_libwebp = pytest.mark.skipif(not HAVE_LIBWEBP, reason="system libwebp absent")
+
+
+def _golden(img: np.ndarray) -> None:
+    data = libwebp.encode_lossless_rgba(img)
+    gold = libwebp.decode_rgba(data)
+    mine = decode_webp_lossless(data)
+    assert mine.shape == gold.shape
+    assert np.array_equal(mine, gold)
+
+
+@needs_libwebp
+def test_golden_noise_and_flat():
+    rng = np.random.default_rng(0)
+    _golden(rng.integers(0, 256, (16, 16, 4), dtype=np.uint8))
+    _golden(np.full((20, 20, 4), 77, dtype=np.uint8))
+
+
+@needs_libwebp
+def test_golden_photo_like_forces_predictor_and_color_transform():
+    y, x = np.mgrid[0:96, 0:128]
+    img = np.stack(
+        [
+            np.sin(x / 9) * 90 + 120,
+            np.cos(y / 13) * 80 + 120,
+            (x + y) % 256,
+            np.full_like(x, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    _golden(img)
+    img2 = img.copy()
+    img2[..., 3] = (x % 256).astype(np.uint8)  # varying alpha
+    _golden(img2)
+
+
+@needs_libwebp
+@pytest.mark.parametrize("n_colors,label", [(2, "wbits3"), (4, "wbits2"), (16, "wbits1"), (200, "nobundle")])
+def test_golden_palette_bundling_widths(n_colors, label):
+    rng = np.random.default_rng(n_colors)
+    lut = rng.integers(0, 256, (n_colors, 4), dtype=np.uint8)
+    _golden(lut[rng.integers(0, n_colors, (33, 45))])  # odd dims
+
+
+@needs_libwebp
+def test_golden_lz77_near_and_far_codes():
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (6, 6, 4), dtype=np.uint8)
+    _golden(np.tile(base, (10, 10, 1)))  # tiled: far codes
+    row = rng.integers(0, 256, (1, 64, 4), dtype=np.uint8)
+    _golden(np.tile(row, (48, 1, 1)))  # repeated rows: near codes
+
+
+@needs_libwebp
+def test_golden_degenerate_dims():
+    rng = np.random.default_rng(4)
+    _golden(rng.integers(0, 256, (37, 1, 4), dtype=np.uint8))
+    _golden(rng.integers(0, 256, (1, 37, 4), dtype=np.uint8))
+    _golden(rng.integers(0, 256, (1, 1, 4), dtype=np.uint8))
+
+
+@needs_libwebp
+def test_golden_large_forces_meta_groups():
+    y, x = np.mgrid[0:200, 0:260]
+    img = np.stack(
+        [
+            np.sin(x / 7) * 100 + 125,
+            np.cos(y / 11) * 100 + 125,
+            (x * y) % 251,
+            np.full_like(x, 255),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    _golden(img)
+
+
+@needs_libwebp
+def test_golden_randomized_corpus():
+    for seed in range(8):
+        r = np.random.default_rng(seed)
+        kind = seed % 4
+        if kind == 0:
+            img = r.integers(
+                0, 256, (int(r.integers(5, 70)), int(r.integers(5, 70)), 4), dtype=np.uint8
+            )
+        elif kind == 1:
+            lut = r.integers(0, 256, (int(r.integers(2, 40)), 4), dtype=np.uint8)
+            img = lut[r.integers(0, len(lut), (int(r.integers(5, 60)), int(r.integers(5, 60))))]
+        elif kind == 2:
+            yy, xx = np.mgrid[0 : int(r.integers(16, 80)), 0 : int(r.integers(16, 80))]
+            img = np.stack(
+                [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256, np.full_like(xx, 255)],
+                axis=2,
+            ).astype(np.uint8)
+        else:
+            base = r.integers(0, 256, (6, 6, 4), dtype=np.uint8)
+            img = np.tile(base, (int(r.integers(2, 10)), int(r.integers(2, 10)), 1))
+        _golden(img)
+
+
+def test_distance_map_matches_authoritative_table():
+    """The generated 120-entry near map must equal libwebp's
+    kCodeToPlaneCodes (bytes (dy<<4)|(8-dx)), located in the system
+    binary by its unambiguous 6-byte prefix."""
+    import glob
+
+    candidates = glob.glob("/usr/lib/*/libwebp.so*") + glob.glob("/usr/lib/libwebp.so*")
+    if not candidates:
+        pytest.skip("no libwebp binary to extract the table from")
+    blob = open(candidates[0], "rb").read()
+    sig = bytes([0x18, 0x07, 0x17, 0x19, 0x28, 0x06])
+    i = blob.find(sig)
+    if i < 0:
+        pytest.skip("table signature not found in binary")
+    authoritative = [(8 - (b & 0xF), b >> 4) for b in blob[i : i + 120]]
+    assert _DIST_MAP == authoritative
+
+
+# deterministic 17x21 fixture (gradient + a flat patch), encoded once
+# with libwebp 1.x — keeps the decoder tested where libwebp is absent
+_FIXTURE_HEX = (
+    "524946465e000000574542505650384c520000002f1000050009802002fc277b88e8"
+    "7f7a011084ff6f0f11fd4f43512429ce58585d88430d0ae172789b69dbc67f1016db"
+    "580ca199b66d63e9651e43b098004486c52de287b2ddf7a052ece53bd22fc8f04f01"
+)
+
+
+def _fixture_image() -> np.ndarray:
+    y, x = np.mgrid[0:21, 0:17]
+    img = np.stack(
+        [(x * 11) % 256, (y * 17) % 256, ((x + y) * 7) % 256, np.full_like(x, 255)],
+        axis=2,
+    ).astype(np.uint8)
+    img[5:9, 3:9] = [200, 10, 50, 255]
+    return img
+
+
+def test_embedded_fixture_no_libwebp_needed():
+    got = decode_webp_lossless(bytes.fromhex(_FIXTURE_HEX))
+    assert np.array_equal(got, _fixture_image())
+
+
+def test_malformed_inputs_raise_cleanly():
+    """Garbage must raise ValueError fast — never hang, never crash
+    the interpreter, never allocate unboundedly."""
+    rng = np.random.default_rng(5)
+    fixture = bytes.fromhex(_FIXTURE_HEX)
+    cases = [
+        b"",
+        b"\x2f",
+        b"\x2f\x00\x00\x00\x00",
+        bytes([0x2F, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF]),  # huge dims
+        fixture[:30],  # truncated container
+    ]
+    cases += [bytes(rng.integers(0, 256, 80, dtype=np.uint8)) for _ in range(20)]
+    # mutate the valid fixture
+    for _ in range(30):
+        m = bytearray(fixture)
+        for _ in range(3):
+            m[int(rng.integers(20, len(m)))] = int(rng.integers(0, 256))
+        cases.append(bytes(m))
+    for blob in cases:
+        try:
+            out = decode_vp8l(blob) if blob[:1] == b"\x2f" else decode_webp_lossless(blob)
+            assert isinstance(out, np.ndarray)  # a mutation may stay valid
+        except ValueError:
+            pass
+
+
+def test_decode_payload_webp_integration():
+    """media.decode_payload('webp') serves pixels now (libwebp fast
+    path or the pure decoder — both byte-identical on lossless)."""
+    from fenix_spark.multimodal.media import decode_payload
+
+    img = _fixture_image()
+    got = decode_payload(bytes.fromhex(_FIXTURE_HEX), "webp", img.shape)
+    assert np.array_equal(got, img)
