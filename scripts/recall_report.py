@@ -259,6 +259,63 @@ def main() -> None:
     pq_off = next(r[3] for r in sweep_rows if r[:3] == (16, 4, None))
     pq_rr = next(r[3] for r in sweep_rows if r[:3] == (16, 4, 40))
 
+    # OPQ on CROSS-BLOCK-CORRELATED data (VERDICT r05 #6): the fixture
+    # embeddings are near-isotropic, so the rotation is ~neutral above;
+    # here the case OPQ exists for is synthesized at the same sf scale —
+    # a low-rank latent signal mixed across all dims, so fixed-slice PQ
+    # is misaligned with the variance structure.
+    import numpy as _np
+
+    _rng = _np.random.default_rng(23)
+    n_corr, d_corr, latent = max(2 * n_rows, 4000), 64, 8
+    _z = _rng.normal(size=(n_corr, latent)) * _np.linspace(6.0, 1.5, latent)
+    _mix = _rng.normal(size=(latent, d_corr))
+    _xc = _z @ _mix + 0.15 * _rng.normal(size=(n_corr, d_corr))
+    corr_df = (
+        spark.createDataFrame(
+            [(i, _xc[i].tolist()) for i in range(n_corr)],
+            "vec_id bigint, embedding array<double>",
+        )
+        .repartition(32)
+        .localCheckpoint()
+    )
+    pq_corr = train_coding(corr_df, "embedding", opq_cfg)
+    opq_corr = fit_opq(corr_df, "embedding", opq_cfg, iters=3)
+    plain_c = corr_df.withColumn(
+        CODE_COL, _ace("embedding", pq_corr, "l2")
+    ).localCheckpoint(eager=False)
+    rot_c = opq_transform(corr_df, "embedding", opq_corr, "opq")
+    rot_c = rot_c.withColumn(
+        CODE_COL, _ace("opq", opq_corr.coding, "l2")
+    ).localCheckpoint(eager=False)
+    qidx = list(range(0, n_corr, max(1, n_corr // 15)))[:15]
+    d2 = ((_xc[qidx, None, :] - _xc[None, :, :]) ** 2).sum(axis=2)
+    exact_corr = _np.argsort(d2, axis=1)[:, :K]
+    corr_rows = []
+    for rer in (None, 40):
+        h_pq = h_opq = 0
+        for qi_pos, qi in enumerate(qidx):
+            want = set(int(v) for v in exact_corr[qi_pos])
+            g_pq = {
+                r["vec_id"]
+                for r in adc_search(
+                    plain_c, pq_corr, "embedding", _xc[qi].tolist(),
+                    metric="l2", k=K, rerank=rer, id_col="vec_id",
+                ).collect()
+            }
+            g_opq = {
+                r["vec_id"]
+                for r in adc_search(
+                    rot_c, opq_corr.coding, "opq",
+                    rotate_query(_xc[qi].tolist(), opq_corr),
+                    metric="l2", k=K, rerank=rer, id_col="vec_id",
+                ).collect()
+            }
+            h_pq += len(g_pq & want)
+            h_opq += len(g_opq & want)
+        denom = K * len(qidx)
+        corr_rows.append((rer, h_pq / denom, h_opq / denom))
+
     lines = [
         "# RECALL — measured ANN quality (the guardrail the reference lacks)",
         "",
@@ -358,6 +415,24 @@ def main() -> None:
     ]
     for (rer, rec_opq), rec_pq in zip(opq_rows, (pq_off, pq_rr)):
         lines.append(f"| {rer if rer else 'off'} | {rec_pq:.3f} | {rec_opq:.3f} |")
+    lines += [
+        "",
+        "### OPQ on cross-block-correlated data (synthesized at sf",
+        f"scale: {n_corr} x 64d, rank-8 latent mixed across all dims —",
+        "the misaligned-variance case OPQ exists for; same 16^4 code",
+        "bits, 15 queries vs numpy exact brute force). The off-rerank",
+        "gap is the honest signal (rerank hides coding quality); the",
+        "floor is pinned in tests/test_scale_smoke.py.",
+        "",
+        f"Reconstruction MSE: plain {opq_corr.mse_history[0]:.4f} → "
+        f"OPQ {opq_corr.mse_history[-1]:.4f} "
+        f"({(1 - opq_corr.mse_history[-1] / max(opq_corr.mse_history[0], 1e-12)) * 100:.1f}% lower).",
+        "",
+        "| rerank | plain PQ recall@10 | OPQ recall@10 |",
+        "|---|---|---|",
+    ]
+    for rer, r_pq, r_opq in corr_rows:
+        lines.append(f"| {rer if rer else 'off'} | {r_pq:.3f} | {r_opq:.3f} |")
     lines += [
         "",
         "Note: the testdata embeddings are near-isotropic (little cross-block correlation), so the rotation is ~neutral here — MSE improves slightly and the recall deltas are within sampling noise at 10 queries; the correlated-data case where OPQ pays off is pinned deterministically in tests/test_opq.py.",

@@ -164,3 +164,68 @@ def test_url_canonicalize_sf01(spark, docs01):
     twice = once.select(canonicalize_url(F.col("c")).alias("c"))
     assert once.exceptAll(twice).count() == 0
     assert out.where(~F.col("d").rlike(r"^example\d+\.com$")).count() == 0
+
+
+def test_opq_beats_plain_pq_on_correlated_vectors_sf01(spark):
+    """The case OPQ exists for, pinned at sf0.1 embedding scale: a
+    rank-6 latent signal mixed across all 32 dims (variance straddling
+    every PQ block boundary). Floors: OPQ must cut reconstruction MSE
+    by ≥15% AND beat plain PQ's OFF-RERANK ADC recall@10 (rerank would
+    hide coding quality). Deterministic seeds end to end."""
+    import numpy as np
+
+    from fenix_spark.operators.coder import CodingConfig, train_coding
+    from fenix_spark.operators.index import CODE_COL, adc_search, assign_code_expr
+    from fenix_spark.operators.opq import fit_opq, opq_transform, rotate_query
+
+    rng = np.random.default_rng(29)
+    n, d, latent = 2000, 32, 6
+    z = rng.normal(size=(n, latent)) * np.linspace(6.0, 1.5, latent)
+    mix = rng.normal(size=(latent, d))
+    x = z @ mix + 0.15 * rng.normal(size=(n, d))
+    df = (
+        spark.createDataFrame(
+            [(i, x[i].tolist()) for i in range(n)],
+            "vec_id bigint, embedding array<double>",
+        )
+        .repartition(16)
+        .localCheckpoint()
+    )
+    cfg = CodingConfig(metric="l2", codebook_size=16, num_codebooks=4)
+    pq = train_coding(df, "embedding", cfg)
+    opq = fit_opq(df, "embedding", cfg, iters=3)
+    assert opq.mse_history[-1] < 0.85 * opq.mse_history[0]  # ≥15% MSE cut
+
+    plain = df.withColumn(CODE_COL, assign_code_expr("embedding", pq, "l2"))
+    plain = plain.localCheckpoint(eager=False)
+    rot = opq_transform(df, "embedding", opq, "opq")
+    rot = rot.withColumn(
+        CODE_COL, assign_code_expr("opq", opq.coding, "l2")
+    ).localCheckpoint(eager=False)
+
+    K = 10
+    qidx = list(range(0, n, n // 10))[:10]
+    d2 = ((x[qidx, None, :] - x[None, :, :]) ** 2).sum(axis=2)
+    exact = np.argsort(d2, axis=1)[:, :K]
+    h_pq = h_opq = 0
+    for pos, qi in enumerate(qidx):
+        want = set(int(v) for v in exact[pos])
+        got_pq = {
+            r["vec_id"]
+            for r in adc_search(
+                plain, pq, "embedding", x[qi].tolist(),
+                metric="l2", k=K, rerank=None, id_col="vec_id",
+            ).collect()
+        }
+        got_opq = {
+            r["vec_id"]
+            for r in adc_search(
+                rot, opq.coding, "opq", rotate_query(x[qi].tolist(), opq),
+                metric="l2", k=K, rerank=None, id_col="vec_id",
+            ).collect()
+        }
+        h_pq += len(got_pq & want)
+        h_opq += len(got_opq & want)
+    # strict off-rerank win on correlated data (both recalls out of 100)
+    assert h_opq > h_pq, (h_opq, h_pq)
+    assert h_opq >= 50  # and the OPQ coding is genuinely usable

@@ -201,3 +201,30 @@ def test_decode_payload_webp_integration():
     img = _fixture_image()
     got = decode_payload(bytes.fromhex(_FIXTURE_HEX), "webp", img.shape)
     assert np.array_equal(got, img)
+
+
+@needs_libwebp
+def test_webp_through_spark_image_features(spark):
+    """End-to-end Spark plumbing: webp blobs in the media schema →
+    mapInPandas decode → channel-stat features, verified against
+    numpy on the driver."""
+    import pandas as pd  # noqa: F401 - exercised inside mapInPandas
+
+    from fenix_spark.multimodal.media import MEDIA_SCHEMA, image_features
+
+    rng = np.random.default_rng(6)
+    rows, want = [], {}
+    for i in range(6):
+        h, w = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+        img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        # alpha 0 lets the encoder rewrite RGB (not bit-exact); keep >=1
+        img[..., 3] = np.maximum(img[..., 3], 1)
+        blob = libwebp.encode_lossless_rgba(img)
+        rows.append((i, "image", bytearray(blob), ("webp", w, h, 4, 0, 1)))
+        feat = np.concatenate(
+            [img.mean(axis=(0, 1)) / 255.0, img.std(axis=(0, 1)) / 255.0, [w / h]]
+        )
+        want[i] = [round(float(x), 9) for x in feat]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r.features for r in image_features(df).collect()}
+    assert got == want
