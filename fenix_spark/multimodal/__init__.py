@@ -6,12 +6,15 @@ The reference's tensor extension types (src/fenix/ex/arrow/) carry raw
 numeric payloads with shape metadata; this package is the same idea at
 the media level. The byte→pixels/samples DECODE step is REAL for
 24-bit BMP (``struct``), 8/16-bit PCM WAV (``wave``), 8-bit PNG
-(``zlib`` + ``struct``, all five scanline filters) and baseline JPEG
-(numpy DCT codec in ``jpeg.py`` — 4:4:4/4:2:2/4:2:0, restart markers),
-each round-trip tested against its encoder; formats that need codec
-libraries absent from this container (mp3/mp4/webp) raise
-NotImplementedError at the single ``decode_payload``/``decode_audio``
-swap-in point. Everything Spark-side is real and tested: the schema,
+(``zlib`` + ``struct``, all five scanline filters), baseline JPEG
+(numpy DCT codec in ``jpeg.py`` — 4:4:4/4:2:2/4:2:0, restart markers)
+and lossless WebP (pure-Python VP8L in ``vp8l.py``, golden-tested
+byte-identical to libwebp, with the system libwebp as a ctypes fast
+path when loadable); formats that still need absent codec libraries
+(mp3/mp4 payloads, lossy VP8 without libwebp) raise
+NotImplementedError at the single
+``decode_payload``/``decode_audio`` swap-in point.
+Everything Spark-side is real and tested: the schema,
 the mapInPandas batch plumbing, partitioning behavior, and the
 feature/resize/frame-sample operators' shapes.
 """
@@ -32,6 +35,7 @@ from fenix_spark.multimodal.mp4 import (
     parse_mp4_metadata,
     video_metadata,
 )
+from fenix_spark.multimodal.vp8l import decode_vp8l, decode_webp_lossless
 from fenix_spark.multimodal.media import (
     MEDIA_SCHEMA,
     audio_features,
@@ -54,6 +58,8 @@ __all__ = [
     "decode_audio",
     "decode_jpeg",
     "decode_payload",
+    "decode_vp8l",
+    "decode_webp_lossless",
     "encode_bmp",
     "encode_jpeg",
     "encode_png",
