@@ -228,3 +228,65 @@ def test_webp_through_spark_image_features(spark):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = {r.media_id: r.features for r in image_features(df).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# encoder (vp8l_enc.py) — round-trip + reference-decoder conformance
+# ---------------------------------------------------------------------------
+
+
+def _enc_corpus():
+    out = []
+    for seed in range(10):
+        r = np.random.default_rng(seed)
+        kind = seed % 5
+        if kind == 0:
+            img = r.integers(0, 256, (int(r.integers(1, 40)), int(r.integers(1, 40)), 4), dtype=np.uint8)
+        elif kind == 1:
+            img = np.full((10, 10, 4), int(r.integers(0, 256)), dtype=np.uint8)
+        elif kind == 2:
+            img = np.zeros((8, 9, 4), np.uint8)
+            img[..., 0] = int(r.integers(0, 256))
+            img[..., 3] = 255
+        elif kind == 3:
+            lut = r.integers(0, 256, (2, 4), dtype=np.uint8)
+            img = lut[r.integers(0, 2, (12, 13))]
+        else:
+            yy, xx = np.mgrid[0:30, 0:31]
+            img = np.stack(
+                [(xx * 5) % 256, (yy * 7) % 256, (xx + yy) % 256, np.full_like(xx, 255)],
+                axis=2,
+            ).astype(np.uint8)
+        out.append(img)
+    return out
+
+
+def test_encoder_roundtrips_through_own_decoder():
+    """encode_vp8l → decode_webp_lossless must be the identity — no
+    external library involved on either side."""
+    from fenix_spark.multimodal.vp8l_enc import encode_vp8l
+
+    for img in _enc_corpus():
+        assert np.array_equal(decode_webp_lossless(encode_vp8l(img)), img)
+
+
+@needs_libwebp
+def test_encoder_conforms_to_reference_decoder():
+    """The REFERENCE decoder (system libwebp) must read our encoder's
+    output exactly — spec conformance in the write direction, the
+    mirror of the golden read-direction tests."""
+    from fenix_spark.multimodal.vp8l_enc import encode_vp8l
+
+    for img in _enc_corpus():
+        assert np.array_equal(libwebp.decode_rgba(encode_vp8l(img)), img)
+
+
+def test_encoder_deterministic_and_validates_input():
+    from fenix_spark.multimodal.vp8l_enc import encode_vp8l
+
+    img = _fixture_image()
+    assert encode_vp8l(img) == encode_vp8l(img)
+    with pytest.raises(ValueError):
+        encode_vp8l(img[..., :3])  # RGB not RGBA
+    with pytest.raises(ValueError):
+        encode_vp8l(img.astype(np.uint16))
