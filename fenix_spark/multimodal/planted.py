@@ -54,10 +54,15 @@ def smooth_image(rng: np.random.Generator) -> np.ndarray:
 
 
 def image_corpus(spark, n_base: int, seed: int = 7):
-    """(df, truth_pairs): one 5-clique per base — BMP, PNG, JPEG q85,
-    +12 brightness, σ=4 noise. Unrelated bases are distractors."""
+    """(df, truth_pairs): one 6-clique per base — BMP, PNG, JPEG q85,
+    lossless WEBP (VP8L, r6), +12 brightness, σ=4 noise. Unrelated
+    bases are distractors. The webp variant rides as RGBA with opaque
+    alpha: dHash grayscales by plain channel mean, and a constant
+    alpha is an affine map of the RGB mean — gradient SIGNS (the hash
+    bits) are preserved exactly, so cross-format pairs still match."""
     from fenix_spark.multimodal.jpeg import encode_jpeg
     from fenix_spark.multimodal.media import encode_bmp, encode_png
+    from fenix_spark.multimodal.vp8l_enc import encode_vp8l
 
     rng = np.random.default_rng(seed)
     rows, truth = [], []
@@ -68,16 +73,20 @@ def image_corpus(spark, n_base: int, seed: int = 7):
         noisy = np.clip(
             img.astype(np.float64) + rng.normal(0, 4, img.shape), 0, 255
         ).astype(np.uint8)
+        rgba = np.concatenate(
+            [img, np.full((H, W, 1), 255, dtype=np.uint8)], axis=2
+        )
         variants = [
-            (encode_bmp(img), "bmp"),
-            (encode_png(img), "png"),
-            (encode_jpeg(img, quality=85), "jpeg"),
-            (encode_png(bright), "png"),
-            (encode_png(noisy), "png"),
+            (encode_bmp(img), "bmp", 3),
+            (encode_png(img), "png", 3),
+            (encode_jpeg(img, quality=85), "jpeg", 3),
+            (encode_vp8l(rgba), "webp", 4),
+            (encode_png(bright), "png", 3),
+            (encode_png(noisy), "png", 3),
         ]
         group = []
-        for data, fmt in variants:
-            rows.append((mid, data, fmt, H, W, 3))
+        for data, fmt, nch in variants:
+            rows.append((mid, data, fmt, H, W, nch))
             group.append(mid)
             mid += 1
         truth += [(a, b) for i, a in enumerate(group) for b in group[i + 1 :]]
