@@ -56,10 +56,15 @@ def _url_port(url: Column) -> Column:
     """Explicit ``:port`` digits from the authority ('' when absent).
     Spark's ``parse_url(url,'HOST')`` drops EVERY port, so the port
     must be recovered from the raw string: skip scheme, optional
-    userinfo (``user:pass@``), then the digits after the host's
-    colon."""
+    userinfo (``user:pass@``), a bracketed IPv6 literal or a regular
+    host, then the digits after the host's colon. The trailing
+    lookahead pins the port to the END of the authority — without it
+    the optional userinfo group backtracks and a numeric password
+    (``user:1234@host``) reads as a phantom port."""
     return F.regexp_extract(
-        url, r"^[^:/?#]+://(?:[^/?#@]*@)?[^/?#:]*:([0-9]+)", 1
+        url,
+        r"^[^:/?#]+://(?:[^/?#@]*@)?(?:\[[^\]/?#]*\]|[^/?#:]*):([0-9]+)(?=[/?#]|$)",
+        1,
     )
 
 

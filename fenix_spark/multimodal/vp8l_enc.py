@@ -56,44 +56,35 @@ class _BitWriter:
 
 
 def _huffman_lengths(counts: dict[int, int], limit: int) -> dict[int, int]:
-    """Code lengths from symbol counts, depth-limited by iteratively
-    flattening the rarest deep symbols (Kraft repair — simple and
-    deterministic, ratio-optimality is not a goal here)."""
-    import heapq
-
+    """OPTIMAL length-limited code lengths via package-merge (Larmore
+    & Hirschberg 1990) — always Kraft-COMPLETE (the decoder rejects
+    incomplete codes) and depth ≤ limit by construction. The r6 first
+    cut capped depths then 'repaired' Kraft by deepening the SHORTEST
+    symbol — a step of 2^-(l+1) against a 2^-15 excess, overshooting
+    to kraft<1 and emitting streams both decoders reject (review
+    finding, reproduced with a Fibonacci-distributed histogram)."""
     syms = sorted(counts)
     if len(syms) == 1:
         return {syms[0]: 1}
-    heap = [(c, i, (s,)) for i, (s, c) in enumerate(sorted(counts.items()))]
-    heapq.heapify(heap)
+    if len(syms) > (1 << limit):
+        raise ValueError(f"alphabet {len(syms)} too large for depth {limit}")
+    # coins: each symbol at each level, weight = its count; ties broken
+    # by symbol tuple for determinism
+    items = sorted((counts[s], (s,)) for s in syms)
+    prev = list(items)
+    for _ in range(limit - 1):
+        packaged = []
+        for i in range(0, len(prev) - 1, 2):
+            w1, s1 = prev[i]
+            w2, s2 = prev[i + 1]
+            packaged.append((w1 + w2, s1 + s2))
+        prev = sorted(packaged + items)
     lengths = dict.fromkeys(syms, 0)
-    nxt = len(heap)
-    while len(heap) > 1:
-        c1, _, s1 = heapq.heappop(heap)
-        c2, _, s2 = heapq.heappop(heap)
-        for s in s1 + s2:
+    for _, ss in prev[: 2 * len(syms) - 2]:
+        for s in ss:
             lengths[s] += 1
-        heapq.heappush(heap, (c1 + c2, nxt, s1 + s2))
-        nxt += 1
-    # depth-limit: push overdeep symbols to `limit`, then repair Kraft
-    over = sorted(
-        (s for s in syms if lengths[s] > limit), key=lambda s: (counts[s], s)
-    )
-    for s in over:
-        lengths[s] = limit
-    def kraft():
-        return sum(1 / (1 << l) for l in lengths.values())
-    # while over-subscribed, deepen the most frequent short symbols
-    guard = 0
-    while kraft() > 1.0 + 1e-12:
-        cand = min(
-            (s for s in syms if lengths[s] < limit),
-            key=lambda s: (lengths[s], -counts[s], s),
-        )
-        lengths[cand] += 1
-        guard += 1
-        if guard > 10000:
-            raise ValueError("vp8l_enc: kraft repair did not converge")
+    # invariant: package-merge yields a complete code
+    assert sum(1 << (limit - l) for l in lengths.values()) == 1 << limit
     return lengths
 
 

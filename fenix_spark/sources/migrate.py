@@ -178,13 +178,6 @@ def _zip_index_keyed(
             f"columns ({source_path}); rename in the sidecar before migrating"
         )
 
-    def batches(reader):
-        if isinstance(reader, pa.ipc.RecordBatchFileReader):
-            for i in range(reader.num_record_batches):
-                yield reader.get_batch(i)
-        else:
-            yield from reader
-
     key_field = next(f for f in src_fields if f.name == key_col)
     map_schema = pa.schema([key_field] + side_fields)
     tmp = tempfile.mkdtemp(prefix="fenix_keymap_")
@@ -194,7 +187,7 @@ def _zip_index_keyed(
         with papq.ParquetWriter(keymap_path, map_schema) as w:
 
             def thin(reader, cols):
-                for b in batches(reader):
+                for b in _iter_batches(reader):
                     nb = _normalize_batch(b)
                     yield nb.select(cols)
 
@@ -217,8 +210,24 @@ def _zip_index_keyed(
                 )
                 n_rows += sb.num_rows
 
+        # Stage the keymap on the SAME filesystem as out_dir (Hadoop FS
+        # copy) before Spark reads it: executors on a real cluster
+        # cannot see the driver's local tempdir (r6 review finding —
+        # the "distributed" path must not require a shared local FS).
+        from fenix_spark.streaming.fsutil import _fs
+
+        staged_dir = out_dir.rstrip("/") + "__keymap_tmp"
+        fs, staged_p = _fs(spark, staged_dir + "/keymap.parquet")
+        jvm = spark._jvm
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(staged_dir))
+        fs.copyFromLocalFile(
+            False,
+            True,
+            jvm.org.apache.hadoop.fs.Path("file://" + os.path.abspath(keymap_path)),
+            staged_p,
+        )
         src_df = spark.read.format("arrowipc").load(source_path)
-        keymap = spark.read.parquet(keymap_path)
+        keymap = spark.read.parquet(staged_dir)
         n_distinct = keymap.select(key_col).distinct().count()
         if n_distinct != n_rows:
             raise ValueError(
@@ -240,6 +249,24 @@ def _zip_index_keyed(
             )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            from fenix_spark.streaming.fsutil import delete_path
+
+            delete_path(spark, out_dir.rstrip("/") + "__keymap_tmp")
+        except Exception:  # noqa: BLE001 - best-effort cleanup
+            pass
+
+
+def _iter_batches(reader):
+    """RecordBatch iteration over either IPC framing (file readers
+    expose get_batch(i); stream readers iterate)."""
+    import pyarrow as pa
+
+    if isinstance(reader, pa.ipc.RecordBatchFileReader):
+        for i in range(reader.num_record_batches):
+            yield reader.get_batch(i)
+    else:
+        yield from reader
 
 
 def _rechunk(gen, size: int = 65536):
@@ -275,17 +302,10 @@ def _zip_index(source_path: str, sidecar_path: str, out_dir: str) -> None:
     src = _open_ipc(source_path)
     side = _open_ipc(sidecar_path)
 
-    def batches(reader):
-        if isinstance(reader, pa.ipc.RecordBatchFileReader):
-            for i in range(reader.num_record_batches):
-                yield reader.get_batch(i)
-        else:
-            yield from reader
-
     def rows(reader):
         # re-batch to a common chunk size so the zip never needs to
         # align mismatched batch boundaries
-        for b in batches(reader):
+        for b in _iter_batches(reader):
             yield _normalize_batch(b)
 
     rechunk = _rechunk

@@ -1317,6 +1317,8 @@ FROM h GROUP BY content_hash
 
 
 def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # retired from the oracle suite in r6 (subsumed by text_metrics);
+    # kept because tests/test_plans.py pins its column-pruning contract
     docs = table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1326,11 +1328,7 @@ def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TEXT_STATS_SQL = """
-SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
-       min(n_chars) AS min_chars, max(n_chars) AS max_chars
-FROM documents GROUP BY lang
-"""
+
 
 
 def _nested_access(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2162,53 +2160,7 @@ def _hybrid_search_sql() -> str:
 # --------------------------------------------------------------------------
 
 
-def _quantize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row dynamic uint8 quantization of embeddings: emits the
-    chosen qparams and the max reconstruction error (bounded by
-    scale/2). 4× storage shrink for vector columns at scale."""
-    from fenix_spark.functions.tensors import choose_qparams, dequantize, quantize
 
-    emb = table(spark, sf_dir, "embeddings")
-    v = vec_double("embedding")
-    scale, shift = choose_qparams(v)
-    emb = emb.select("vec_id", v.alias("v"), scale.alias("scale"), shift.alias("shift"))
-    q = quantize(F.col("v"), F.col("scale"), F.col("shift"))
-    deq = dequantize(q, F.col("scale"), F.col("shift"))
-    err = F.array_max(F.zip_with(F.col("v"), deq, lambda a, b: F.abs(a - b)))
-    # Two-step projection: aliasing round(scale) AS scale in the same
-    # select would make err's `scale` reference resolve to the ROUNDED
-    # value via Spark 4 lateral column aliasing — a silent semantic
-    # change caught by the oracle (bit-level err mismatch).
-    out = emb.select("vec_id", "scale", "shift", err.alias("max_err"))
-    return out.select(
-        "vec_id",
-        F.round("scale", 9).alias("scale"),
-        F.col("shift").cast("int").alias("shift"),
-        F.round("max_err", 9).alias("max_err"),
-    )
-
-
-_QUANTIZE_ROUNDTRIP_SQL = """
-WITH p AS (
-    SELECT vec_id, embedding::DOUBLE[] AS v,
-           list_max(embedding::DOUBLE[]) AS hi, list_min(embedding::DOUBLE[]) AS lo
-    FROM embeddings
-), s AS (
-    SELECT vec_id, v, CASE WHEN hi > lo THEN (hi - lo) / 255.0 ELSE 1.0 END AS scale, lo
-    FROM p
-), q AS (
-    SELECT vec_id, v, scale, -floor(lo / scale + 0.5) AS shift FROM s
-), z AS (
-    SELECT vec_id, v, scale, shift,
-           list_transform(v, x ->
-               greatest(0, least(255, (floor(x / scale + 0.5) + shift)::INTEGER))) AS qv
-    FROM q
-)
-SELECT vec_id, round(scale, 9) AS scale, CAST(shift AS INTEGER) AS shift,
-       round(list_max(list_transform(list_zip(v, qv),
-             t -> abs(t[1] - scale * (t[2] - shift)))), 9) AS max_err
-FROM z
-"""
 
 
 _ADC_RERANK = 40

@@ -290,3 +290,32 @@ def test_encoder_deterministic_and_validates_input():
         encode_vp8l(img[..., :3])  # RGB not RGBA
     with pytest.raises(ValueError):
         encode_vp8l(img.astype(np.uint16))
+
+
+def test_encoder_handles_skewed_histograms_depth_limit():
+    """Fibonacci-distributed channel histogram forces unconstrained
+    Huffman past depth 15; package-merge must emit a COMPLETE
+    length-limited code both decoders accept (r6 review finding —
+    the first-cut Kraft repair overshot to an incomplete code)."""
+    from fenix_spark.multimodal.vp8l_enc import _huffman_lengths, encode_vp8l
+
+    fib = [1, 1]
+    while len(fib) < 40:
+        fib.append(fib[-1] + fib[-2])
+    counts = dict(enumerate(fib))
+    lengths = _huffman_lengths(counts, 15)
+    assert max(lengths.values()) <= 15
+    assert sum(1 << (15 - l) for l in lengths.values()) == 1 << 15  # complete
+
+    vals = []
+    for s, c in counts.items():
+        vals += [s] * min(c, 40000)
+    vals = np.array(vals[: 96 * 128], dtype=np.uint8)
+    np.random.default_rng(0).shuffle(vals)
+    img = np.zeros((96, 128, 4), np.uint8)
+    img[..., 1] = vals.reshape(96, 128)
+    img[..., 3] = 255
+    blob = encode_vp8l(img)
+    assert np.array_equal(decode_webp_lossless(blob), img)
+    if HAVE_LIBWEBP:
+        assert np.array_equal(libwebp.decode_rgba(blob), img)
