@@ -260,19 +260,29 @@ def _decode_webp(data: bytes) -> np.ndarray:
 def decode_payload(data: bytes, fmt: str, shape: tuple[int, ...]) -> np.ndarray:
     """Pixel-payload decoder. REAL for ``bmp``, ``png`` (stdlib codecs
     above), ``jpeg``/``jpg`` (baseline numpy codec, multimodal/
-    jpeg.py) and ``webp`` (lossless VP8L pure-Python decoder in
-    multimodal/vp8l.py, system-libwebp fast path when loadable);
-    deterministic fake for the ``raw*`` pseudo-formats (payload bytes
-    tiled to ``shape``, uint8); NotImplementedError is the swap-in
-    point for the remaining codec-lib formats (tiff; lossy VP8
-    without libwebp)."""
-    if fmt in ("bmp", "png", "jpeg", "jpg", "webp"):
+    jpeg.py), ``webp`` (lossless VP8L pure-Python decoder in
+    multimodal/vp8l.py, system-libwebp fast path when loadable),
+    ``gif`` (palette+LZW incl. interlace/transparency, multimodal/
+    gif.py) and ``tiff``/``tif`` (baseline uncompressed, multimodal/
+    tiff.py); deterministic fake for the ``raw*`` pseudo-formats
+    (payload bytes tiled to ``shape``, uint8); NotImplementedError is
+    the swap-in point for the remaining codec-lib formats (exr;
+    compressed TIFF; lossy VP8 without libwebp)."""
+    if fmt in ("bmp", "png", "jpeg", "jpg", "webp", "gif", "tiff", "tif"):
         if fmt == "bmp":
             img = _decode_bmp(data)
         elif fmt == "png":
             img = _decode_png(data)
         elif fmt == "webp":
             img = _decode_webp(data)
+        elif fmt == "gif":
+            from fenix_spark.multimodal.gif import decode_gif
+
+            img = decode_gif(data)
+        elif fmt in ("tiff", "tif"):
+            from fenix_spark.multimodal.tiff import decode_tiff
+
+            img = decode_tiff(data)
         else:
             from fenix_spark.multimodal.jpeg import decode_jpeg
 

@@ -27,10 +27,10 @@ def media(spark):
 
 
 def test_unknown_format_raises_not_implemented():
-    # webp graduated to a real decoder in r6; tiff remains the
-    # swap-in exemplar
+    # webp/tiff/gif graduated to real decoders in r6; exr remains a
+    # genuinely absent codec
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_payload(b"\x00\x01", "tiff", (2, 1))
+        decode_payload(b"\x00\x01", "exr", (2, 1))
 
 
 def test_webp_garbage_raises_value_error():
