@@ -35,7 +35,10 @@ from fenix_spark.multimodal.mp4 import (
     parse_mp4_metadata,
     video_metadata,
 )
+from fenix_spark.multimodal.gif import decode_gif, encode_gif, parse_gif_metadata
+from fenix_spark.multimodal.tiff import decode_tiff, encode_tiff, parse_tiff_metadata
 from fenix_spark.multimodal.vp8l import decode_vp8l, decode_webp_lossless
+from fenix_spark.multimodal.vp8l_enc import encode_vp8l
 from fenix_spark.multimodal.media import (
     MEDIA_SCHEMA,
     audio_features,
@@ -58,8 +61,15 @@ __all__ = [
     "decode_audio",
     "decode_jpeg",
     "decode_payload",
+    "decode_gif",
+    "decode_tiff",
     "decode_vp8l",
     "decode_webp_lossless",
+    "encode_gif",
+    "encode_tiff",
+    "encode_vp8l",
+    "parse_gif_metadata",
+    "parse_tiff_metadata",
     "encode_bmp",
     "encode_jpeg",
     "encode_png",
