@@ -10,24 +10,37 @@ from __future__ import annotations
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+import numpy as np
+
+from fenix_spark.multimodal.gif import encode_gif, parse_gif_metadata
 from fenix_spark.multimodal.mp3 import encode_silent_mp3, parse_mp3_metadata
 from fenix_spark.multimodal.mp4 import encode_minimal_mp4, parse_mp4_metadata
+from fenix_spark.multimodal.tiff import encode_tiff, parse_tiff_metadata
 from fenix_spark.multimodal.webp import encode_minimal_webp, parse_webp_metadata
+
+_rng = np.random.default_rng(0)
+_pal = np.unique(_rng.integers(0, 256, (9, 3), dtype=np.uint8), axis=0)
 
 VALID = {
     "mp3": encode_silent_mp3(0.5),
     "mp4": encode_minimal_mp4(1.0),
     "webp": encode_minimal_webp(32, 32),
+    "gif": encode_gif(_pal[_rng.integers(0, len(_pal), (16, 17))]),
+    "tiff": encode_tiff(_rng.integers(0, 256, (12, 13, 3), dtype=np.uint8)),
 }
 MAGIC = {
     "mp3": b"\xff\xfb",
     "mp4": b"\x00\x00\x00\x18ftyp",
     "webp": b"RIFF\x20\x00\x00\x00WEBP",
+    "gif": b"GIF89a",
+    "tiff": b"II\x2a\x00",
 }
 PARSERS = {
     "mp3": parse_mp3_metadata,
     "mp4": parse_mp4_metadata,
     "webp": parse_webp_metadata,
+    "gif": parse_gif_metadata,
+    "tiff": parse_tiff_metadata,
 }
 
 
