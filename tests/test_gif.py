@@ -117,3 +117,42 @@ def test_decode_payload_integration():
     img = _pal_image(rng, 12, (5, 9))
     got = decode_payload(encode_gif(img), "gif", (5, 9, 3))
     assert np.array_equal(got, img)
+
+
+def test_interlaced_frame_deinterlaces():
+    """Hand-build an interlaced GIF: permute rows into the 4-pass
+    storage order, encode, flip the interlace flag — decode must
+    return the ORIGINAL row order."""
+    from fenix_spark.multimodal.gif import _INTERLACE_PASSES
+
+    rng = np.random.default_rng(7)
+    img = _pal_image(rng, 16, (19, 11))  # odd height crosses pass bounds
+    order = []
+    for start, step in _INTERLACE_PASSES:
+        order += list(range(start, img.shape[0], step))
+    stored = img[order]  # rows as they appear in the stream
+    blob = bytearray(encode_gif(stored))
+    at = blob.index(b"\x2c")
+    blob[at + 9] |= 0x40  # image-descriptor interlace flag
+    got = decode_gif(bytes(blob))
+    assert np.array_equal(got, img)
+
+
+def test_system_gif_fixtures_decode():
+    """Every GIF shipped with the system pythons must parse and
+    decode without raising (real-world variety: transparency,
+    different palette depths)."""
+    import glob as _glob
+
+    paths = _glob.glob("/root/.pyenv/versions/3.11.7/lib/**/*.gif", recursive=True)
+    if not paths:
+        pytest.skip("no system gif fixtures")
+    decoded = 0
+    for path in paths[:20]:
+        data = open(path, "rb").read()
+        m = parse_gif_metadata(data)
+        assert m["ok"], path
+        img = decode_gif(data)
+        assert img.shape[:2] == (m["height"], m["width"]), path
+        decoded += 1
+    assert decoded >= 3
