@@ -25,11 +25,15 @@ Mechanics per artifact class:
   the reference's own one-file-per-table model (a store the reference
   could serve fits through a one-time streamed copy).
 - **codings**: the reference persists codings as torch pickles
-  (ref: io/coder/coder.py) — unreadable without torch. Migration
-  RAISES by default listing them; pass ``skip_codings=True`` to
-  migrate everything else and retrain codings with
-  ``coder.train_coding`` (training data = the migrated source, seeds
-  fixed), which is the supported path in a torch-free deployment.
+  (ref: io/coder/coder.py:125). These now import DIRECTLY — no torch
+  and no retrain: ``sources.torchpickle`` reads torch's zip
+  serialization with a restricted allowlist unpickler and rebuilds
+  the (num_codebooks, codebook_size, sub_dim) tensor as numpy, and
+  the centroids land as this engine's coding table under
+  ``codings/<name>``. Unreadable variants (legacy tar format,
+  foreign globals) raise with the fallback spelled out: pass
+  ``skip_codings=True`` to migrate everything else and retrain with
+  ``coder.train_coding`` over the migrated source.
 """
 
 from __future__ import annotations
@@ -76,20 +80,37 @@ def migrate_reference_store(
     from fenix_spark.sources.arrowipc_source import register
 
     register(spark)
-    manifest: dict = {"sources": [], "indexes": [], "codings_skipped": []}
+    manifest: dict = {"sources": [], "indexes": [], "codings": [], "codings_skipped": []}
 
     codings_dir = os.path.join(ref_root, "codings")
     codings = (
         sorted(os.listdir(codings_dir)) if os.path.isdir(codings_dir) else []
     )
-    if codings and not skip_codings:
-        raise NotImplementedError(
-            f"reference codings are torch pickles ({codings}); they cannot "
-            "be read without torch. Re-run with skip_codings=True, then "
-            "retrain with coder.train_coding over the migrated source "
-            "(fixed seeds) — the supported torch-free path."
-        )
-    manifest["codings_skipped"] = codings
+    if skip_codings:
+        manifest["codings_skipped"] = [f for f in codings if f.endswith(".torch")]
+    else:
+        from fenix_spark.sources.torchpickle import import_reference_coding
+
+        for f in codings:
+            if not f.endswith(".torch"):
+                continue
+            name = _strip(f, ".torch")
+            import pickle as _pkl
+
+            try:
+                import_reference_coding(
+                    spark,
+                    os.path.join(codings_dir, f),
+                    catalog.coding_path(out_root, name),
+                )
+            except (NotImplementedError, _pkl.UnpicklingError, ValueError) as e:
+                raise NotImplementedError(
+                    f"reference coding {f} could not be imported torch-free "
+                    f"({e}). Re-run with skip_codings=True, then retrain "
+                    "with coder.train_coding over the migrated source "
+                    "(fixed seeds) — the supported fallback."
+                ) from e
+            manifest["codings"].append(name)
 
     src_dir = os.path.join(ref_root, "sources")
     for f in sorted(os.listdir(src_dir)) if os.path.isdir(src_dir) else []:

@@ -1,0 +1,241 @@
+"""Torch-free reader for the reference engine's ``.torch`` coding
+files — the last migration gap: the reference persists trained
+codings with ``torch.save({"tensor": Tensor, "column": pa.DataType,
+"config": Config})`` (ref: src/fenix/io/coder/coder.py:125), which
+``migrate_reference_store`` previously could only skip-and-retrain.
+
+``torch.save``'s on-disk layout (since torch 1.6, the default
+"zipfile" serialization — a public, widely re-implemented format;
+third-party readers exist in llama.cpp's convert scripts and the
+safetensors converters) is an ordinary zip archive:
+
+    <prefix>/data.pkl       pickle of the object graph; every tensor
+                            reduces to ``torch._utils._rebuild_tensor_v2
+                            (storage, offset, size, stride, ...)`` and
+                            every storage is externalized as a pickle
+                            PERSISTENT ID ``('storage', StorageType,
+                            key, location, numel)``
+    <prefix>/data/<key>     the raw little-endian storage bytes
+    <prefix>/byteorder      "little" / "big" (newer torch only)
+    <prefix>/version        serialization version
+
+So reading it needs no torch at all: a *restricted* unpickler that
+(a) resolves the handful of torch globals to numpy-backed stand-ins,
+(b) loads storages from the zip on persistent-id lookup, and
+(c) REFUSES every other global — these files are untrusted input and
+a stock ``pickle.load`` would execute arbitrary reduce payloads.
+
+The pre-1.6 legacy (tar / sequential-pickle) format raises by name.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import zipfile
+from collections import OrderedDict
+from typing import Any
+
+import numpy as np
+
+__all__ = [
+    "read_torch_pickle",
+    "load_reference_coding",
+    "import_reference_coding",
+]
+
+# torch storage-class name → numpy dtype of the raw storage bytes.
+# bfloat16 has no numpy dtype: read as uint16, widened at rebuild.
+_STORAGE_DTYPES = {
+    "DoubleStorage": np.dtype("<f8"),
+    "FloatStorage": np.dtype("<f4"),
+    "HalfStorage": np.dtype("<f2"),
+    "LongStorage": np.dtype("<i8"),
+    "IntStorage": np.dtype("<i4"),
+    "ShortStorage": np.dtype("<i2"),
+    "CharStorage": np.dtype("i1"),
+    "ByteStorage": np.dtype("u1"),
+    "BoolStorage": np.dtype("?"),
+    "BFloat16Storage": np.dtype("<u2"),
+}
+
+# pyarrow DataType values pickle through these pyarrow.lib
+# constructors (verified against pyarrow's own __reduce__ output);
+# they are pure type builders with no side effects.
+_PYARROW_ALLOWED = {
+    "type_for_alias",
+    "list_",
+    "fixed_size_list",
+    "field",
+    "struct",
+    "dictionary",
+    "timestamp",
+    "decimal128",
+    "ensure_type",
+}
+
+
+class _StorageType:
+    """Stand-in for ``torch.FloatStorage`` & co. inside persistent ids."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.dtype = _STORAGE_DTYPES[name]
+        self.bfloat16 = name == "BFloat16Storage"
+
+
+class _Storage:
+    """One externalized storage: raw bytes + element dtype."""
+
+    def __init__(self, data: bytes, stype: _StorageType, numel: int):
+        self.stype = stype
+        arr = np.frombuffer(data, dtype=stype.dtype, count=numel)
+        if stype.bfloat16:
+            # bf16 is the high half of an f32: widen via a zero-filled
+            # low half so values round-trip exactly
+            arr = (arr.astype(np.uint32) << 16).view(np.float32)
+        self.array = arr
+
+
+def _rebuild_tensor(storage: _Storage, offset: int, size, stride) -> np.ndarray:
+    size, stride = tuple(size), tuple(stride)
+    base = storage.array[offset:]
+    itemsize = base.dtype.itemsize
+    out = np.lib.stride_tricks.as_strided(
+        base, shape=size, strides=tuple(s * itemsize for s in stride)
+    )
+    return np.ascontiguousarray(out)
+
+
+def _rebuild_tensor_v2(
+    storage, offset, size, stride, requires_grad=False, backward_hooks=None, *extra
+) -> np.ndarray:
+    return _rebuild_tensor(storage, offset, size, stride)
+
+
+def _torch_size(shape) -> tuple:
+    return tuple(shape)
+
+
+def _torch_device(spec: str = "cpu") -> str:
+    return str(spec)
+
+
+_TORCH_GLOBALS = {
+    ("torch._utils", "_rebuild_tensor_v2"): _rebuild_tensor_v2,
+    ("torch._utils", "_rebuild_tensor"): _rebuild_tensor,
+    ("torch", "Size"): _torch_size,
+    ("torch", "device"): _torch_device,
+    ("collections", "OrderedDict"): OrderedDict,
+}
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    """Allowlist unpickler: torch tensor-rebuild machinery, pyarrow
+    type constructors, OrderedDict — nothing else resolves. A foreign
+    global raises UnpicklingError naming it instead of executing."""
+
+    def __init__(self, file, zf: zipfile.ZipFile, prefix: str):
+        super().__init__(file)
+        self._zf = zf
+        self._prefix = prefix
+
+    def find_class(self, module: str, name: str) -> Any:  # noqa: D102
+        if (module, name) in _TORCH_GLOBALS:
+            return _TORCH_GLOBALS[(module, name)]
+        if module == "torch" and name in _STORAGE_DTYPES:
+            return _StorageType(name)
+        if module == "pyarrow.lib" and name in _PYARROW_ALLOWED:
+            import pyarrow.lib
+
+            return getattr(pyarrow.lib, name)
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle global {module}.{name} from an "
+            "untrusted torch file (allowlist: torch tensor rebuilds, "
+            "torch storages, pyarrow type constructors, OrderedDict)"
+        )
+
+    def persistent_load(self, pid) -> _Storage:  # noqa: D102
+        if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
+            raise pickle.UnpicklingError(f"unknown persistent id {pid!r}")
+        _, stype, key, _location, numel = pid
+        if not isinstance(stype, _StorageType):
+            raise pickle.UnpicklingError(
+                f"unsupported storage type in persistent id: {stype!r}"
+            )
+        data = self._zf.read(f"{self._prefix}data/{key}")
+        return _Storage(data, stype, int(numel))
+
+
+def read_torch_pickle(path: str) -> Any:
+    """Load a ``torch.save`` zip file without torch. Tensors come back
+    as contiguous numpy arrays (bf16 widened to f32); every other
+    object must be on the allowlist or the load refuses."""
+    if not zipfile.is_zipfile(path):
+        raise NotImplementedError(
+            f"{path} is not a torch zipfile — pre-1.6 legacy torch "
+            "serialization (tar / sequential pickle) is not supported; "
+            "re-save with a modern torch or retrain via coder.train_coding"
+        )
+    with zipfile.ZipFile(path) as zf:
+        names = zf.namelist()
+        pkl = next((n for n in names if n.endswith("data.pkl")), None)
+        if pkl is None:
+            raise ValueError(f"{path}: no data.pkl in archive ({names[:5]}...)")
+        prefix = pkl[: -len("data.pkl")]
+        bo = f"{prefix}byteorder"
+        if bo in names:
+            order = zf.read(bo).decode().strip()
+            if order != "little":
+                raise NotImplementedError(
+                    f"{path} was saved on a {order}-endian machine; only "
+                    "little-endian storages are supported"
+                )
+        with zf.open(pkl) as f:
+            return _RestrictedUnpickler(f, zf, prefix).load()
+
+
+def load_reference_coding(path: str) -> dict:
+    """Read one reference coding file into
+    ``{"tensor": np.ndarray (n, k, sub_dim), "column": pa.DataType,
+    "config": dict}`` and validate the shape against the config
+    (ref: io/coder/coder.py:31-34 — Coding = {tensor, column, config})."""
+    obj = read_torch_pickle(path)
+    if not isinstance(obj, dict) or not {"tensor", "config"} <= set(obj):
+        raise ValueError(
+            f"{path} is not a reference coding (expected keys "
+            f"tensor/column/config, got {sorted(obj) if isinstance(obj, dict) else type(obj)})"
+        )
+    tensor = np.asarray(obj["tensor"])
+    cfg = dict(obj["config"])
+    n, k = int(cfg["num_codebooks"]), int(cfg["codebook_size"])
+    if tensor.ndim != 3 or tensor.shape[:2] != (n, k):
+        raise ValueError(
+            f"{path}: tensor shape {tensor.shape} does not match config "
+            f"(num_codebooks={n}, codebook_size={k})"
+        )
+    return {"tensor": tensor, "column": obj.get("column"), "config": cfg}
+
+
+def import_reference_coding(spark, torch_path: str, out_path: str):
+    """Convert a reference ``.torch`` coding into this engine's coding
+    table (schema of ``coder.train_coding``: one row per (codebook,
+    cell) with the centroid sub-vector) and write it at ``out_path``.
+    Returns the coding DataFrame — directly usable by ``assign_codes``
+    / ``probe_*`` / ``build_index``, no retrain."""
+    d = load_reference_coding(torch_path)
+    tensor, cfg = d["tensor"].astype(np.float64), d["config"]
+    n, k = int(cfg["num_codebooks"]), int(cfg["codebook_size"])
+    metric = str(cfg.get("metric", "l2"))
+    rows = [
+        (j, c, tensor[j, c].tolist(), metric, k, n)
+        for j in range(n)
+        for c in range(k)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "codebook int, cell int, centroid array<double>, "
+        "metric string, codebook_size int, num_codebooks int",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)

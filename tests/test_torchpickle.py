@@ -1,0 +1,247 @@
+"""Torch-free reading of the reference's ``.torch`` coding files.
+
+The fixture writer reproduces ``torch.save``'s zip layout exactly —
+``<prefix>/data.pkl`` with GLOBAL records ``torch._utils
+_rebuild_tensor_v2`` / ``torch FloatStorage`` and persistent-id
+externalized storages under ``<prefix>/data/<key>`` — by registering
+stub ``torch`` modules in ``sys.modules`` ONLY while pickling (pickle
+stores module+name strings, so the emitted bytes are identical to a
+real torch's). The reader under test never sees the stubs.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+import types
+import zipfile
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fenix_spark.sources.torchpickle import (
+    import_reference_coding,
+    load_reference_coding,
+    read_torch_pickle,
+)
+
+_DTYPE_TO_STORAGE = {
+    np.dtype("float32"): "FloatStorage",
+    np.dtype("float64"): "DoubleStorage",
+    np.dtype("int64"): "LongStorage",
+    np.dtype("uint16"): "BFloat16Storage",  # fixture-side bf16 carrier
+}
+
+
+class _FakeStorage:
+    def __init__(self, arr: np.ndarray, storage_name: str | None = None):
+        self.arr = np.ascontiguousarray(arr).reshape(-1)
+        self.storage_name = storage_name or _DTYPE_TO_STORAGE[self.arr.dtype]
+
+
+class _FakeTensor:
+    """Pickles exactly like a torch Tensor: REDUCE on
+    torch._utils._rebuild_tensor_v2 with an externalized storage."""
+
+    def __init__(self, storage: _FakeStorage, offset, size, stride):
+        self.storage, self.offset = storage, offset
+        self.size, self.stride = tuple(size), tuple(stride)
+
+    def __reduce_ex__(self, protocol):
+        rebuild = sys.modules["torch._utils"]._rebuild_tensor_v2
+        return (
+            rebuild,
+            (self.storage, self.offset, self.size, self.stride, False, OrderedDict()),
+        )
+
+
+def _install_torch_stubs():
+    torch = types.ModuleType("torch")
+    utils = types.ModuleType("torch._utils")
+
+    def _rebuild_tensor_v2(*a):  # never called — exists to be pickled by name
+        raise AssertionError
+
+    _rebuild_tensor_v2.__module__ = "torch._utils"
+    _rebuild_tensor_v2.__qualname__ = "_rebuild_tensor_v2"
+    utils._rebuild_tensor_v2 = _rebuild_tensor_v2
+    for name in ("FloatStorage", "DoubleStorage", "LongStorage", "BFloat16Storage"):
+        cls = type(name, (), {"__module__": "torch", "__qualname__": name})
+        setattr(torch, name, cls)
+    torch._utils = utils
+    sys.modules["torch"] = torch
+    sys.modules["torch._utils"] = utils
+
+
+def _remove_torch_stubs():
+    sys.modules.pop("torch", None)
+    sys.modules.pop("torch._utils", None)
+
+
+def torch_save(path: str, obj) -> None:
+    """Write ``obj`` in torch's zip serialization format, no torch."""
+    _install_torch_stubs()
+    try:
+        storages: list[tuple[str, bytes]] = []
+
+        class P(pickle.Pickler):
+            def persistent_id(self, o):
+                if isinstance(o, _FakeStorage):
+                    key = str(len(storages))
+                    storages.append((key, o.arr.tobytes()))
+                    stype = getattr(sys.modules["torch"], o.storage_name)
+                    return ("storage", stype, key, "cpu", int(o.arr.size))
+                return None
+
+        import io
+
+        buf = io.BytesIO()
+        P(buf, protocol=2).dump(obj)
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+            zf.writestr("archive/data.pkl", buf.getvalue())
+            zf.writestr("archive/byteorder", "little")
+            zf.writestr("archive/version", "3")
+            for key, data in storages:
+                zf.writestr(f"archive/data/{key}", data)
+    finally:
+        _remove_torch_stubs()
+
+
+def _coding_obj(tensor: np.ndarray, metric="l2", column=None):
+    n, k, _ = tensor.shape
+    storage = _FakeStorage(tensor)
+    size = tensor.shape
+    stride = tuple(s // tensor.itemsize for s in tensor.strides)
+    return {
+        "tensor": _FakeTensor(storage, 0, size, stride),
+        "column": column if column is not None else pa.list_(pa.float32(), 48),
+        "config": {
+            "metric": metric,
+            "codebook_size": k,
+            "num_codebooks": n,
+            "batch_size": 256,
+            "num_epochs": 2,
+        },
+    }
+
+
+def test_roundtrip_coding(tmp_path):
+    rng = np.random.default_rng(7)
+    tensor = rng.normal(size=(3, 5, 16)).astype(np.float32)
+    path = str(tmp_path / "c.torch")
+    torch_save(path, _coding_obj(tensor, metric="cosine"))
+    assert "torch" not in sys.modules  # stubs gone; reader is torch-free
+
+    d = load_reference_coding(path)
+    np.testing.assert_allclose(d["tensor"], tensor, rtol=0, atol=0)
+    assert d["config"]["metric"] == "cosine"
+    assert d["config"]["num_codebooks"] == 3
+    assert d["column"] == pa.list_(pa.float32(), 48)
+
+
+def test_noncontiguous_tensor_strides(tmp_path):
+    """A transposed (non-contiguous) tensor round-trips through the
+    stride-aware rebuild — the reader must honor stride, not assume
+    C order."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(4, 6)).astype(np.float64)
+    t = base.T  # shape (6, 4), strides in elements: (1, 6)
+    storage = _FakeStorage(base)  # storage holds the ORIGINAL layout
+    obj = {"t": _FakeTensor(storage, 0, t.shape, (1, 6))}
+    path = str(tmp_path / "s.torch")
+    torch_save(path, obj)
+    got = read_torch_pickle(path)["t"]
+    np.testing.assert_array_equal(got, base.T)
+    assert got.flags["C_CONTIGUOUS"]
+
+
+def test_storage_offset(tmp_path):
+    arr = np.arange(10, dtype=np.int64)
+    obj = {"t": _FakeTensor(_FakeStorage(arr), 3, (4,), (1,))}
+    path = str(tmp_path / "o.torch")
+    torch_save(path, obj)
+    np.testing.assert_array_equal(read_torch_pickle(path)["t"], arr[3:7])
+
+
+def test_bfloat16_widens_exactly(tmp_path):
+    f32 = np.array([1.5, -2.0, 0.15625, 3e38], dtype=np.float32)
+    bf16 = (f32.view(np.uint32) >> 16).astype(np.uint16)  # exact-in-bf16 values
+    obj = {"t": _FakeTensor(_FakeStorage(bf16, "BFloat16Storage"), 0, (4,), (1,))}
+    path = str(tmp_path / "b.torch")
+    torch_save(path, obj)
+    got = read_torch_pickle(path)["t"]
+    assert got.dtype == np.float32
+    np.testing.assert_array_equal(got, (bf16.astype(np.uint32) << 16).view(np.float32))
+
+
+def test_refuses_foreign_global(tmp_path):
+    path = str(tmp_path / "evil.torch")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", pickle.dumps({"f": os.system}, protocol=2))
+    with pytest.raises(pickle.UnpicklingError, match="refusing to unpickle"):
+        read_torch_pickle(path)
+
+
+def test_legacy_format_raises_by_name(tmp_path):
+    path = str(tmp_path / "legacy.torch")
+    with open(path, "wb") as f:
+        f.write(b"\x80\x02not-a-zip")
+    with pytest.raises(NotImplementedError, match="legacy"):
+        read_torch_pickle(path)
+
+
+def test_big_endian_raises(tmp_path):
+    path = str(tmp_path / "be.torch")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", pickle.dumps({}, protocol=2))
+        zf.writestr("archive/byteorder", "big")
+    with pytest.raises(NotImplementedError, match="endian"):
+        read_torch_pickle(path)
+
+
+def test_shape_config_mismatch_raises(tmp_path):
+    tensor = np.zeros((2, 4, 8), dtype=np.float32)
+    obj = _coding_obj(tensor)
+    obj["config"]["codebook_size"] = 16  # lies about the tensor shape
+    path = str(tmp_path / "m.torch")
+    torch_save(path, obj)
+    with pytest.raises(ValueError, match="does not match config"):
+        load_reference_coding(path)
+
+
+def test_import_reference_coding_spark(spark, tmp_path):
+    from fenix_spark.operators.coder import coding_to_numpy
+
+    rng = np.random.default_rng(3)
+    tensor = rng.normal(size=(2, 8, 32)).astype(np.float32)
+    path = str(tmp_path / "c.torch")
+    torch_save(path, _coding_obj(tensor, metric="l2"))
+    out = str(tmp_path / "coding")
+    df = import_reference_coding(spark, path, out)
+    cents, metric, k, n = coding_to_numpy(df)
+    assert (metric, k, n) == ("l2", 8, 2)
+    np.testing.assert_allclose(cents, tensor.astype(np.float64), rtol=1e-7)
+
+
+def test_migrate_imports_codings(spark, tmp_path):
+    """End-to-end: a reference store whose coding is a REAL torch-format
+    file migrates with the coding imported (no skip, no retrain) and
+    the result drives assign_codes identically to the source tensor."""
+    from fenix_spark import catalog
+    from fenix_spark.sources.migrate import migrate_reference_store
+
+    ref = str(tmp_path / "ref")
+    os.makedirs(os.path.join(ref, "codings"))
+    rng = np.random.default_rng(5)
+    tensor = rng.normal(size=(2, 4, 8)).astype(np.float32)
+    torch_save(os.path.join(ref, "codings", "pq.torch"), _coding_obj(tensor))
+
+    out = str(tmp_path / "out")
+    manifest = migrate_reference_store(spark, ref, out)
+    assert manifest["codings"] == ["pq"]
+    assert manifest["codings_skipped"] == []
+    coding = spark.read.parquet(catalog.coding_path(out, "pq"))
+    assert coding.count() == 2 * 4
