@@ -1,0 +1,193 @@
+"""Exact substring deduplication — the ExactSubstr pass of Lee et al.,
+"Deduplicating Training Data Makes Language Models Better" (ACL'22):
+any token run of ≥ ``min_tokens`` that occurs more than once in the
+corpus keeps its FIRST occurrence and every other occurrence is cut
+out of the document text.
+
+The reference engine has no text surface; like the rest of the dedup
+family this is a north-star extension, built as pure DataFrame ops.
+
+Spark-first shape (the paper builds one giant suffix array — a global
+sort of the whole corpus; that is exactly the thing NOT to do on a
+1000-executor cluster):
+
+- Every document emits one row per ``min_tokens``-token window:
+  ``(id, pos, xxhash64(window))``. The window hash is computed inside
+  the scan (`transform` over `sequence`, `xxhash64` over an array
+  slice) — no Python, no shuffle; rows carry ~24 bytes.
+- Duplicated windows are found with ONE partial-aggregating groupBy on
+  the 8-byte hash (`min(struct(id, pos))` = the canonical occurrence;
+  mega-duplicated boilerplate windows map-side-combine instead of
+  skewing a sort window).
+- Overlapping duplicated windows merge into spans per document with
+  the classic gaps-and-islands window (per-doc partitions — bounded).
+- Excision is scan-local: an indexed `filter` over the token array
+  drops positions covered by any span; only AFFECTED documents are
+  rewritten, untouched documents pass through byte-identical.
+
+Correctness at scale: two DIFFERENT windows hashing equal (64-bit
+collision) would remove non-duplicated text. At 10¹³ windows (100 TB)
+birthday collisions are expected, so ``verify_exact=True`` (default)
+re-checks every candidate occurrence against the canonical
+occurrence's actual tokens with an equi-join that only touches
+documents already containing candidates.
+
+Tokens are RAW whitespace tokens (``split('\\s+')``), not the
+normalized ``texthash.tokens`` — excision rewrites document text, so
+the token stream must preserve case and punctuation; rebuilt text is
+the kept tokens joined with single spaces (the standard ExactSubstr
+convention: the pass operates on the token stream, original
+inter-token whitespace is not preserved in rewritten docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fenix_spark.operators.dedup import spread
+
+__all__ = ["token_windows", "duplicated_spans", "dedup_substrings"]
+
+
+def _raw_tokens(text_col: str):
+    return F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return spread(df).select(
+        F.col(id_col).alias("id"),
+        _raw_tokens(text_col).alias("t"),
+    ).withColumn("n", F.size("t"))
+
+
+def token_windows(
+    df: DataFrame, text_col: str, id_col: str, min_tokens: int = 50
+) -> DataFrame:
+    """``(id, pos, whash)`` — one row per ``min_tokens``-token window
+    of each document (0-based token position), hash computed in the
+    scan. Documents shorter than ``min_tokens`` emit nothing."""
+    if min_tokens < 2:
+        raise ValueError(f"min_tokens must be ≥ 2, got {min_tokens}")
+    L = min_tokens
+    base = _tokenized(df, text_col, id_col).where(F.col("n") >= L)
+    wh = F.transform(
+        F.sequence(F.lit(0), F.col("n") - L),
+        lambda i: F.xxhash64(F.slice("t", i + 1, L)),
+    )
+    return base.select("id", F.posexplode(wh).alias("pos", "whash"))
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 50,
+    verify_exact: bool = True,
+) -> DataFrame:
+    """``(id, start, end)`` — merged token spans (0-based, end
+    exclusive) of every NON-canonical occurrence of a duplicated
+    ≥ ``min_tokens``-token window. The canonical (lowest ``(id, pos)``)
+    occurrence of each window is never in a span, so applying the spans
+    keeps exactly one copy of every duplicated substring."""
+    L = min_tokens
+    w = token_windows(df, text_col, id_col, min_tokens)
+
+    canon = (
+        w.groupBy("whash")
+        .agg(
+            F.min(F.struct("id", "pos")).alias("first"),
+            F.count(F.lit(1)).alias("occ"),
+        )
+        .where(F.col("occ") > 1)
+        .select("whash", "first")
+    )
+    dups = w.join(canon, "whash").where(
+        ~((F.col("id") == F.col("first.id")) & (F.col("pos") == F.col("first.pos")))
+    )
+
+    if verify_exact:
+        toks = _tokenized(df, text_col, id_col).select("id", "t")
+        occ = (
+            dups.join(toks, "id")
+            .withColumn("occ_sl", F.slice("t", F.col("pos") + 1, L))
+            .select("id", "pos", "whash", "first", "occ_sl")
+        )
+        can = (
+            dups.select("whash", "first").distinct()
+            .join(toks.withColumnRenamed("id", "cid"), F.col("first.id") == F.col("cid"))
+            .select(
+                "whash",
+                F.col("first").alias("cfirst"),
+                F.slice("t", F.col("first.pos") + 1, L).alias("can_sl"),
+            )
+        )
+        dups = occ.join(
+            can,
+            (occ["whash"] == can["whash"]) & (occ["first"] == can["cfirst"]),
+        ).where(F.col("occ_sl") == F.col("can_sl"))
+
+    marks = dups.select("id", "pos").distinct()
+    ww = Window.partitionBy("id").orderBy("pos")
+    islands = marks.withColumn(
+        "new_island",
+        F.when(
+            F.lag("pos").over(ww).isNull()
+            | (F.col("pos") - F.lag("pos").over(ww) > L),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(ww.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("id", "island").agg(
+        F.min("pos").alias("start"), (F.max("pos") + L).alias("end")
+    ).select("id", "start", "end")
+
+
+def dedup_substrings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 50,
+    verify_exact: bool = True,
+) -> DataFrame:
+    """The full ExactSubstr pass: returns ``df``'s columns with
+    ``text_col`` rewritten (duplicated spans excised, first occurrence
+    kept) plus ``tokens_removed``. Only documents that actually contain
+    a span are rewritten — everything else passes through untouched
+    (original whitespace intact)."""
+    spans = duplicated_spans(df, text_col, id_col, min_tokens, verify_exact)
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(F.struct("start", "end")).alias("spans")
+    )
+    toks = _tokenized(df, text_col, id_col)
+    rewritten = (
+        per_doc.join(toks, "id")
+        .withColumn(
+            "kept",
+            F.filter(
+                "t",
+                lambda tok, i: ~F.exists(
+                    "spans", lambda s: (i >= s["start"]) & (i < s["end"])
+                ),
+            ),
+        )
+        .select(
+            F.col("id").alias("__sid"),
+            F.array_join("kept", " ").alias("__new_text"),
+            (F.col("n") - F.size("kept")).alias("__removed"),
+        )
+    )
+    out_cols = [
+        F.coalesce("__new_text", F.col(text_col)).alias(c)
+        if c == text_col
+        else F.col(c)
+        for c in df.columns
+    ]
+    return (
+        df.join(rewritten, F.col(id_col) == F.col("__sid"), "left")
+        .select(*out_cols, F.coalesce("__removed", F.lit(0)).alias("tokens_removed"))
+    )

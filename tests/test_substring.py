@@ -1,0 +1,164 @@
+"""Exact substring dedup (ExactSubstr) vs a brute-force reference.
+
+The reference enumerates every L-token window as an actual token
+TUPLE (no hashing at all), keeps the min-(id, pos) occurrence of each
+duplicated tuple, and strikes the union of the other occurrences'
+positions — semantics-level ground truth for both the hashed pipeline
+and its exact-verify variant.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fenix_spark.operators.substring import (
+    dedup_substrings,
+    duplicated_spans,
+    token_windows,
+)
+
+
+def brute(docs: dict[str, list[str]], L: int) -> dict[str, tuple[str, int]]:
+    occ: dict[tuple, list] = defaultdict(list)
+    for did, toks in docs.items():
+        for p in range(len(toks) - L + 1):
+            occ[tuple(toks[p : p + L])].append((did, p))
+    marks: dict[str, set] = defaultdict(set)
+    for lst in occ.values():
+        if len(lst) > 1:
+            first = min(lst)
+            for did, p in lst:
+                if (did, p) != first:
+                    marks[did].update(range(p, p + L))
+    return {
+        did: (
+            " ".join(t for i, t in enumerate(toks) if i not in marks[did]),
+            len(marks[did] & set(range(len(toks)))),
+        )
+        for did, toks in docs.items()
+    }
+
+
+def _random_docs(rng, n_docs=8, lo=120, hi=260) -> dict[str, list[str]]:
+    vocab = [f"w{i}" for i in range(200)]
+    return {
+        f"d{j:02d}": [vocab[i] for i in rng.integers(0, len(vocab), rng.integers(lo, hi))]
+        for j in range(n_docs)
+    }
+
+
+def _df(spark, docs: dict[str, list[str]]):
+    return spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in docs.items()], "doc_id string, text string"
+    )
+
+
+def _run(spark, docs, L, **kw) -> dict[str, tuple[str, int]]:
+    out = dedup_substrings(_df(spark, docs), "text", "doc_id", L, **kw).collect()
+    return {r["doc_id"]: (r["text"], r["tokens_removed"]) for r in out}
+
+
+@pytest.mark.parametrize("verify_exact", [True, False])
+def test_planted_boilerplate_matches_brute(spark, verify_exact):
+    rng = np.random.default_rng(42)
+    docs = _random_docs(rng)
+    boiler = [f"b{i}" for i in range(60)]
+    for did in ("d02", "d05", "d07"):
+        p = int(rng.integers(0, len(docs[did]) - 1))
+        docs[did] = docs[did][:p] + boiler + docs[did][p:]
+
+    got = _run(spark, docs, 50, verify_exact=verify_exact)
+    want = brute(docs, 50)
+    assert got == want
+    # the canonical copy survives somewhere: the boilerplate occurs
+    # exactly once across the rewritten corpus
+    joined = " | ".join(got[d][0] for d in sorted(got))
+    assert joined.count(" ".join(boiler)) == 1
+
+
+def test_untouched_docs_pass_through_verbatim(spark):
+    # original whitespace (double spaces, tabs) survives for docs
+    # without spans — they are never re-joined
+    docs = {
+        "a": "x  y\tz " + " ".join(f"w{i}" for i in range(60)),
+        "b": "totally different " + " ".join(f"v{i}" for i in range(60)),
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id string, text string")
+    out = {r["doc_id"]: r for r in dedup_substrings(df, "text", "doc_id", 50).collect()}
+    assert out["a"]["text"] == docs["a"]
+    assert out["b"]["text"] == docs["b"]
+    assert out["a"]["tokens_removed"] == 0
+
+
+def test_below_threshold_untouched(spark):
+    rng = np.random.default_rng(7)
+    docs = _random_docs(rng, n_docs=4)
+    shared = [f"s{i}" for i in range(40)]  # < min_tokens=50
+    docs["d00"] = shared + docs["d00"]
+    docs["d01"] = docs["d01"] + shared
+    got = _run(spark, docs, 50)
+    assert all(removed == 0 for _, removed in got.values())
+    assert got == brute(docs, 50)
+
+
+def test_within_doc_repetition_removed(spark):
+    rng = np.random.default_rng(3)
+    filler = _random_docs(rng, n_docs=1, lo=80, hi=81)["d00"]
+    block = [f"r{i}" for i in range(60)]
+    docs = {"solo": block + filler + block}
+    got = _run(spark, docs, 50)
+    want = brute(docs, 50)
+    assert got == want
+    assert got["solo"][1] == 60  # the second copy, exactly
+    assert " ".join(block) in got["solo"][0]
+
+
+def test_long_duplicated_region_merges_spans(spark):
+    rng = np.random.default_rng(9)
+    docs = _random_docs(rng, n_docs=3)
+    region = [f"m{i}" for i in range(120)]
+    docs["d00"] = docs["d00"] + region
+    docs["d01"] = region + docs["d01"]
+    spans = duplicated_spans(_df(spark, docs), "text", "doc_id", 50).collect()
+    by_doc = defaultdict(list)
+    for r in spans:
+        by_doc[r["id"]].append((r["start"], r["end"]))
+    # exactly one merged span, on the non-canonical doc, 120 tokens wide
+    assert list(by_doc) == ["d01"]
+    ((s, e),) = by_doc["d01"]
+    assert (s, e) == (0, 120)
+    assert _run(spark, docs, 50) == brute(docs, 50)
+
+
+def test_idempotent(spark):
+    rng = np.random.default_rng(5)
+    docs = _random_docs(rng)
+    boiler = [f"b{i}" for i in range(70)]
+    docs["d01"] = boiler + docs["d01"]
+    docs["d04"] = docs["d04"][:30] + boiler + docs["d04"][30:]
+    once = _run(spark, docs, 50)
+    again = _run(spark, {k: v[0].split() for k, v in once.items()}, 50)
+    assert all(removed == 0 for _, removed in again.values())
+
+
+def test_token_windows_shape(spark):
+    docs = {"a": [f"t{i}" for i in range(55)]}
+    w = token_windows(_df(spark, docs), "text", "doc_id", 50).collect()
+    assert sorted(r["pos"] for r in w) == list(range(6))
+    assert len({r["whash"] for r in w}) == 6
+
+
+def test_plan_all_joins_keyed_no_cartesian(spark):
+    """Every join in the full pass (canonical join + both exact-verify
+    joins + the rewrite join) must stay a keyed equi-join — a BNL or
+    cartesian here would be quadratic in corpus size."""
+    rng = np.random.default_rng(1)
+    docs = _random_docs(rng, n_docs=4)
+    df = dedup_substrings(_df(spark, docs), "text", "doc_id", 50)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
