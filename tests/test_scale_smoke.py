@@ -229,3 +229,18 @@ def test_opq_beats_plain_pq_on_correlated_vectors_sf01(spark):
     # strict off-rerank win on correlated data (both recalls out of 100)
     assert h_opq > h_pq, (h_opq, h_pq)
     assert h_opq >= 50  # and the OPQ coding is genuinely usable
+
+
+def test_dedup_substrings_sf01(spark, docs01):
+    """ExactSubstr at 5k real docs: completes, preserves row count,
+    never produces negative removal, and untouched docs pass through
+    byte-identical (spot-checked against the source text)."""
+    from fenix_spark.operators.substring import dedup_substrings
+
+    out = dedup_substrings(docs01, "text", "doc_id", min_tokens=30)
+    rows = out.select("doc_id", "text", "tokens_removed").collect()
+    assert len(rows) == docs01.count()
+    assert all(r["tokens_removed"] >= 0 for r in rows)
+    src = {r["doc_id"]: r["text"] for r in docs01.select("doc_id", "text").collect()}
+    untouched = [r for r in rows if r["tokens_removed"] == 0][:200]
+    assert untouched and all(r["text"] == src[r["doc_id"]] for r in untouched)
