@@ -1560,6 +1560,90 @@ def _dedup_keep_list_sql() -> str:
     """
 
 
+def _substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (operators/substring.py — Lee et al.
+    ExactSubstr): every ≥20-token run duplicated anywhere in the
+    corpus keeps its first (min doc_id, pos) occurrence; other
+    occurrences are excised and the affected documents returned with
+    their rewritten text. The oracle re-derives the whole pass
+    HASH-FREE — windows grouped by their actual token text, canonical
+    by row_number, spans by the same gaps-and-islands — so any
+    hashing, canonical-selection, span-merge, or excision error
+    hash-mismatches. ``verify_exact=True`` makes the Spark side's
+    semantics exactly the oracle's (token equality, not hash
+    equality)."""
+    from fenix_spark.operators.substring import dedup_substrings
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dedup_substrings(docs, "text", "doc_id", min_tokens=20)
+    return out.where(F.col("tokens_removed") > 0).select(
+        "doc_id",
+        F.col("tokens_removed").cast("bigint").alias("tokens_removed"),
+        F.col("text").alias("new_text"),
+    )
+
+
+_SUBSTRING_DEDUP_SQL = """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+    FROM documents
+),
+winpos AS (
+    SELECT doc_id, unnest(range(len(t) - 19)) AS pos FROM toks WHERE len(t) >= 20
+),
+wins AS (
+    SELECT p.doc_id, p.pos, array_to_string(t.t[p.pos + 1 : p.pos + 20], ' ') AS w
+    FROM winpos p JOIN toks t USING (doc_id)
+),
+marked AS (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn,
+           count(*) OVER (PARTITION BY w) AS occ
+    FROM wins
+),
+dups AS (SELECT doc_id, pos FROM marked WHERE occ > 1 AND rn > 1),
+isl AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                  OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 20
+                THEN 1 ELSE 0 END AS ni
+    FROM dups
+),
+isl2 AS (
+    SELECT doc_id, pos,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM isl
+),
+spans AS (
+    SELECT doc_id, min(pos) AS s, max(pos) + 20 AS e
+    FROM isl2 GROUP BY doc_id, island
+),
+marks AS (
+    SELECT DISTINCT doc_id, unnest(range(s, e)) AS i FROM spans
+),
+tok_rows AS (
+    SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS i FROM toks
+),
+kept AS (
+    SELECT r.doc_id, r.i, r.tok
+    FROM tok_rows r LEFT JOIN marks m ON r.doc_id = m.doc_id AND r.i = m.i
+    WHERE m.doc_id IS NULL
+),
+affected AS (SELECT DISTINCT doc_id FROM spans),
+newtext AS (
+    SELECT a.doc_id,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS new_text,
+           count(k.tok) AS kept_n
+    FROM affected a LEFT JOIN kept k USING (doc_id)
+    GROUP BY a.doc_id
+)
+SELECT n.doc_id,
+       (len(t.t) - n.kept_n)::BIGINT AS tokens_removed,
+       n.new_text
+FROM newtext n JOIN toks t USING (doc_id)
+"""
+
+
 def _winnow_fingerprint_sql() -> str:
     from fenix_spark.functions.texthash import (
         duck_hash60,
@@ -2652,7 +2736,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "argmax_per_group": _argmax_per_group,
     "moving_avg": _moving_avg,
     "group_topn": _group_topn,
-    "distinct_users": _distinct_users,
+    # (distinct_users retired for substring_dedup under the 50-row
+    #  cap, r6 — its two-phase exact-distinct pattern stays covered by
+    #  curation_stats' split counting and exact_dedup's hash groupBy;
+    #  ExactSubstr is a whole new family and belongs under the oracle.)
+    "substring_dedup": _substring_dedup,
     "regex_extract_ids": _regex_extract_ids,
     "decontamination": _decontamination,
     "nested_access": _nested_access,
@@ -2710,7 +2798,7 @@ ORACLE_SQL: dict[str, str] = {
     "argmax_per_group": _ARGMAX_PER_GROUP_SQL,
     "moving_avg": _MOVING_AVG_SQL,
     "group_topn": _GROUP_TOPN_SQL,
-    "distinct_users": _DISTINCT_USERS_SQL,
+    "substring_dedup": _SUBSTRING_DEDUP_SQL,
     "regex_extract_ids": _REGEX_EXTRACT_SQL,
     "decontamination": _decontamination_sql(),
     "nested_access": _NESTED_ACCESS_SQL,

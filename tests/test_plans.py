@@ -198,3 +198,14 @@ def test_dedup_keep_list_all_joins_keyed(spark, q):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_dedup_keyed_joins_no_cartesian(spark, q):
+    """ExactSubstr under the oracle: window hashing must stay inside
+    the scan (no Python in the plan), every join keyed — a cartesian
+    or BNL anywhere is quadratic in corpus size."""
+    df = q("substring_dedup")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "mapInPandas" not in plan and "MapInPandas" not in plan
