@@ -98,7 +98,27 @@ class _Storage:
 
 
 def _rebuild_tensor(storage: _Storage, offset: int, size, stride) -> np.ndarray:
-    size, stride = tuple(size), tuple(stride)
+    size, stride = tuple(int(s) for s in size), tuple(int(s) for s in stride)
+    if len(size) != len(stride):
+        raise pickle.UnpicklingError(
+            f"tensor size/stride rank mismatch ({size} vs {stride})"
+        )
+    # as_strided does NO bounds checking — a hostile (offset, size,
+    # stride) triple would read arbitrary process memory. Validate the
+    # min/max element touched against the storage extent first.
+    lo = hi = offset
+    for n, st in zip(size, stride):
+        if n < 0:
+            raise pickle.UnpicklingError(f"negative tensor dimension in {size}")
+        if n > 0:
+            span = (n - 1) * st
+            lo, hi = lo + min(0, span), hi + max(0, span)
+    numel = storage.array.size
+    if offset < 0 or lo < 0 or (hi >= numel and 0 not in size):
+        raise pickle.UnpicklingError(
+            f"tensor view (offset={offset}, size={size}, stride={stride}) "
+            f"reaches outside its {numel}-element storage"
+        )
     base = storage.array[offset:]
     itemsize = base.dtype.itemsize
     out = np.lib.stride_tricks.as_strided(

@@ -245,3 +245,19 @@ def test_migrate_imports_codings(spark, tmp_path):
     assert manifest["codings_skipped"] == []
     coding = spark.read.parquet(catalog.coding_path(out, "pq"))
     assert coding.count() == 2 * 4
+
+
+def test_out_of_bounds_tensor_view_refused(tmp_path):
+    """as_strided does no bounds checking — a hostile (offset, size,
+    stride) must be refused, not read process memory."""
+    arr = np.arange(8, dtype=np.int64)
+    evil = {"t": _FakeTensor(_FakeStorage(arr), 0, (4,), (1_000_000,))}
+    path = str(tmp_path / "oob.torch")
+    torch_save(path, evil)
+    with pytest.raises(pickle.UnpicklingError, match="outside"):
+        read_torch_pickle(path)
+    evil2 = {"t": _FakeTensor(_FakeStorage(arr), 6, (4,), (1,))}
+    path2 = str(tmp_path / "oob2.torch")
+    torch_save(path2, evil2)
+    with pytest.raises(pickle.UnpicklingError, match="outside"):
+        read_torch_pickle(path2)
