@@ -25,6 +25,12 @@ from fenix_spark.multimodal.audiofp import (
     audio_match_pairs,
     frame_hashes,
 )
+from fenix_spark.multimodal.audiofeat import (
+    audio_mfcc,
+    log_mel_spectrogram,
+    mel_filterbank,
+    mfcc,
+)
 from fenix_spark.multimodal.phash import (
     dhash64,
     image_dhashes,
@@ -57,6 +63,10 @@ __all__ = [
     "MEDIA_SCHEMA",
     "audio_features",
     "audio_fingerprints",
+    "audio_mfcc",
+    "log_mel_spectrogram",
+    "mel_filterbank",
+    "mfcc",
     "audio_match_pairs",
     "decode_audio",
     "decode_jpeg",

@@ -1,0 +1,147 @@
+"""Mel-spectrogram / MFCC audio features — REAL DSP, pure numpy
+(``np.fft.rfft`` + closed-form mel/DCT matrices; no codec or DSP lib).
+
+The published pipeline (Davis & Mermelstein 1980; HTK book §5.4):
+Hann-windowed STFT power → triangular mel filterbank on the HTK scale
+``mel(f) = 2595·log10(1 + f/700)`` → log → DCT-II (orthonormal) keeps
+the first ``n_mfcc`` cepstral coefficients. Exact textbook property
+used as a test oracle: scaling the waveform by ``a`` adds a constant
+to every log-mel band, so ONLY coefficient 0 changes.
+
+Spark surface: ``audio_mfcc`` pools per-clip frame MFCCs to a
+fixed-length (mean ‖ std) vector in ONE Arrow-batched ``mapInPandas``
+— blob bytes never leave the scan, the output is an
+``array<double>`` embedding column that feeds the existing embedding
+near-dup / KNN operators directly (semantic audio dedup for clips the
+exact fingerprinter (audiofp.py) treats as distinct)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["mel_filterbank", "log_mel_spectrogram", "mfcc", "audio_mfcc"]
+
+
+def _hz_to_mel(f):
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(
+    n_mels: int, n_fft: int, sr: int, fmin: float = 0.0, fmax: float | None = None
+) -> np.ndarray:
+    """(n_mels, n_fft//2 + 1) triangular filters, HTK mel scale:
+    centers equally spaced in mel between ``fmin`` and ``fmax``,
+    each triangle spanning its two neighbors (unnormalized peaks=1,
+    the HTK convention)."""
+    if fmax is None:
+        fmax = sr / 2.0
+    if not (0 <= fmin < fmax <= sr / 2.0):
+        raise ValueError(f"need 0 <= fmin < fmax <= sr/2, got {fmin}, {fmax}, sr={sr}")
+    centers_mel = np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2)
+    centers_hz = _mel_to_hz(centers_mel)
+    freqs = np.fft.rfftfreq(n_fft, d=1.0 / sr)
+    fb = np.zeros((n_mels, freqs.size))
+    for m in range(n_mels):
+        lo, mid, hi = centers_hz[m], centers_hz[m + 1], centers_hz[m + 2]
+        up = (freqs - lo) / (mid - lo)
+        down = (hi - freqs) / (hi - mid)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, 1.0)
+    return fb
+
+
+def log_mel_spectrogram(
+    x: np.ndarray,
+    sr: int,
+    n_fft: int = 512,
+    hop: int = 160,
+    n_mels: int = 40,
+    eps: float = 1e-10,
+) -> np.ndarray:
+    """(n_frames, n_mels) natural-log mel power. Hann-windowed frames,
+    rfft power spectrum, triangular mel projection. Clips shorter than
+    one frame return an empty (0, n_mels) array."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.size < n_fft:
+        return np.empty((0, n_mels))
+    n_frames = 1 + (x.size - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(n_fft)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    fb = mel_filterbank(n_mels, n_fft, sr)
+    return np.log(power @ fb.T + eps)
+
+
+def _dct2_ortho(n_out: int, n_in: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix rows 0..n_out-1 (scipy.fft.dct
+    norm='ortho' convention, closed form)."""
+    k = np.arange(n_out)[:, None]
+    n = np.arange(n_in)[None, :]
+    mat = np.cos(np.pi * k * (2 * n + 1) / (2 * n_in)) * np.sqrt(2.0 / n_in)
+    mat[0] /= np.sqrt(2.0)
+    return mat
+
+
+def mfcc(
+    x: np.ndarray,
+    sr: int,
+    n_mfcc: int = 13,
+    n_fft: int = 512,
+    hop: int = 160,
+    n_mels: int = 40,
+) -> np.ndarray:
+    """(n_frames, n_mfcc) mel-frequency cepstral coefficients."""
+    logmel = log_mel_spectrogram(x, sr, n_fft, hop, n_mels)
+    return logmel @ _dct2_ortho(n_mfcc, n_mels).T
+
+
+def audio_mfcc(
+    df: DataFrame,
+    n_mfcc: int = 13,
+    n_fft: int = 512,
+    hop: int = 160,
+    n_mels: int = 40,
+) -> DataFrame:
+    """``(media_id, n_frames, mfcc array<double>)`` — per audio clip,
+    frame MFCCs pooled to a fixed 2·n_mfcc vector (per-coefficient
+    mean ‖ std). Undecodable or too-short clips get a NULL vector
+    (crawl audio is dirty; counted by callers, never a crash). The
+    vector column drops straight into the embedding near-dup / KNN
+    operators."""
+    import pandas as pd
+
+    from fenix_spark.multimodal.media import decode_audio
+
+    def gen(batches):
+        for pdf in batches:
+            ids, nfr, vecs = [], [], []
+            for mid, data, meta in zip(pdf["media_id"], pdf["data"], pdf["meta"]):
+                ids.append(int(mid))
+                try:
+                    x, sr = decode_audio(bytes(data), meta["format"])
+                    sr = sr or int(meta["sample_rate"]) or 16000
+                    m = mfcc(x, sr, n_mfcc, n_fft, hop, n_mels)
+                    if not len(m):
+                        raise ValueError("clip shorter than one frame")
+                    nfr.append(len(m))
+                    vecs.append(
+                        np.concatenate([m.mean(axis=0), m.std(axis=0)]).tolist()
+                    )
+                except Exception:  # noqa: BLE001 - undecodable crawl blob
+                    nfr.append(None)
+                    vecs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_frames": pd.array(nfr, dtype="Int64"),
+                    "mfcc": vecs,
+                }
+            )
+
+    src = df.where(F.col("kind") == "audio").select("media_id", "data", "meta")
+    return src.mapInPandas(gen, "media_id bigint, n_frames bigint, mfcc array<double>")
