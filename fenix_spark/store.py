@@ -111,6 +111,17 @@ class Store:
             catalog.coding_path(self.root, name)
         )
 
+    def import_coder(self, name: str, torch_path: str) -> None:
+        """Torch-free import of a reference ``.torch`` coding
+        (sources/torchpickle): the reference's trained centroids land
+        as this store's coding table — no torch, no retrain. The
+        switching-path counterpart of ``make_coder``."""
+        from fenix_spark.sources.torchpickle import import_reference_coding
+
+        import_reference_coding(
+            self.spark, torch_path, catalog.coding_path(self.root, name)
+        )
+
     def read_coder(self, name: str) -> DataFrame:
         return self.spark.read.parquet(catalog.coding_path(self.root, name))
 

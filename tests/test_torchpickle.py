@@ -261,3 +261,89 @@ def test_out_of_bounds_tensor_view_refused(tmp_path):
     torch_save(path2, evil2)
     with pytest.raises(pickle.UnpicklingError, match="outside"):
         read_torch_pickle(path2)
+
+
+def test_full_switching_lifecycle(spark, tmp_path):
+    """The whole switching story in one test: a reference-layout store
+    (Arrow IPC source, REAL torch-format coding, positional index
+    sidecar whose codes were derived from that same coding) migrates
+    torch-free, the imported coding drives assign_code_expr exactly as
+    numpy argmin does, and Store.search over the migrated index with
+    probes=all equals brute-force KNN over the source."""
+    import pyarrow as pa
+
+    from fenix_spark import Store
+    from fenix_spark.operators.index import CODE_COL, assign_code_expr
+    from fenix_spark.sources.migrate import migrate_reference_store
+
+    rng = np.random.default_rng(13)
+    n_rows, dim, k, nb = 200, 8, 4, 2
+    vecs = rng.normal(size=(n_rows, dim)).astype(np.float32)
+    cents = rng.normal(size=(nb, k, dim // nb)).astype(np.float32)
+
+    # numpy ground-truth joint codes: argmin per codebook, base-k digits
+    def joint_codes(v):
+        subs = v.reshape(len(v), nb, dim // nb)
+        codes = np.zeros(len(v), dtype=np.int64)
+        for j in range(nb):
+            d = ((subs[:, j, None, :] - cents[j][None, :, :]) ** 2).sum(-1)
+            codes = codes * k + d.argmin(1)
+        return codes
+
+    ref = str(tmp_path / "ref")
+    os.makedirs(os.path.join(ref, "sources"))
+    os.makedirs(os.path.join(ref, "codings"))
+    os.makedirs(os.path.join(ref, "indexes", "emb", "embedding"))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n_rows), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), pa.float32()), dim
+            ),
+        }
+    )
+    with pa.OSFile(os.path.join(ref, "sources", "emb.arrow"), "wb") as f:
+        with pa.ipc.new_stream(f, t.schema) as w:
+            for b in t.to_batches(max_chunksize=64):
+                w.write_batch(b)
+    torch_save(
+        os.path.join(ref, "codings", "pq.torch"),
+        _coding_obj(cents, metric="l2", column=pa.list_(pa.float32(), dim)),
+    )
+    side = pa.table({"__CODED_ID__": pa.array(joint_codes(vecs), pa.int64())})
+    with pa.OSFile(os.path.join(ref, "indexes", "emb", "embedding", "pq.arrow"), "wb") as f:
+        with pa.ipc.new_stream(f, side.schema) as w:
+            w.write_table(side)
+
+    out = str(tmp_path / "out")
+    manifest = migrate_reference_store(spark, ref, out)
+    assert manifest == {
+        "sources": ["emb"],
+        "indexes": ["emb/embedding/pq"],
+        "codings": ["pq"],
+        "codings_skipped": [],
+    }
+
+    store = Store(spark, out)
+    # imported coding drives the assignment operator == numpy argmin
+    coding = store.read_coder("pq")
+    src = store.read_table("emb")
+    got = {
+        r["vec_id"]: r["c"]
+        for r in src.select(
+            "vec_id", assign_code_expr("embedding", coding).alias("c")
+        ).collect()
+    }
+    want = joint_codes(vecs)
+    assert all(got[i] == want[i] for i in range(n_rows))
+
+    # probe-ALL-cells search over the migrated index == brute KNN
+    target = vecs[7].astype(float).tolist()
+    brute = store.search("emb", "embedding", target, maxval=5, id_col="vec_id")
+    probed = store.search(
+        "emb", "embedding", target, maxval=5, coding="pq",
+        probes=k**nb, id_col="vec_id",
+    )
+    b = [(r["vec_id"], round(r["__DISTANCE__"], 9)) for r in brute.collect()]
+    p = [(r["vec_id"], round(r["__DISTANCE__"], 9)) for r in probed.collect()]
+    assert b == p and b[0][0] == 7
