@@ -176,15 +176,29 @@ class _RestrictedUnpickler(pickle.Unpickler):
         )
 
     def persistent_load(self, pid) -> _Storage:  # noqa: D102
-        if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
+        if not (
+            isinstance(pid, tuple) and len(pid) == 5 and pid[0] == "storage"
+        ):
             raise pickle.UnpicklingError(f"unknown persistent id {pid!r}")
         _, stype, key, _location, numel = pid
         if not isinstance(stype, _StorageType):
             raise pickle.UnpicklingError(
                 f"unsupported storage type in persistent id: {stype!r}"
             )
-        data = self._zf.read(f"{self._prefix}data/{key}")
-        return _Storage(data, stype, int(numel))
+        try:
+            data = self._zf.read(f"{self._prefix}data/{key}")
+        except KeyError:
+            raise pickle.UnpicklingError(
+                f"storage {key!r} referenced by the pickle is missing "
+                "from the archive"
+            ) from None
+        numel = int(numel)
+        if numel < 0 or numel * stype.dtype.itemsize > len(data):
+            raise pickle.UnpicklingError(
+                f"storage {key!r} claims {numel} elements but holds "
+                f"{len(data)} bytes"
+            )
+        return _Storage(data, stype, numel)
 
 
 def read_torch_pickle(path: str) -> Any:
@@ -197,22 +211,45 @@ def read_torch_pickle(path: str) -> Any:
             "serialization (tar / sequential pickle) is not supported; "
             "re-save with a modern torch or retrain via coder.train_coding"
         )
-    with zipfile.ZipFile(path) as zf:
-        names = zf.namelist()
-        pkl = next((n for n in names if n.endswith("data.pkl")), None)
-        if pkl is None:
-            raise ValueError(f"{path}: no data.pkl in archive ({names[:5]}...)")
-        prefix = pkl[: -len("data.pkl")]
-        bo = f"{prefix}byteorder"
-        if bo in names:
-            order = zf.read(bo).decode().strip()
-            if order != "little":
-                raise NotImplementedError(
-                    f"{path} was saved on a {order}-endian machine; only "
-                    "little-endian storages are supported"
-                )
-        with zf.open(pkl) as f:
-            return _RestrictedUnpickler(f, zf, prefix).load()
+    try:
+        zf_cm = zipfile.ZipFile(path)
+    except (zipfile.BadZipFile, OSError) as e:
+        raise ValueError(f"{path}: corrupt zip archive ({e})") from e
+    with zf_cm as zf:
+        try:
+            names = zf.namelist()
+            pkl = next((n for n in names if n.endswith("data.pkl")), None)
+            if pkl is None:
+                raise ValueError(f"{path}: no data.pkl in archive ({names[:5]}...)")
+            prefix = pkl[: -len("data.pkl")]
+            bo = f"{prefix}byteorder"
+            if bo in names:
+                order = zf.read(bo).decode().strip()
+                if order != "little":
+                    raise NotImplementedError(
+                        f"{path} was saved on a {order}-endian machine; only "
+                        "little-endian storages are supported"
+                    )
+            member = zf.open(pkl)
+        except NotImplementedError:
+            raise  # the big-endian raise above (⊂ RuntimeError!)
+        except (zipfile.BadZipFile, OSError, UnicodeDecodeError, RuntimeError) as e:
+            # corrupt local headers / mangled offsets / a flipped
+            # encryption bit surface from zipfile as BadZipFile, raw
+            # OSError, or RuntimeError — normalize them all
+            raise ValueError(f"{path}: corrupt zip member ({e})") from e
+        with member as f:
+            try:
+                return _RestrictedUnpickler(f, zf, prefix).load()
+            except pickle.UnpicklingError:
+                raise
+            except Exception as e:  # noqa: BLE001 - malformed untrusted bytes
+                # truncated/garbled pickles surface as EOFError, KeyError,
+                # struct.error, Attribute/Index/Type/Memory errors from the
+                # opcode machinery — normalize so callers handle ONE type
+                raise pickle.UnpicklingError(
+                    f"malformed torch pickle in {path}: {type(e).__name__}: {e}"
+                ) from e
 
 
 def load_reference_coding(path: str) -> dict:

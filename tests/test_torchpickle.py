@@ -347,3 +347,46 @@ def test_full_switching_lifecycle(spark, tmp_path):
     b = [(r["vec_id"], round(r["__DISTANCE__"], 9)) for r in brute.collect()]
     p = [(r["vec_id"], round(r["__DISTANCE__"], 9)) for r in probed.collect()]
     assert b == p and b[0][0] == 7
+
+
+def test_fuzz_mutated_archives_raise_one_exception_family(tmp_path):
+    """Malformed .torch files must fail CLEANLY: read_torch_pickle
+    raises only UnpicklingError / ValueError / NotImplementedError —
+    never a raw EOFError/KeyError/struct.error from the pickle
+    machinery (migration catches exactly that documented family)."""
+    rng = np.random.default_rng(77)
+    tensor = rng.normal(size=(2, 4, 8)).astype(np.float32)
+    base = str(tmp_path / "base.torch")
+    torch_save(base, _coding_obj(tensor))
+    valid = open(base, "rb").read()
+
+    cases = []
+    for i in range(60):  # byte mutations
+        buf = bytearray(valid)
+        for _ in range(rng.integers(1, 8)):
+            buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+        cases.append(bytes(buf))
+    for i in range(20):  # truncations
+        cases.append(valid[: rng.integers(1, len(valid))])
+    cases.append(rng.integers(0, 256, 4096, dtype=np.uint8).tobytes())
+
+    # an archive whose pickle references a storage that is not there
+    missing = str(tmp_path / "missing.torch")
+    with zipfile.ZipFile(missing, "w") as zf:
+        with zipfile.ZipFile(base) as src:
+            zf.writestr("archive/data.pkl", src.read("archive/data.pkl"))
+            zf.writestr("archive/byteorder", "little")
+    cases.append(open(missing, "rb").read())
+
+    allowed = (pickle.UnpicklingError, ValueError, NotImplementedError)
+    p = str(tmp_path / "fuzz.torch")
+    ok = 0
+    for data in cases:
+        with open(p, "wb") as f:
+            f.write(data)
+        try:
+            read_torch_pickle(p)
+            ok += 1  # a mutation can land in storage bytes — still valid
+        except allowed:
+            pass
+    assert ok < len(cases)  # the suite actually exercised failures
