@@ -12,8 +12,22 @@ Spark surface: ``audio_mfcc`` pools per-clip frame MFCCs to a
 fixed-length (mean ‖ std) vector in ONE Arrow-batched ``mapInPandas``
 — blob bytes never leave the scan, the output is an
 ``array<double>`` embedding column that feeds the existing embedding
-near-dup / KNN operators directly (semantic audio dedup for clips the
-exact fingerprinter (audiofp.py) treats as distinct)."""
+near-dup / KNN operators directly.
+
+WHAT THE POOLED VECTOR IS (and is not) — measured on the planted
+corpus (multimodal/planted.py): pooled MFCC is a TIMBRE/spectral-
+envelope embedding. Same-recipe ``textured_track``s (same timbre,
+different content) land at cosine distances within one order of
+magnitude of true transcode pairs — across seeds the classes
+sometimes overlap outright — so there is NO robust copy-dedup
+threshold here, unlike the fingerprint pipeline's ~0.0-transcode vs
+~0.5-unrelated BER margin. Use ``audio_mfcc`` for timbre clustering,
+genre-ish grouping, and quality features; use the Haitsma-Kalker
+fingerprints (audiofp.py — offset voting + BER) for copy/transcode
+DEDUP, where the planted-corpus P/R evidence lives (RECALL.md).
+Publishing a tuned "recall" table for MFCC near-dup on that corpus
+would be theater; this note (pinned by
+``test_pooled_mfcc_is_timbre_not_content``) is the honest boundary."""
 
 from __future__ import annotations
 

@@ -127,3 +127,40 @@ def test_mfcc_separates_unlike_clips_and_groups_transcoded_ones(spark):
 
     assert cos(vec(base), vec(quiet)) > 0.99
     assert cos(vec(base), vec(other)) < 0.9
+
+
+def test_pooled_mfcc_is_timbre_not_content():
+    """The documented boundary, pinned: over same-recipe textured
+    tracks the pooled-MFCC "copy" and "unrelated" distance classes
+    sit within ONE ORDER OF MAGNITUDE of each other (some draws
+    overlap outright) — there is no robust threshold, unlike the
+    fingerprint pipeline's ~0.0-transcode vs ~0.5-unrelated BER
+    separation. That missing margin is why audiofp (not this vector)
+    owns copy dedup."""
+    from fenix_spark.multimodal.planted import SR as PSR
+    from fenix_spark.multimodal.planted import textured_track
+
+    rng = np.random.default_rng(21)
+    bases = [textured_track(rng).astype(np.float64) for _ in range(5)]
+
+    def vec(x):
+        m = mfcc(x, PSR)
+        return np.concatenate([m.mean(axis=0), m.std(axis=0)])
+
+    def cosd(u, v):
+        return 0.5 - 0.5 * float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+
+    base_vecs = [vec(x) for x in bases]
+    within = [
+        cosd(
+            base_vecs[i],
+            vec(x + rng.normal(0, np.abs(x).max() * 0.10, x.shape)),
+        )
+        for i, x in enumerate(bases)
+    ]
+    across = [
+        cosd(base_vecs[i], base_vecs[j])
+        for i in range(5)
+        for j in range(i + 1, 5)
+    ]
+    assert min(across) < 10 * max(within)  # no robust margin exists
