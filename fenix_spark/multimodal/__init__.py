@@ -31,6 +31,12 @@ from fenix_spark.multimodal.audiofeat import (
     mel_filterbank,
     mfcc,
 )
+from fenix_spark.multimodal.exif import (
+    apply_orientation,
+    image_exif,
+    parse_exif,
+    write_exif_app1,
+)
 from fenix_spark.multimodal.phash import (
     dhash64,
     image_dhashes,
@@ -67,6 +73,10 @@ __all__ = [
     "log_mel_spectrogram",
     "mel_filterbank",
     "mfcc",
+    "apply_orientation",
+    "image_exif",
+    "parse_exif",
+    "write_exif_app1",
     "audio_match_pairs",
     "decode_audio",
     "decode_jpeg",
