@@ -73,10 +73,15 @@ def image_dhashes(
     data_col: str = "data",
     fmt_col: str = "fmt",
     shape_cols: tuple[str, str, str] = ("height", "width", "channels"),
+    exif_orientation: bool = False,
 ) -> DataFrame:
     """(id, dhash) per decodable image row; rows whose payload fails
     to decode get a NULL dhash (counted by callers, never a crash —
-    crawl media is dirty)."""
+    crawl media is dirty). With ``exif_orientation=True`` the EXIF
+    orientation tag (when present in the payload) is applied before
+    hashing, so a camera-rotated re-upload of the same photo hashes
+    with its upright original — rotation otherwise defeats dHash
+    completely (``test_exif.py::test_orientation_fix_rescues_...``)."""
     import pandas as pd
 
     from fenix_spark.multimodal.media import decode_payload
@@ -94,9 +99,17 @@ def image_dhashes(
                         int(pdf["__w"].iloc[i]),
                         int(pdf["__c"].iloc[i]),
                     )
-                    img = decode_payload(
-                        bytes(pdf["__data"].iloc[i]), pdf["__fmt"].iloc[i], shape
-                    )
+                    raw = bytes(pdf["__data"].iloc[i])
+                    img = decode_payload(raw, pdf["__fmt"].iloc[i], shape)
+                    if exif_orientation:
+                        from fenix_spark.multimodal.exif import (
+                            apply_orientation,
+                            parse_exif,
+                        )
+
+                        img = apply_orientation(
+                            img, parse_exif(raw).get("orientation")
+                        )
                     hashes.append(np.int64(np.uint64(dhash64(img)) - (1 << 63)))
                 except Exception:  # noqa: BLE001 - undecodable crawl blob
                     hashes.append(None)

@@ -131,3 +131,34 @@ def test_fuzz_never_raises():
         assert isinstance(out, dict)
         out = parse_exif(b"\xff\xd8" + rng.integers(0, 256, n, dtype=np.uint8).tobytes())
         assert isinstance(out, dict)
+
+
+def test_image_dhashes_exif_orientation_groups_rotated_reupload(spark):
+    """End-to-end through the Spark hasher: a camera-rotated re-upload
+    (rotated pixels + orientation tag) hashes with its upright
+    original only when exif_orientation=True."""
+    from fenix_spark.multimodal.phash import image_dhashes
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    stored = apply_orientation(img, 8)  # pixels as a 90°-CW camera stores them
+    up_j = encode_jpeg(img, quality=95)
+    rot_j = encode_jpeg(np.ascontiguousarray(stored), quality=95)
+    rot_j = rot_j[:2] + write_exif_app1(orientation=6) + rot_j[2:]
+    rows = [
+        (1, bytearray(up_j), "jpeg", 32, 48, 3),
+        (2, bytearray(rot_j), "jpeg", 48, 32, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id bigint, data binary, fmt string, height int, width int, channels int"
+    )
+    plain = {r["id"]: r["dhash"] for r in image_dhashes(df).collect()}
+    fixed = {
+        r["id"]: r["dhash"]
+        for r in image_dhashes(df, exif_orientation=True).collect()
+    }
+    assert plain[1] != plain[2]  # rotation defeats dHash
+    # after orientation fix the two differ only by jpeg requantization
+    # of the SAME upright content — identical or nearly so
+    assert bin(fixed[1] ^ fixed[2]).count("1") <= 4
+    assert fixed[1] == plain[1]  # untagged rows are untouched
