@@ -137,7 +137,8 @@ def chunk_dedup_stats(chunks: DataFrame) -> DataFrame:
     ``(total_bytes, unique_bytes, total_chunks, unique_chunks,
     dedup_ratio)``. Identical chunk content counts once in
     ``unique_bytes`` — the bytes a content-addressed store would hold.
-    One partial-agg groupBy on the 16-byte hash, then a 1-row agg."""
+    One partial-agg groupBy on the hex-md5 chunk hash, then a 1-row
+    agg."""
     per_hash = chunks.groupBy("chunk_hash").agg(
         F.first("length").alias("length"), F.count(F.lit(1)).alias("occ")
     )

@@ -91,7 +91,15 @@ def duplicated_spans(
     exclusive) of every NON-canonical occurrence of a duplicated
     ≥ ``min_tokens``-token window. The canonical (lowest ``(id, pos)``)
     occurrence of each window is never in a span, so applying the spans
-    keeps exactly one copy of every duplicated substring."""
+    keeps exactly one copy of every duplicated substring.
+
+    Collision semantics of ``verify_exact`` are one-sided: an
+    occurrence is removed only when its tokens EQUAL the hash group's
+    canonical occurrence's tokens. If two different texts collide into
+    one 64-bit group, a true duplicate pair hiding behind the foreign
+    canonical is left in place (under-removal) — the pass never
+    removes text that wasn't verifiably duplicated (no over-removal),
+    which is the failure direction that matters for training data."""
     L = min_tokens
     w = token_windows(df, text_col, id_col, min_tokens)
 
@@ -159,6 +167,11 @@ def dedup_substrings(
     kept) plus ``tokens_removed``. Only documents that actually contain
     a span are rewritten — everything else passes through untouched
     (original whitespace intact)."""
+    if "tokens_removed" in df.columns:
+        raise ValueError(
+            "df already has a 'tokens_removed' column — rename it before "
+            "dedup_substrings (the pass appends its own)"
+        )
     spans = duplicated_spans(df, text_col, id_col, min_tokens, verify_exact)
     per_doc = spans.groupBy("id").agg(
         F.collect_list(F.struct("start", "end")).alias("spans")
