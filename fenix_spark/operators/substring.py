@@ -137,7 +137,13 @@ def duplicated_spans(
             (occ["whash"] == can["whash"]) & (occ["first"] == can["cfirst"]),
         ).where(F.col("occ_sl") == F.col("can_sl"))
 
-    marks = dups.select("id", "pos").distinct()
+    return _merge_spans(dups.select("id", "pos").distinct(), L)
+
+
+def _merge_spans(marks: DataFrame, L: int) -> DataFrame:
+    """(id, pos) window marks → merged (id, start, end) token spans
+    (gaps-and-islands; windows are L wide so islands break when
+    consecutive marks are more than L apart)."""
     ww = Window.partitionBy("id").orderBy("pos")
     islands = marks.withColumn(
         "new_island",
@@ -167,12 +173,20 @@ def dedup_substrings(
     kept) plus ``tokens_removed``. Only documents that actually contain
     a span are rewritten — everything else passes through untouched
     (original whitespace intact)."""
+    spans = duplicated_spans(df, text_col, id_col, min_tokens, verify_exact)
+    return _apply_spans(df, spans, text_col, id_col)
+
+
+def _apply_spans(
+    df: DataFrame, spans: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Excise (id, start, end) token spans from ``df``'s ``text_col``;
+    append ``tokens_removed``. Only affected docs are rewritten."""
     if "tokens_removed" in df.columns:
         raise ValueError(
             "df already has a 'tokens_removed' column — rename it before "
             "dedup_substrings (the pass appends its own)"
         )
-    spans = duplicated_spans(df, text_col, id_col, min_tokens, verify_exact)
     per_doc = spans.groupBy("id").agg(
         F.collect_list(F.struct("start", "end")).alias("spans")
     )
@@ -204,3 +218,85 @@ def dedup_substrings(
         df.join(rewritten, F.col(id_col) == F.col("__sid"), "left")
         .select(*out_cols, F.coalesce("__removed", F.lit(0)).alias("tokens_removed"))
     )
+
+
+def substring_state(
+    df: DataFrame, text_col: str, id_col: str, min_tokens: int = 50
+) -> DataFrame:
+    """The persistable corpus state for INCREMENTAL ExactSubstr: the
+    DISTINCT ``(h1, h2)`` double 64-bit hashes of every
+    ``min_tokens``-token window in the corpus. Write once through the
+    catalog; each increment probes it (``incremental_dedup_substrings``)
+    instead of re-hashing the corpus.
+
+    Two independent xxhash64 values (second seeded by a literal
+    prefix) stand in for the exact-verify join the batch pass does —
+    the state deliberately does NOT carry corpus text, so cross-corpus
+    matches are hash-trusted at ~2⁻¹²⁸ joint collision odds instead of
+    token-verified. ``min_tokens`` must match between state build and
+    increments — it is data, not configuration."""
+    L = min_tokens
+    base = _tokenized(df, text_col, id_col).where(F.col("n") >= L)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.col("n") - L),
+        lambda i: F.struct(
+            F.xxhash64(F.slice("t", i + 1, L)).alias("h1"),
+            F.xxhash64(F.lit("fenix-h2"), F.slice("t", i + 1, L)).alias("h2"),
+        ),
+    )
+    return (
+        base.select(F.explode(pairs).alias("w"))
+        .select(F.col("w.h1").alias("h1"), F.col("w.h2").alias("h2"))
+        .distinct()
+    )
+
+
+def incremental_dedup_substrings(
+    new_docs: DataFrame,
+    corpus_state: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 50,
+    verify_exact: bool = True,
+) -> DataFrame:
+    """ExactSubstr over an INCREMENT against a persisted corpus state:
+    rewrites only the new docs, without re-reading corpus text.
+
+    A new window is excised when (a) its double hash exists in the
+    corpus state — the corpus holds the canonical copy — or (b) it is
+    a non-canonical occurrence of a window duplicated WITHIN the
+    increment (the standard verified pipeline on ``new_docs`` alone).
+    Equivalent to the batch pass over corpus ∪ increment restricted to
+    increment docs, PROVIDED increment ids sort after corpus ids (the
+    caller's contract — monotone doc ids make the corpus occurrence
+    canonical, tested in ``test_substring.py``).
+
+    Scale shape: the increment's windows PROBE the state with one
+    left-semi equi-join on (h1, h2) — increment ≪ corpus, so only
+    increment-sized rows move; the within-increment arm is the batch
+    pipeline at increment size."""
+    L = min_tokens
+    base = _tokenized(new_docs, text_col, id_col).where(F.col("n") >= L)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.col("n") - L),
+        lambda i: F.struct(
+            F.xxhash64(F.slice("t", i + 1, L)).alias("h1"),
+            F.xxhash64(F.lit("fenix-h2"), F.slice("t", i + 1, L)).alias("h2"),
+        ),
+    )
+    neww = base.select("id", F.posexplode(pairs).alias("pos", "w")).select(
+        "id", "pos", F.col("w.h1").alias("h1"), F.col("w.h2").alias("h2")
+    )
+    corpus_marks = neww.join(corpus_state, ["h1", "h2"], "left_semi").select(
+        "id", "pos"
+    )
+    inc_spans = duplicated_spans(new_docs, text_col, id_col, min_tokens, verify_exact)
+    # inc_spans are merged spans; re-expand to window-start positions
+    # [start, end-L] — a superset of the original marks with the SAME
+    # range union (every re-added start's window lies inside the span),
+    # so the final merged coverage is unchanged
+    inc_marks = inc_spans.select(
+        "id", F.explode(F.sequence("start", F.col("end") - L)).alias("pos")
+    )
+    marks = corpus_marks.union(inc_marks).distinct()
+    return _apply_spans(new_docs, _merge_spans(marks, L), text_col, id_col)

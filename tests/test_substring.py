@@ -162,3 +162,60 @@ def test_plan_all_joins_keyed_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_equals_full_recompute_on_increment(spark):
+    """incremental_dedup_substrings(new, state(corpus)) must equal the
+    batch pass over corpus ∪ increment RESTRICTED to increment docs —
+    covering all three arms: window shared with corpus (corpus
+    canonical), window duplicated within the increment only, and the
+    overlap of both."""
+    from fenix_spark.operators.substring import (
+        incremental_dedup_substrings,
+        substring_state,
+    )
+
+    rng = np.random.default_rng(31)
+    corpus = {f"a{j:02d}": v for j, v in enumerate(_random_docs(rng).values())}
+    boiler = [f"b{i}" for i in range(60)]      # lives in corpus AND increment
+    inc_only = [f"q{i}" for i in range(55)]    # duplicated within increment only
+    corpus["a02"] = corpus["a02"][:40] + boiler + corpus["a02"][40:]
+
+    inc = {f"b{j:02d}": v for j, v in enumerate(_random_docs(rng, n_docs=5).values())}
+    inc["b00"] = boiler + inc["b00"]                      # corpus arm
+    inc["b01"] = inc["b01"] + inc_only                    # inc-dup canonical
+    inc["b03"] = inc_only + inc["b03"][:60] + boiler      # both arms
+    L = 50
+
+    state = substring_state(_df(spark, corpus), "text", "doc_id", L)
+    got_df = incremental_dedup_substrings(
+        _df(spark, inc), state, "text", "doc_id", L
+    )
+    got = {r["doc_id"]: (r["text"], r["tokens_removed"]) for r in got_df.collect()}
+
+    full = brute({**corpus, **inc}, L)
+    want = {k: full[k] for k in inc}
+    assert got == want
+    # sanity on the scenario itself: every arm actually fired
+    assert got["b00"][1] >= 60 and got["b01"][1] == 0
+    assert got["b03"][1] >= 60 + 55
+    # corpus docs are untouched by the union recompute (their copies
+    # are canonical), so skipping them loses nothing
+    assert all(full[k][1] == 0 for k in corpus)
+
+
+def test_incremental_no_false_marks_on_fresh_content(spark):
+    from fenix_spark.operators.substring import (
+        incremental_dedup_substrings,
+        substring_state,
+    )
+
+    rng = np.random.default_rng(33)
+    corpus = {f"a{j:02d}": v for j, v in enumerate(_random_docs(rng).values())}
+    inc = {f"b{j:02d}": v for j, v in enumerate(_random_docs(rng, n_docs=4).values())}
+    state = substring_state(_df(spark, corpus), "text", "doc_id", 50)
+    got = incremental_dedup_substrings(_df(spark, inc), state, "text", "doc_id", 50)
+    rows = got.collect()
+    assert all(r["tokens_removed"] == 0 for r in rows)
+    src = {k: " ".join(v) for k, v in inc.items()}
+    assert all(r["text"] == src[r["doc_id"]] for r in rows)
