@@ -13,7 +13,12 @@ batch equivalence on finite inputs, which is the strongest available
 check for these operators.
 """
 
-from fenix_spark.streaming.dedup import stream_exact_dedup, stream_simhash_tag
+from fenix_spark.streaming.dedup import (
+    stream_exact_dedup,
+    stream_incremental_neardup,
+    stream_simhash_tag,
+    stream_substring_dedup,
+)
 from fenix_spark.streaming.ingest import enrich_stream, stream_ingest, stream_source
 from fenix_spark.streaming.joins import stream_interval_join
 from fenix_spark.streaming.sessions import sessionize_stateful
@@ -41,7 +46,9 @@ __all__ = [
     "enrich_stream",
     "stream_ingest",
     "stream_interval_join",
+    "stream_incremental_neardup",
     "stream_simhash_tag",
+    "stream_substring_dedup",
     "stream_source",
     "windowed_event_counts",
 ]

@@ -156,3 +156,64 @@ def stream_incremental_neardup(
         new_bands.write.mode("overwrite").parquet(f"{bands_dir}/batch_id={batch_id}")
 
     return stream_docs.writeStream.foreachBatch(process)
+
+
+def stream_substring_dedup(
+    stream_docs: DataFrame,
+    state_root: str,
+    out_root: str,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 50,
+    verify_exact: bool = True,
+):
+    """Continuous ExactSubstr (operators/substring): each micro-batch
+    dedups against the window-hash state of all PRIOR batches, then
+    folds its own distinct double hashes in.
+
+    - State = one (h1, h2) parquet fold per batch under
+      ``state_root/batch_id=N`` — a retried batch overwrites its own
+      fold, so state and output are idempotent over at-least-once
+      foreachBatch.
+    - Rewritten docs land under ``out_root/batch_id=N`` with
+      ``tokens_removed``; a doc appears exactly once, in its arrival
+      batch.
+    - Equivalence contract: when doc ids are MONOTONE with arrival
+      order (the same contract as ``incremental_dedup_substrings``),
+      the union over batches equals the one-shot batch pass over all
+      arrived docs (asserted in tests). Earlier-batch copies are
+      canonical either way; monotone ids make that the batch pass's
+      min-(id, pos) rule.
+    - Per-batch cost: batch-sized window hashing + ONE left-semi probe
+      of the accumulated state + the batch pipeline among the batch's
+      own docs. Corpus text is never re-read.
+    """
+    from fenix_spark.operators.substring import (
+        incremental_dedup_substrings,
+        substring_state,
+    )
+    from fenix_spark.streaming.fsutil import list_child_names
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prior = [
+            int(d.split("=", 1)[1])
+            for d in list_child_names(spark, state_root)
+            if d.startswith("batch_id=") and int(d.split("=", 1)[1]) < batch_id
+        ]
+        if prior:
+            corpus_state = spark.read.parquet(
+                *[f"{state_root}/batch_id={b}" for b in prior]
+            ).select("h1", "h2")
+        else:
+            corpus_state = spark.createDataFrame([], "h1 bigint, h2 bigint")
+        batch_df = batch_df.localCheckpoint(eager=True)
+        out = incremental_dedup_substrings(
+            batch_df, corpus_state, text_col, id_col, min_tokens, verify_exact
+        )
+        out.write.mode("overwrite").parquet(f"{out_root}/batch_id={batch_id}")
+        substring_state(batch_df, text_col, id_col, min_tokens).write.mode(
+            "overwrite"
+        ).parquet(f"{state_root}/batch_id={batch_id}")
+
+    return stream_docs.writeStream.foreachBatch(process)

@@ -648,3 +648,74 @@ def test_stream_bloom_matches_batch_and_compacts(spark, events_prepared, tmp_pat
         for r in spark.read.parquet(f"{state}/compact={new_id}").collect()
     }
     assert compact == want
+
+
+def test_stream_substring_dedup_equals_batch(spark, tmp_path):
+    """Drive the foreachBatch ExactSubstr over a 3-batch availableNow
+    stream (monotone ids, sequential file mtimes = arrival order);
+    the union of per-batch rewritten docs must equal the one-shot
+    batch pass over all docs."""
+    import time
+
+    import numpy as np
+
+    from fenix_spark.operators.substring import dedup_substrings
+    from fenix_spark.streaming.dedup import stream_substring_dedup
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(150)]
+    boiler = [f"bb{i}" for i in range(60)]
+
+    def doc(n):
+        return [vocab[i] for i in rng.integers(0, len(vocab), n)]
+
+    batches = {
+        "a": {"a00": doc(120) + boiler, "a01": doc(150)},
+        "b": {"b00": boiler + doc(90), "b01": doc(130)},  # dup vs batch a
+        "c": {"c00": doc(80) + boiler + doc(40), "c01": boiler + doc(20)},
+    }
+    src = str(tmp_path / "src")
+    for key in ("a", "b", "c"):
+        rows = [(k, " ".join(v)) for k, v in batches[key].items()]
+        spark.createDataFrame(rows, "doc_id string, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(1.1)  # FileStreamSource orders by mtime
+
+    schema = "doc_id string, text string"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_substring_dedup(
+            stream,
+            str(tmp_path / "state"),
+            str(tmp_path / "out"),
+            "text",
+            "doc_id",
+            min_tokens=50,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    got = {
+        r["doc_id"]: (r["text"], r["tokens_removed"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    all_docs = {k: v for b in batches.values() for k, v in b.items()}
+    full = dedup_substrings(
+        spark.createDataFrame(
+            [(k, " ".join(v)) for k, v in sorted(all_docs.items())], schema
+        ),
+        "text",
+        "doc_id",
+        min_tokens=50,
+    )
+    want = {r["doc_id"]: (r["text"], r["tokens_removed"]) for r in full.collect()}
+    assert got == want
+    # the scenario bites: later copies of the boilerplate were excised
+    assert got["b00"][1] >= 60 and got["c01"][1] >= 60
+    assert got["a00"][1] == 0  # canonical copy kept
