@@ -44,7 +44,10 @@ from fenix_spark.multimodal.phash import (
 )
 from fenix_spark.multimodal.mp4 import (
     encode_minimal_mp4,
+    encode_mp4_with_samples,
+    mp4_sample_ranges,
     parse_mp4_metadata,
+    sample_encoded_frames,
     video_metadata,
 )
 from fenix_spark.multimodal.gif import decode_gif, encode_gif, parse_gif_metadata
@@ -95,6 +98,9 @@ __all__ = [
     "encode_png",
     "dhash64",
     "encode_minimal_mp4",
+    "encode_mp4_with_samples",
+    "mp4_sample_ranges",
+    "sample_encoded_frames",
     "frame_hashes",
     "encode_wav",
     "image_dhashes",
