@@ -31,6 +31,11 @@ from fenix_spark.multimodal.audiofeat import (
     mel_filterbank,
     mfcc,
 )
+from fenix_spark.multimodal.compress import (
+    decompress_blobs,
+    decompress_payload,
+    sniff_compression,
+)
 from fenix_spark.multimodal.exif import (
     apply_orientation,
     image_exif,
@@ -77,6 +82,9 @@ __all__ = [
     "mel_filterbank",
     "mfcc",
     "apply_orientation",
+    "decompress_blobs",
+    "decompress_payload",
+    "sniff_compression",
     "image_exif",
     "parse_exif",
     "write_exif_app1",
