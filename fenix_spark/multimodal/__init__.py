@@ -31,6 +31,7 @@ from fenix_spark.multimodal.audiofeat import (
     mel_filterbank,
     mfcc,
 )
+from fenix_spark.multimodal.mp3 import parse_id3v2, write_id3v2
 from fenix_spark.multimodal.compress import (
     decompress_blobs,
     decompress_payload,
@@ -87,6 +88,8 @@ __all__ = [
     "sniff_compression",
     "image_exif",
     "parse_exif",
+    "parse_id3v2",
+    "write_id3v2",
     "write_exif_app1",
     "audio_match_pairs",
     "decode_audio",

@@ -269,3 +269,138 @@ def mp3_metadata(
         F.col(id_col).alias("__id"), F.col(data_col).alias("__data")
     )
     return src.mapInPandas(gen, schema)
+
+
+# -------------------------------------------------------------- ID3v2
+# Tag TEXT frames (title/artist/album/...) — the curation-relevant
+# subset of ID3v2.2/2.3/2.4 (informal standard, id3.org): synchsafe
+# sizing, all four declared text encodings, v2.2 3-char frame ids
+# mapped onto their v2.3+ names. parse never raises on garbage.
+
+_ID3_TEXT_FRAMES = {
+    "TIT2": "title", "TPE1": "artist", "TALB": "album",
+    "TYER": "year", "TDRC": "year", "TCON": "genre",
+    "TRCK": "track", "TLAN": "language",
+    # v2.2 equivalents
+    "TT2": "title", "TP1": "artist", "TAL": "album",
+    "TYE": "year", "TCO": "genre", "TRK": "track", "TLA": "language",
+}
+
+
+def _id3_text(payload: bytes) -> str | None:
+    """One text frame body: encoding byte + terminated string."""
+    if not payload:
+        return None
+    enc, body = payload[0], payload[1:]
+    try:
+        if enc == 0:
+            s = body.decode("latin-1")
+        elif enc == 1:
+            s = body.decode("utf-16")  # BOM-led
+        elif enc == 2:
+            s = body.decode("utf-16-be")
+        elif enc == 3:
+            s = body.decode("utf-8")
+        else:
+            return None
+    except UnicodeDecodeError:
+        return None
+    return s.split("\x00", 1)[0].strip() or None
+
+
+def parse_id3v2(data: bytes) -> dict:
+    """Text tags from a leading ID3v2 tag: ``{title, artist, album,
+    year, genre, track, language, id3_version}`` (present keys only);
+    ``{}`` when absent/malformed — never raises."""
+    try:
+        if len(data) < 10 or data[:3] != b"ID3":
+            return {}
+        ver = data[3]
+        flags = data[5]
+        size = 0
+        for b in data[6:10]:
+            if b & 0x80:
+                return {}
+            size = (size << 7) | b
+        end = min(10 + size, len(data))
+        body = data[10:end]
+        if flags & 0x80:  # global unsynchronisation: FF 00 → FF
+            body = body.replace(b"\xff\x00", b"\xff")
+        if flags & 0x40 and ver >= 3:  # extended header: skip it
+            if len(body) < 4:
+                return {}
+            if ver == 3:
+                (ehs,) = __import__("struct").unpack_from(">I", body, 0)
+                body = body[4 + ehs :]
+            else:  # v2.4: synchsafe size INCLUDES the 4 size bytes
+                ehs = 0
+                for b in body[:4]:
+                    ehs = (ehs << 7) | (b & 0x7F)
+                body = body[ehs:]
+        out: dict = {"id3_version": f"2.{ver}"}
+        pos = 0
+        id_len, sz_len = (3, 3) if ver == 2 else (4, 4)
+        while pos + id_len + sz_len <= len(body):
+            fid = body[pos : pos + id_len]
+            if fid == b"\x00" * id_len:
+                break  # padding
+            try:
+                fid_s = fid.decode("ascii")
+            except UnicodeDecodeError:
+                break
+            raw_sz = body[pos + id_len : pos + id_len + sz_len]
+            if ver == 2:
+                fsz = (raw_sz[0] << 16) | (raw_sz[1] << 8) | raw_sz[2]
+                hdr = id_len + sz_len
+            else:
+                if ver >= 4:
+                    fsz = 0
+                    for b in raw_sz:
+                        fsz = (fsz << 7) | (b & 0x7F)
+                else:
+                    fsz = int.from_bytes(raw_sz, "big")
+                hdr = id_len + sz_len + 2  # + frame flags
+            start = pos + hdr
+            if fsz <= 0 or start + fsz > len(body):
+                break
+            name = _ID3_TEXT_FRAMES.get(fid_s)
+            if name and name not in out:
+                val = _id3_text(body[start : start + fsz])
+                if val is not None:
+                    out[name] = val
+            pos = start + fsz
+        return out if len(out) > 1 else {}
+    except Exception:  # noqa: BLE001 - adversarial crawl bytes
+        return {}
+
+
+def write_id3v2(version: int = 3, **tags: str) -> bytes:
+    """A real ID3v2.3/2.4 tag block carrying the given text tags
+    (utf-16 for v2.3, utf-8 for v2.4 — each version's canonical
+    unicode encoding). Prepend to any MPEG stream; also the test
+    fixture for ``parse_id3v2``."""
+    if version not in (3, 4):
+        raise ValueError("write_id3v2 writes v2.3 or v2.4")
+    name_to_id = {"title": "TIT2", "artist": "TPE1", "album": "TALB",
+                  "genre": "TCON", "track": "TRCK", "language": "TLAN",
+                  "year": "TYER" if version == 3 else "TDRC"}
+    frames = b""
+    for k, v in tags.items():
+        fid = name_to_id[k]
+        if version == 3:
+            payload = b"\x01" + v.encode("utf-16")  # BOM included
+        else:
+            payload = b"\x03" + v.encode("utf-8")
+        sz = len(payload)
+        if version == 4:
+            raw_sz = bytes(
+                [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+            )
+        else:
+            raw_sz = sz.to_bytes(4, "big")
+        frames += fid.encode("ascii") + raw_sz + b"\x00\x00" + payload
+    total = len(frames)
+    ss = bytes(
+        [(total >> 21) & 0x7F, (total >> 14) & 0x7F, (total >> 7) & 0x7F, total & 0x7F]
+    )
+    return b"ID3" + bytes([version, 0, 0]) + ss + frames

@@ -123,3 +123,51 @@ def test_xing_frame_excluded_from_count_and_duration():
     assert tagged["n_frames"] == plain["n_frames"] - 1
     assert tagged["duration_s"] < plain["duration_s"]
     assert tagged["xing_frames"] == plain["n_frames"] - 1
+
+
+def test_id3v2_roundtrip_v23_and_v24():
+    from fenix_spark.multimodal.mp3 import parse_id3v2, write_id3v2
+
+    tags = dict(title="Søng Tïtle", artist="The Band", album="LP",
+                year="1999", genre="Rock", track="7/12")
+    for ver in (3, 4):
+        blob = write_id3v2(version=ver, **tags) + b"\xff\xfbrest-of-stream"
+        got = parse_id3v2(blob)
+        assert got.pop("id3_version") == f"2.{ver}"
+        assert got == tags
+
+
+def test_id3v2_tolerates_garbage_and_absence():
+    from fenix_spark.multimodal.mp3 import parse_id3v2, write_id3v2
+
+    import numpy as np
+
+    assert parse_id3v2(b"") == {}
+    assert parse_id3v2(b"\xff\xfb\x90\x00audio") == {}
+    assert parse_id3v2(b"ID3\x03\x00\x00\x7f\x7f\x7f\x7f") == {}  # size > data
+    rng = np.random.default_rng(3)
+    valid = write_id3v2(version=4, title="x", artist="y")
+    for _ in range(150):
+        buf = bytearray(valid)
+        for _ in range(rng.integers(1, 6)):
+            buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+        out = parse_id3v2(bytes(buf))
+        assert isinstance(out, dict)
+
+
+def test_id3v2_coexists_with_frame_walk():
+    """A tagged stream still parses its audio frames: the walker skips
+    the tag, the tag parser reads it — two views of one blob."""
+    from fenix_spark.multimodal.mp3 import (
+        encode_silent_mp3,
+        parse_id3v2,
+        parse_mp3_metadata,
+        write_id3v2,
+    )
+
+    audio = encode_silent_mp3(0.3)
+    blob = write_id3v2(version=3, title="T", artist="A") + audio
+    meta = parse_mp3_metadata(blob)
+    assert meta["ok"] and meta["n_frames"] > 0
+    tags = parse_id3v2(blob)
+    assert tags["title"] == "T" and tags["artist"] == "A"
