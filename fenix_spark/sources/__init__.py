@@ -16,16 +16,24 @@ from fenix_spark.sources.readers import (
     read_jsonl,
 )
 
+from fenix_spark.sources.warc_source import (
+    WarcDataSource,
+    register as register_warc_source,
+    write_warc,
+)
 from fenix_spark.sources.webdataset_source import (
     WebDatasetDataSource,
     register as register_webdataset_source,
 )
 
 __all__ = [
+    "WarcDataSource",
     "WebDatasetDataSource",
     "ingest_arrow_ipc",
     "read_arrow_ipc",
     "read_csv",
     "read_jsonl",
+    "register_warc_source",
     "register_webdataset_source",
+    "write_warc",
 ]
