@@ -1,0 +1,122 @@
+"""robots.txt: the spec's own matching examples as oracles (RFC 9309
+§2.2.2 / Google's published table), group selection, and the Spark
+rules+filter surface."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from fenix_spark.functions.robots import (
+    parse_robots,
+    robots_filter,
+    robots_rules,
+    rule_regex,
+)
+
+BODY = """
+# crawler policy
+User-agent: *
+Disallow: /private/
+Allow: /private/ok.html
+Disallow: /*.php
+Disallow: /fish*.sh$
+
+User-agent: fenixbot
+Disallow: /fenix-only/
+"""
+
+
+def test_group_selection():
+    star = parse_robots(BODY, agent="someone-else")
+    assert (False, "/private/") in star and (True, "/private/ok.html") in star
+    fenix = parse_robots(BODY, agent="fenixbot/1.0")
+    assert fenix == [(False, "/fenix-only/")]
+
+
+def test_empty_disallow_means_no_rule():
+    assert parse_robots("User-agent: *\nDisallow:", agent="x") == []
+
+
+def test_rule_regex_translation():
+    assert rule_regex("/fish") == "^/fish"
+    assert rule_regex("/*.php") == "^/.*\\.php"
+    assert rule_regex("/fish*.sh$") == "^/fish.*\\.sh$"
+
+
+@pytest.mark.parametrize(
+    "pattern,path,matches",
+    [
+        ("/fish", "/fish", True),
+        ("/fish", "/fishing", True),          # prefix semantics
+        ("/fish", "/Fish", False),            # case-sensitive
+        ("/fish*", "/fish/salmon.html", True),
+        ("/fish/", "/fish", False),
+        ("/*.php", "/index.php", True),
+        ("/*.php", "/index.php?x=1", True),
+        ("/*.php$", "/index.php", True),
+        ("/*.php$", "/index.php?x=1", False),  # end anchor
+        ("/fish*.php", "/fishheads/catfish.php?p=1", True),
+    ],
+)
+def test_spec_matching_table(pattern, path, matches):
+    assert bool(re.search(rule_regex(pattern), path)) == matches
+
+
+def test_robots_filter_end_to_end(spark):
+    robots = spark.createDataFrame(
+        [
+            ("a.example", BODY),
+            ("b.example", "User-agent: *\nDisallow: /"),
+            ("broken.example", None),
+        ],
+        "host string, robots string",
+    )
+    rules = robots_rules(robots, agent="genericbot")
+    urls = spark.createDataFrame(
+        [
+            ("https://a.example/public/page.html",),
+            ("https://a.example/private/secret.html",),
+            ("https://a.example/private/ok.html",),   # allow beats disallow: longer
+            ("https://a.example/app/index.php",),
+            ("https://b.example/anything",),
+            ("https://c.example/no-robots-here",),    # host without rules
+            ("https://broken.example/x",),            # null robots body
+        ],
+        "url string",
+    )
+    got = {r["url"]: r["robots_allowed"] for r in robots_filter(urls, rules).collect()}
+    assert got["https://a.example/public/page.html"] is True
+    assert got["https://a.example/private/secret.html"] is False
+    assert got["https://a.example/private/ok.html"] is True
+    assert got["https://a.example/app/index.php"] is False
+    assert got["https://b.example/anything"] is False
+    assert got["https://c.example/no-robots-here"] is True
+    assert got["https://broken.example/x"] is True
+
+
+def test_duplicate_urls_stay_duplicated(spark):
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /x")], "host string, robots string"
+    )
+    rules = robots_rules(robots)
+    urls = spark.createDataFrame(
+        [("https://a.example/x",)] * 3, "url string"
+    )
+    out = robots_filter(urls, rules).collect()
+    assert len(out) == 3 and all(r["robots_allowed"] is False for r in out)
+
+
+def test_agent_specific_group_via_filter(spark):
+    robots = spark.createDataFrame([("a.example", BODY)], "host string, robots string")
+    rules = robots_rules(robots, agent="fenixbot")
+    urls = spark.createDataFrame(
+        [("https://a.example/fenix-only/x",), ("https://a.example/private/x",)],
+        "url string",
+    )
+    got = {r["url"]: r["robots_allowed"] for r in robots_filter(urls, rules).collect()}
+    # the fenixbot group REPLACES *, so /private/ is fair game
+    assert got["https://a.example/fenix-only/x"] is False
+    assert got["https://a.example/private/x"] is True
