@@ -61,18 +61,27 @@ def parse_robots(body: str, agent: str = "*") -> list:
     if cur_agents or cur_rules:
         groups.append((cur_agents, cur_rules))
 
-    best_len, best_rules = -1, []
+    # per-group best agent-match length, then MERGE every group tied
+    # at the overall best (RFC 9309: multiple groups for the same
+    # agent combine — two "User-agent: *" blocks act as one)
+    scored: list[tuple[int, list[tuple[bool, str]]]] = []
     for agents, rules in groups:
+        match_len = -1
         for a in agents:
             if a == "*":
-                match_len = 0
+                match_len = max(match_len, 0)
             elif a and a in agent:
-                match_len = len(a)
-            else:
-                continue
-            if match_len > best_len:
-                best_len, best_rules = match_len, rules
-    return best_rules
+                match_len = max(match_len, len(a))
+        if match_len >= 0:
+            scored.append((match_len, rules))
+    if not scored:
+        return []
+    best_len = max(s for s, _ in scored)
+    out: list[tuple[bool, str]] = []
+    for s, rules in scored:
+        if s == best_len:
+            out.extend(rules)
+    return out
 
 
 def rule_regex(pattern: str) -> str:

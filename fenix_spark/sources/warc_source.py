@@ -116,22 +116,38 @@ def split_http_response(block: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, block[hdr_end + 4 :]
 
 
-def _gzip_members(path: str) -> Iterator[bytes]:
-    """Inflate one gzip member at a time (bomb-capped) — the
-    member-per-record WARC layout streams in bounded memory."""
+def _gzip_members(path: str, chunk: int = 1 << 20) -> Iterator[bytes]:
+    """Inflate one gzip member at a time, reading the FILE in chunks —
+    memory holds one compressed chunk plus one inflated member
+    (bomb-capped), never the whole archive. Ends quietly on a
+    corrupt/truncated tail."""
     with open(path, "rb") as f:
-        buf = f.read()
-    pos = 0
-    while pos < len(buf) and buf[pos : pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
-        out = d.decompress(buf[pos:], _MAX_MEMBER_OUT + 1)
-        if len(out) > _MAX_MEMBER_OUT:
-            return  # bomb member: drop the rest of the file quietly
-        yield out
-        consumed = len(buf) - pos - len(d.unused_data)
-        if consumed <= 0:
-            return
-        pos += consumed
+        member = bytearray()
+        carry = b""
+        while True:
+            data = carry or f.read(chunk)
+            carry = b""
+            if not data:
+                return  # EOF mid-member: truncated tail, quiet stop
+            try:
+                piece = d.decompress(data)
+            except zlib.error:
+                return
+            member += piece
+            if len(member) > _MAX_MEMBER_OUT:
+                return  # bomb member: drop the rest of the file quietly
+            if d.eof:
+                yield bytes(member)
+                member = bytearray()
+                carry = d.unused_data
+                if len(carry) < 2:
+                    carry += f.read(2 - len(carry))  # magic may straddle a chunk
+                    if not carry:
+                        return  # clean end of archive
+                if carry[:2] != b"\x1f\x8b":
+                    return  # trailing garbage after the last member
+                d = zlib.decompressobj(wbits=31)
 
 
 class WarcDataSource(DataSource):

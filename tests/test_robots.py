@@ -120,3 +120,30 @@ def test_agent_specific_group_via_filter(spark):
     # the fenixbot group REPLACES *, so /private/ is fair game
     assert got["https://a.example/fenix-only/x"] is False
     assert got["https://a.example/private/x"] is True
+
+
+def test_groups_for_same_agent_merge():
+    body = (
+        "User-agent: *\nDisallow: /a/\n\n"
+        "User-agent: *\nDisallow: /b/\n"
+    )
+    rules = parse_robots(body, agent="x")
+    assert (False, "/a/") in rules and (False, "/b/") in rules
+
+
+def test_gzip_member_magic_straddles_chunks(tmp_path):
+    """Streaming member reads must survive a member boundary landing
+    exactly on (or one byte past) a read-chunk boundary."""
+    from fenix_spark.sources.warc_source import _gzip_members, write_warc
+
+    path = str(tmp_path / "m.warc.gz")
+    write_warc(path, [
+        {"type": "response", "url": f"https://e.x/{i}", "http": True,
+         "payload": b"x" * (37 + i), "content_type": "text/plain"}
+        for i in range(5)
+    ])
+    want = list(_gzip_members(path))
+    assert len(want) == 5
+    # tiny chunks force every straddle alignment to occur
+    for chunk in (1, 2, 3, 7):
+        assert list(_gzip_members(path, chunk=chunk)) == want
