@@ -244,3 +244,52 @@ def test_dedup_substrings_sf01(spark, docs01):
     src = {r["doc_id"]: r["text"] for r in docs01.select("doc_id", "text").collect()}
     untouched = [r for r in rows if r["tokens_removed"] == 0][:200]
     assert untouched and all(r["text"] == src[r["doc_id"]] for r in untouched)
+
+
+def test_warc_crawl_tier_sf01(spark, tmp_path):
+    """Crawl tier at volume: 4 segments x 3,000 records (~10 MB gz of
+    member-per-record HTML) through source -> charset -> html ->
+    exact dedup; counts and parallelism sane."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fenix_spark.functions.charset import payloads_to_text
+    from fenix_spark.functions.html import html_to_text
+    from fenix_spark.operators.dedup import exact_dedup_by_hash
+    from fenix_spark.sources.warc_source import register, write_warc
+
+    rng = np.random.default_rng(6)
+    vocab = [f"w{i}" for i in range(500)]
+    n_seg, per_seg = 4, 3000
+    for seg in range(n_seg):
+        records = []
+        for i in range(per_seg):
+            body = " ".join(vocab[j] for j in rng.integers(0, len(vocab), 40))
+            if i % 10 == 0:
+                body = "shared boilerplate duplicate page content"  # exact dups
+            html = f"<html><body><p>{body}</p></body></html>".encode()
+            records.append(
+                {"type": "response", "url": f"https://s{seg}.ex/p{i}",
+                 "http": True, "payload": html,
+                 "content_type": "text/html; charset=utf-8"}
+            )
+        write_warc(str(tmp_path / f"seg{seg}.warc.gz"), records)
+
+    register(spark)
+    raw = spark.read.format("warc").load(str(tmp_path))
+    docs = payloads_to_text(
+        raw.where(F.col("http_status") == 200)
+    ).withColumnRenamed("id", "url").select(
+        "url", html_to_text(F.col("text")).alias("text")
+    )
+    total = docs.count()
+    assert total == n_seg * per_seg
+    groups = exact_dedup_by_hash(docs, "text", "url")
+    agg = groups.agg(
+        F.count(F.lit(1)).alias("distinct_texts"),
+        F.sum("dup_count").alias("rows"),
+        F.max("dup_count").alias("biggest"),
+    ).collect()[0]
+    assert agg["rows"] == total
+    assert agg["biggest"] == n_seg * per_seg // 10  # the planted dup class
+    assert raw.select("file").distinct().count() == n_seg  # one partition/file
