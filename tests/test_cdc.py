@@ -155,3 +155,12 @@ def test_mega_group_cap_drops_universal_chunks(spark):
     uncapped = blob_chunk_pairs(chunks, min_shared_fraction=0.3, max_group=1024)
     assert uncapped.count() == 15  # all C(6,2) pairs share the header
     assert capped.count() == 0
+
+
+def test_blob_chunk_pairs_plan_no_cartesian(spark, blob_df):
+    chunks = blob_chunks(blob_df, "data", "media_id", 1024, 4096, 32768)
+    plan = (
+        blob_chunk_pairs(chunks)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

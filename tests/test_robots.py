@@ -147,3 +147,12 @@ def test_gzip_member_magic_straddles_chunks(tmp_path):
     # tiny chunks force every straddle alignment to occur
     for chunk in (1, 2, 3, 7):
         assert list(_gzip_members(path, chunk=chunk)) == want
+
+
+def test_robots_filter_plan_no_cartesian(spark):
+    robots = spark.createDataFrame([("a.example", BODY)], "host string, robots string")
+    rules = robots_rules(robots)
+    urls = spark.createDataFrame([("https://a.example/x",)], "url string")
+    plan = robots_filter(urls, rules)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
