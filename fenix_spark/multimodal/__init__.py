@@ -54,6 +54,7 @@ from fenix_spark.multimodal.mp4 import (
     mp4_sample_ranges,
     parse_mp4_metadata,
     sample_encoded_frames,
+    video_frame_dedup_pairs,
     video_metadata,
 )
 from fenix_spark.multimodal.gif import decode_gif, encode_gif, parse_gif_metadata
@@ -112,6 +113,7 @@ __all__ = [
     "encode_mp4_with_samples",
     "mp4_sample_ranges",
     "sample_encoded_frames",
+    "video_frame_dedup_pairs",
     "frame_hashes",
     "encode_wav",
     "image_dhashes",

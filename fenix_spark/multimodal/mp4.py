@@ -480,3 +480,43 @@ def sample_encoded_frames(
     return src.mapInPandas(
         gen, "id bigint, track int, frame_idx int, is_sync boolean, frame binary"
     )
+
+
+def video_frame_dedup_pairs(
+    frames: DataFrame,
+    min_shared_fraction: float = 0.5,
+    max_group: int = 1024,
+) -> DataFrame:
+    """Video pairs sharing ENCODED frames byte-for-byte: ``(id_a,
+    id_b, shared_frames, frac_a, frac_b)`` over a
+    ``sample_encoded_frames`` output — re-muxed/trimmed re-uploads of
+    the same encode share their sample payloads exactly, so an md5
+    equi-join finds them with no codec anywhere. Same mega-group
+    discipline as the CDC/LSH joins: a frame payload shared by more
+    than ``max_group`` videos (black frames, standard padding) is
+    dropped from pair generation. Fractions are over DISTINCT frame
+    contents per video."""
+    hashed = frames.select(
+        "id", F.md5(F.col("frame")).alias("fhash")
+    ).distinct()
+    per_vid = hashed.groupBy("id").agg(F.count(F.lit(1)).alias("n_frames"))
+    grp = hashed.groupBy("fhash").agg(F.count(F.lit(1)).alias("grp"))
+    sized = hashed.join(grp.where(F.col("grp") <= max_group), "fhash")
+    a = sized.select(F.col("id").alias("id_a"), "fhash")
+    b = sized.select(F.col("id").alias("id_b"), "fhash")
+    pairs = (
+        a.join(b, "fhash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+    )
+    na = per_vid.select(F.col("id").alias("id_a"), F.col("n_frames").alias("na"))
+    nb = per_vid.select(F.col("id").alias("id_b"), F.col("n_frames").alias("nb"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("frac_a", F.col("shared_frames") / F.col("na"))
+        .withColumn("frac_b", F.col("shared_frames") / F.col("nb"))
+        .where(F.greatest("frac_a", "frac_b") >= min_shared_fraction)
+        .select("id_a", "id_b", "shared_frames", "frac_a", "frac_b")
+    )

@@ -102,3 +102,30 @@ def test_moov_first_layout_roundtrips():
     t = mp4_sample_ranges(data)[0]
     assert t["clipped"] == 0
     assert [data[o : o + s] for o, s in t["samples"]] == samples
+
+
+def test_video_frame_dedup_pairs(spark):
+    """A trimmed re-upload (same encode, frames dropped) and an exact
+    re-mux (different chunking!) both pair with the original; an
+    unrelated video does not."""
+    from fenix_spark.multimodal.mp4 import video_frame_dedup_pairs
+
+    rng = np.random.default_rng(10)
+    frames = _samples(rng, 10)
+    other = _samples(rng, 8)
+    rows = [
+        (1, bytearray(encode_mp4_with_samples(frames, chunking=(3,)))),
+        (2, bytearray(encode_mp4_with_samples(frames[2:], chunking=(2,)))),  # trim
+        (3, bytearray(encode_mp4_with_samples(frames, chunking=(5,), moov_first=True))),  # re-mux
+        (4, bytearray(encode_mp4_with_samples(other, chunking=(3,)))),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, data binary")
+    fr = sample_encoded_frames(df)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_frames"]
+        for r in video_frame_dedup_pairs(fr).collect()
+    }
+    assert pairs[(1, 3)] == 10  # re-mux: all frames shared
+    assert pairs[(1, 2)] == 8   # trim: the kept frames
+    assert pairs[(2, 3)] == 8
+    assert not any(4 in p for p in pairs)
