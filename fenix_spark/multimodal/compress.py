@@ -78,27 +78,42 @@ def decompress_payload(
             "is the single swap-in point (magic detection via "
             "sniff_compression already works)"
         )
-    d = maker()
     out: list[bytes] = []
     total = 0
-    chunk = d.decompress(bytes(data), max_out + 1)
-    out.append(chunk)
-    total += len(chunk)
-    # continuation differs per stdlib API: zlib parks leftover INPUT in
-    # unconsumed_tail and wants it re-fed; bz2/lzma buffer it
-    # internally and want b"". Empty chunk = no further progress.
-    while total <= max_out and not getattr(d, "eof", False):
-        tail = getattr(d, "unconsumed_tail", b"")
-        chunk = d.decompress(tail, max_out + 1 - total)
-        if not chunk:
-            break
+    feed: bytes = bytes(data)
+    while True:
+        d = maker()
+        chunk = d.decompress(feed, max_out + 1)
         out.append(chunk)
         total += len(chunk)
-    if total > max_out:
-        raise ValueError(
-            f"{codec} payload inflates past max_out={max_out:,} bytes — "
-            "decompression-bomb guard"
-        )
+        # continuation differs per stdlib API: zlib parks leftover
+        # INPUT in unconsumed_tail and wants it re-fed; bz2/lzma
+        # buffer it internally and want b"". Empty chunk = no progress.
+        while total <= max_out and not getattr(d, "eof", False):
+            tail = getattr(d, "unconsumed_tail", b"")
+            chunk = d.decompress(tail, max_out + 1 - total)
+            if not chunk:
+                break
+            out.append(chunk)
+            total += len(chunk)
+        if total > max_out:
+            raise ValueError(
+                f"{codec} payload inflates past max_out={max_out:,} bytes — "
+                "decompression-bomb guard"
+            )
+        # multi-MEMBER streams (gzip/bzip2/xz all allow concatenated
+        # members; parallel writers produce them routinely): continue
+        # with a fresh decompressor on the leftover bytes — returning
+        # only member 1 would silently truncate the document
+        feed = getattr(d, "unused_data", b"")
+        if not getattr(d, "eof", True) or len(feed) < 2:
+            break
+        if codec in ("gzip", "zlib") and feed[:2] != b"\x1f\x8b":
+            break
+        if codec == "bzip2" and feed[:3] != b"BZh":
+            break
+        if codec == "xz" and feed[:6] != b"\xfd7zXZ\x00":
+            break
     return b"".join(out)
 
 

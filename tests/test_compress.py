@@ -100,3 +100,24 @@ def test_sniff_fuzz_never_raises():
         n = int(rng.integers(0, 64))
         out = sniff_compression(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
         assert out is None or isinstance(out, str)
+
+
+def test_multi_member_streams_fully_decompress():
+    """Concatenated members (parallel writers' routine output) must
+    yield the FULL payload — returning member 1 only would silently
+    truncate documents."""
+    a, b = b"first part " * 100, b"second part " * 100
+    assert decompress_payload(gzip.compress(a) + gzip.compress(b)) == a + b
+    assert decompress_payload(bz2.compress(a) + bz2.compress(b)) == a + b
+    assert decompress_payload(lzma.compress(a) + lzma.compress(b)) == a + b
+    # three members, and the bomb cap spans ALL members
+    tri = gzip.compress(b"\x00" * (1 << 20)) * 3
+    with pytest.raises(ValueError, match="bomb"):
+        decompress_payload(tri, max_out=2 << 20)
+    assert len(decompress_payload(tri, max_out=4 << 20)) == 3 << 20
+
+
+def test_trailing_garbage_after_final_member_tolerated():
+    a = b"payload " * 50
+    blob = gzip.compress(a) + b"\x00\x01junk-not-a-member"
+    assert decompress_payload(blob) == a
