@@ -122,3 +122,42 @@ def test_parse_fuzz_never_raises():
         assert isinstance(list(parse_warc_records(b"WARC/1.0\r\n" + blob)), list)
     s, c, b = split_http_response(b"HTTP/1.1 twenty OK\r\n\r\nx")
     assert s is None and b.startswith(b"HTTP/")
+
+
+def test_adversarial_payloads_cannot_break_framing(tmp_path):
+    """Content-Length framing means payload BYTES can never be
+    mistaken for record structure — including payloads that contain
+    'WARC/1.0' lines, header-looking text, and CRLFCRLF runs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tricky = st.one_of(
+        st.binary(max_size=400),
+        st.just(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nfake"),
+        st.just(b"\r\n\r\n\r\n\r\n"),
+        st.just(b"HTTP/1.1 200 OK\r\nContent-Length: 999999\r\n\r\nx"),
+        st.binary(max_size=60).map(lambda b: b"WARC/1.0\r\n" + b + b"\r\n\r\n"),
+    )
+
+    @settings(max_examples=60, deadline=3000)
+    @given(payloads=st.lists(tricky, min_size=1, max_size=5))
+    def run(payloads):
+        path = str(tmp_path / "adv.warc.gz")
+        write_warc(
+            path,
+            [
+                {"type": "resource", "url": f"https://e.x/{i}",
+                 "payload": p, "content_type": "application/octet-stream"}
+                for i, p in enumerate(payloads)
+            ],
+        )
+        from fenix_spark.sources.warc_source import _gzip_members
+
+        got = [
+            rec["block"]
+            for member in _gzip_members(path)
+            for rec in parse_warc_records(member)
+        ]
+        assert got == [bytes(p) for p in payloads]
+
+    run()
