@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["parse_robots", "robots_rules", "robots_filter", "rule_regex"]
@@ -61,6 +61,15 @@ def parse_robots(body: str, agent: str = "*") -> list:
     if cur_agents or cur_rules:
         groups.append((cur_agents, cur_rules))
 
+    # RFC 9309 product-token matching: the crawler identifies by its
+    # PRODUCT TOKEN (leading [a-z0-9_-] run of its name), and a group's
+    # User-agent value matches when it is a case-insensitive PREFIX of
+    # that token ("googlebot" matches crawler "googlebot-news", but
+    # "bot" does NOT match "googlebot" — substring containment would
+    # select wrong groups and flip allow/disallow for named agents)
+    m = re.match(r"[a-z0-9_-]+", agent)
+    product_token = m.group(0) if m else ""
+
     # per-group best agent-match length, then MERGE every group tied
     # at the overall best (RFC 9309: multiple groups for the same
     # agent combine — two "User-agent: *" blocks act as one)
@@ -70,7 +79,7 @@ def parse_robots(body: str, agent: str = "*") -> list:
         for a in agents:
             if a == "*":
                 match_len = max(match_len, 0)
-            elif a and a in agent:
+            elif a and product_token.startswith(a):
                 match_len = max(match_len, len(a))
         if match_len >= 0:
             scored.append((match_len, rules))
@@ -131,11 +140,21 @@ def robots_filter(
     urls: DataFrame,
     rules: DataFrame,
     url_col: str = "url",
+    id_col: str | None = None,
 ) -> DataFrame:
     """``urls`` + a ``robots_allowed`` column. Matching is host
     equi-join → per-rule ``rlike`` on the URL's path(+query) → longest
     match wins, allow beats disallow on ties; unmatched URLs and
-    hosts without rules are allowed (the spec default)."""
+    hosts without rules are allowed (the spec default).
+
+    ``id_col`` names a UNIQUE row id in ``urls`` to key the per-row
+    winner on (crawl pipelines always have one). When None, a
+    ``monotonically_increasing_id`` fallback is used — consistent
+    within one plan, but under task retry with a non-deterministic
+    upstream (this frame fed by a shuffle) recomputed MIDs can differ
+    and the winner grouping silently degrades; pass the real id for
+    anything durable. Duplicate input rows stay duplicated only under
+    the MID fallback or a genuinely unique id."""
     path = F.coalesce(
         F.concat(
             F.parse_url(F.col(url_col), F.lit("PATH")),
@@ -146,8 +165,9 @@ def robots_filter(
         ),
         F.lit("/"),
     )
+    uid = F.col(id_col) if id_col else F.monotonically_increasing_id()
     u = (
-        urls.withColumn("__uid", F.monotonically_increasing_id())
+        urls.withColumn("__uid", uid)
         .withColumn("__host", F.lower(F.parse_url(F.col(url_col), F.lit("HOST"))))
         .withColumn("__path", F.when(path == "", "/").otherwise(path))
     )
@@ -157,21 +177,23 @@ def robots_filter(
     joined = u.join(r, "__host", "left").withColumn(
         "__hit", F.col("regex").isNotNull() & F.expr("__path rlike regex")
     )
-    # per-ROW winner (a synthetic uid, not the url columns — duplicate
-    # input rows must stay duplicated in the output)
-    w = Window.partitionBy("__uid").orderBy(
-        F.col("__hit").desc(),
-        F.col("pattern_len").desc(),
-        F.col("allow").desc(),
+    # per-row winner via max_by on a (hit, pattern_len, allow) sort key
+    # — a hash aggregate, NOT a row_number window (no per-group sort,
+    # and partial aggregation runs map-side before the shuffle)
+    key = F.struct(
+        F.coalesce(F.col("__hit"), F.lit(False)).alias("h"),
+        F.coalesce(F.col("pattern_len"), F.lit(-1)).alias("l"),
+        F.coalesce(F.col("allow"), F.lit(False)).alias("a"),
     )
-    ranked = joined.withColumn("__rn", F.row_number().over(w))
-    return (
-        ranked.where(F.col("__rn") == 1)
-        .withColumn(
-            "robots_allowed",
-            F.when(F.col("__hit").isNull() | ~F.col("__hit"), F.lit(True)).otherwise(
-                F.col("allow")
-            ),
-        )
-        .select(*urls.columns, "robots_allowed")
+    payload = F.struct(
+        *[F.col(c) for c in urls.columns],
+        F.coalesce(F.col("__hit"), F.lit(False)).alias("__hit_w"),
+        F.coalesce(F.col("allow"), F.lit(False)).alias("__allow_w"),
+    )
+    best = joined.groupBy("__uid").agg(F.max_by(payload, key).alias("__w"))
+    return best.select(
+        *[F.col(f"__w.{c}").alias(c) for c in urls.columns],
+        F.when(~F.col("__w.__hit_w"), F.lit(True))
+        .otherwise(F.col("__w.__allow_w"))
+        .alias("robots_allowed"),
     )

@@ -39,12 +39,18 @@ from pyspark.sql import functions as F
 
 __all__ = ["cdc_chunk_spans", "blob_chunks", "chunk_dedup_stats", "blob_chunk_pairs"]
 
-# deterministic gear table: 256 uint64s from a fixed-seed generator —
-# any fixed random table works (the hash only needs uniform bits);
-# pinned so chunk boundaries are stable across versions and engines
-_GEAR = np.random.default_rng(0x6765_6172).integers(
-    0, 1 << 64, size=256, dtype=np.uint64
-)
+# deterministic gear table: 256 uint64s derived from blake2b(i) — any
+# fixed uniform table works, but it must NOT come from an RNG stream
+# (NumPy does not guarantee Generator bit-stream stability across
+# releases, and a shifted table silently moves every persisted chunk
+# boundary). blake2b is a pinned spec (RFC 7693): the table is
+# byte-identical on every numpy/python/engine combination.
+_GEAR = np.frombuffer(
+    b"".join(
+        hashlib.blake2b(bytes([i]), digest_size=8).digest() for i in range(256)
+    ),
+    dtype=">u8",
+).astype(np.uint64)
 _WINDOW = 64  # bytes of context in the rolling hash (one bit shifts out/step)
 
 

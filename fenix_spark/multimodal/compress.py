@@ -114,6 +114,15 @@ def decompress_payload(
             break
         if codec == "xz" and feed[:6] != b"\xfd7zXZ\x00":
             break
+    # a decompressor that consumed all input without reaching eof means
+    # the stream is TRUNCATED — returning the accumulated prefix would
+    # silently hand a partial document downstream (the exact poisoning
+    # the module contract forbids). Fail loudly like the bomb cap does.
+    if not getattr(d, "eof", True):
+        raise ValueError(
+            f"{codec} stream truncated — decompressor never reached "
+            "end-of-stream; refusing to return a partial payload"
+        )
     return b"".join(out)
 
 

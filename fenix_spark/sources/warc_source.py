@@ -49,6 +49,30 @@ FULL_SCHEMA = (
 _MAX_MEMBER_OUT = 1 << 30  # 1 GiB inflated per gzip member — bomb cap
 
 
+def _parse_warc_headers(header_bytes: bytes) -> dict[str, str]:
+    """Lower-cased header dict from the bytes between the ``WARC/``
+    version line and the blank line (exclusive of both CRLFCRLF)."""
+    headers: dict[str, str] = {}
+    for line in header_bytes.split(b"\r\n")[1:]:
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.decode("latin-1").strip().lower()] = v.decode(
+                "latin-1", "replace"
+            ).strip()
+    return headers
+
+
+def _record_dict(headers: dict[str, str], block: bytes) -> dict:
+    return {
+        "record_type": headers.get("warc-type"),
+        "url": headers.get("warc-target-uri"),
+        "date": headers.get("warc-date"),
+        "warc_content_type": headers.get("content-type"),
+        "record_id": headers.get("warc-record-id"),
+        "block": block,
+    }
+
+
 def parse_warc_records(data: bytes) -> Iterator[dict]:
     """Yield record dicts from a DECOMPRESSED byte run of one or more
     concatenated records; stops quietly at the first malformed or
@@ -66,14 +90,7 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
         hdr_end = data.find(b"\r\n\r\n", pos)
         if hdr_end < 0:
             return
-        headers: dict[str, str] = {}
-        lines = data[pos:hdr_end].split(b"\r\n")
-        for line in lines[1:]:
-            k, sep, v = line.partition(b":")
-            if sep:
-                headers[k.decode("latin-1").strip().lower()] = v.decode(
-                    "latin-1", "replace"
-                ).strip()
+        headers = _parse_warc_headers(data[pos:hdr_end])
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
@@ -81,15 +98,7 @@ def parse_warc_records(data: bytes) -> Iterator[dict]:
         block_start = hdr_end + 4
         if length < 0 or block_start + length > n:
             return  # truncated tail — quiet stop
-        block = data[block_start : block_start + length]
-        yield {
-            "record_type": headers.get("warc-type"),
-            "url": headers.get("warc-target-uri"),
-            "date": headers.get("warc-date"),
-            "warc_content_type": headers.get("content-type"),
-            "record_id": headers.get("warc-record-id"),
-            "block": block,
-        }
+        yield _record_dict(headers, data[block_start : block_start + length])
         pos = block_start + length
 
 
@@ -120,7 +129,13 @@ def _gzip_members(path: str, chunk: int = 1 << 20) -> Iterator[bytes]:
     """Inflate one gzip member at a time, reading the FILE in chunks —
     memory holds one compressed chunk plus one inflated member
     (bomb-capped), never the whole archive. Ends quietly on a
-    corrupt/truncated tail."""
+    corrupt/truncated tail.
+
+    The cap bounds ALLOCATION, not just post-hoc detection: every
+    ``decompress`` call carries a ``max_length`` budget of the bytes
+    left under the cap, so a 1 MiB chunk of a bomb member can never
+    inflate past ``_MAX_MEMBER_OUT + 1`` in one call (input the budget
+    parks lands in ``unconsumed_tail`` and is re-fed)."""
     with open(path, "rb") as f:
         d = zlib.decompressobj(wbits=31)
         member = bytearray()
@@ -131,10 +146,23 @@ def _gzip_members(path: str, chunk: int = 1 << 20) -> Iterator[bytes]:
             if not data:
                 return  # EOF mid-member: truncated tail, quiet stop
             try:
-                piece = d.decompress(data)
+                piece = d.decompress(data, _MAX_MEMBER_OUT + 1 - len(member))
+                member += piece
+                # output budget hit parks leftover INPUT — re-feed under
+                # the remaining budget until the cap trips or input drains
+                while (
+                    d.unconsumed_tail
+                    and not d.eof
+                    and len(member) <= _MAX_MEMBER_OUT
+                ):
+                    piece = d.decompress(
+                        d.unconsumed_tail, _MAX_MEMBER_OUT + 1 - len(member)
+                    )
+                    if not piece:
+                        break
+                    member += piece
             except zlib.error:
                 return
-            member += piece
             if len(member) > _MAX_MEMBER_OUT:
                 return  # bomb member: drop the rest of the file quietly
             if d.eof:
@@ -148,6 +176,69 @@ def _gzip_members(path: str, chunk: int = 1 << 20) -> Iterator[bytes]:
                 if carry[:2] != b"\x1f\x8b":
                     return  # trailing garbage after the last member
                 d = zlib.decompressobj(wbits=31)
+
+
+_MAX_HEADER = 1 << 20  # 1 MiB of record headers — far beyond real WARCs
+
+
+def stream_plain_records(
+    path: str, max_block: int = _MAX_MEMBER_OUT, chunk: int = 1 << 16
+) -> Iterator[dict]:
+    """Yield record dicts from an UNCOMPRESSED WARC file with
+    one-record memory: records are length-prefixed by
+    ``Content-Length``, so a read-header / read-block loop over the
+    file handle never holds more than one (bomb-capped) block — a
+    50 GB uncompressed archive (legal per ISO 28500) streams instead
+    of OOMing the task. Records whose block exceeds ``max_block`` are
+    SKIPPED via ``seek`` (plain files are seekable — strictly better
+    than the gzip branch's drop-rest-of-file, which cannot resync
+    mid-member); malformed or truncated input ends the file quietly,
+    matching ``parse_warc_records``."""
+    with open(path, "rb") as f:
+        buf = b""
+        while True:
+            # accumulate until the header block (WARC/ line .. CRLFCRLF)
+            # is fully in buf, under a header-size cap
+            while True:
+                while buf.startswith(b"\r\n"):
+                    buf = buf[2:]
+                hdr_end = buf.find(b"\r\n\r\n")
+                if hdr_end >= 0:
+                    break
+                if len(buf) > _MAX_HEADER:
+                    return
+                data = f.read(chunk)
+                if not data:
+                    return  # EOF (clean or mid-header) — quiet stop
+                buf += data
+            if not buf.startswith(b"WARC/"):
+                return
+            headers = _parse_warc_headers(buf[:hdr_end])
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                return
+            if length < 0:
+                return
+            body = buf[hdr_end + 4 :]
+            buf = b""
+            if length > max_block:
+                # oversized block: skip it in place, keep the tail
+                if len(body) >= length:
+                    buf = body[length:]
+                else:
+                    try:
+                        f.seek(length - len(body), 1)
+                    except OSError:
+                        return
+                continue
+            while len(body) < length:
+                data = f.read(max(chunk, length - len(body)))
+                if not data:
+                    return  # truncated tail — quiet stop
+                body += data
+            yield _record_dict(headers, body[:length])
+            buf = body[length:]
 
 
 class WarcDataSource(DataSource):
@@ -202,30 +293,30 @@ class WarcReader(DataSourceReader):
         with open(path, "rb") as f:
             head = f.read(2)
         if head == b"\x1f\x8b":
-            runs: Iterator[bytes] = _gzip_members(path)
+            recs: Iterator[dict] = (
+                rec for run in _gzip_members(path) for rec in parse_warc_records(run)
+            )
         else:
-            with open(path, "rb") as f:
-                runs = iter([f.read()])
+            recs = stream_plain_records(path)
         want_payload = "payload" in self.fields
-        for run in runs:
-            for rec in parse_warc_records(run):
-                status, ctype, body = (
-                    split_http_response(rec["block"])
-                    if rec["record_type"] == "response"
-                    else (None, None, rec["block"])
-                )
-                row = {
-                    "record_type": rec["record_type"],
-                    "url": rec["url"],
-                    "date": rec["date"],
-                    "warc_content_type": rec["warc_content_type"],
-                    "http_status": status,
-                    "http_content_type": ctype,
-                    "payload": body if want_payload else None,
-                    "record_id": rec["record_id"],
-                    "file": path,
-                }
-                yield tuple(row[f] for f in self.fields)
+        for rec in recs:
+            status, ctype, body = (
+                split_http_response(rec["block"])
+                if rec["record_type"] == "response"
+                else (None, None, rec["block"])
+            )
+            row = {
+                "record_type": rec["record_type"],
+                "url": rec["url"],
+                "date": rec["date"],
+                "warc_content_type": rec["warc_content_type"],
+                "http_status": status,
+                "http_content_type": ctype,
+                "payload": body if want_payload else None,
+                "record_id": rec["record_id"],
+                "file": path,
+            }
+            yield tuple(row[f] for f in self.fields)
 
 
 def write_warc(path: str, records: list, gzip_members: bool = True) -> None:

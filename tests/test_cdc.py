@@ -164,3 +164,24 @@ def test_blob_chunk_pairs_plan_no_cartesian(spark, blob_df):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gear_table_pinned_independent_of_numpy_rng():
+    """The gear table must be a pinned spec function (blake2b per RFC
+    7693), NOT an RNG stream — NumPy does not guarantee Generator
+    bit-stream stability across releases, and a shifted table moves
+    every persisted chunk boundary."""
+    from fenix_spark.multimodal.cdc import _GEAR
+
+    assert _GEAR.shape == (256,) and _GEAR.dtype == np.uint64
+    # spot values recomputed independently from blake2b
+    for i in (0, 1, 255):
+        want = int.from_bytes(
+            hashlib.blake2b(bytes([i]), digest_size=8).digest(), "big"
+        )
+        assert int(_GEAR[i]) == want
+    # full-table content pin — fails loudly if anything perturbs it
+    assert (
+        hashlib.md5(_GEAR.astype(">u8").tobytes()).hexdigest()
+        == "01cbc645a3be881c37475d8503eca2fb"
+    )

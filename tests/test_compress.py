@@ -121,3 +121,39 @@ def test_trailing_garbage_after_final_member_tolerated():
     a = b"payload " * 50
     blob = gzip.compress(a) + b"\x00\x01junk-not-a-member"
     assert decompress_payload(blob) == a
+
+
+def test_truncated_stream_raises_not_partial():
+    """A truncated stream must FAIL, not return a silent prefix — a
+    partially decompressed document poisons dedup (module contract)."""
+    rng = np.random.default_rng(7)
+    payload = rng.integers(0, 256, 100_000, dtype=np.uint8).tobytes()
+    for codec, comp in [
+        ("gzip", gzip.compress),
+        ("zlib", zlib.compress),
+        ("bzip2", bz2.compress),
+        ("xz", lzma.compress),
+    ]:
+        blob = comp(payload)
+        cut = blob[: len(blob) // 2]
+        with pytest.raises((ValueError, Exception)):
+            out = decompress_payload(cut, codec)
+            # if no exception surfaced from the codec itself, the
+            # truncation guard must have raised — reaching here with a
+            # partial prefix is the bug
+            raise AssertionError(f"{codec}: returned {len(out)} partial bytes")
+
+
+def test_truncated_gzip_specifically_raises_truncation():
+    payload = np.random.default_rng(3).integers(0, 256, 100_000, dtype=np.uint8).tobytes()
+    blob = gzip.compress(payload)
+    with pytest.raises(ValueError, match="truncated"):
+        decompress_payload(blob[: len(blob) // 2], "gzip")
+
+
+def test_truncated_blobs_flagged_not_ok(spark):
+    payload = np.random.default_rng(5).integers(0, 256, 50_000, dtype=np.uint8).tobytes()
+    cut = gzip.compress(payload)[:100]
+    df = spark.createDataFrame([(1, bytearray(cut))], "media_id long, data binary")
+    row = decompress_blobs(df).collect()[0]
+    assert row["ok"] is False and row["data"] is None

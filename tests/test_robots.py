@@ -156,3 +156,60 @@ def test_robots_filter_plan_no_cartesian(spark):
     plan = robots_filter(urls, rules)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_agent_product_token_prefix_matching():
+    """RFC 9309: a group's User-agent value matches when it is a
+    case-insensitive PREFIX of the crawler's product token — substring
+    containment ("bot" matching anything containing "bot") selects
+    wrong groups and flips allow/disallow."""
+    body = (
+        "User-agent: bot\nDisallow: /bot-only/\n\n"
+        "User-agent: *\nDisallow: /star/\n"
+    )
+    # "bot" is NOT a prefix of "googlebot" — the * group applies
+    assert parse_robots(body, agent="googlebot") == [(False, "/star/")]
+    # but it IS a prefix of "bot-fancy/2.0"'s product token "bot-fancy"?
+    # no: "bot" is a prefix of "bot-fancy", so the named group applies
+    assert parse_robots(body, agent="BoT-Fancy/2.0".lower()) == [(False, "/bot-only/")]
+    # longer prefix wins over shorter
+    body2 = (
+        "User-agent: googlebot\nDisallow: /g/\n\n"
+        "User-agent: googlebot-news\nDisallow: /gn/\n\n"
+        "User-agent: *\nDisallow: /all/\n"
+    )
+    assert parse_robots(body2, agent="googlebot-news") == [(False, "/gn/")]
+    assert parse_robots(body2, agent="googlebot") == [(False, "/g/")]
+    assert parse_robots(body2, agent="otherbot") == [(False, "/all/")]
+
+
+def test_robots_filter_real_id_col_shuffled_upstream(spark):
+    """Winner grouping keyed on the caller's real id — deterministic
+    under task retry even when the upstream is a shuffle (MIDs are
+    only consistent within one plan; the fallback is documented)."""
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n")],
+        "host string, robots string",
+    )
+    rules = robots_rules(robots)
+    urls = spark.createDataFrame(
+        [(i, f"https://a.example/private/{'ok' if i % 2 else 'x'}{i}")
+         for i in range(64)],
+        "doc_id long, url string",
+    ).repartition(8, "url")  # shuffle upstream of the filter
+    out = robots_filter(urls, rules, id_col="doc_id").collect()
+    assert len(out) == 64
+    for r in out:
+        assert r["robots_allowed"] is (r["doc_id"] % 2 == 1)
+
+
+def test_robots_filter_plan_uses_aggregate_not_window(spark):
+    """The per-row winner is a max_by hash aggregate (map-side partial
+    agg), not a row_number window sort."""
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /x")], "host string, robots string"
+    )
+    rules = robots_rules(robots)
+    urls = spark.createDataFrame([(1, "https://a.example/x")], "doc_id long, url string")
+    plan = robots_filter(urls, rules, id_col="doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan

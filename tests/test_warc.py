@@ -5,6 +5,7 @@ unwrapping, truncation tolerance, and crawl-pipeline integration
 from __future__ import annotations
 
 import gzip
+import os
 
 import numpy as np
 import pytest
@@ -161,3 +162,100 @@ def test_adversarial_payloads_cannot_break_framing(tmp_path):
         assert got == [bytes(p) for p in payloads]
 
     run()
+
+
+def test_plain_streaming_bounded_memory(tmp_path):
+    """The uncompressed branch must stream with one-record memory —
+    the old whole-file read() OOMs on multi-GB plain WARCs (legal per
+    ISO 28500). Peak tracemalloc over a 40 MiB file of 1 MiB records
+    must stay near one record, nowhere near file size."""
+    import tracemalloc
+
+    from fenix_spark.sources.warc_source import stream_plain_records
+
+    path = str(tmp_path / "big.warc")
+    rec_payload = bytes(np.random.default_rng(0).integers(0, 256, 1 << 20, dtype=np.uint8))
+    write_warc(
+        path,
+        [{"type": "resource", "url": f"https://x/{i}", "payload": rec_payload}
+         for i in range(40)],
+        gzip_members=False,
+    )
+    assert os.path.getsize(path) > 40 << 20
+    tracemalloc.start()
+    n = 0
+    for rec in stream_plain_records(path):
+        assert len(rec["block"]) == len(rec_payload)
+        n += 1
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert n == 40
+    assert peak < 8 << 20, f"peak {peak} — not one-record memory"
+
+
+def test_plain_streaming_matches_whole_buffer_parse(tmp_path):
+    from fenix_spark.sources.warc_source import parse_warc_records, stream_plain_records
+
+    path = str(tmp_path / "p.warc")
+    write_warc(path, _records(), gzip_members=False)
+    with open(path, "rb") as f:
+        whole = list(parse_warc_records(f.read()))
+    streamed = list(stream_plain_records(path))
+    assert streamed == whole
+
+
+def test_plain_oversized_record_skipped_rest_parses(tmp_path):
+    """A block past max_block is skipped IN PLACE (plain files are
+    seekable) and later records still parse — better than the gzip
+    branch's drop-rest-of-file."""
+    from fenix_spark.sources.warc_source import stream_plain_records
+
+    path = str(tmp_path / "o.warc")
+    write_warc(
+        path,
+        [
+            {"type": "resource", "url": "https://x/small1", "payload": b"a" * 100},
+            {"type": "resource", "url": "https://x/huge", "payload": b"b" * 50_000},
+            {"type": "resource", "url": "https://x/small2", "payload": b"c" * 100},
+        ],
+        gzip_members=False,
+    )
+    got = [r["url"] for r in stream_plain_records(path, max_block=10_000)]
+    assert got == ["https://x/small1", "https://x/small2"]
+
+
+def test_plain_truncated_tail_quiet_stream(tmp_path):
+    from fenix_spark.sources.warc_source import stream_plain_records
+
+    path = str(tmp_path / "t.warc")
+    write_warc(
+        path,
+        [{"type": "resource", "url": "https://x/1", "payload": b"a" * 5000},
+         {"type": "resource", "url": "https://x/2", "payload": b"b" * 5000}],
+        gzip_members=False,
+    )
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[: len(data) - 3000])  # cut inside record 2
+    got = [r["url"] for r in stream_plain_records(path)]
+    assert got == ["https://x/1"]
+
+
+def test_gzip_bomb_member_allocation_bounded(tmp_path, monkeypatch):
+    """The gzip member cap must bound ALLOCATION (decompress gets a
+    max_length budget), not just detect the bomb after inflating it."""
+    import tracemalloc
+
+    from fenix_spark import sources as _s
+    from fenix_spark.sources import warc_source
+
+    path = str(tmp_path / "bomb.warc.gz")
+    bomb = gzip.compress(b"\x00" * (64 << 20))  # 64 MiB from ~64 KiB
+    with open(path, "wb") as f:
+        f.write(bomb)
+    monkeypatch.setattr(warc_source, "_MAX_MEMBER_OUT", 1 << 20)
+    tracemalloc.start()
+    members = list(warc_source._gzip_members(path))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert members == []  # bomb member dropped quietly
+    assert peak < 6 << 20, f"peak {peak} — budget not bounding allocation"
