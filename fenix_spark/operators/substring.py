@@ -11,7 +11,12 @@ Spark-first shape (the paper builds one giant suffix array — a global
 sort of the whole corpus; that is exactly the thing NOT to do on a
 1000-executor cluster):
 
-- Every document emits one row per ``min_tokens``-token window:
+- Phase 1 (candidate generation, the 100 TB lever): winnowed anchor
+  values (`winnow_candidate_ids`) find every document that can hold a
+  duplicate at ~2/(K+1) ≈ 13× fewer shuffle rows than one-per-token;
+  the per-position pipeline below then runs on those docs only, with
+  IDENTICAL output (the winnow guarantee is deterministic).
+- Every candidate document emits one row per ``min_tokens``-token window:
   ``(id, pos, xxhash64(window))``. The window hash is computed inside
   the scan (`transform` over `sequence`, `xxhash64` over an array
   slice) — no Python, no shuffle; rows carry ~24 bytes.
@@ -47,7 +52,12 @@ from pyspark.sql import functions as F
 
 from fenix_spark.operators.dedup import spread
 
-__all__ = ["token_windows", "duplicated_spans", "dedup_substrings"]
+__all__ = [
+    "token_windows",
+    "duplicated_spans",
+    "dedup_substrings",
+    "winnow_candidate_ids",
+]
 
 
 def _raw_tokens(text_col: str):
@@ -80,12 +90,90 @@ def token_windows(
     return base.select("id", F.posexplode(wh).alias("pos", "whash"))
 
 
+def winnow_candidate_ids(
+    df: DataFrame, text_col: str, id_col: str, min_tokens: int = 50
+) -> DataFrame:
+    """``(id)`` — every document that can possibly contain a duplicated
+    ``min_tokens``-token window, found WITHOUT shuffling one row per
+    token position. This is the candidate pre-filter that makes the
+    full pass scale: phase 2 (the per-position pipeline) only runs on
+    these docs, and its output over them is IDENTICAL to running it on
+    the whole corpus, because a window duplicated anywhere has every
+    one of its occurrences inside the candidate set.
+
+    Mechanism — winnowing (Schleimer et al., SIGMOD'03) over W-token
+    window hashes with selection window K, where ``W = L//2 + 1`` and
+    ``K = L - W + 1`` so the guarantee threshold ``W + K - 1 = L``:
+    every copy of a duplicated run of ≥ L tokens contains K
+    consecutive W-window positions whose windows all lie inside the
+    run, and the MINIMUM hash over them — a pure function of run
+    content, hence the same VALUE in every copy — is winnow-selected
+    in each copy. So any cross-document duplicate makes both documents
+    emit a shared anchor value, caught by one groupBy on the 8-byte
+    value. Within-document duplicates can collapse to a single
+    selected anchor under self-overlap (periodic text repeating at a
+    short period), so they are caught scan-locally instead: a doc
+    whose full L-window hash array has any repeated value is flagged
+    directly — no shuffle at all for that arm.
+
+    Scale shape: shuffled rows ≈ 2/(K+1) of token positions (the
+    expected winnow density; per-doc ``array_distinct`` prunes
+    further) — ~13× fewer than the full pass's one-row-per-position at
+    L = 50, and the rows carry only (id, value). False positives
+    (64-bit collisions, repeated W-grams inside no duplicated L-run)
+    only cost phase-2 work on extra docs; false negatives are
+    impossible — hash equality is implied by content equality and the
+    winnow guarantee is deterministic, not probabilistic."""
+    if min_tokens < 2:
+        raise ValueError(f"min_tokens must be ≥ 2, got {min_tokens}")
+    L = min_tokens
+    W = L // 2 + 1
+    K = L - W + 1
+    base = _tokenized(df, text_col, id_col).where(F.col("n") >= L)
+    lwh = F.transform(
+        F.sequence(F.lit(0), F.col("n") - L),
+        lambda i: F.xxhash64(F.slice("t", i + 1, L)),
+    )
+    wh = F.transform(
+        F.sequence(F.lit(0), F.col("n") - W),
+        lambda i: F.xxhash64(F.slice("t", i + 1, W)),
+    )
+    hashed = base.select(
+        "id",
+        (F.size(F.array_distinct(lwh)) < F.size(lwh)).alias("internal"),
+        wh.alias("__wh"),
+    )
+    anchors = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__wh") - K),
+            lambda q: F.array_min(F.slice("__wh", q + 1, K)),
+        )
+    )
+    per_doc = hashed.select("id", "internal", anchors.alias("anchors"))
+    # feeds three consumers (internal filter, anchor groupBy, anchor
+    # semi-join) — truncate lineage so the tokenize+hash scan runs once
+    per_doc = per_doc.localCheckpoint(eager=False)
+    internal_ids = per_doc.where("internal").select("id")
+    a = per_doc.select("id", F.explode("anchors").alias("ahash"))
+    # cross-doc anchor values via min/max id (partial-aggregable; a
+    # countDistinct would expand) — value seen in ≥2 docs ⇒ candidates
+    cross = (
+        a.groupBy("ahash")
+        .agg(F.min("id").alias("i0"), F.max("id").alias("i1"))
+        .where(F.col("i0") != F.col("i1"))
+        .select("ahash")
+    )
+    cross_ids = a.join(cross, "ahash", "left_semi").select("id")
+    return internal_ids.union(cross_ids).distinct()
+
+
 def duplicated_spans(
     df: DataFrame,
     text_col: str,
     id_col: str,
     min_tokens: int = 50,
     verify_exact: bool = True,
+    candidates: str = "winnow",
 ) -> DataFrame:
     """``(id, start, end)`` — merged token spans (0-based, end
     exclusive) of every NON-canonical occurrence of a duplicated
@@ -99,7 +187,19 @@ def duplicated_spans(
     one 64-bit group, a true duplicate pair hiding behind the foreign
     canonical is left in place (under-removal) — the pass never
     removes text that wasn't verifiably duplicated (no over-removal),
-    which is the failure direction that matters for training data."""
+    which is the failure direction that matters for training data.
+
+    ``candidates``: ``"winnow"`` (default) pre-filters to the docs
+    that can possibly hold a duplicate via ``winnow_candidate_ids`` —
+    output-identical (the guarantee is deterministic) with ~13× fewer
+    per-position shuffle rows at L = 50; ``"all"`` runs the
+    per-position pipeline on the whole corpus (the former shape, kept
+    for parity testing)."""
+    if candidates not in ("winnow", "all"):
+        raise ValueError(f"candidates must be 'winnow' or 'all', got {candidates!r}")
+    if candidates == "winnow":
+        cand = winnow_candidate_ids(df, text_col, id_col, min_tokens)
+        df = df.join(cand.select(F.col("id").alias(id_col)), id_col, "left_semi")
     L = min_tokens
     w = token_windows(df, text_col, id_col, min_tokens)
 
@@ -167,13 +267,17 @@ def dedup_substrings(
     id_col: str,
     min_tokens: int = 50,
     verify_exact: bool = True,
+    candidates: str = "winnow",
 ) -> DataFrame:
     """The full ExactSubstr pass: returns ``df``'s columns with
     ``text_col`` rewritten (duplicated spans excised, first occurrence
     kept) plus ``tokens_removed``. Only documents that actually contain
     a span are rewritten — everything else passes through untouched
-    (original whitespace intact)."""
-    spans = duplicated_spans(df, text_col, id_col, min_tokens, verify_exact)
+    (original whitespace intact). ``candidates`` as in
+    ``duplicated_spans`` (winnowed pre-filter by default)."""
+    spans = duplicated_spans(
+        df, text_col, id_col, min_tokens, verify_exact, candidates
+    )
     return _apply_spans(df, spans, text_col, id_col)
 
 

@@ -219,3 +219,121 @@ def test_incremental_no_false_marks_on_fresh_content(spark):
     assert all(r["tokens_removed"] == 0 for r in rows)
     src = {k: " ".join(v) for k, v in inc.items()}
     assert all(r["text"] == src[r["doc_id"]] for r in rows)
+
+
+# ---------------------------------------------------------------- winnow
+
+
+def test_winnow_parity_with_all_candidates(spark):
+    """candidates='winnow' must be OUTPUT-IDENTICAL to the brute
+    per-position pass — the winnow guarantee is deterministic, not
+    probabilistic."""
+    rng = np.random.default_rng(99)
+    docs = _random_docs(rng, n_docs=10)
+    boiler = [f"b{i}" for i in range(70)]
+    for did in ("d01", "d04", "d08"):
+        docs[did] = docs[did][:40] + boiler + docs[did][40:]
+    for L in (20, 50, 51):
+        got_w = _run(spark, docs, L, candidates="winnow")
+        got_a = _run(spark, docs, L, candidates="all")
+        assert got_w == got_a == brute(docs, L)
+
+
+def test_winnow_exact_threshold_run_detected(spark):
+    """A duplicated run of EXACTLY L tokens is the winnow guarantee's
+    boundary case (t = W + K - 1 = L): exactly one fully-contained
+    K-window exists in each copy — it must still anchor both docs."""
+    rng = np.random.default_rng(7)
+    for L in (20, 50, 51):
+        run = [f"r{i}" for i in range(L)]  # exactly L tokens
+        vocab = [f"u{i}" for i in range(500)]
+        mk = lambda: [vocab[i] for i in rng.integers(0, 500, 90)]
+        docs = {
+            "a": mk() + run + mk(),
+            "b": mk() + run + mk(),
+            "c": mk(),
+        }
+        assert _run(spark, docs, L, candidates="winnow") == brute(docs, L)
+        # and the candidate set contains both carriers
+        from fenix_spark.operators.substring import winnow_candidate_ids
+
+        cand = {
+            r["id"]
+            for r in winnow_candidate_ids(_df(spark, docs), "text", "doc_id", L).collect()
+        }
+        assert {"a", "b"} <= cand
+
+
+def test_winnow_periodic_self_overlap_within_doc(spark):
+    """Period-2 text duplicates itself at offset 2 — winnow anchors of
+    the two overlapping copies can collapse to ONE selected value, so
+    within-doc dups must be caught by the scan-local L-window-repeat
+    flag, not the anchor join."""
+    rng = np.random.default_rng(3)
+    vocab = [f"v{i}" for i in range(300)]
+    mk = lambda n: [vocab[i] for i in rng.integers(0, 300, n)]
+    L = 20
+    periodic = ["x", "y"] * 30  # tokens[p:p+L] == tokens[p+2:p+2+L]
+    docs = {
+        "p": mk(60) + periodic + mk(60),
+        "q": mk(100),
+    }
+    assert _run(spark, docs, L, candidates="winnow") == brute(docs, L)
+
+
+def test_winnow_candidates_sound_and_selective(spark):
+    """Soundness: every doc the brute pass touches is a candidate.
+    Selectivity: docs sharing nothing are (typically) not."""
+    from fenix_spark.operators.substring import winnow_candidate_ids
+
+    rng = np.random.default_rng(11)
+    docs = _random_docs(rng, n_docs=12, lo=150, hi=250)
+    boiler = [f"bb{i}" for i in range(50)]
+    dup_docs = ("d00", "d03", "d09")
+    for did in dup_docs:
+        docs[did] = docs[did][:20] + boiler + docs[did][20:]
+    L = 50
+    cand = {
+        r["id"]
+        for r in winnow_candidate_ids(_df(spark, docs), "text", "doc_id", L).collect()
+    }
+    assert set(dup_docs) <= cand
+    # the 9 clean 200-token random docs over a 200-word vocab share no
+    # 26-token gram; none should be flagged (no within-doc L-runs either
+    # at these lengths with this vocab — checked by brute)
+    b = brute(docs, L)
+    clean = {d for d in docs if b[d][1] == 0 and d not in dup_docs}
+    assert clean.isdisjoint(cand - set(dup_docs)) or len(cand) < len(docs)
+
+
+def test_winnow_anchor_density(spark):
+    """The shuffled-row reduction claim: winnow anchors ≈ 2/(K+1) of
+    token positions (±2×) — the SCALE.md ledger's basis."""
+    rng = np.random.default_rng(21)
+    vocab = [f"z{i}" for i in range(5000)]
+    toks = [vocab[i] for i in rng.integers(0, 5000, 20_000)]
+    docs = {"big": toks}
+    L = 50
+    W, K = L // 2 + 1, L - (L // 2 + 1) + 1
+    from fenix_spark.operators.substring import winnow_candidate_ids  # noqa: F401
+    from pyspark.sql import functions as SF
+
+    df = _df(spark, docs)
+    base = df.select(
+        SF.filter(SF.split("text", r"\s+"), lambda t: t != SF.lit("")).alias("t")
+    ).withColumn("n", SF.size("t"))
+    wh = SF.transform(
+        SF.sequence(SF.lit(0), SF.col("n") - W),
+        lambda i: SF.xxhash64(SF.slice("t", i + 1, W)),
+    )
+    anchors = SF.array_distinct(
+        SF.transform(
+            SF.sequence(SF.lit(0), SF.size("__wh") - K),
+            lambda q: SF.array_min(SF.slice("__wh", q + 1, K)),
+        )
+    )
+    n_anchors = (
+        base.select(wh.alias("__wh")).select(SF.size(anchors).alias("na")).collect()[0]["na"]
+    )
+    expected = 2 / (K + 1) * 20_000
+    assert expected / 2 < n_anchors < expected * 2, (n_anchors, expected)
