@@ -209,3 +209,26 @@ def test_substring_dedup_keyed_joins_no_cartesian(spark, q):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "mapInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_dsir_scores_broadcasts_ratio_table(spark, q):
+    """DSIR scoring: the B-row log-ratio table must broadcast (never
+    shuffle the corpus-sized gram stream against it), the per-doc sum
+    must partial-aggregate map-side, and no Python in the plan."""
+    df = q("dsir_scores")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert broadcast_join_count(df) >= 1
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "mapInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_paragraph_dedup_keyed_joins_no_cartesian(spark, q):
+    """CCNet paragraph dedup: canonical-owner decision joins on phash,
+    rebuild joins on id — all keyed; paragraph text must never cross a
+    cartesian, and the scan reads only (doc_id, text)."""
+    df = q("paragraph_dedup")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert_plan(df, scan_columns_subset_of={"doc_id", "text"})
