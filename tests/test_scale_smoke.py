@@ -293,3 +293,146 @@ def test_warc_crawl_tier_sf01(spark, tmp_path):
     assert agg["rows"] == total
     assert agg["biggest"] == n_seg * per_seg // 10  # the planted dup class
     assert raw.select("file").distinct().count() == n_seg  # one partition/file
+
+
+def test_crawl_recipe_ledger_sf01(spark, tmp_path):
+    """The full crawl-tier recipe at the sf0.1 corpus size — the REAL
+    5,000-document sf0.1 table shipped as member-per-record gzip WARC
+    (robots.txt responses included in-band), then
+    source → charset → html → robots → ExactSubstr → minhash →
+    curation stats, with a per-stage row/byte ledger printed at the
+    end (the SCALE.md crawl-ledger row's source — run with ``-s``).
+
+    Every stage's count is asserted against an independently computed
+    expectation where one exists (record totals, robots block set,
+    row conservation), not just "ran to completion"."""
+    from fenix_spark.functions.charset import payloads_to_text
+    from fenix_spark.functions.html import html_to_text
+    from fenix_spark.functions.robots import robots_filter, robots_rules
+    from fenix_spark.functions.textstats import quality_score
+    from fenix_spark.operators.dedup import minhash_neardup_pairs
+    from fenix_spark.operators.substring import dedup_substrings
+    from fenix_spark.sources.warc_source import register, write_warc
+
+    docs = [
+        (int(r["doc_id"]), r["text"])
+        for r in spark.read.parquet(f"{SF01}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    n_hosts, n_seg = 20, 8
+    # hosts h0/h1 block everything; h2 blocks /docs/3*; others allow
+    robots_bodies = {}
+    for h in range(n_hosts):
+        if h in (0, 1):
+            robots_bodies[h] = "User-agent: *\nDisallow: /\n"
+        elif h == 2:
+            robots_bodies[h] = "User-agent: *\nDisallow: /docs/3\n"
+        else:
+            robots_bodies[h] = "User-agent: *\nDisallow:\n"
+
+    def host(doc_id: int) -> int:
+        return doc_id % n_hosts
+
+    per_seg = (len(docs) + n_seg - 1) // n_seg
+    for seg in range(n_seg):
+        records = []
+        if seg == 0:  # robots.txt responses ride in the crawl itself
+            for h in range(n_hosts):
+                records.append(
+                    {"type": "response", "url": f"https://h{h}.example/robots.txt",
+                     "http": True, "payload": robots_bodies[h].encode(),
+                     "content_type": "text/plain"}
+                )
+        for doc_id, text in docs[seg * per_seg : (seg + 1) * per_seg]:
+            html = f"<html><body><p>{text}</p></body></html>".encode()
+            records.append(
+                {"type": "response",
+                 "url": f"https://h{host(doc_id)}.example/docs/{doc_id}",
+                 "http": True, "payload": html,
+                 "content_type": "text/html; charset=utf-8"}
+            )
+        write_warc(str(tmp_path / f"seg{seg}.warc.gz"), records)
+
+    ledger: list[tuple[str, int, int]] = []  # (stage, rows, bytes)
+
+    register(spark)
+    raw = spark.read.format("warc").load(str(tmp_path)).where(
+        F.col("http_status") == 200
+    ).localCheckpoint()  # one ingest; every later stage re-reads memory
+    r = raw.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("payload")).alias("b")
+    ).first()
+    assert r["n"] == len(docs) + n_hosts
+    ledger.append(("warc_records", r["n"], r["b"]))
+
+    # robots rules from the in-band robots.txt responses
+    rb = raw.where(F.col("url").endswith("/robots.txt")).select(
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.col("payload").cast("string").alias("robots"),
+    )
+    rules = robots_rules(rb, "host", "robots")
+    n_rules = rules.count()
+    assert n_rules == 3  # h0 '/', h1 '/', h2 '/docs/3' (empty Disallow = no rule)
+    ledger.append(("robots_rules", n_rules, 0))
+
+    # charset → html text
+    pages = payloads_to_text(
+        raw.where(~F.col("url").endswith("/robots.txt"))
+    ).select(F.col("id").alias("url"), html_to_text(F.col("text")).alias("text"))
+    t = pages.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("b")
+    ).first()
+    assert t["n"] == len(docs)
+    ledger.append(("html_text", t["n"], t["b"]))
+
+    # robots filter (id-keyed winner — the retry-safe path)
+    with_host = pages.withColumn("host", F.parse_url("url", F.lit("HOST")))
+    allowed = robots_filter(with_host, rules, "url", id_col="url").where(
+        "robots_allowed"
+    ).select("url", "text")
+    expected_allowed = sum(
+        1 for doc_id, _ in docs
+        if host(doc_id) not in (0, 1)
+        and not (host(doc_id) == 2 and str(doc_id).startswith("3"))
+    )
+    a = allowed.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("b")
+    ).first()
+    assert a["n"] == expected_allowed
+    ledger.append(("robots_allowed", a["n"], a["b"]))
+
+    # ExactSubstr dedup (winnowed candidates — the 100 TB shape)
+    deduped = dedup_substrings(allowed, "text", "url", min_tokens=20)
+    d = deduped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).alias("b"),
+        F.sum("tokens_removed").alias("removed"),
+        F.sum((F.col("tokens_removed") > 0).cast("long")).alias("touched"),
+    ).first()
+    assert d["n"] == expected_allowed  # row conservation
+    assert d["removed"] >= 0 and d["b"] <= a["b"]
+    ledger.append(("exactsubstr_text", d["n"], d["b"]))
+    ledger.append(("exactsubstr_touched_docs", d["touched"], d["removed"]))
+
+    # minhash near-dup pairs over the cleaned corpus
+    pairs = minhash_neardup_pairs(
+        deduped, "text", "url", threshold=0.8, shingle=3, max_group=64
+    )
+    n_pairs = pairs.count()
+    ledger.append(("minhash_pairs", n_pairs, 0))
+
+    # curation stats over the survivors
+    stats = deduped.select(quality_score(F.col("text")).alias("q")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+        F.sum((F.col("q") >= 0.5).cast("long")).alias("above_half"),
+    ).first()
+    assert stats["n_docs"] == expected_allowed
+    ledger.append(("curation_docs", stats["n_docs"], 0))
+
+    print("\nCRAWL LEDGER sf0.1:")
+    for stage, rows, size in ledger:
+        print(f"  {stage:28s} rows={rows:>8,}  bytes={size if size else 0:>12,}")
+    print(f"  minhash_pairs={n_pairs}  avg_quality={stats['avg_quality']}"
+          f"  above_half={stats['above_half']}")
