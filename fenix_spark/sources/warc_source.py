@@ -319,12 +319,18 @@ class WarcReader(DataSourceReader):
             yield tuple(row[f] for f in self.fields)
 
 
-def write_warc(path: str, records: list, gzip_members: bool = True) -> None:
+def write_warc(path: str, records: list, gzip_members: bool = True) -> list[dict]:
     """Write records (dicts with ``type``, optional ``url``,
     ``payload`` bytes, optional ``http`` flag + ``content_type`` /
     ``status``) in real WARC/1.0 layout — one gzip member per record
-    when ``gzip_members`` (the spec-recommended compressed form)."""
+    when ``gzip_members`` (the spec-recommended compressed form).
+
+    Returns the archive's byte-range index — one ``{url, record_type,
+    offset, length}`` per record (the member's compressed range under
+    ``gzip_members``, the record's plain range otherwise) — ready for
+    ``sources.cdx.write_cdxj`` / ``read_warc_members``."""
     out = io.BytesIO()
+    index: list[dict] = []
     for i, r in enumerate(records):
         payload = bytes(r.get("payload", b""))
         if r.get("http", False):
@@ -349,12 +355,18 @@ def write_warc(path: str, records: list, gzip_members: bool = True) -> None:
         )
         hdrs.append(f"Content-Length: {len(payload)}".encode())
         rec = b"\r\n".join(hdrs) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        start = out.tell()
         if gzip_members:
             out.write(gzip.compress(rec))
         else:
             out.write(rec)
+        index.append(
+            {"url": r.get("url"), "record_type": r.get("type", "response"),
+             "offset": start, "length": out.tell() - start}
+        )
     with open(path, "wb") as f:
         f.write(out.getvalue())
+    return index
 
 
 def register(spark) -> None:
