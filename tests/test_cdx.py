@@ -257,3 +257,73 @@ def test_index_warc_files_distributed(spark, tmp_path):
     # and the distributed index drives the range fetch end to end
     fetched = read_warc_members(out).collect()
     assert len(fetched) == 15 and all(r["fetch_ok"] for r in fetched)
+
+
+# ------------------------------------------------------------- fuzz
+
+
+def test_index_warc_fuzz_never_raises(tmp_path):
+    """Adversarial archives: random bytes, gzip-magic-grafted bytes,
+    truncations and single-byte mutations of a real archive — the
+    walker must terminate quietly, and every entry it DOES return must
+    byte-range-fetch back to a parseable record (the index is only
+    useful if its offsets are real)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fenix_spark.sources.cdx import _fetch_one
+
+    real_path = str(tmp_path / "real.warc.gz")
+    real_idx = write_warc(real_path, _mk_records(6))
+    real = open(real_path, "rb").read()
+    fuzz_path = str(tmp_path / "fuzz.bin")
+
+    @settings(max_examples=120, deadline=4000)
+    @given(
+        mode=st.sampled_from(["random", "magic", "truncate", "mutate"]),
+        blob=st.binary(max_size=2048),
+        cut=st.integers(0, 10_000),
+        flip=st.integers(0, 1 << 20),
+    )
+    def run(mode, blob, cut, flip):
+        if mode == "random":
+            data = blob
+        elif mode == "magic":
+            data = b"\x1f\x8b" + blob
+        elif mode == "truncate":
+            data = real[: cut % (len(real) + 1)]
+        else:
+            pos = flip % len(real)
+            data = real[:pos] + bytes([real[pos] ^ 0x41]) + real[pos + 1 :]
+        with open(fuzz_path, "wb") as f:
+            f.write(data)
+        entries = index_warc(fuzz_path)
+        with open(fuzz_path, "rb") as f:
+            for e in entries:
+                rec = _fetch_one(f, e["offset"], e["length"])
+                assert rec is not None  # a returned entry is a real record
+
+    run()
+    # sanity: the clean archive still indexes completely
+    assert len(index_warc(real_path)) == len(real_idx)
+
+
+def test_parse_cdxj_fuzz_never_raises(spark):
+    """Random CDX-J-shaped text through the native parser: no crashes
+    under ANSI, and parse_ok=true rows always carry usable ranges."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    lines = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=120))
+    def collect(s):
+        lines.append(s.replace("\n", " "))
+
+    collect()
+    df = spark.createDataFrame([(l,) for l in lines if l], "line string")
+    out = parse_cdxj(df).collect()
+    for r in out:
+        if r["parse_ok"]:
+            assert r["filename"] and r["offset"] >= 0 and r["length"] > 0

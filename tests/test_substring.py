@@ -337,3 +337,57 @@ def test_winnow_anchor_density(spark):
     )
     expected = 2 / (K + 1) * 20_000
     assert expected / 2 < n_anchors < expected * 2, (n_anchors, expected)
+
+
+def test_winnow_soundness_hypothesis(spark):
+    """The property that makes winnow parity DETERMINISTIC, under
+    hypothesis-generated corpora with planted duplications: every doc
+    holding ANY occurrence of a duplicated L-window (canonical owners
+    included — phase 2 needs their tokens) must be in the candidate
+    set. Plants cover cross-doc runs, within-doc runs (periodic
+    self-overlap included via tiny alphabets), and lengths straddling
+    the L threshold."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fenix_spark.operators.substring import winnow_candidate_ids
+
+    L = 12
+
+    def dup_docs(docs: dict[str, list[str]]) -> set[str]:
+        occ: dict[tuple, set] = defaultdict(set)
+        for did, toks in docs.items():
+            for p in range(len(toks) - L + 1):
+                occ[tuple(toks[p : p + L])].add((did, p))
+        return {d for s in occ.values() if len(s) > 1 for d, _ in s}
+
+    tok = st.sampled_from([f"t{i}" for i in range(40)])
+    doc = st.lists(tok, min_size=15, max_size=60)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        base=st.lists(doc, min_size=3, max_size=5),
+        run=st.lists(tok, min_size=L - 4, max_size=L + 8),
+        carriers=st.tuples(st.integers(0, 4), st.integers(0, 4)),
+        offs=st.tuples(st.integers(0, 50), st.integers(0, 50)),
+        tiny=st.booleans(),
+    )
+    def run_case(base, run, carriers, offs, tiny):
+        docs = {f"d{j}": list(t) for j, t in enumerate(base)}
+        keys = sorted(docs)
+        if tiny:  # periodic text: self-overlapping within-doc copies
+            run = (["x", "y", "z"] * ((len(run) // 3) + 1))[: len(run)]
+        for c, off in zip(carriers, offs):
+            did = keys[c % len(keys)]
+            pos = off % (len(docs[did]) + 1)
+            docs[did] = docs[did][:pos] + list(run) + docs[did][pos:]
+        need = dup_docs(docs)
+        got = {
+            r["id"]
+            for r in winnow_candidate_ids(
+                _df(spark, docs), "text", "doc_id", L
+            ).collect()
+        }
+        assert need <= got, (sorted(need - got), docs)
+
+    run_case()
