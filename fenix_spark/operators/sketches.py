@@ -501,3 +501,196 @@ def bloom_contains_expr(
         return out
 
     return let(F.lit(words), body)
+
+
+# ----------------------------------------------------------------- KLL
+
+_KLL_MIN_CAP = 8
+_KLL_DECAY = 2.0 / 3.0
+
+
+def _kll_caps(k: int, n_levels: int) -> list[int]:
+    """Per-level capacities: the top level holds k items, lower levels
+    decay by 2/3 (Karnin-Lang-Liberty 2016), floored at 8."""
+    import math
+
+    return [
+        max(_KLL_MIN_CAP, int(math.ceil(k * _KLL_DECAY ** (n_levels - 1 - i))))
+        for i in range(n_levels)
+    ]
+
+
+def _kll_compress(levels: list, k: int, ncomp: int) -> tuple[list, int]:
+    """Compact any over-capacity level: sort, promote every other item
+    (alternating offset — deterministic for a given input sequence,
+    no RNG) to the next level where each item's weight doubles. An odd
+    leftover stays at its level, so TOTAL WEIGHT IS CONSERVED EXACTLY
+    (sum of weights == number of values fed, pinned in tests)."""
+    import numpy as np
+
+    while True:
+        caps = _kll_caps(k, len(levels))
+        for i in range(len(levels)):
+            if len(levels[i]) > caps[i]:
+                srt = np.sort(levels[i])
+                if len(srt) % 2 == 1:
+                    hold, srt = srt[-1:], srt[:-1]
+                else:
+                    hold = srt[:0]
+                promoted = srt[ncomp % 2 :: 2]
+                ncomp += 1
+                levels[i] = hold
+                if i + 1 == len(levels):
+                    levels.append(np.empty(0, dtype=np.float64))
+                levels[i + 1] = np.concatenate([levels[i + 1], promoted])
+                break
+        else:
+            return levels, ncomp
+
+
+def _kll_rows(levels: list) -> list[tuple[float, int]]:
+    return [
+        (float(v), 1 << lvl) for lvl, arr in enumerate(levels) for v in arr
+    ]
+
+
+def _kll_from_weighted(values, weights, k: int) -> list[tuple[float, int]]:
+    """Values + power-of-two weights (fresh data comes in at weight 1,
+    sketch rows at their level weight) → compacted sketch rows. The
+    shared core of build and merge; vectorized — one boolean-mask
+    split per level, never a per-item append."""
+    import numpy as np
+
+    values = np.asarray(values, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.int64)
+    if len(values) == 0:
+        return []
+    lvls = np.log2(weights.astype(np.float64)).astype(np.int64)
+    levels = [values[lvls == lvl] for lvl in range(int(lvls.max()) + 1)]
+    levels, _ = _kll_compress(levels, k, 0)
+    return _kll_rows(levels)
+
+
+def kll_rollup(
+    df: DataFrame, keys: Sequence[str], value_col: str, k: int = 200
+) -> DataFrame:
+    """Mergeable KLL quantile sketch per group: (keys..., item,
+    weight) rows, ~k·log(n/k) rows per group regardless of n. This is
+    the persistable form Spark's own ``approx_percentile`` lacks (its
+    aggregation state dies with the query): write the rollup at the
+    finest grain once, answer every coarser quantile forever via
+    ``kll_merge`` + ``kll_quantiles`` without re-reading the fact
+    table.
+
+    Two phases, both bounded: per-PARTITION sketches built in one
+    Arrow pass (raw values never shuffle — only sketch rows, the
+    sketch-family contract), then one per-group merge+recompact.
+    Rank-error ≈ O(1/k)·√log(n/k); k=200 lands near 1% (measured
+    bound pinned in tests at generous slack). NULL values are
+    excluded, like percentile aggregates. Compaction coins alternate
+    deterministically (no RNG): a retried task re-feeding the same
+    partition rebuilds the identical partial."""
+    import pandas as pd
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
+    out_schema = (key_schema + ", " if key_schema else "") + "item double, weight long"
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            frames = []
+            for kv, g in (
+                pdf.groupby(list(keys), dropna=False, sort=False)
+                if keys
+                else [((), pdf)]
+            ):
+                vals = g["__v"].dropna().to_numpy(dtype=np.float64)
+                if len(vals) == 0:
+                    continue
+                rows = _kll_from_weighted(
+                    vals, np.ones(len(vals), dtype=np.int64), k
+                )
+                f = pd.DataFrame(rows, columns=["item", "weight"])
+                if keys:
+                    kv = kv if isinstance(kv, tuple) else (kv,)
+                    for name, val in zip(keys, kv):
+                        f[name] = val
+                frames.append(f[[*keys, "item", "weight"]])
+            yield (
+                pd.concat(frames)
+                if frames
+                else pd.DataFrame(columns=[*keys, "item", "weight"])
+            )
+
+    partials = df.select(
+        *keys, F.col(value_col).cast("double").alias("__v")
+    ).mapInPandas(build, out_schema)
+    return _kll_regroup(partials, keys, k, out_schema)
+
+
+def _kll_regroup(rows: DataFrame, keys: Sequence[str], k: int, schema: str) -> DataFrame:
+    import pandas as pd
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        rows_ = _kll_from_weighted(
+            pdf["item"].to_numpy(), pdf["weight"].to_numpy(), k
+        )
+        out = pd.DataFrame(rows_, columns=["item", "weight"])
+        for name in keys:
+            out[name] = pdf[name].iloc[0]
+        return out[[*keys, "item", "weight"]]
+
+    if keys:
+        return rows.groupBy(*keys).applyInPandas(merge, schema)
+    return rows.groupBy().applyInPandas(merge, schema)
+
+
+def kll_merge(
+    rollup: DataFrame, keys: Sequence[str], k: int = 200
+) -> DataFrame:
+    """Merge sketch rows up to a coarser grain (``keys`` ⊂ the
+    rollup's keys; empty for a grand total): union the rows, recompact
+    once per group. Weights stay exact powers of two and total weight
+    is conserved, so merged quantiles carry the same rank-error class
+    as a direct build."""
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in rollup.select(*keys).schema.fields
+    )
+    schema = (key_schema + ", " if key_schema else "") + "item double, weight long"
+    return _kll_regroup(rollup.select(*keys, "item", "weight"), keys, k, schema)
+
+
+def kll_quantiles(
+    rollup: DataFrame, keys: Sequence[str], qs: Sequence[float]
+) -> DataFrame:
+    """(keys..., q, value) — the lower weighted quantile (smallest
+    item whose cumulative weight ≥ q·total) straight from sketch rows,
+    ENTIRELY NATIVE: one cumulative-sum window per group + a groupBy.
+    q=0/q=1 return the smallest/largest RETAINED item — within rank ε
+    of the true extremes but not exact (compaction may drop them; KLL
+    implementations that promise exact min/max track them outside the
+    compactors — here that is one F.min/F.max agg at build time if a
+    caller needs it). No Python touches the query path — sketches are
+    built once, interrogated cheaply. With empty ``keys`` the window
+    is global and single-partitions its input — fine here, because
+    the input is SKETCH ROWS (~k·log(n/k) per group), never data."""
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("item").asc(), F.col("weight").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*keys)
+    t = rollup.withColumn("__cum", F.sum("weight").over(wcum)).withColumn(
+        "__tot", F.sum("weight").over(wall)
+    )
+    t = t.withColumn(
+        "q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+    ).where(F.col("__cum") >= F.col("q") * F.col("__tot"))
+    return t.groupBy(*keys, "q").agg(F.min("item").alias("value"))

@@ -419,3 +419,111 @@ def test_bloom_to_words_raises_on_m_bits_mismatch(spark):
     sketch = bloom_build(df, "v", m_bits=1 << 16, k=3)
     with _pytest.raises(ValueError, match="different m_bits"):
         bloom_to_words(sketch, m_bits=1 << 10)  # smaller than build
+
+
+# ----------------------------------------------------------------- KLL
+
+
+def _rank_err(vals_sorted, v, q):
+    import numpy as np
+
+    rank = np.searchsorted(vals_sorted, v, side="right") / len(vals_sorted)
+    return abs(rank - q)
+
+
+def test_kll_rank_error_and_weight_conservation(spark):
+    """k=200 must land every decile within 3% rank error on 50k skewed
+    values (theory says ~1%; slack for the deterministic coin), and the
+    sketch's total weight must equal n EXACTLY (odd leftovers stay at
+    their level — compaction never loses mass)."""
+    import numpy as np
+
+    from fenix_spark.operators.sketches import kll_quantiles, kll_rollup
+
+    rng = np.random.default_rng(5)
+    vals = np.concatenate(
+        [rng.lognormal(0.0, 1.5, 40_000), rng.uniform(-50, -1, 10_000)]
+    )
+    df = spark.createDataFrame(
+        [(float(v),) for v in vals], "v double"
+    ).repartition(16)
+    sk = kll_rollup(df, [], "v", k=200).localCheckpoint()
+    assert sk.agg(F.sum("weight")).first()[0] == len(vals)
+    assert sk.count() < 3_000  # bounded summary, not the data
+    qs = [i / 10 for i in range(1, 10)]
+    got = {r["q"]: r["value"] for r in kll_quantiles(sk, [], qs).collect()}
+    srt = np.sort(vals)
+    for q in qs:
+        assert _rank_err(srt, got[q], q) <= 0.03, (q, got[q])
+
+
+def test_kll_grouped_rollup_and_merge(spark):
+    """Per-group sketches at the fine grain; merging to the coarse
+    grain must agree with a direct coarse build within the error class
+    — the persist-once-query-forever contract."""
+    import numpy as np
+
+    from fenix_spark.operators.sketches import (
+        kll_merge,
+        kll_quantiles,
+        kll_rollup,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for day in range(4):
+        for src in ("a", "b"):
+            base = 10.0 * day + (0.0 if src == "a" else 100.0)
+            rows += [
+                (day, src, float(base + v)) for v in rng.normal(0, 3, 5_000)
+            ]
+    df = spark.createDataFrame(rows, "day int, src string, v double").repartition(16)
+    fine = kll_rollup(df, ["day", "src"], "v", k=160).localCheckpoint()
+    assert fine.select("day", "src").distinct().count() == 8
+    # per-group weight conservation
+    w = {(r["day"], r["src"]): r["s"] for r in
+         fine.groupBy("day", "src").agg(F.sum("weight").alias("s")).collect()}
+    assert all(v == 5_000 for v in w.values())
+
+    coarse = kll_merge(fine, ["src"], k=160)
+    got = {
+        (r["src"], r["q"]): r["value"]
+        for r in kll_quantiles(coarse, ["src"], [0.25, 0.5, 0.75]).collect()
+    }
+    by_src = {"a": [], "b": []}
+    for day, src, v in rows:
+        by_src[src].append(v)
+    for src in ("a", "b"):
+        srt = np.sort(by_src[src])
+        for q in (0.25, 0.5, 0.75):
+            assert _rank_err(srt, got[(src, q)], q) <= 0.04, (src, q)
+
+
+def test_kll_extremes_and_partition_invariance(spark):
+    """q=0/q=1 return the held extremes — within rank ε of the true
+    min/max (the documented contract: compaction may drop the exact
+    extremes); repartitioning shifts quantiles only within the error
+    class; nulls are excluded like percentile aggregates."""
+    import numpy as np
+
+    from fenix_spark.operators.sketches import kll_quantiles, kll_rollup
+
+    vals = [float(v) for v in range(1000)]
+    rows = [(v,) for v in vals] + [(None,)] * 50
+    med = {}
+    for parts in (2, 13):
+        df = spark.createDataFrame(rows, "v double").repartition(parts)
+        sk = kll_rollup(df, [], "v", k=128).localCheckpoint()
+        assert sk.agg(F.sum("weight")).first()[0] == 1000  # nulls out
+        got = {
+            r["q"]: r["value"]
+            for r in kll_quantiles(sk, [], [0.0, 0.5, 1.0]).collect()
+        }
+        assert _rank_err(np.sort(np.array(vals)), got[0.0], 0.0) <= 0.04
+        assert got[1.0] == max(vals) or (
+            _rank_err(np.sort(np.array(vals)), got[1.0], 1.0) <= 0.04
+        )
+        med[parts] = got[0.5]
+    srt = np.sort(np.array(vals))
+    for parts, m in med.items():
+        assert _rank_err(srt, m, 0.5) <= 0.04
