@@ -177,6 +177,13 @@ def compact_state(spark: SparkSession, state_root: str) -> int:
         folded = parts.groupBy("r", "b").agg(F.sum("c").alias("c"))
     elif {"word", "bits"} <= set(cols):
         folded = parts.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    elif {"item", "weight"} <= set(cols):
+        from fenix_spark.operators.sketches import kll_merge
+
+        # KLL fold: recompact at the rollup's full grain. The crash
+        # window (write-then-delete) leaves extra partials → a merge
+        # would double-weight; like CMS, run in the maintenance lane.
+        folded = kll_merge(parts, [c for c in cols if c not in ("item", "weight")])
     else:
         group = [c for c in cols if c != "hll"]
         folded = parts.groupBy(*group).agg(F.hll_union_agg("hll").alias("hll"))
@@ -185,3 +192,39 @@ def compact_state(spark: SparkSession, state_root: str) -> int:
     for p in inputs:
         delete_path(spark, p)
     return new_id
+
+
+def stream_kll(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    state_root: str,
+    k: int = 200,
+):
+    """foreachBatch writer for streaming quantile sketches: each
+    micro-batch's per-group KLL partial (sketch rows, ~k·log(n/k) per
+    group) lands under ``batch_id=N``. Same idempotence story — a
+    retried batch overwrites only its own partial; read-time merge is
+    KLL's native merge, so at-least-once delivery never double-counts
+    a committed batch."""
+    from fenix_spark.operators.sketches import kll_rollup
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        part = kll_rollup(batch_df, list(keys), value_col, k)
+        part.write.mode("overwrite").parquet(f"{state_root}/batch_id={batch_id}")
+
+    return stream_df.writeStream.foreachBatch(process)
+
+
+def read_kll(
+    spark: SparkSession, state_root: str, keys: Sequence[str], k: int = 200
+) -> DataFrame:
+    """Merge every landed batch partial to the requested grain
+    (``keys`` ⊆ the rollup keys; empty → grand total) — feed the
+    result to ``sketches.kll_quantiles``."""
+    from fenix_spark.operators.sketches import kll_merge
+
+    paths = _partial_paths(spark, state_root)
+    if not paths:
+        raise FileNotFoundError(f"no sketch state under {state_root}")
+    return kll_merge(spark.read.parquet(*paths), list(keys), k)

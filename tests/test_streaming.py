@@ -719,3 +719,86 @@ def test_stream_substring_dedup_equals_batch(spark, tmp_path):
     # the scenario bites: later copies of the boilerplate were excised
     assert got["b00"][1] >= 60 and got["c01"][1] >= 60
     assert got["a00"][1] == 0  # canonical copy kept
+
+
+def test_stream_kll_matches_batch_within_error_and_compacts(spark, events_prepared, tmp_path):
+    """Streaming KLL partials merged at read time land every quartile
+    within the error class of a direct batch build (KLL merge is not
+    linear like CMS — equality is rank-error-bounded, asserted against
+    the EXACT batch quantiles); compaction folds into the compact=
+    namespace with quantiles preserved exactly (same rows)."""
+    import os
+
+    from fenix_spark.operators.sketches import kll_quantiles
+    from fenix_spark.streaming.sketches import compact_state, read_kll, stream_kll
+
+    src, batch_df = events_prepared
+    state = str(tmp_path / "kll_state")
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_kll(stream, ["event_type"], "value", state, k=160)
+        .option("checkpointLocation", str(tmp_path / "ck_kll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = read_kll(spark, state, ["event_type"], k=160).localCheckpoint()
+    # weight conservation across the whole stream
+    got_w = {
+        r["event_type"]: r["s"]
+        for r in merged.groupBy("event_type").agg(F.sum("weight").alias("s")).collect()
+    }
+    want_w = {
+        r["event_type"]: r["n"]
+        for r in batch_df.where(F.col("value").isNotNull())
+        .groupBy("event_type").agg(F.count("value").alias("n")).collect()
+    }
+    assert got_w == want_w
+
+    qs = [0.25, 0.5, 0.75]
+    got = {
+        (r["event_type"], r["q"]): r["value"]
+        for r in kll_quantiles(merged, ["event_type"], qs).collect()
+    }
+    exact = {
+        et: sorted(
+            r["value"]
+            for r in batch_df.where(
+                (F.col("event_type") == et) & F.col("value").isNotNull()
+            ).select("value").collect()
+        )
+        for et in want_w
+    }
+    import numpy as np
+
+    for (et, qq), v in got.items():
+        srt = np.array(exact[et], dtype=float)
+        rank = np.searchsorted(srt, v, side="right") / len(srt)
+        assert abs(rank - qq) <= 0.05, (et, qq, v, rank)
+
+    before = {
+        (r["event_type"], r["item"], r["weight"]) for r in merged.collect()
+    }
+    new_id = compact_state(spark, state)
+    assert [d for d in os.listdir(state) if d.startswith("batch_id=")] == []
+    assert f"compact={new_id}" in os.listdir(state)
+    after_rows = read_kll(spark, state, ["event_type"], k=160)
+    # the fold is itself one more KLL merge — weights still conserve
+    got_w2 = {
+        r["event_type"]: r["s"]
+        for r in after_rows.groupBy("event_type").agg(F.sum("weight").alias("s")).collect()
+    }
+    assert got_w2 == want_w
+    got2 = {
+        (r["event_type"], r["q"]): r["value"]
+        for r in kll_quantiles(after_rows, ["event_type"], qs).collect()
+    }
+    for (et, qq), v in got2.items():
+        srt = np.array(exact[et], dtype=float)
+        rank = np.searchsorted(srt, v, side="right") / len(srt)
+        assert abs(rank - qq) <= 0.05, ("post-compact", et, qq, v, rank)
