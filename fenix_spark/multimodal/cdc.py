@@ -37,7 +37,18 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cdc_chunk_spans", "blob_chunks", "chunk_dedup_stats", "blob_chunk_pairs"]
+__all__ = [
+    "CDC_FORMAT_VERSION",
+    "cdc_chunk_spans",
+    "blob_chunks",
+    "chunk_dedup_stats",
+    "blob_chunk_pairs",
+]
+
+# bump whenever chunk boundaries move for the same input bytes (gear
+# table, window, or cut-rule changes); store it beside persisted chunk
+# state and refuse to merge across versions (see the gear-table note).
+CDC_FORMAT_VERSION = 2
 
 # deterministic gear table: 256 uint64s derived from blake2b(i) — any
 # fixed uniform table works, but it must NOT come from an RNG stream
@@ -45,6 +56,14 @@ __all__ = ["cdc_chunk_spans", "blob_chunks", "chunk_dedup_stats", "blob_chunk_pa
 # releases, and a shifted table silently moves every persisted chunk
 # boundary). blake2b is a pinned spec (RFC 7693): the table is
 # byte-identical on every numpy/python/engine combination.
+#
+# CHUNKING FORMAT VERSION 2 (the blake2b table). Version 1 (NumPy
+# PCG64 table, pre-2026-08) produced DIFFERENT chunk boundaries:
+# chunk hashes / dedup state / rollups persisted under v1 will not
+# match v2 chunkings of the same bytes — the dedup hit rate collapses
+# silently, with no error. Any persisted chunk state must be rebuilt
+# when crossing this bump; compare CDC_FORMAT_VERSION stored with the
+# state against the current constant to detect the mismatch loudly.
 _GEAR = np.frombuffer(
     b"".join(
         hashlib.blake2b(bytes([i]), digest_size=8).digest() for i in range(256)

@@ -13,8 +13,11 @@ sort of the whole corpus; that is exactly the thing NOT to do on a
 
 - Phase 1 (candidate generation, the 100 TB lever): winnowed anchor
   values (`winnow_candidate_ids`) find every document that can hold a
-  duplicate at ~2/(K+1) ≈ 13× fewer shuffle rows than one-per-token;
-  the per-position pipeline below then runs on those docs only, with
+  duplicate with 3.4× (L=20) to 4.9× (L=50) fewer shuffle rows than
+  one-per-token MEASURED at sf0.1 (SCALE.md); the asymptotic
+  anchor-arm density is 2/(K+1) ≈ 13× at L=50 on low-duplication
+  corpora, where phase 2's candidate set stays small. The
+  per-position pipeline below then runs on those docs only, with
   IDENTICAL output (the winnow guarantee is deterministic).
 - Every candidate document emits one row per ``min_tokens``-token window:
   ``(id, pos, xxhash64(window))``. The window hash is computed inside
@@ -116,10 +119,11 @@ def winnow_candidate_ids(
     whose full L-window hash array has any repeated value is flagged
     directly — no shuffle at all for that arm.
 
-    Scale shape: shuffled rows ≈ 2/(K+1) of token positions (the
-    expected winnow density; per-doc ``array_distinct`` prunes
-    further) — ~13× fewer than the full pass's one-row-per-position at
-    L = 50, and the rows carry only (id, value). False positives
+    Scale shape: measured at sf0.1, 3.4× (L=20) to 4.9× (L=50) fewer
+    shuffle rows than the full pass's one-row-per-position (SCALE.md
+    has the row counts); the asymptotic anchor density is 2/(K+1) —
+    ~13× at L=50, approached on low-duplication corpora where few
+    docs reach phase 2 — and the rows carry only (id, value). False positives
     (64-bit collisions, repeated W-grams inside no duplicated L-run)
     only cost phase-2 work on extra docs; false negatives are
     impossible — hash equality is implied by content equality and the
@@ -191,8 +195,9 @@ def duplicated_spans(
 
     ``candidates``: ``"winnow"`` (default) pre-filters to the docs
     that can possibly hold a duplicate via ``winnow_candidate_ids`` —
-    output-identical (the guarantee is deterministic) with ~13× fewer
-    per-position shuffle rows at L = 50; ``"all"`` runs the
+    output-identical (the guarantee is deterministic) with 3.4–4.9×
+    fewer per-position shuffle rows measured at sf0.1 (2/(K+1) ≈ 13×
+    asymptotically at L = 50); ``"all"`` runs the
     per-position pipeline on the whole corpus (the former shape, kept
     for parity testing)."""
     if candidates not in ("winnow", "all"):

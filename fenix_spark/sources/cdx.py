@@ -86,7 +86,14 @@ def surt_key(url: str) -> str | None:
         parts = urlsplit(url.strip())
     except ValueError:
         return None
-    host = (parts.hostname or "").lower().rstrip(".")
+    raw_host = (parts.hostname or "").lower()
+    # empty labels ('example.com..', 'a..b.com') are invalid hostnames
+    # (RFC 1034) and the native twin's JVM URL parser rejects them —
+    # mirror that here so both paths key identically; a single
+    # trailing root dot is valid and stripped.
+    if ".." in raw_host:
+        return None
+    host = raw_host.rstrip(".")
     if not host:
         return None
     if host.startswith("www."):
@@ -113,7 +120,7 @@ def surt_key_expr(url: Column) -> Column:
     # parse_url raises on the first malformed one; null is the contract
     purl = getattr(F, "try_parse_url", F.parse_url)
     host = F.lower(purl(url, F.lit("HOST")))
-    host = F.regexp_replace(host, r"\.$", "")
+    host = F.regexp_replace(host, r"\.+$", "")
     host = F.regexp_replace(host, r"^www\.", "")
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
     # numeric-canonical port (':00080' == ':80' == default, dropped;

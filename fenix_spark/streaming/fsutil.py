@@ -44,6 +44,39 @@ def delete_path(spark: SparkSession, path: str) -> bool:
     return bool(fs.delete(p, True))
 
 
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Overwrite ``path`` with ``text`` (UTF-8) through the Hadoop FS
+    API — used for tiny state sidecars (e.g. the KLL ``k``), so they
+    live next to the partials on whatever filesystem holds them."""
+    fs, p = _fs(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str | None:
+    """Contents of ``path`` as UTF-8 text, or None if absent."""
+    fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return None
+    jvm = spark._jvm
+    stream = fs.open(p)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        lines = []
+        line = reader.readLine()
+        while line is not None:
+            lines.append(line)
+            line = reader.readLine()
+        return "\n".join(lines)
+    finally:
+        stream.close()
+
+
 def complete_partial_ids(spark: SparkSession, root: str, prefix: str) -> list[int]:
     """Ids of COMPLETE ``{prefix}=N`` partial dirs under ``root`` —
     completeness is the _SUCCESS marker, so a crash mid-write (or a

@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fenix_spark.operators.sketches import cms_build, hll_merge, hll_rollup
-from fenix_spark.streaming.fsutil import complete_partial_ids, delete_path
+from fenix_spark.streaming.fsutil import (
+    complete_partial_ids,
+    delete_path,
+    read_text,
+    write_text,
+)
 
 
 def _partial_paths(spark: SparkSession, root: str) -> list[str]:
@@ -183,7 +188,14 @@ def compact_state(spark: SparkSession, state_root: str) -> int:
         # KLL fold: recompact at the rollup's full grain. The crash
         # window (write-then-delete) leaves extra partials → a merge
         # would double-weight; like CMS, run in the maintenance lane.
-        folded = kll_merge(parts, [c for c in cols if c not in ("item", "weight")])
+        # k comes from the _kll_k sidecar stream_kll wrote: folding a
+        # k=500 stream at the default 200 would irreversibly coarsen
+        # its rank resolution.
+        folded = kll_merge(
+            parts,
+            [c for c in cols if c not in ("item", "weight")],
+            k=_kll_state_k(spark, state_root),
+        )
     else:
         group = [c for c in cols if c != "hll"]
         folded = parts.groupBy(*group).agg(F.hll_union_agg("hll").alias("hll"))
@@ -206,8 +218,24 @@ def stream_kll(
     group) lands under ``batch_id=N``. Same idempotence story — a
     retried batch overwrites only its own partial; read-time merge is
     KLL's native merge, so at-least-once delivery never double-counts
-    a committed batch."""
+    a committed batch.
+
+    ``k`` is persisted in a ``_kll_k`` sidecar next to the partials so
+    maintenance (``compact_state``) and reads recompact at the
+    stream's OWN resolution — a k=500 stream folded at the default
+    k=200 would be silently and irreversibly coarsened. Re-attaching
+    with a different k than the sidecar raises (mixed-k partials
+    would make the merge bound the MIN k, not the requested one)."""
     from fenix_spark.operators.sketches import kll_rollup
+
+    spark = stream_df.sparkSession
+    existing = read_text(spark, f"{state_root}/_kll_k")
+    if existing is not None and int(existing.strip()) != k:
+        raise ValueError(
+            f"state at {state_root} was built with k={existing.strip()}; "
+            f"re-attach with that k (got k={k}) or use a fresh state_root"
+        )
+    write_text(spark, f"{state_root}/_kll_k", str(k))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         part = kll_rollup(batch_df, list(keys), value_col, k)
@@ -216,15 +244,25 @@ def stream_kll(
     return stream_df.writeStream.foreachBatch(process)
 
 
+def _kll_state_k(spark: SparkSession, state_root: str, default: int = 200) -> int:
+    """The k a KLL state was built with (``_kll_k`` sidecar), falling
+    back to the build default for pre-sidecar state dirs."""
+    text = read_text(spark, f"{state_root}/_kll_k")
+    return int(text.strip()) if text else default
+
+
 def read_kll(
-    spark: SparkSession, state_root: str, keys: Sequence[str], k: int = 200
+    spark: SparkSession, state_root: str, keys: Sequence[str], k: int | None = None
 ) -> DataFrame:
     """Merge every landed batch partial to the requested grain
     (``keys`` ⊆ the rollup keys; empty → grand total) — feed the
-    result to ``sketches.kll_quantiles``."""
+    result to ``sketches.kll_quantiles``. ``k`` defaults to the value
+    the stream was built with (``_kll_k`` sidecar)."""
     from fenix_spark.operators.sketches import kll_merge
 
     paths = _partial_paths(spark, state_root)
     if not paths:
         raise FileNotFoundError(f"no sketch state under {state_root}")
+    if k is None:
+        k = _kll_state_k(spark, state_root)
     return kll_merge(spark.read.parquet(*paths), list(keys), k)

@@ -6,6 +6,8 @@ the DuckDB oracle can't express (SURVEY.md §2.9 extension).
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -802,3 +804,66 @@ def test_stream_kll_matches_batch_within_error_and_compacts(spark, events_prepar
         srt = np.array(exact[et], dtype=float)
         rank = np.searchsorted(srt, v, side="right") / len(srt)
         assert abs(rank - qq) <= 0.05, ("post-compact", et, qq, v, rank)
+
+    # the _kll_k sidecar pinned the stream's resolution: maintenance
+    # folded at k=160 (not the 200 default — a k>200 stream would
+    # otherwise be irreversibly coarsened), an argless read resolves
+    # the same k, and re-attaching at a different k refuses loudly.
+    assert (tmp_path / "kll_state" / "_kll_k").read_text().strip() == "160"
+    argless = {
+        (r["event_type"], r["item"], r["weight"])
+        for r in read_kll(spark, state, ["event_type"]).collect()
+    }
+    explicit = {
+        (r["event_type"], r["item"], r["weight"])
+        for r in read_kll(spark, state, ["event_type"], k=160).collect()
+    }
+    assert argless == explicit
+    with pytest.raises(ValueError, match="k=160"):
+        stream_kll(stream, ["event_type"], "value", state, k=200)
+
+
+def test_stream_kll_high_k_survives_compaction(spark, events_prepared, tmp_path):
+    """The ADVICE r7 defect, pinned: a k=500 stream compacted by the
+    maintenance lane keeps k=500 resolution — compact_state reads the
+    sidecar instead of recompacting at the 200 default. Proof is
+    structural: a k=500 recompaction of ~n distinct values retains far
+    more sketch rows than a k=200 one would (the k=200 fold of the
+    same partials is built for comparison)."""
+    from fenix_spark.operators.sketches import kll_merge
+    from fenix_spark.streaming.sketches import compact_state, read_kll, stream_kll
+
+    src, batch_df = events_prepared
+    state = str(tmp_path / "kll500")
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_kll(stream, ["event_type"], "value", state, k=500)
+        .option("checkpointLocation", str(tmp_path / "ck500"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    partials = spark.read.parquet(
+        *[f"{state}/{d}" for d in os.listdir(state) if d.startswith("batch_id=")]
+    ).localCheckpoint()
+    coarse_rows = kll_merge(partials, ["event_type"], k=200).count()
+
+    compact_state(spark, state)
+    folded = read_kll(spark, state, ["event_type"])
+    # weights conserved AND resolution kept: strictly more retained
+    # rows than the k=200 fold of the identical partials
+    assert folded.count() > coarse_rows
+    want_w = {
+        r["event_type"]: r["n"]
+        for r in batch_df.where(F.col("value").isNotNull())
+        .groupBy("event_type").agg(F.count("value").alias("n")).collect()
+    }
+    got_w = {
+        r["event_type"]: r["s"]
+        for r in folded.groupBy("event_type").agg(F.sum("weight").alias("s")).collect()
+    }
+    assert got_w == want_w
