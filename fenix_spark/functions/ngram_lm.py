@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fenix_spark.functions.texthash import let, tokens
+from fenix_spark.checkpoint import checkpoint_lazy as _ckpt_lazy
 
 
 @dataclass(frozen=True)
@@ -83,7 +84,7 @@ def train_bigram_lm(
     are the only corpus-sized shuffles; both frames are lazily
     reusable DataFrames (persist or write them for reuse across
     scoring runs)."""
-    pairs = doc_token_pairs(df, text_col, id_col).localCheckpoint(eager=False)
+    pairs = doc_token_pairs(df, text_col, id_col).transform(_ckpt_lazy)
     unigrams = (
         pairs.groupBy(F.col("w1"))
         .agg(F.count(F.lit(1)).alias("c1"))

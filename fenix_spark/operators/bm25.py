@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fenix_spark.functions.texthash import tokens
+from fenix_spark.checkpoint import checkpoint_lazy as _ckpt_lazy
 
 
 @dataclass(frozen=True)
@@ -65,7 +66,7 @@ def build_bm25_index(df: DataFrame, text_col: str, id_col: str) -> BM25Index:
     raw = build_postings(df, text_col, id_col)
     postings = raw.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt_lazy)
     doc_freq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.count()
     total_len = (

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from fenix_spark.checkpoint import checkpoint_lazy as _ckpt_lazy
 
 
 def connected_components(
@@ -45,13 +46,13 @@ def connected_components(
         .union(pairs.select(F.col(right).alias("src"), F.col(left).alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_ckpt_lazy)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=False)
+        .transform(_ckpt_lazy)
     )
     prev_sum = labels.agg(F.sum("component")).head()[0]
     for _ in range(max_iter):
@@ -68,7 +69,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
         cur_sum = labels.agg(F.sum("component")).head()[0]
         if cur_sum == prev_sum:  # labels only decrease → fixpoint

@@ -36,6 +36,7 @@ from fenix_spark.operators.dedup import (
     jaccard,
     lsh_candidates,
 )
+from fenix_spark.checkpoint import checkpoint_lazy as _ckpt_lazy
 
 
 def mine_contrastive_pairs(
@@ -71,7 +72,7 @@ def mine_contrastive_pairs(
         "id",
         "s",
         minhash_signature_hashed(F.col("s"), num_components).alias("sig"),
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt_lazy)
     cand = lsh_candidates(signed, bands, num_components // bands)
     l = signed.select(F.col("id").alias("id_l"), F.col("s").alias("s_a"))
     r = signed.select(F.col("id").alias("id_r"), F.col("s").alias("s_b"))

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from fenix_spark.functions.textstats import lang_id, quality_score, ws_token_count
 from fenix_spark.functions.texthash import hash60
 from fenix_spark.operators.dedup import normalized_text
+from fenix_spark.checkpoint import checkpoint_lazy as _ckpt_lazy
 
 
 def datacard(
@@ -37,7 +38,7 @@ def datacard(
         quality_score(t).alias("quality"),
         hash60(normalized_text(t)).alias("content_hash"),
         lang_id(t).alias("lang"),
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt_lazy)
 
     row = src.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -40,6 +40,7 @@ from fenix_spark.functions.texthash import (
     tokens,
     word_shingles,
 )
+from fenix_spark.checkpoint import checkpoint_lazy as _ckpt_lazy
 
 
 def spread(df: DataFrame) -> DataFrame:
@@ -247,7 +248,7 @@ def minhash_neardup_pairs(
     # explicit materialization the tokenize+hash+groupBy subtree is
     # recomputed per consumer. localCheckpoint truncates the lineage:
     # one computation, executor-local storage, GC'd with the reference.
-    groups = groups.localCheckpoint(eager=False)
+    groups = groups.transform(_ckpt_lazy)
     reps = groups.select(F.element_at("ids", 1).alias("id"), "s")
     signed = reps.select(
         "id",
@@ -380,8 +381,8 @@ def incremental_neardup_pairs(
     new_sets, new_bands = minhash_state(
         new_docs, text_col, id_col, shingle, num_components, bands
     )
-    new_sets = new_sets.localCheckpoint(eager=False)
-    new_bands = new_bands.localCheckpoint(eager=False)
+    new_sets = new_sets.transform(_ckpt_lazy)
+    new_bands = new_bands.transform(_ckpt_lazy)
     return incremental_pairs_from_state(
         new_sets, new_bands, corpus_sets, corpus_bands, threshold
     )
@@ -471,7 +472,7 @@ def simhash_neardup_pairs(
     # materialization Spark recomputes the tokenize+hash chain twice
     # (VERDICT r01 perf item 3). The checkpointed RDD is executor-local
     # and GC'd with the DataFrame reference.
-    fps = simhash_fingerprints(df, text_col, id_col).localCheckpoint(eager=False)
+    fps = simhash_fingerprints(df, text_col, id_col).transform(_ckpt_lazy)
     band_rows = fps.select(
         "id",
         "sim",
@@ -542,8 +543,8 @@ def dedup_eval(
             F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
         ).distinct()
 
-    p = canon(predicted, pred_cols).localCheckpoint(eager=False)
-    t = canon(truth, truth_cols).localCheckpoint(eager=False)
+    p = canon(predicted, pred_cols).transform(_ckpt_lazy)
+    t = canon(truth, truth_cols).transform(_ckpt_lazy)
     n_pred = p.count()
     n_truth = t.count()
     tp = p.join(t, ["a", "b"], "left_semi").count()

@@ -43,6 +43,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fenix_spark.functions.texthash import hash60, let, tokens
+from fenix_spark.checkpoint import checkpoint_lazy as _ckpt_lazy
 
 DEFAULT_BUCKETS = 10_000
 # 2^60: hash60's range, the divisor that maps it onto (0, 1).
@@ -137,10 +138,10 @@ def fit_importance_model(
     spark = target_df.sparkSession
     tc = _bucket_counts(
         doc_gram_buckets(target_df, text_col, id_col, buckets, max_ngram)
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt_lazy)
     rc = _bucket_counts(
         doc_gram_buckets(raw_df, text_col, id_col, buckets, max_ngram)
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt_lazy)
     n_t = tc.agg(F.sum("c")).first()[0] or 0
     n_r = rc.agg(F.sum("c")).first()[0] or 0
     dom = spark.range(buckets).select(F.col("id").alias("b"))

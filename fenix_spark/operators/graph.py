@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from fenix_spark.checkpoint import checkpoint_lazy as _ckpt_lazy
 
 
 def pagerank(
@@ -46,13 +47,13 @@ def pagerank(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_ckpt_lazy)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_ckpt_lazy)
     )
     n = nodes.count()
     if n == 0:
@@ -62,7 +63,7 @@ def pagerank(
     # (node, deg) with deg null for dangling nodes — one static frame
     nd = nodes.join(out_deg, nodes["node"] == out_deg["src"], "left").select(
         "node", "deg"
-    ).localCheckpoint(eager=False)
+    ).transform(_ckpt_lazy)
 
     if max_iter < 1:
         raise ValueError(f"max_iter must be ≥ 1 (got {max_iter})")
@@ -72,9 +73,7 @@ def pagerank(
         # localCheckpoint: the dangling aggregate AND the contribs plan
         # both consume this join — without materialization each round
         # pays the ranks⋈deg shuffle twice
-        with_deg = ranks.join(nd.select("node", "deg"), "node").localCheckpoint(
-            eager=False
-        )
+        with_deg = ranks.join(nd.select("node", "deg"), "node").transform(_ckpt_lazy)
         dangling = (
             with_deg.where(F.col("deg").isNull()).agg(F.sum("rank")).head()[0]
             or 0.0
@@ -94,7 +93,7 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
         delta = (
             new_ranks.join(ranks.withColumnRenamed("rank", "prev"), "node")

@@ -37,6 +37,7 @@ from fenix_spark.functions.metrics import dot, norm, query_literal, vec_double
 from fenix_spark.operators.coder import coding_to_numpy
 from fenix_spark.operators.components import connected_components
 from fenix_spark.operators.index import assign_code_expr
+from fenix_spark.checkpoint import checkpoint_lazy as _ckpt_lazy
 
 
 def _unit(vec: Column) -> Column:
@@ -105,9 +106,7 @@ def semantic_dedup_pairs(
     similarity ≥ ``threshold`` (id_l < id_r; cos_sim rounded to 6dp and
     the threshold applied to the ROUNDED value, matching the repo-wide
     oracle-stable acceptance rule)."""
-    asg = cluster_assignments(df, vec_col, id_col, coding).localCheckpoint(
-        eager=False
-    )
+    asg = cluster_assignments(df, vec_col, id_col, coding).transform(_ckpt_lazy)
     return _pairs_from_assignments(asg, threshold)
 
 
@@ -142,9 +141,7 @@ def semantic_dedup(
     keep-hard policy), ties broken by lowest id. Exactly-one-survivor
     per group and survivor-choice determinism are pinned by tests.
     """
-    asg = cluster_assignments(df, vec_col, id_col, coding).localCheckpoint(
-        eager=False
-    )
+    asg = cluster_assignments(df, vec_col, id_col, coding).transform(_ckpt_lazy)
     pairs = _pairs_from_assignments(asg, threshold)
     comp = connected_components(pairs, "id_l", "id_r")
 

@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fenix_spark.operators.dedup import spread
+from fenix_spark.checkpoint import checkpoint_lazy as _ckpt_lazy
 
 __all__ = [
     "token_windows",
@@ -156,7 +157,7 @@ def winnow_candidate_ids(
     per_doc = hashed.select("id", "internal", anchors.alias("anchors"))
     # feeds three consumers (internal filter, anchor groupBy, anchor
     # semi-join) — truncate lineage so the tokenize+hash scan runs once
-    per_doc = per_doc.localCheckpoint(eager=False)
+    per_doc = per_doc.transform(_ckpt_lazy)
     internal_ids = per_doc.where("internal").select("id")
     a = per_doc.select("id", F.explode("anchors").alias("ahash"))
     # cross-doc anchor values via min/max id (partial-aggregable; a

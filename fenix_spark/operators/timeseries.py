@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from fenix_spark.checkpoint import checkpoint_lazy as _ckpt_lazy
 
 
 def bucketize(
@@ -79,7 +80,7 @@ def gapfill(
         .agg(agg_fn(F.col(value_col)).alias("value"))
         # three consumers (extent probe, grid, dense join): materialize
         # the aggregation once instead of re-scanning the source
-        .localCheckpoint(eager=False)
+        .transform(_ckpt_lazy)
     )
 
     extent = sparse.groupBy("key").agg(

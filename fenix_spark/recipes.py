@@ -33,6 +33,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from fenix_spark.checkpoint import checkpoint_lazy as _ckpt_lazy
 
 Stage = tuple[str, Callable[[DataFrame], DataFrame]]
 
@@ -62,7 +63,7 @@ def run_pipeline(
         return cur, reports
     n_in = cur.count()
     for name, fn in stages:
-        cur = fn(cur).localCheckpoint(eager=False)
+        cur = fn(cur).transform(_ckpt_lazy)
         n_out = cur.count()
         reports.append(StageReport(name, n_in, n_out))
         n_in = n_out

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from fenix_spark.functions.texthash import hash60, simhash, tokens
 from fenix_spark.operators.dedup import normalized_text
+from fenix_spark.checkpoint import checkpoint_eager as _ckpt_eager
 
 
 def stream_exact_dedup(
@@ -128,8 +129,8 @@ def stream_incremental_neardup(
         new_sets, new_bands = minhash_state(
             batch_df, text_col, id_col, shingle, num_components, bands
         )
-        new_sets = new_sets.localCheckpoint(eager=True)
-        new_bands = new_bands.localCheckpoint(eager=True)
+        new_sets = new_sets.transform(_ckpt_eager)
+        new_bands = new_bands.transform(_ckpt_eager)
         # Hadoop-FS listing (fsutil): state_root may be HDFS/S3A
         prior = [
             int(d.split("=", 1)[1])
@@ -207,7 +208,7 @@ def stream_substring_dedup(
             ).select("h1", "h2")
         else:
             corpus_state = spark.createDataFrame([], "h1 bigint, h2 bigint")
-        batch_df = batch_df.localCheckpoint(eager=True)
+        batch_df = batch_df.transform(_ckpt_eager)
         out = incremental_dedup_substrings(
             batch_df, corpus_state, text_col, id_col, min_tokens, verify_exact
         )

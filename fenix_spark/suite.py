@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fenix_spark.functions.metrics import distance, query_literal, vec_double
+from fenix_spark.checkpoint import checkpoint_eager as _ckpt_eager
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -1344,7 +1345,7 @@ def _stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = latest.select(
         "window_ms", "event_type", F.col("last.n_events").alias("n_events"),
         F.col("last.sum_value").alias("sum_value"),
-    ).localCheckpoint()  # materialize before the tmp sink dir is removed
+    ).transform(_ckpt_eager)  # materialize before the tmp sink dir is removed
     shutil.rmtree(sink_dir, ignore_errors=True)
     return result
 
