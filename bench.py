@@ -137,22 +137,35 @@ def _child_main() -> None:
     # triggers for queries a noise spike actually hit.
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
+    load_1m: dict[str, list[float]] = {}
+    ts_start = time.strftime("%Y-%m-%dT%H:%M:%S%z")
+    loadavg_start = [round(v, 2) for v in os.getloadavg()]
     for name in BENCH_QUERIES:
         runs = []
+        loads = []
         for _ in range(2):
             start = time.perf_counter()
             SPARK_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - start)
+            loads.append(os.getloadavg()[0])
         if abs(runs[0] - runs[1]) > 0.3 * min(runs):
             start = time.perf_counter()
             SPARK_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - start)
+            loads.append(os.getloadavg()[0])
         timings[name] = round(min(runs), 3)
         raw_runs[name] = [round(r, 3) for r in runs]
+        load_1m[name] = [round(v, 2) for v in loads]
 
     # raw_runs: EVERY timed run, not just the min — lets a reader
     # distinguish ambient-load noise (runs disagree, min is fine)
     # from a real regression (all runs slow) without rerunning.
+    # load_1m: the 1-minute loadavg sampled right after each run, plus
+    # the start/end stamps below, make ambient machine load MEASURABLE
+    # in the record instead of inferred (the bench's own 32 threads
+    # contribute; the signal is load far above that, or a start load
+    # that hasn't drained). On this 32-cpu box the bench itself settles
+    # near its concurrency; a loaded box shows 2-3x that.
     print(
         json.dumps(
             {
@@ -161,6 +174,10 @@ def _child_main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "raw_runs": raw_runs,
+                "load_1m": load_1m,
+                "ts_start": ts_start,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": [round(v, 2) for v in os.getloadavg()],
                 "sf": sf,
             }
         )

@@ -888,6 +888,41 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles end-to-end (operators/sketches.py):
+    equi-width exact-mergeable rollup (one partial-agg groupBy on ≤
+    bins keys per group) → native cum-sum window over ≤ bins rows per
+    group → first bin reaching q·N. The summary is persistable and
+    merge = plain sum, which `percentile` can't give at 100 TB (its
+    state dies with the query); the layout is engine-portable so the
+    DuckDB mirror reproduces it bit-for-bit. Bin values are exact
+    multiples of the width — no float rounding needed."""
+    from fenix_spark.operators.sketches import hist_quantiles, hist_rollup
+
+    ev = events_table(spark, sf_dir).select("event_type", "value")
+    lo, hi, bins = 0.0, 1000.0, 200
+    roll = hist_rollup(ev, ["event_type"], "value", lo, hi, bins)
+    return hist_quantiles(
+        roll, ["event_type"], [0.25, 0.5, 0.9, 0.99], lo, hi, bins
+    )
+
+
+_HIST_QUANTILES_SQL = """
+WITH ev AS (SELECT event_type, value::DOUBLE AS v FROM events WHERE value IS NOT NULL),
+b AS (SELECT event_type, least(199, greatest(0, floor(v / 5.0)::INT)) AS bin,
+             count(*) AS c
+      FROM ev GROUP BY 1, 2),
+cum AS (SELECT event_type, bin,
+               sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM b),
+qs(q) AS (VALUES (0.25::DOUBLE), (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)),
+hit AS (SELECT event_type, q, min(bin) AS bin
+        FROM cum, qs WHERE cum >= q * n GROUP BY event_type, q)
+SELECT event_type, q, (bin + 1)::DOUBLE * 5.0 AS value FROM hit
+"""
+
+
 def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All §2.7 set operations in one tagged result. 'vstack' rows =
     P6 union-all / multi-source load (ref: src/fenix/io/table/
@@ -2116,6 +2151,48 @@ GROUP BY grain, bucket_ms, event_type
 """
 
 
+def _gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-grid gap fill (operators/timeseries.py — TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf``): per-event-type hourly sums on
+    the DENSE bucket grid, missing buckets materialized (filled=true)
+    and values carried forward. Scale shape: sparse agg is one
+    partial-agg groupBy; the grid explode emits only bucket rows
+    (bounded by max_buckets_per_key, checked); the fill is one per-key
+    window over grid-sized — not data-sized — rows. Sum rounded at
+    4 dp AFTER the locf so both engines round the same carried
+    value."""
+    from fenix_spark.operators.timeseries import gapfill
+
+    ev = events_table(spark, sf_dir).select("event_type", "ts_ms", "value")
+    dense = gapfill(
+        ev, "event_type", "ts_ms", "value", 3_600_000, agg="sum", fill="locf"
+    )
+    return dense.select(
+        "key", "bucket_ms", F.round("value", 4).alias("value"), "filled"
+    )
+
+
+_GAPFILL_SQL = """
+WITH e AS (SELECT event_type AS key,
+                  (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms, value
+           FROM events),
+sparse AS (SELECT key, bucket_ms, sum(value) AS value
+           FROM e GROUP BY key, bucket_ms),
+extent AS (SELECT key, min(bucket_ms) AS lo, max(bucket_ms) AS hi
+           FROM sparse GROUP BY key),
+grid AS (SELECT key, unnest(range(lo, hi + 3600000, 3600000)) AS bucket_ms
+         FROM extent),
+dense AS (SELECT g.key, g.bucket_ms, s.value, s.value IS NULL AS filled
+          FROM grid g LEFT JOIN sparse s USING (key, bucket_ms))
+SELECT key, bucket_ms,
+       round(last_value(value IGNORE NULLS) OVER
+                 (PARTITION BY key ORDER BY bucket_ms
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value,
+       filled
+FROM dense
+"""
+
+
 def _duck_bucket(id_expr: str, salt: str = "") -> str:
     from fenix_spark.functions.texthash import duck_hash60
 
@@ -2847,9 +2924,16 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops": _set_ops,
     "rollup_agg": _rollup_agg,
     "percentile_stats": _percentile_stats,
-    "pivot_status_priority": _pivot_status_priority,
+    # (pivot_status_priority retired for hist_quantiles under the
+    #  50-row cap, r8 — pivot = groupBy + CASE arms, arithmetic
+    #  covered by rollup_agg; the sketch family gains its first oracle
+    #  row: the full hist_rollup → cum-sum → quantile pipeline.)
+    "hist_quantiles": _hist_quantiles,
     "argmax_per_group": _argmax_per_group,
-    "moving_avg": _moving_avg,
+    # (moving_avg retired for gapfill_timeseries, r8 — its sliding
+    #  ROWS frame stays covered by time_rollup's buckets + sessionize's
+    #  ordered windows; gapfill is a whole operator family (dense-grid
+    #  materialization + locf) that deserved an oracle row.)
     "group_topn": _group_topn,
     # (distinct_users retired for substring_dedup under the 50-row
     #  cap, r6 — its two-phase exact-distinct pattern stays covered by
@@ -2868,6 +2952,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_events": _range_join_events,
     "funnel_conversion": _funnel_conversion,
     "time_rollup": _time_rollup,
+    "gapfill_timeseries": _gapfill_timeseries,
     "stream_window_counts": _stream_window_counts,
 }
 
@@ -2909,9 +2994,8 @@ ORACLE_SQL: dict[str, str] = {
     "set_ops": _SET_OPS_SQL,
     "rollup_agg": _ROLLUP_AGG_SQL,
     "percentile_stats": _PERCENTILE_STATS_SQL,
-    "pivot_status_priority": _PIVOT_SQL,
+    "hist_quantiles": _HIST_QUANTILES_SQL,
     "argmax_per_group": _ARGMAX_PER_GROUP_SQL,
-    "moving_avg": _MOVING_AVG_SQL,
     "group_topn": _GROUP_TOPN_SQL,
     "substring_dedup": _SUBSTRING_DEDUP_SQL,
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
@@ -2925,5 +3009,6 @@ ORACLE_SQL: dict[str, str] = {
     "range_join_events": _RANGE_JOIN_SQL,
     "funnel_conversion": _FUNNEL_SQL,
     "time_rollup": _TIME_ROLLUP_SQL,
+    "gapfill_timeseries": _GAPFILL_SQL,
     "stream_window_counts": _STREAM_WINDOW_SQL,
 }

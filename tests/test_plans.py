@@ -232,3 +232,31 @@ def test_paragraph_dedup_keyed_joins_no_cartesian(spark, q):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert_plan(df, scan_columns_subset_of={"doc_id", "text"})
+
+
+def test_hist_quantiles_summary_sized_native(spark, q):
+    """Histogram-sketch quantiles: ONE data-sized shuffle (the
+    partial-agg rollup groupBy — everything after it operates on ≤
+    bins rows per group), no Python anywhere, and the scan reads only
+    (event_type, value, …ts for the table's encoding detection)."""
+    df = q("hist_quantiles")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # rollup partial+final agg pair present; every join/window after
+    # it is summary-sized (bins rows/group), never a cartesian
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "mapInPandas" not in plan and "MapInPandas" not in plan
+    assert_plan(df, scan_columns_subset_of={"event_type", "value", "ts"})
+
+
+def test_gapfill_keyed_join_grid_sized_windows(spark, q):
+    """Gap fill: sparse agg partial-aggregates; the dense join is
+    keyed (key, bucket_ms) — never nested-loop; the locf window runs
+    over grid-sized rows. Scan reads only (event_type, ts, value)."""
+    df = q("gapfill_timeseries")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "mapInPandas" not in plan and "MapInPandas" not in plan
+    assert_plan(df, scan_columns_subset_of={"event_type", "ts", "value"})
