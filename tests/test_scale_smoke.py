@@ -460,3 +460,106 @@ def test_winnow_parity_at_sf01(spark, docs01):
     }
     assert got_w == got_a
     assert sum(1 for v in got_w.values() if v[0] > 0) > 0  # real dups exist
+
+
+@pytest.fixture(scope="module")
+def warc_archive01(spark, tmp_path_factory):
+    """The sf0.1 documents shipped as 8 member-per-record gzip WARC
+    segments — the corpus for the CDX random-access ledger."""
+    from fenix_spark.sources.warc_source import write_warc
+
+    root = tmp_path_factory.mktemp("warc01")
+    docs = [
+        (int(r["doc_id"]), r["text"])
+        for r in spark.read.parquet(f"{SF01}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    n_seg = 8
+    per_seg = (len(docs) + n_seg - 1) // n_seg
+    paths = []
+    for seg in range(n_seg):
+        records = [
+            {
+                "type": "response",
+                "url": f"https://h{doc_id % 20}.example/docs/{doc_id}",
+                "http": True,
+                "payload": f"<html><body><p>{text}</p></body></html>".encode(),
+                "content_type": "text/html; charset=utf-8",
+            }
+            for doc_id, text in docs[seg * per_seg : (seg + 1) * per_seg]
+        ]
+        p = str(root / f"seg{seg}.warc.gz")
+        write_warc(p, records)
+        paths.append(p)
+    return {"paths": paths, "docs": dict(docs), "n_docs": len(docs)}
+
+
+def test_cdx_random_access_ledger_sf01(spark, warc_archive01):
+    """VERDICT r7 #5's done-bar: the CDX tier at sf0.1 corpus size,
+    with the index-vs-scan byte ledger that makes the 100 TB access
+    claim concrete. index_warc_files walks all 8 archives distributed;
+    the CDX-J round-trips through the NATIVE parser; a host-prefix
+    filter on the index selects ~5% of members; read_warc_members
+    then fetches ONLY those byte ranges — members fetched equals the
+    filtered index rows exactly, and the fetched compressed bytes are
+    a small fraction of the archive (the part a full scan would have
+    had to read)."""
+    import os
+
+    from fenix_spark.sources.cdx import (
+        index_warc_files,
+        parse_cdxj,
+        read_warc_members,
+        write_cdxj,
+    )
+
+    paths, n_docs = warc_archive01["paths"], warc_archive01["n_docs"]
+    total_bytes = sum(os.path.getsize(p) for p in paths)
+
+    # distributed index build: one walker per archive
+    idx = index_warc_files(
+        spark.createDataFrame([(p,) for p in paths], "path string")
+    )
+    entries = [r.asDict() for r in idx.collect()]
+    assert len(entries) == n_docs
+
+    # CDX-J round trip through the NATIVE parser (pushdown-capable)
+    cdx_path = os.path.join(os.path.dirname(paths[0]), "index.cdxj")
+    write_cdxj(cdx_path, entries)
+    parsed = parse_cdxj(
+        spark.read.text(cdx_path).withColumnRenamed("value", "line")
+    )
+    assert parsed.where(~F.col("parse_ok")).count() == 0
+    assert parsed.count() == n_docs
+
+    # the Common Crawl pattern: filter the INDEX (one host's docs),
+    # fetch only the named byte ranges
+    wanted = parsed.where(F.col("urlkey").startswith("example,h7)"))
+    expect_ids = {i for i in warc_archive01["docs"] if i % 20 == 7}
+    n_wanted = wanted.count()
+    assert n_wanted == len(expect_ids)
+
+    fetched = read_warc_members(wanted).localCheckpoint()
+    # members fetched == index rows filtered — nothing else was read
+    assert fetched.count() == n_wanted
+    assert fetched.where(~F.col("fetch_ok")).count() == 0
+    got_ids = {
+        int(r["url"].rsplit("/", 1)[1]) for r in fetched.select("url").collect()
+    }
+    assert got_ids == expect_ids
+    # payloads are the real documents (spot-check round trip)
+    some = fetched.select("url", "payload").limit(20).collect()
+    for r in some:
+        did = int(r["url"].rsplit("/", 1)[1])
+        assert warc_archive01["docs"][did] in r["payload"].decode("utf-8")
+
+    bytes_fetched = wanted.agg(F.sum("length")).first()[0]
+    frac = bytes_fetched / total_bytes
+    # ~1/20 of members + per-member gzip overhead; a full scan reads 1.0
+    assert frac < 0.12, (bytes_fetched, total_bytes)
+    print(
+        f"\nCDX LEDGER sf0.1: archives={len(paths)} members={n_docs} "
+        f"archive_bytes={total_bytes:,} fetched_members={n_wanted} "
+        f"fetched_bytes={bytes_fetched:,} scan_fraction={frac:.4f}"
+    )
