@@ -3,10 +3,14 @@ with (Datasheets for Datasets, Gebru et al. 2021; the quantitative
 half), computed in TWO scans regardless of corpus size:
 
 - scan 1: one wide aggregation of scan-local expressions — doc count,
-  token totals/moments, length quantiles (approx_percentile — the
-  t-digest-backed native sketch), quality-score moments, exact-dup
-  rate (distinct content hashes vs docs via HLL — estimate, marked as
+  token totals/moments, quality-score moments, exact-dup rate
+  (distinct content hashes vs docs via HLL — estimate, marked as
   such), distinct-token estimate over a hashed sample of tokens;
+- scan 1b (over the same checkpointed per-doc frame): token-length and
+  quality quantiles from a KLL rollup (operators/sketches.py) — the
+  sketch is rank-error-bounded AND mergeable, so per-batch cards roll
+  up into corpus cards by KLL merge; ``approx_percentile``'s state
+  dies with the query, which is why it was replaced here;
 - scan 2: the language distribution (a groupBy over ≤ |languages|
   keys with map-side partial agg).
 
@@ -44,24 +48,38 @@ def datacard(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.avg("n_tokens").alias("avg_tokens"),
-        F.expr("approx_percentile(n_tokens, array(0.5, 0.95, 0.99))").alias("tok_q"),
         F.avg("n_chars").alias("avg_chars"),
         F.avg("quality").alias("avg_quality"),
-        F.expr("approx_percentile(quality, 0.1)").alias("quality_p10"),
         F.approx_count_distinct("content_hash").alias("distinct_content_est"),
     ).first()
+
+    # quantiles from the mergeable KLL rollup over the SAME
+    # checkpointed frame (both metrics sketch in one pass via stack)
+    from fenix_spark.operators.sketches import kll_quantiles, kll_rollup
+
+    stacked = src.selectExpr(
+        "stack(2, 'n_tokens', cast(n_tokens as double), "
+        "'quality', cast(quality as double)) as (metric, value)"
+    )
+    roll = kll_rollup(stacked, ["metric"], "value", 200)
+    q = {
+        (r["metric"], round(r["q"], 4)): float(r["value"])
+        for r in kll_quantiles(
+            roll, ["metric"], [0.1, 0.5, 0.95, 0.99]
+        ).collect()
+    }
 
     n_docs = row["n_docs"]
     card = {
         "n_docs": int(n_docs),
         "total_tokens": int(row["total_tokens"] or 0),
         "avg_tokens": float(row["avg_tokens"] or 0.0),
-        "tokens_p50": float(row["tok_q"][0]) if row["tok_q"] else 0.0,
-        "tokens_p95": float(row["tok_q"][1]) if row["tok_q"] else 0.0,
-        "tokens_p99": float(row["tok_q"][2]) if row["tok_q"] else 0.0,
+        "tokens_p50": q.get(("n_tokens", 0.5), 0.0),
+        "tokens_p95": q.get(("n_tokens", 0.95), 0.0),
+        "tokens_p99": q.get(("n_tokens", 0.99), 0.0),
         "avg_chars": float(row["avg_chars"] or 0.0),
         "avg_quality": float(row["avg_quality"] or 0.0),
-        "quality_p10": float(row["quality_p10"] or 0.0),
+        "quality_p10": q.get(("quality", 0.1), 0.0),
         # estimate (HLL ±~2%): flagged in the key name, not hidden
         "exact_dup_rate_est": (
             max(0.0, 1.0 - row["distinct_content_est"] / n_docs) if n_docs else 0.0
