@@ -318,3 +318,95 @@ def cluster_balanced_sample(
         .where(h < F.col("__rate") * F.lit(float(1 << 60)))
         .drop("__rate")
     )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """A MERGEABLE bounded uniform sample: the k rows per group whose
+    ``hash60(id + salt)`` is smallest — the KMV/bottom-k construction
+    (operators/sketches.theta_rollup) carrying full payload rows
+    instead of bare hashes. Properties the scan-filter samplers above
+    can't give:
+
+    - **fixed size**, not fixed rate: exactly min(k, |group|) rows per
+      group whatever the group sizes — the "show me 100 example docs
+      per source" view at any scale;
+    - **mergeable**: bottom-k of a union == bottom-k of the unioned
+      bottom-ks, so per-shard / per-day samples fold into corpus
+      samples via ``bottomk_merge`` without touching the data again —
+      and the result is IDENTICAL to sampling the whole corpus
+      directly (layout-independent, pinned in tests);
+    - **deterministic**: a pure function of the id set, stable under
+      retries, repartitioning, and incremental appends (an appended
+      row displaces the largest hash iff it truly belongs).
+
+    Rows with duplicate ids keep one representative (min hash ties
+    collapse arbitrarily-but-deterministically by the sort). Output =
+    input columns + ``sample_h`` (the rank hash, kept so merges
+    re-rank without recomputing). Two bounded phases like every
+    sketch: per-batch bottom-k partials, then one per-group
+    re-selection — raw groups never sort globally."""
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key_list = list(keys)
+    base = df.withColumn(
+        "sample_h",
+        hash60(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+    )
+    schema = base.schema
+
+    def head_k(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        out = pdf.sort_values("sample_h").drop_duplicates(
+            subset=[id_col]
+        )
+        if key_list:
+            out = out.groupby(key_list, dropna=False, sort=False).head(k)
+        else:
+            out = out.head(k)
+        return out
+
+    def build(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield head_k(pdf)
+
+    partials = base.mapInPandas(build, schema)
+    if key_list:
+        return partials.groupBy(*key_list).applyInPandas(
+            lambda pdf: head_k(pdf), schema
+        )
+    return partials.groupBy().applyInPandas(lambda pdf: head_k(pdf), schema)
+
+
+def bottomk_merge(
+    samples: DataFrame, keys: Sequence[str], id_col: str, k: int
+) -> DataFrame:
+    """Fold unioned bottom-k samples (e.g. per-shard outputs of
+    ``bottomk_sample``) to the coarser ``keys`` grain — input rows
+    already carry ``sample_h``, so this is one summary-sized
+    re-selection; no rehash, no data scan."""
+    import pandas as pd
+
+    key_list = list(keys)
+    schema = samples.schema
+
+    def head_k(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        out = pdf.sort_values("sample_h").drop_duplicates(subset=[id_col])
+        return (
+            out.groupby(key_list, dropna=False, sort=False).head(k)
+            if key_list
+            else out.head(k)
+        )
+
+    if key_list:
+        return samples.groupBy(*key_list).applyInPandas(
+            lambda pdf: head_k(pdf), schema
+        )
+    return samples.groupBy().applyInPandas(lambda pdf: head_k(pdf), schema)

@@ -35,6 +35,15 @@ Five summaries, by exactness and key type:
   (semi-join on the ≤ m·P candidate terms) replaces lower-bound
   estimates with EXACT counts, so returned counts carry no error —
   only completeness has the N/m bound, and it is reported.
+- **Theta / KMV sketch** (`theta_rollup` / `theta_merge` /
+  `theta_estimate` / `theta_set_ops` / `overlap_matrix`): distinct
+  counting WITH SET ALGEBRA — intersection / union / Jaccard between
+  sketches (HLL unions but cannot intersect), RSE ≈ 1/√(k−2). Fully
+  deterministic (k smallest xxhash64 values — a pure function of the
+  value set), so merges are EXACTLY layout-independent and a sketch
+  holding < k values is exact. The decontamination / snapshot-overlap
+  audit tool: "how many eval ids are in the training crawl" from two
+  persisted k-row sketches, no data rescan.
 - **Bloom filter** (`bloom_build` / `bloom_merge` /
   `bloom_contains_expr`): one-sided set membership (no false
   negatives) as a sparse (word, bits) DataFrame — md5 positions like
@@ -694,3 +703,280 @@ def kll_quantiles(
         "q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
     ).where(F.col("__cum") >= F.col("q") * F.col("__tot"))
     return t.groupBy(*keys, "q").agg(F.min("item").alias("value"))
+
+
+# ------------------------------------------------ Theta / KMV sketches
+#
+# The distinct-count summary with SET ALGEBRA: HLL unions but cannot
+# intersect, so "how many eval docs are in the training crawl" / "how
+# much do two snapshots overlap" is out of its reach. A KMV (k minimum
+# values) theta sketch — the k smallest 64-bit hash values of a
+# group's distinct items — supports union, intersection, and Jaccard
+# with bounded relative error (RSE ≈ 1/sqrt(k-2); k=1024 → ~3.1%),
+# while staying a plain (keys..., value) row-set like every other
+# sketch here: persistable, mergeable (union rows, keep k smallest),
+# engine-inspectable. It is also fully DETERMINISTIC — the sketch is
+# a pure function of the value set (xxhash64, no RNG), so identical
+# data yields the IDENTICAL sketch under any partitioning or retry.
+#
+# Ordering: SIGNED i64 order of xxhash64 (a uniform hash is uniform
+# under any fixed bit-order), mapped to u = h/2^64 + 0.5 ∈ [0,1) for
+# estimation. A sketch holding fewer than k rows is EXACT (it IS the
+# distinct hash set); estimates then have zero sketch error.
+
+
+def _theta_u(col: Column) -> Column:
+    """hash value → u ∈ [0, 1) under the signed-order mapping."""
+    return col / F.lit(float(1 << 64)) + F.lit(0.5)
+
+
+def theta_rollup(
+    df: DataFrame, keys: Sequence[str], value_col: str, k: int = 1024
+) -> DataFrame:
+    """(keys..., value) — the k smallest distinct ``xxhash64(value)``
+    per group (fewer ⇒ the sketch is exact). Two bounded phases, the
+    sketch-family contract: per-batch bottom-k partials in one Arrow
+    pass (raw values never shuffle — at most k hash rows per group per
+    batch do), then one per-group re-selection. NULL values are
+    excluded, matching COUNT(DISTINCT)."""
+    import pandas as pd
+
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*keys).schema.fields
+    )
+    schema = (key_schema + ", " if key_schema else "") + "value long"
+
+    def build(batches):
+        import numpy as np
+
+        for pdf in batches:
+            frames = []
+            for kv, g in (
+                pdf.groupby(list(keys), dropna=False, sort=False)
+                if keys
+                else [((), pdf)]
+            ):
+                h = g["__h"].dropna().to_numpy(dtype=np.int64)
+                if len(h) == 0:
+                    continue
+                h = np.unique(h)  # sorted ascending (signed)
+                f = pd.DataFrame({"value": h[:k]})
+                if keys:
+                    kv = kv if isinstance(kv, tuple) else (kv,)
+                    for name, val in zip(keys, kv):
+                        f[name] = val
+                frames.append(f[[*keys, "value"]])
+            yield (
+                pd.concat(frames)
+                if frames
+                else pd.DataFrame(columns=[*keys, "value"])
+            )
+
+    partials = df.where(F.col(value_col).isNotNull()).select(
+        *keys, F.xxhash64(F.col(value_col)).alias("__h")
+    ).mapInPandas(build, schema)
+    return _theta_regroup(partials, keys, k, schema)
+
+
+def _theta_regroup(
+    rows: DataFrame, keys: Sequence[str], k: int, schema: str
+) -> DataFrame:
+    import pandas as pd
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        h = np.unique(pdf["value"].to_numpy(dtype=np.int64))
+        out = pd.DataFrame({"value": h[:k]})
+        for name in keys:
+            out[name] = pdf[name].iloc[0]
+        return out[[*keys, "value"]]
+
+    if keys:
+        return rows.groupBy(*keys).applyInPandas(merge, schema)
+    return rows.groupBy().applyInPandas(merge, schema)
+
+
+def theta_merge(
+    rollup: DataFrame, keys: Sequence[str], k: int = 1024
+) -> DataFrame:
+    """Merge sketch rows to a coarser grain (``keys`` ⊂ the rollup's
+    keys; empty for a grand total): distinct-union the values, keep
+    the k smallest. Deterministic — merged == direct build on the
+    unioned data, EXACTLY (pinned in tests), because bottom-k of a
+    set is layout-independent."""
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in rollup.select(*keys).schema.fields
+    )
+    schema = (key_schema + ", " if key_schema else "") + "value long"
+    return _theta_regroup(rollup.select(*keys, "value"), keys, k, schema)
+
+
+def theta_estimate(
+    rollup: DataFrame, keys: Sequence[str], k: int = 1024
+) -> DataFrame:
+    """(keys..., distinct_est, exact) — ENTIRELY NATIVE over sketch
+    rows: a group retaining fewer than k values is exact (the sketch
+    is its distinct hash set); otherwise the KMV estimator
+    (k−1)/u_max. Pass the k the sketch was BUILT with."""
+    g = rollup.groupBy(*keys).agg(
+        F.count("value").alias("__n"), F.max("value").alias("__vmax")
+    )
+    est = F.when(
+        F.col("__n") < k, F.col("__n").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / _theta_u(F.col("__vmax")))
+    return g.select(
+        *keys,
+        est.alias("distinct_est"),
+        (F.col("__n") < k).alias("exact"),
+    )
+
+
+def theta_set_ops(
+    a: DataFrame, b: DataFrame, keys: Sequence[str], k: int = 1024
+) -> DataFrame:
+    """Per-key set algebra between two theta rollups built with the
+    same ``k``: (keys..., a_est, b_est, intersect_est, union_est,
+    jaccard_est). ENTIRELY NATIVE on sketch rows (≤ k per group per
+    side): θ = min of the two per-key thresholds (1.0 for an exact
+    side), and |A∩B| ≈ |{v ∈ Sa ∩ Sb : u(v) < θ}| / θ — the standard
+    theta intersection; the union estimate counts the distinct-union
+    below θ, so jaccard is a plain ratio of the two counts and both
+    sides exact ⇒ all five numbers exact. Keys present in only one
+    rollup come back with intersect 0 and the other side's estimate
+    null."""
+    def th(df: DataFrame, tag: str) -> DataFrame:
+        g = df.groupBy(*keys).agg(
+            F.count("value").alias(f"__n_{tag}"),
+            F.max("value").alias(f"__vmax_{tag}"),
+        )
+        theta = F.when(F.col(f"__n_{tag}") < k, F.lit(1.0)).otherwise(
+            _theta_u(F.col(f"__vmax_{tag}"))
+        )
+        est = F.when(
+            F.col(f"__n_{tag}") < k, F.col(f"__n_{tag}").cast("double")
+        ).otherwise(F.lit(float(k - 1)) / _theta_u(F.col(f"__vmax_{tag}")))
+        return g.select(
+            *keys, theta.alias(f"__th_{tag}"), est.alias(f"{tag}_est")
+        )
+
+    key_list = list(keys)
+    heads = th(a, "a").join(th(b, "b"), key_list, "full_outer").withColumn(
+        "__theta", F.least(F.coalesce("__th_a", F.lit(1.0)),
+                           F.coalesce("__th_b", F.lit(1.0)))
+    )
+    av = a.select(*key_list, "value")
+    bv = b.select(*key_list, "value")
+    uni = (
+        av.unionByName(bv).distinct()
+        .join(heads.select(*key_list, "__theta"), key_list)
+        .where(_theta_u(F.col("value")) < F.col("__theta"))
+        .groupBy(*key_list).agg(F.count("value").alias("__n_uni"))
+    )
+    com = (
+        av.join(bv, [*key_list, "value"])
+        .join(heads.select(*key_list, "__theta"), key_list)
+        .where(_theta_u(F.col("value")) < F.col("__theta"))
+        .groupBy(*key_list).agg(F.count("value").alias("__n_com"))
+    )
+    out = (
+        heads.join(uni, key_list, "left").join(com, key_list, "left")
+        .withColumn("__n_com", F.coalesce("__n_com", F.lit(0)))
+        .withColumn("__n_uni", F.coalesce("__n_uni", F.lit(0)))
+    )
+    return out.select(
+        *key_list,
+        "a_est",
+        "b_est",
+        (F.col("__n_com") / F.col("__theta")).alias("intersect_est"),
+        (F.col("__n_uni") / F.col("__theta")).alias("union_est"),
+        F.when(
+            F.col("__n_uni") > 0, F.col("__n_com") / F.col("__n_uni")
+        ).otherwise(F.lit(0.0)).alias("jaccard_est"),
+    )
+
+
+def overlap_matrix(
+    rollup: DataFrame, label_col: str, k: int = 1024
+) -> DataFrame:
+    """Pairwise corpus-overlap audit from ONE theta rollup keyed by
+    ``label_col`` (source / snapshot / split): for every unordered
+    label pair, (label_a, label_b, a_est, b_est, intersect_est,
+    union_est, jaccard_est). The decontamination / snapshot-dedup
+    planning view — S sources cost S·k sketch rows total, and the
+    S²/2 pair estimates are computed natively from them (the value
+    self-join is on 8-byte hashes, summary-sized). Per-pair θ and the
+    below-θ per-side counts follow theta_set_ops' estimator
+    exactly."""
+    g = rollup.groupBy(label_col).agg(
+        F.count("value").alias("__n"), F.max("value").alias("__vmax")
+    )
+    theta = F.when(F.col("__n") < k, F.lit(1.0)).otherwise(
+        _theta_u(F.col("__vmax"))
+    )
+    est = F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / _theta_u(F.col("__vmax"))
+    )
+    heads = g.select(
+        F.col(label_col).alias("__lbl"),
+        theta.alias("__th"),
+        est.alias("__est"),
+    )
+    pairs = (
+        heads.alias("ha")
+        .join(heads.alias("hb"), F.col("ha.__lbl") < F.col("hb.__lbl"))
+        .select(
+            F.col("ha.__lbl").alias("label_a"),
+            F.col("hb.__lbl").alias("label_b"),
+            F.least("ha.__th", "hb.__th").alias("__theta"),
+            F.col("ha.__est").alias("a_est"),
+            F.col("hb.__est").alias("b_est"),
+        )
+    )
+    vals = rollup.select(F.col(label_col).alias("__lbl"), "value")
+    # per-pair below-θ counts for each side (θ varies per pair)
+    side_a = (
+        pairs.join(vals, pairs["label_a"] == vals["__lbl"])
+        .where(_theta_u(F.col("value")) < F.col("__theta"))
+        .groupBy("label_a", "label_b").agg(F.count("value").alias("__ca"))
+    )
+    side_b = (
+        pairs.join(vals, pairs["label_b"] == vals["__lbl"])
+        .where(_theta_u(F.col("value")) < F.col("__theta"))
+        .groupBy("label_a", "label_b").agg(F.count("value").alias("__cb"))
+    )
+    com = (
+        vals.alias("va")
+        .join(vals.alias("vb"), "value")
+        .where(F.col("va.__lbl") < F.col("vb.__lbl"))
+        .select(
+            F.col("va.__lbl").alias("label_a"),
+            F.col("vb.__lbl").alias("label_b"),
+            "value",
+        )
+        .join(pairs.select("label_a", "label_b", "__theta"),
+              ["label_a", "label_b"])
+        .where(_theta_u(F.col("value")) < F.col("__theta"))
+        .groupBy("label_a", "label_b").agg(F.count("value").alias("__cc"))
+    )
+    out = (
+        pairs.join(side_a, ["label_a", "label_b"], "left")
+        .join(side_b, ["label_a", "label_b"], "left")
+        .join(com, ["label_a", "label_b"], "left")
+        .withColumn("__ca", F.coalesce("__ca", F.lit(0)))
+        .withColumn("__cb", F.coalesce("__cb", F.lit(0)))
+        .withColumn("__cc", F.coalesce("__cc", F.lit(0)))
+        .withColumn("__cu", F.col("__ca") + F.col("__cb") - F.col("__cc"))
+    )
+    return out.select(
+        "label_a",
+        "label_b",
+        "a_est",
+        "b_est",
+        (F.col("__cc") / F.col("__theta")).alias("intersect_est"),
+        (F.col("__cu") / F.col("__theta")).alias("union_est"),
+        F.when(F.col("__cu") > 0, F.col("__cc") / F.col("__cu"))
+        .otherwise(F.lit(0.0)).alias("jaccard_est"),
+    )

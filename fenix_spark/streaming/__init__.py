@@ -24,18 +24,30 @@ from fenix_spark.streaming.joins import stream_interval_join
 from fenix_spark.streaming.sessions import sessionize_stateful
 from fenix_spark.streaming.sketches import (
     compact_state,
+    read_bloom,
     read_cms,
     read_hll_rollup,
+    read_kll,
+    read_theta,
+    stream_bloom,
     stream_cms,
     stream_hll_rollup,
+    stream_kll,
+    stream_theta,
 )
 from fenix_spark.streaming.topk import merged_heavy_hitters, stream_heavy_hitters
 from fenix_spark.streaming.windows import sliding_event_rates, windowed_event_counts
 
 __all__ = [
     "compact_state",
+    "read_bloom",
     "read_cms",
     "read_hll_rollup",
+    "read_kll",
+    "read_theta",
+    "stream_bloom",
+    "stream_kll",
+    "stream_theta",
     "sessionize_stateful",
     "stream_cms",
     "stream_heavy_hitters",

@@ -196,6 +196,17 @@ def compact_state(spark: SparkSession, state_root: str) -> int:
             [c for c in cols if c not in ("item", "weight")],
             k=_kll_state_k(spark, state_root),
         )
+    elif "value" in cols and "hll" not in cols:
+        from fenix_spark.operators.sketches import theta_merge
+
+        # theta fold at the stream's own k (sidecar) — deterministic,
+        # and crash-window extra partials are merge-safe (set union)
+        text = read_text(spark, f"{state_root}/_theta_k")
+        folded = theta_merge(
+            parts,
+            [c for c in cols if c != "value"],
+            int(text.strip()) if text else 1024,
+        )
     else:
         group = [c for c in cols if c != "hll"]
         folded = parts.groupBy(*group).agg(F.hll_union_agg("hll").alias("hll"))
@@ -266,3 +277,54 @@ def read_kll(
     if k is None:
         k = _kll_state_k(spark, state_root)
     return kll_merge(spark.read.parquet(*paths), list(keys), k)
+
+
+def stream_theta(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    state_root: str,
+    k: int = 1024,
+):
+    """foreachBatch writer for streaming theta/KMV distinct sketches —
+    the continuously-maintained distinct-count-with-set-algebra state
+    (operators/sketches.theta_rollup). Identical idempotence story to
+    the other sketch streams (batch_id=N partials, read-time merge);
+    on top of it, theta is fully DETERMINISTIC (pure function of the
+    value set), so replays and reorderings land byte-identical
+    sketches. k rides the ``_theta_k`` sidecar so maintenance folds at
+    the stream's own resolution; re-attaching at a different k
+    raises."""
+    from fenix_spark.operators.sketches import theta_rollup
+
+    spark = stream_df.sparkSession
+    existing = read_text(spark, f"{state_root}/_theta_k")
+    if existing is not None and int(existing.strip()) != k:
+        raise ValueError(
+            f"state at {state_root} was built with k={existing.strip()}; "
+            f"re-attach with that k (got k={k}) or use a fresh state_root"
+        )
+    write_text(spark, f"{state_root}/_theta_k", str(k))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        part = theta_rollup(batch_df, list(keys), value_col, k)
+        part.write.mode("overwrite").parquet(f"{state_root}/batch_id={batch_id}")
+
+    return stream_df.writeStream.foreachBatch(process)
+
+
+def read_theta(
+    spark: SparkSession, state_root: str, keys: Sequence[str], k: int | None = None
+) -> DataFrame:
+    """Merge every landed batch partial to the requested grain — feed
+    the result to ``sketches.theta_estimate`` / ``theta_set_ops``.
+    ``k`` defaults to the sidecar value the stream was built with."""
+    from fenix_spark.operators.sketches import theta_merge
+
+    paths = _partial_paths(spark, state_root)
+    if not paths:
+        raise FileNotFoundError(f"no sketch state under {state_root}")
+    if k is None:
+        text = read_text(spark, f"{state_root}/_theta_k")
+        k = int(text.strip()) if text else 1024
+    return theta_merge(spark.read.parquet(*paths), list(keys), k)

@@ -527,3 +527,186 @@ def test_kll_extremes_and_partition_invariance(spark):
     srt = np.sort(np.array(vals))
     for parts, m in med.items():
         assert _rank_err(srt, m, 0.5) <= 0.04
+
+
+# ----------------------------------------------------- theta / KMV
+
+
+def _planted_sets(spark):
+    """Three labeled id sets with known overlaps: A=0..19999,
+    B=15000..29999 (|A∩B|=5000), C=disjoint 50000..52999."""
+    rows = (
+        [("A", f"id{i}") for i in range(20_000)]
+        + [("B", f"id{i}") for i in range(15_000, 30_000)]
+        + [("C", f"id{i}") for i in range(50_000, 53_000)]
+    )
+    return spark.createDataFrame(rows, "src string, item string")
+
+
+def test_theta_estimate_bounds_and_exact_arm(spark):
+    from fenix_spark.operators.sketches import theta_estimate, theta_rollup
+
+    df = _planted_sets(spark)
+    k = 1024
+    roll = theta_rollup(df, ["src"], "item", k)
+    got = {r["src"]: (r["distinct_est"], r["exact"]) for r in
+           theta_estimate(roll, ["src"], k).collect()}
+    # C has 3000 < k·? no — 3000 ≥ 1024 → estimated; check bounds
+    rse = 1.0 / (k - 2) ** 0.5
+    for src, n in (("A", 20_000), ("B", 15_000), ("C", 3_000)):
+        est, exact = got[src]
+        assert abs(est - n) / n <= 5 * rse, (src, est, n)
+    # a genuinely small group is EXACT
+    small = spark.createDataFrame(
+        [("S", f"x{i}") for i in range(700)], "src string, item string"
+    )
+    sroll = theta_rollup(small, ["src"], "item", k)
+    r = theta_estimate(sroll, ["src"], k).collect()[0]
+    assert r["exact"] and r["distinct_est"] == 700.0
+
+
+def test_theta_deterministic_and_partition_invariant(spark):
+    """Bottom-k of a set is layout-independent: 2 vs 32 partitions
+    produce the IDENTICAL sketch rows (not just close estimates)."""
+    from fenix_spark.operators.sketches import theta_rollup
+
+    df = _planted_sets(spark)
+    a = set(
+        (r["src"], r["value"])
+        for r in theta_rollup(df.repartition(2), ["src"], "item", 512).collect()
+    )
+    b = set(
+        (r["src"], r["value"])
+        for r in theta_rollup(df.repartition(32), ["src"], "item", 512).collect()
+    )
+    assert a == b
+
+
+def test_theta_merge_equals_direct(spark):
+    """Merging per-shard sketches == sketching the union directly,
+    EXACTLY (the determinism HLL can't give)."""
+    from fenix_spark.operators.sketches import theta_merge, theta_rollup
+
+    df = _planted_sets(spark)
+    k = 256
+    shard1 = theta_rollup(df.where("item < 'id2'"), ["src"], "item", k)
+    shard2 = theta_rollup(df.where("item >= 'id2'"), ["src"], "item", k)
+    merged = set(
+        (r["src"], r["value"])
+        for r in theta_merge(shard1.unionByName(shard2), ["src"], k).collect()
+    )
+    direct = set(
+        (r["src"], r["value"])
+        for r in theta_rollup(df, ["src"], "item", k).collect()
+    )
+    assert merged == direct
+    # grand-total grain too
+    grand = theta_merge(shard1.unionByName(shard2), [], k)
+    dgrand = theta_rollup(df.select("item"), [], "item", k)
+    assert set(r["value"] for r in grand.collect()) == set(
+        r["value"] for r in dgrand.collect()
+    )
+
+
+def test_theta_set_ops_planted_overlap(spark):
+    from fenix_spark.operators.sketches import theta_rollup, theta_set_ops
+
+    df = _planted_sets(spark).withColumn("g", F.lit(1))
+    k = 2048
+    a = theta_rollup(df.where("src = 'A'"), ["g"], "item", k)
+    b = theta_rollup(df.where("src = 'B'"), ["g"], "item", k)
+    r = theta_set_ops(a, b, ["g"], k).collect()[0]
+    assert abs(r["a_est"] - 20_000) / 20_000 < 0.15
+    assert abs(r["b_est"] - 15_000) / 15_000 < 0.15
+    assert abs(r["intersect_est"] - 5_000) / 5_000 < 0.25
+    assert abs(r["union_est"] - 30_000) / 30_000 < 0.15
+    assert abs(r["jaccard_est"] - 5_000 / 30_000) < 0.05
+
+    # exact ⊗ exact ⇒ exact everywhere
+    sa = spark.createDataFrame(
+        [(1, f"p{i}") for i in range(100)], "g int, item string"
+    )
+    sb = spark.createDataFrame(
+        [(1, f"p{i}") for i in range(60, 160)], "g int, item string"
+    )
+    ra = theta_rollup(sa, ["g"], "item", k)
+    rb = theta_rollup(sb, ["g"], "item", k)
+    r = theta_set_ops(ra, rb, ["g"], k).collect()[0]
+    assert (r["a_est"], r["b_est"]) == (100.0, 100.0)
+    assert r["intersect_est"] == 40.0 and r["union_est"] == 160.0
+    assert abs(r["jaccard_est"] - 0.25) < 1e-12
+
+    # disjoint keys: one-sided rows survive the full-outer
+    oa = theta_rollup(
+        spark.createDataFrame([(2, "z1")], "g int, item string"), ["g"], "item", k
+    )
+    r2 = {row["g"]: row for row in theta_set_ops(oa, rb, ["g"], k).collect()}
+    assert r2[2]["intersect_est"] == 0.0 and r2[2]["b_est"] is None
+
+
+def test_overlap_matrix_planted(spark):
+    from fenix_spark.operators.sketches import overlap_matrix, theta_rollup
+
+    df = _planted_sets(spark)
+    k = 2048
+    roll = theta_rollup(df, ["src"], "item", k)
+    got = {
+        (r["label_a"], r["label_b"]): r for r in overlap_matrix(roll, "src", k).collect()
+    }
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = got[("A", "B")]
+    assert abs(ab["intersect_est"] - 5_000) / 5_000 < 0.25
+    assert abs(ab["jaccard_est"] - 1 / 6) < 0.05
+    assert got[("A", "C")]["intersect_est"] == 0.0
+    assert got[("B", "C")]["jaccard_est"] == 0.0
+
+
+# ------------------------------------------------- bottom-k samples
+
+
+def test_bottomk_sample_fixed_size_and_invariant(spark):
+    from fenix_spark.operators.sampling import bottomk_sample
+
+    rows = [(f"g{i % 3}", f"id{i}", i * 1.5) for i in range(5_000)]
+    df = spark.createDataFrame(rows, "grp string, id string, payload double")
+    got = bottomk_sample(df.repartition(16), ["grp"], "id", 50).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["grp"], set()).add((r["id"], r["payload"]))
+    assert all(len(v) == 50 for v in per.values())
+    # layout-independent: same rows under a different partitioning
+    got2 = bottomk_sample(df.repartition(3), ["grp"], "id", 50).collect()
+    per2 = {}
+    for r in got2:
+        per2.setdefault(r["grp"], set()).add((r["id"], r["payload"]))
+    assert per == per2
+    # small groups come back whole
+    tiny = spark.createDataFrame(
+        [("t", f"i{j}", 0.0) for j in range(7)], "grp string, id string, payload double"
+    )
+    assert bottomk_sample(tiny, ["grp"], "id", 50).count() == 7
+
+
+def test_bottomk_merge_equals_direct_and_uniformity(spark):
+    from fenix_spark.operators.sampling import bottomk_merge, bottomk_sample
+
+    rows = [(f"g{i % 2}", f"id{i}", i) for i in range(8_000)]
+    df = spark.createDataFrame(rows, "grp string, id string, v long")
+    k = 64
+    s1 = bottomk_sample(df.where("v < 4000"), ["grp"], "id", k)
+    s2 = bottomk_sample(df.where("v >= 4000"), ["grp"], "id", k)
+    merged = {
+        (r["grp"], r["id"]) for r in
+        bottomk_merge(s1.unionByName(s2), ["grp"], "id", k).collect()
+    }
+    direct = {
+        (r["grp"], r["id"]) for r in bottomk_sample(df, ["grp"], "id", k).collect()
+    }
+    assert merged == direct
+    # uniformity: the sampled v's mean sits near the population mean
+    # (hash-uniform selection; generous 3-sigma-ish tolerance)
+    import numpy as np
+
+    vs = [r["v"] for r in bottomk_sample(df, [], "id", 512).collect()]
+    assert len(vs) == 512
+    assert abs(np.mean(vs) - 3999.5) < 3 * 8000 / (12 ** 0.5) / (512 ** 0.5)

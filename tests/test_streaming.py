@@ -867,3 +867,63 @@ def test_stream_kll_high_k_survives_compaction(spark, events_prepared, tmp_path)
         for r in folded.groupBy("event_type").agg(F.sum("weight").alias("s")).collect()
     }
     assert got_w == want_w
+
+
+def test_stream_theta_deterministic_state_and_compaction(spark, events_prepared, tmp_path):
+    """Streaming theta sketches: read-time merge equals the batch
+    sketch EXACTLY (theta is a pure function of the value set — the
+    determinism HLL streams can't promise), estimates track exact
+    per-type distinct counts, and compaction folds at the sidecar k
+    with identical post-fold rows."""
+    from fenix_spark.operators.sketches import theta_estimate, theta_rollup
+    from fenix_spark.streaming.sketches import (
+        compact_state,
+        read_theta,
+        stream_theta,
+    )
+
+    src, batch_df = events_prepared
+    state = str(tmp_path / "theta_state")
+    k = 512
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_theta(stream, ["event_type"], "user_id", state, k=k)
+        .option("checkpointLocation", str(tmp_path / "ck_theta"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = read_theta(spark, state, ["event_type"]).localCheckpoint()
+    direct = theta_rollup(batch_df, ["event_type"], "user_id", k)
+    assert set((r["event_type"], r["value"]) for r in merged.collect()) == set(
+        (r["event_type"], r["value"]) for r in direct.collect()
+    )
+
+    exact = {
+        r["event_type"]: r["d"]
+        for r in batch_df.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    rse = 1.0 / (k - 2) ** 0.5
+    for r in theta_estimate(merged, ["event_type"], k).collect():
+        n = exact[r["event_type"]]
+        assert abs(r["distinct_est"] - n) <= max(5 * rse * n, 2), (r, n)
+
+    before = set((r["event_type"], r["value"]) for r in merged.collect())
+    compact_state(spark, state)
+    assert [d for d in os.listdir(state) if d.startswith("batch_id=")] == []
+    after = set(
+        (r["event_type"], r["value"])
+        for r in read_theta(spark, state, ["event_type"]).collect()
+    )
+    assert after == before
+    # sidecar pins k; mismatched re-attach refuses
+    assert (tmp_path / "theta_state" / "_theta_k").read_text().strip() == str(k)
+    with pytest.raises(ValueError, match=f"k={k}"):
+        stream_theta(stream, ["event_type"], "user_id", state, k=1024)
