@@ -107,3 +107,4 @@ def write_webdataset(
     return df.sparkSession.createDataFrame(
         rows, "shard string, n_samples long, n_bytes long"
     )
+

@@ -151,25 +151,32 @@ class WebDatasetReader(DataSourceReader):
                 }
                 yield tuple(row[f] for f in self.fields)
 
-        with tarfile.open(shard, "r") as tar:
-            for info in tar:
-                if not info.isfile():
-                    continue
-                # FIRST-dot split (webdataset convention): the key is
-                # everything before the first dot, so multi-segment
-                # extensions (seg.png, json.gz) group with their sample
-                base, dot, ext = info.name.partition(".")
-                if not dot:
-                    base, ext = info.name, ""
-                if base != cur_key:
-                    yield from emit()
-                    cur_key, cur_meta, cur_payloads = base, None, []
-                if ext == "json":
-                    cur_meta = tar.extractfile(info).read().decode("utf-8")
-                else:
-                    cur_payloads.append(
-                        (ext, tar.extractfile(info).read() if want_data else None)
-                    )
+        try:
+            with tarfile.open(shard, "r") as tar:
+                for info in tar:
+                    if not info.isfile():
+                        continue
+                    # FIRST-dot split (webdataset convention): the key is
+                    # everything before the first dot, so multi-segment
+                    # extensions (seg.png, json.gz) group with their sample
+                    base, dot, ext = info.name.partition(".")
+                    if not dot:
+                        base, ext = info.name, ""
+                    if base != cur_key:
+                        yield from emit()
+                        cur_key, cur_meta, cur_payloads = base, None, []
+                    if ext == "json":
+                        cur_meta = tar.extractfile(info).read().decode("utf-8")
+                    else:
+                        cur_payloads.append(
+                            (ext, tar.extractfile(info).read() if want_data else None)
+                        )
+        except (tarfile.TarError, OSError, EOFError):
+            # crawl-source discipline (warc_source's contract): a
+            # truncated/corrupt shard ends the FILE, never the task —
+            # samples before the damage were already yielded; the torn
+            # in-progress sample is DROPPED, not emitted half-read
+            return
         yield from emit()
 
 

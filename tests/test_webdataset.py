@@ -198,3 +198,30 @@ def test_datasource_multi_payload_sample(spark, tmp_path):
     }
     assert len(by_key["b"]) == 1
     assert by_key["b"][0].meta is None
+
+
+def test_read_truncated_shard_ends_file_not_task(spark, exported, tmp_path):
+    """Crawl-source discipline ported to the shard reader: a shard cut
+    mid-member yields the samples before the damage (none torn), other
+    shards are unaffected, and the task survives."""
+    import shutil
+
+    from fenix_spark.sources.webdataset_source import register
+
+    register(spark)
+    media, out, manifest = exported
+    paths = sorted(r["shard"] for r in manifest)
+    full = spark.read.format("webdataset").load(paths[0]).count()
+    cut = tmp_path / "cut.tar"
+    size = os.path.getsize(paths[0])
+    shutil.copy(paths[0], cut)
+    with open(cut, "r+b") as f:
+        f.truncate(size // 2)
+    kept = spark.read.format("webdataset").load(str(cut)).collect()
+    assert 0 < len(kept) < full
+    for r in kept:  # parsed samples are complete, not torn
+        assert r["data"] is not None and r["meta"] is not None
+    # a whole shard of garbage bytes contributes nothing, kills nothing
+    junk = tmp_path / "junk.tar"
+    junk.write_bytes(b"\x00not a tar at all" * 100)
+    assert spark.read.format("webdataset").load(str(junk)).count() == 0
