@@ -358,20 +358,15 @@ def hist_quantiles(
         F.sum("c").over(w).alias("cum"),
         F.sum("c").over(tot).alias("n"),
     )
-    out = None
-    for q in qs:
-        hit = (
-            cum.where(F.col("cum") >= F.lit(q) * F.col("n"))
-            .groupBy(*keys)
-            .agg(F.min("bin").alias("bin"))
-            .select(
-                *keys,
-                F.lit(float(q)).alias("q"),
-                (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("value"),
-            )
-        )
-        out = hit if out is None else out.unionByName(hit)
-    return out
+    # all quantiles in ONE pass (explode + min-bin groupBy, the
+    # kll_quantiles shape) rather than a union arm per q — same
+    # result, one summary-sized shuffle instead of |qs|
+    t = cum.withColumn(
+        "q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+    ).where(F.col("cum") >= F.col("q") * F.col("n"))
+    return t.groupBy(*keys, "q").agg(
+        (F.lit(lo) + (F.min("bin") + 1) * F.lit(width)).alias("value")
+    )
 
 
 def hist_rollup_auto(
