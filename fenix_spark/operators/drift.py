@@ -1,0 +1,134 @@
+"""Distribution-drift monitoring between corpus versions — the check
+a 100 TB pipeline runs between snapshot N and N+1 (or between a
+reference window and the live stream) to catch silent shifts: a
+scraper change flattening quality scores, a dedup bug collapsing
+length distributions, an upstream feed going stale.
+
+Everything here runs on SUMMARIES, never data: the inputs are the
+sketch-family rollups (`sketches.hist_rollup` — exact-mergeable
+equi-width histograms; `profile.profile` frames), so drift between
+two 100 TB corpora costs a join of two ≤ bins-per-key row sets.
+
+Metrics (per key group, all ENTIRELY NATIVE):
+
+- **PSI** (population stability index, the industry drift score):
+  Σ (p−q)·ln(p/q) over bins, with additive ε-smoothing so empty bins
+  don't blow up. Common thresholds: < 0.1 stable, 0.1–0.25 drifting,
+  > 0.25 shifted (reported, not enforced).
+- **JSD** (Jensen–Shannon divergence, natural log): symmetric,
+  bounded [0, ln 2], robust to disjoint support.
+- **TV** (total variation distance): ½ Σ |p−q| ∈ [0, 1] — the
+  fraction of probability mass that moved.
+
+``profile_drift`` compares two `profile.profile` frames column-wise
+(null-rate delta, distinct-count ratio, range endpoints) — schema- and
+health-drift to go with the distributional metrics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hist_drift", "profile_drift"]
+
+
+def hist_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    keys: Sequence[str],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """(keys..., psi, jsd, tv, n_ref, n_cur) from two ``hist_rollup``
+    summaries built with the SAME (lo, hi, bins) — the layouts must
+    match for bins to be comparable (the caller owns that contract,
+    as with ``hist_merge``). Keys present in only one side compare
+    against an all-ε distribution (maximal drift, not a silent skip).
+
+    One full-outer join on (keys, bin) + one groupBy — summary-sized.
+    ε-smoothing: each side's per-bin probability is floored at
+    ``eps`` before the log terms, the standard PSI guard for empty
+    bins; with both sides identical, every metric is exactly 0.
+
+    A key with NO data on one side compares against the all-ε floor:
+    PSI saturates (≫ 0.25) and TV lands near 0.5 (the absent side is
+    an ε-measure, not a distribution — half the mass difference), and
+    the missing side's ``n_ref``/``n_cur`` comes back NULL so callers
+    can distinguish "appeared/vanished" from "shifted"."""
+    key_list = list(keys)
+
+    def norm(df: DataFrame, tag: str) -> DataFrame:
+        tot = df.groupBy(*key_list).agg(F.sum("c").alias(f"__n_{tag}"))
+        return (
+            df.groupBy(*key_list, "bin")
+            .agg(F.sum("c").alias(f"__c_{tag}"))
+            .join(tot, key_list)
+        )
+
+    r = norm(ref, "ref")
+    c = norm(cur, "cur")
+    joined = r.join(c, [*key_list, "bin"], "full_outer")
+    # per-key totals survive only on rows from that side; re-spread
+    # them across the group so one-sided bins get real probabilities
+    grp = joined.groupBy(*key_list).agg(
+        F.max("__n_ref").alias("n_ref"), F.max("__n_cur").alias("n_cur")
+    )
+    j = joined.select(*key_list, "bin", "__c_ref", "__c_cur").join(grp, key_list)
+    p = F.greatest(
+        F.coalesce(F.col("__c_ref") / F.col("n_ref"), F.lit(0.0)), F.lit(eps)
+    )
+    q = F.greatest(
+        F.coalesce(F.col("__c_cur") / F.col("n_cur"), F.lit(0.0)), F.lit(eps)
+    )
+    m = (p + q) / 2
+    return j.groupBy(*key_list).agg(
+        F.sum((p - q) * F.log(p / q)).alias("psi"),
+        F.sum(0.5 * (p * F.log(p / m) + q * F.log(q / m))).alias("jsd"),
+        (F.sum(F.abs(p - q)) / 2).alias("tv"),
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+    )
+
+
+def profile_drift(ref: DataFrame, cur: DataFrame) -> DataFrame:
+    """Column-wise health drift between two ``profile.profile``
+    frames: (column, dtype_changed, null_rate_ref, null_rate_cur,
+    null_rate_delta, distinct_ratio, min/max endpoint changes,
+    row_ratio). Columns present in only one profile surface with
+    ``missing_in`` set — a dropped or added column IS drift, not a
+    join casualty. The inputs are profile rows (one per column), so
+    this is driver-scale arithmetic expressed as a join."""
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            "column",
+            F.col("dtype").alias(f"dtype_{tag}"),
+            F.col("n_rows").alias(f"rows_{tag}"),
+            (F.col("n_nulls") / F.greatest(F.col("n_rows"), F.lit(1))).alias(
+                f"null_rate_{tag}"
+            ),
+            F.col("approx_distinct").alias(f"dist_{tag}"),
+            F.col("min_repr").alias(f"min_{tag}"),
+            F.col("max_repr").alias(f"max_{tag}"),
+        )
+
+    j = prep(ref, "ref").join(prep(cur, "cur"), "column", "full_outer")
+    return j.select(
+        "column",
+        F.when(F.col("dtype_ref").isNull(), F.lit("ref"))
+        .when(F.col("dtype_cur").isNull(), F.lit("cur"))
+        .alias("missing_in"),
+        (F.col("dtype_ref") != F.col("dtype_cur")).alias("dtype_changed"),
+        F.col("null_rate_ref"),
+        F.col("null_rate_cur"),
+        (F.col("null_rate_cur") - F.col("null_rate_ref")).alias("null_rate_delta"),
+        (
+            F.col("dist_cur") / F.greatest(F.col("dist_ref"), F.lit(1))
+        ).alias("distinct_ratio"),
+        (F.col("min_ref") != F.col("min_cur")).alias("min_changed"),
+        (F.col("max_ref") != F.col("max_cur")).alias("max_changed"),
+        (
+            F.col("rows_cur") / F.greatest(F.col("rows_ref"), F.lit(1))
+        ).alias("row_ratio"),
+    )

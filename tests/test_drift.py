@@ -1,0 +1,113 @@
+"""Drift monitoring (operators/drift.py): numpy parity for PSI/JSD/TV
+on known distributions, zero on identical inputs, sensitivity ordering
+on planted shifts, and profile comparison semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fenix_spark.operators.drift import hist_drift, profile_drift
+from fenix_spark.operators.sketches import hist_rollup
+
+LO, HI, BINS = 0.0, 100.0, 50
+
+
+def _hist(spark, vals, key="k"):
+    df = spark.createDataFrame([(key, float(v)) for v in vals], "k string, v double")
+    return hist_rollup(df, ["k"], "v", LO, HI, BINS)
+
+
+def _np_metrics(a, b, eps=1e-6):
+    width = (HI - LO) / BINS
+    ha = np.histogram(np.clip(a, LO, HI - 1e-9), bins=BINS, range=(LO, HI))[0]
+    hb = np.histogram(np.clip(b, LO, HI - 1e-9), bins=BINS, range=(LO, HI))[0]
+    p = np.maximum(ha / ha.sum(), eps)
+    q = np.maximum(hb / hb.sum(), eps)
+    m = (p + q) / 2
+    psi = float(np.sum((p - q) * np.log(p / q)))
+    jsd = float(0.5 * np.sum(p * np.log(p / m) + q * np.log(q / m)))
+    tv = float(np.abs(p - q).sum() / 2)
+    return psi, jsd, tv
+
+
+def test_hist_drift_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    a = rng.normal(40, 10, 4000)
+    b = rng.normal(55, 14, 3000)  # shifted + widened
+    r = hist_drift(_hist(spark, a), _hist(spark, b), ["k"]).collect()[0]
+    psi, jsd, tv = _np_metrics(a, b)
+    assert abs(r["psi"] - psi) < 1e-9 and abs(r["jsd"] - jsd) < 1e-9
+    assert abs(r["tv"] - tv) < 1e-9
+    assert (r["n_ref"], r["n_cur"]) == (4000, 3000)
+    assert r["psi"] > 0.25  # a real shift scores as one
+
+
+def test_hist_drift_zero_on_identical(spark):
+    vals = list(np.linspace(1, 99, 500))
+    r = hist_drift(_hist(spark, vals), _hist(spark, vals), ["k"]).collect()[0]
+    assert r["psi"] == 0.0 and r["jsd"] == 0.0 and r["tv"] == 0.0
+
+
+def test_hist_drift_orders_shift_severity_and_bounds(spark):
+    rng = np.random.default_rng(3)
+    base = rng.normal(50, 8, 5000)
+    small = rng.normal(52, 8, 5000)
+    big = rng.normal(75, 8, 5000)
+    h = _hist(spark, base)
+    r_small = hist_drift(h, _hist(spark, small), ["k"]).collect()[0]
+    r_big = hist_drift(h, _hist(spark, big), ["k"]).collect()[0]
+    assert r_small["psi"] < r_big["psi"]
+    assert r_small["jsd"] < r_big["jsd"] <= np.log(2) + 1e-12
+    assert 0.0 <= r_small["tv"] < r_big["tv"] <= 1.0
+
+
+def test_hist_drift_one_sided_key_is_maximal_not_skipped(spark):
+    ref = _hist(spark, [10.0] * 50, key="only_ref")
+    cur = _hist(spark, [90.0] * 50, key="only_cur")
+    rows = {r["k"]: r for r in hist_drift(ref, cur, ["k"]).collect()}
+    assert set(rows) == {"only_ref", "only_cur"}
+    # the missing side is all-eps: PSI saturates, TV ~ 0.5 (ε-measure,
+    # not a distribution), and the null n flags which side vanished
+    assert rows["only_ref"]["psi"] > 1.0 and rows["only_cur"]["psi"] > 1.0
+    assert rows["only_ref"]["tv"] == pytest.approx(0.5, abs=1e-3)
+    assert rows["only_ref"]["n_cur"] is None and rows["only_ref"]["n_ref"] == 50
+    assert rows["only_cur"]["n_ref"] is None and rows["only_cur"]["n_cur"] == 50
+
+
+def test_hist_drift_on_merged_sketches_matches_direct(spark):
+    """Drift works on MERGED summaries (the whole point: per-shard
+    rollups fold first, drift compares the folds)."""
+    from fenix_spark.operators.sketches import hist_merge
+
+    rng = np.random.default_rng(11)
+    a1, a2 = rng.uniform(0, 100, 2000), rng.uniform(0, 100, 2000)
+    b = rng.normal(30, 5, 2500)
+    merged = hist_merge(
+        _hist(spark, a1).unionByName(_hist(spark, a2)), ["k", "bin"][:1] + ["bin"]
+    ).groupBy("k", "bin").agg(F.sum("c").alias("c"))
+    direct = _hist(spark, np.concatenate([a1, a2]))
+    got_m = hist_drift(merged, _hist(spark, b), ["k"]).collect()[0]
+    got_d = hist_drift(direct, _hist(spark, b), ["k"]).collect()[0]
+    assert abs(got_m["psi"] - got_d["psi"]) < 1e-9
+    assert abs(got_m["tv"] - got_d["tv"]) < 1e-9
+
+
+def test_profile_drift_flags_the_right_columns(spark):
+    from fenix_spark.operators.profile import profile
+
+    a = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(100)],
+        "id int, name string, score double",
+    )
+    rows_b = [(i, None if i % 4 == 0 else f"s{i}") for i in range(80)]
+    b = spark.createDataFrame(rows_b, "id int, name string").withColumn(
+        "extra", F.lit(1)
+    )
+    d = {r["column"]: r for r in profile_drift(profile(a), profile(b)).collect()}
+    assert d["score"]["missing_in"] == "cur"  # dropped column surfaces
+    assert d["extra"]["missing_in"] == "ref"  # added column surfaces
+    assert d["name"]["null_rate_delta"] == pytest.approx(0.25)
+    assert d["id"]["row_ratio"] == pytest.approx(0.8)
+    assert d["id"]["max_changed"] and not d["id"]["min_changed"]
