@@ -24,13 +24,16 @@ from fenix_spark.streaming.joins import stream_interval_join
 from fenix_spark.streaming.sessions import sessionize_stateful
 from fenix_spark.streaming.sketches import (
     compact_state,
+    hist_state_layout,
     read_bloom,
     read_cms,
+    read_hist,
     read_hll_rollup,
     read_kll,
     read_theta,
     stream_bloom,
     stream_cms,
+    stream_hist,
     stream_hll_rollup,
     stream_kll,
     stream_theta,
@@ -45,6 +48,9 @@ __all__ = [
     "read_hll_rollup",
     "read_kll",
     "read_theta",
+    "read_hist",
+    "stream_hist",
+    "hist_state_layout",
     "stream_bloom",
     "stream_kll",
     "stream_theta",

@@ -196,6 +196,10 @@ def compact_state(spark: SparkSession, state_root: str) -> int:
             [c for c in cols if c not in ("item", "weight")],
             k=_kll_state_k(spark, state_root),
         )
+    elif {"bin", "c"} <= set(cols):
+        # hist fold: plain sum at the rollup's full grain (exact)
+        group = [c for c in cols if c != "c"]
+        folded = parts.groupBy(*group).agg(F.sum("c").alias("c"))
     elif "value" in cols and "hll" not in cols:
         from fenix_spark.operators.sketches import theta_merge
 
@@ -328,3 +332,62 @@ def read_theta(
         text = read_text(spark, f"{state_root}/_theta_k")
         k = int(text.strip()) if text else 1024
     return theta_merge(spark.read.parquet(*paths), list(keys), k)
+
+
+def stream_hist(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    state_root: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+):
+    """foreachBatch writer for streaming equi-width histograms — the
+    live side of drift monitoring (operators/drift.py): maintain the
+    stream's distribution as mergeable (keys, bin, c) partials, then
+    ``hist_drift(reference, read_hist(...), keys)`` scores PSI/JSD/TV
+    against a frozen reference without touching any raw history.
+    (lo, hi, bins) are FIT parameters — persisted in a ``_hist_meta``
+    sidecar; re-attaching with a different layout raises (bins from
+    different layouts are incomparable, the hist_merge contract)."""
+    from fenix_spark.operators.sketches import hist_rollup
+
+    spark = stream_df.sparkSession
+    meta = f"{lo!r},{hi!r},{bins}"
+    existing = read_text(spark, f"{state_root}/_hist_meta")
+    if existing is not None and existing.strip() != meta:
+        raise ValueError(
+            f"state at {state_root} was built with (lo,hi,bins)="
+            f"({existing.strip()}); got ({meta}) — use a fresh state_root"
+        )
+    write_text(spark, f"{state_root}/_hist_meta", meta)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        part = hist_rollup(batch_df, list(keys), value_col, lo, hi, bins)
+        part.write.mode("overwrite").parquet(f"{state_root}/batch_id={batch_id}")
+
+    return stream_df.writeStream.foreachBatch(process)
+
+
+def read_hist(spark: SparkSession, state_root: str, keys: Sequence[str]) -> DataFrame:
+    """The merged (keys..., bin, c) rollup over all landed batches —
+    feed to ``hist_quantiles`` (with the sidecar's lo/hi/bins) or
+    ``hist_drift``. Histogram merge is plain sum (exact), so
+    at-least-once extra partials from a compaction crash window are
+    the only over-count source — same contract as CMS."""
+    from fenix_spark.operators.sketches import hist_merge
+
+    paths = _partial_paths(spark, state_root)
+    if not paths:
+        raise FileNotFoundError(f"no sketch state under {state_root}")
+    return hist_merge(spark.read.parquet(*paths), list(keys))
+
+
+def hist_state_layout(spark: SparkSession, state_root: str) -> tuple[float, float, int]:
+    """The (lo, hi, bins) a hist state was built with (sidecar)."""
+    text = read_text(spark, f"{state_root}/_hist_meta")
+    if text is None:
+        raise FileNotFoundError(f"no _hist_meta sidecar under {state_root}")
+    lo, hi, bins = text.strip().split(",")
+    return float(lo), float(hi), int(bins)

@@ -927,3 +927,61 @@ def test_stream_theta_deterministic_state_and_compaction(spark, events_prepared,
     assert (tmp_path / "theta_state" / "_theta_k").read_text().strip() == str(k)
     with pytest.raises(ValueError, match=f"k={k}"):
         stream_theta(stream, ["event_type"], "user_id", state, k=1024)
+
+
+def test_stream_hist_live_drift_against_reference(spark, events_prepared, tmp_path):
+    """The live drift loop: stream histogram partials, merge at read,
+    score PSI/TV against a frozen reference — streamed rollup equals
+    the batch rollup EXACTLY (hist merge is plain sum), drift vs the
+    batch's own histogram is exactly zero, drift vs a shifted
+    reference is large; compaction folds exactly; layout sidecar
+    refuses a mismatched re-attach."""
+    from fenix_spark.operators.drift import hist_drift
+    from fenix_spark.operators.sketches import hist_rollup
+    from fenix_spark.streaming.sketches import (
+        compact_state,
+        hist_state_layout,
+        read_hist,
+        stream_hist,
+    )
+
+    src, batch_df = events_prepared
+    state = str(tmp_path / "hist_state")
+    LO, HI, BINS = 0.0, 1000.0, 100
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_hist(stream, ["event_type"], "value", state, LO, HI, BINS)
+        .option("checkpointLocation", str(tmp_path / "ck_hist"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert hist_state_layout(spark, state) == (LO, HI, BINS)
+    live = read_hist(spark, state, ["event_type"]).localCheckpoint()
+    batch = hist_rollup(batch_df, ["event_type"], "value", LO, HI, BINS)
+    assert {(r["event_type"], r["bin"]): r["c"] for r in live.collect()} == {
+        (r["event_type"], r["bin"]): r["c"] for r in batch.collect()
+    }
+    # zero drift against itself; real drift against a shifted ref
+    z = hist_drift(batch, live, ["event_type"]).collect()
+    assert all(r["psi"] == 0.0 and r["tv"] == 0.0 for r in z)
+    shifted = hist_rollup(
+        batch_df.withColumn("value", F.col("value") * 3 + 200),
+        ["event_type"], "value", LO, HI, BINS,
+    )
+    d = hist_drift(shifted, live, ["event_type"]).collect()
+    assert all(r["psi"] > 0.25 for r in d)
+
+    compact_state(spark, state)
+    assert [x for x in os.listdir(state) if x.startswith("batch_id=")] == []
+    after = read_hist(spark, state, ["event_type"])
+    assert {(r["event_type"], r["bin"]): r["c"] for r in after.collect()} == {
+        (r["event_type"], r["bin"]): r["c"] for r in batch.collect()
+    }
+    with pytest.raises(ValueError, match="lo,hi,bins"):
+        stream_hist(stream, ["event_type"], "value", state, LO, HI, 64)
