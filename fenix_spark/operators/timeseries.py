@@ -133,3 +133,75 @@ def gapfill(
             F.when(prev_ts.isNotNull() & next_ts.isNotNull(), interp)
         ),
     )
+
+
+def robust_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    grain_ms: int,
+    k: float = 3.5,
+    agg: str = "sum",
+) -> DataFrame:
+    """(key, bucket_ms, value, center, spread, score, anomaly) —
+    robust outlier detection per series: bucket the stream
+    (``bucketize`` + ``agg``), then score each bucket against its
+    key's MEDIAN and MAD (median absolute deviation), the standard
+    outlier-resistant center/spread — a mean/stddev baseline is
+    dragged by the very spikes it should flag. ``score`` is the
+    robust z-score |x − median| / (1.4826·MAD) (the 1.4826 constant
+    makes MAD consistent with σ under normality); ``anomaly`` is
+    ``score > k`` (k=3.5 is the conventional Iglewicz–Hoaglin cut).
+
+    Scale shape: two per-key aggregations over BUCKET rows (grid-
+    sized, not event-sized — the groupBy(key, bucket) already
+    collapsed the stream): one for the median, one for the MAD after
+    a broadcast-joinable (key, median) frame attaches. Spark's exact
+    ``percentile`` sorts per group — fine at bucket granularity (a
+    year of minute buckets is 525k rows/key); for keys whose BUCKET
+    count itself is huge, coarsen the grain or swap in a KLL quantile
+    (operators/sketches.py) — stated, not silent.
+
+    A constant series has MAD 0: its score is null (0/0) and
+    ``anomaly`` false for on-median points — any deviation from a
+    constant series scores infinite and flags, which is the wanted
+    semantics (document-count series that flatline then jump)."""
+    if agg not in ("avg", "sum", "min", "max", "count"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    agg_fn = {
+        "avg": F.avg,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "count": lambda c: F.count(c).cast("double"),
+    }[agg]
+    buckets = (
+        bucketize(df, ts_col, grain_ms)
+        .groupBy(F.col(key_col).alias("key"), "bucket_ms")
+        .agg(agg_fn(F.col(value_col)).alias("value"))
+        .transform(_ckpt_lazy)
+    )
+    med = buckets.groupBy("key").agg(
+        F.expr("percentile(value, 0.5)").alias("center")
+    )
+    with_med = buckets.join(F.broadcast(med), "key")
+    mad = with_med.groupBy("key").agg(
+        F.expr("percentile(abs(value - center), 0.5)").alias("mad")
+    )
+    scored = with_med.join(F.broadcast(mad), "key").withColumn(
+        "spread", F.col("mad") * F.lit(1.4826)
+    )
+    dev = F.abs(F.col("value") - F.col("center"))
+    score = F.when(F.col("spread") > 0, dev / F.col("spread")).otherwise(
+        F.when(dev > 0, F.lit(float("inf")))
+    )
+    return scored.select(
+        "key",
+        "bucket_ms",
+        "value",
+        "center",
+        "spread",
+        score.alias("score"),
+        F.coalesce(score > F.lit(float(k)), F.lit(False)).alias("anomaly"),
+    )

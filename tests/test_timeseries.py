@@ -141,3 +141,92 @@ def test_bucketize_floors_negative_timestamps(spark):
         for r in bucketize(df, "ts", 1000).orderBy("ts").collect()
     ]
     assert got == [-2000, -1000, -1000, 0, 0]
+
+
+def test_robust_anomalies_planted_spikes(spark):
+    """Planted spikes flag; the MAD baseline ignores them (a
+    mean/stddev baseline with these magnitudes would inflate spread
+    and mask the smaller spike — the reason MAD is the tool)."""
+    import numpy as np
+
+    from fenix_spark.operators.timeseries import robust_anomalies
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for b in range(200):
+        rows.append(("s", b * 1000, float(50 + rng.normal(0, 2))))
+    rows[40] = ("s", 40_000, 500.0)   # huge spike
+    rows[120] = ("s", 120_000, 90.0)  # modest spike
+    df = spark.createDataFrame(rows, "key string, ts_ms long, value double")
+    out = {r["bucket_ms"]: r for r in robust_anomalies(
+        df, "key", "ts_ms", "value", 1000, k=3.5
+    ).collect()}
+    assert len(out) == 200
+    assert out[40_000]["anomaly"] and out[120_000]["anomaly"]
+    flagged = [b for b, r in out.items() if r["anomaly"]]
+    assert len(flagged) <= 5  # noise does not flag
+    # numpy parity on center/spread/score
+    vals = np.array([v for _, _, v in rows])
+    med = float(np.median(vals))
+    mad = float(np.median(np.abs(vals - med)))
+    r = out[40_000]
+    assert r["center"] == pytest.approx(med)
+    assert r["spread"] == pytest.approx(1.4826 * mad)
+    assert r["score"] == pytest.approx(abs(500.0 - med) / (1.4826 * mad))
+
+
+def test_robust_anomalies_constant_series_semantics(spark):
+    from fenix_spark.operators.timeseries import robust_anomalies
+
+    rows = [("c", b * 10, 7.0) for b in range(50)] + [("c", 555, 8.0)]
+    df = spark.createDataFrame(rows, "key string, ts_ms long, value double")
+    out = {r["bucket_ms"]: r for r in robust_anomalies(
+        df, "key", "ts_ms", "value", 10
+    ).collect()}
+    # constant points: null score, not flagged; the lone deviation
+    # from a constant series scores infinite and flags
+    assert out[0]["score"] is None and not out[0]["anomaly"]
+    dev = out[550]
+    assert dev["anomaly"] and dev["score"] == float("inf")
+
+
+def test_robust_anomalies_duckdb_mirror(spark, sf_dir):
+    """Full mirror on the real events table (per-type hourly sums)."""
+    import duckdb
+
+    from fenix_spark.operators.timeseries import robust_anomalies
+    from fenix_spark.suite import events_table
+
+    ev = events_table(spark, sf_dir).select("event_type", "ts_ms", "value")
+    grain = 3_600_000
+    got = {
+        (r["key"], r["bucket_ms"]): (
+            round(r["value"], 6), round(r["score"], 6) if r["score"] is not None else None, r["anomaly"]
+        )
+        for r in robust_anomalies(ev, "event_type", "ts_ms", "value", grain).collect()
+    }
+    con = duckdb.connect()
+    want = {}
+    for key, b, v, s, a in con.execute(f"""
+        WITH buckets AS (
+            SELECT event_type AS key,
+                   (epoch_ms(ts) // {grain}) * {grain} AS bucket_ms,
+                   sum(value) AS value
+            FROM read_parquet('{sf_dir}/events.parquet')
+            GROUP BY 1, 2
+        ),
+        med AS (SELECT key, median(value) AS center FROM buckets GROUP BY key),
+        mad AS (SELECT b.key, median(abs(b.value - m.center)) AS mad
+                FROM buckets b JOIN med m USING (key) GROUP BY b.key)
+        SELECT b.key, b.bucket_ms, b.value,
+               CASE WHEN mad.mad > 0
+                    THEN abs(b.value - med.center) / (1.4826 * mad.mad)
+                    WHEN abs(b.value - med.center) > 0 THEN 1e308 * 10
+               END AS score,
+               coalesce(CASE WHEN mad.mad > 0
+                    THEN abs(b.value - med.center) / (1.4826 * mad.mad) > 3.5
+                    WHEN abs(b.value - med.center) > 0 THEN TRUE END, FALSE) AS anomaly
+        FROM buckets b JOIN med USING (key) JOIN mad USING (key)
+    """).fetchall():
+        want[(key, b)] = (round(v, 6), round(s, 6) if s is not None else None, a)
+    assert got == want
