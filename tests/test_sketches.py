@@ -710,3 +710,39 @@ def test_bottomk_merge_equals_direct_and_uniformity(spark):
     vs = [r["v"] for r in bottomk_sample(df, [], "id", 512).collect()]
     assert len(vs) == 512
     assert abs(np.mean(vs) - 3999.5) < 3 * 8000 / (12 ** 0.5) / (512 ** 0.5)
+
+
+def test_theta_rollup_is_exactly_bottom_k_of_hash_set(spark):
+    """The precise spec: the sketch IS the k smallest distinct
+    xxhash64 values (signed order) — checked against an independently
+    computed exact hash set for several (n, k, dup-rate, partitioning)
+    configs. This is what makes every downstream estimate auditable:
+    no RNG, no approximation in the STATE, only in the estimator."""
+    from fenix_spark.operators.sketches import theta_rollup
+
+    for n, k, parts, dup in [(50, 8, 1, 1), (1000, 64, 7, 3), (300, 512, 4, 2)]:
+        rows = [(f"g{i % 2}", f"v{i // dup}") for i in range(n)]
+        df = spark.createDataFrame(rows, "g string, item string").repartition(parts)
+        got = {}
+        for r in theta_rollup(df, ["g"], "item", k).collect():
+            got.setdefault(r["g"], []).append(r["value"])
+        exact = {}
+        for r in (
+            df.select("g", F.xxhash64("item").alias("h")).distinct().collect()
+        ):
+            exact.setdefault(r["g"], []).append(r["h"])
+        for g, hs in exact.items():
+            assert sorted(got[g]) == sorted(hs)[:k], (n, k, parts, g)
+
+
+def test_theta_rollup_excludes_nulls_and_empty_group(spark):
+    from fenix_spark.operators.sketches import theta_estimate, theta_rollup
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("b", None)], "g string, item string"
+    )
+    roll = theta_rollup(df, ["g"], "item", 16)
+    got = {r["g"] for r in roll.collect()}
+    assert got == {"a"}  # all-null group contributes no sketch rows
+    est = {r["g"]: r["distinct_est"] for r in theta_estimate(roll, ["g"], 16).collect()}
+    assert est == {"a": 1.0}
