@@ -15,8 +15,8 @@ Metrics (per key group, all ENTIRELY NATIVE):
   Σ (p−q)·ln(p/q) over bins, with additive ε-smoothing so empty bins
   don't blow up. Common thresholds: < 0.1 stable, 0.1–0.25 drifting,
   > 0.25 shifted (reported, not enforced).
-- **JSD** (Jensen–Shannon divergence, natural log): symmetric,
-  bounded [0, ln 2], robust to disjoint support.
+- **JSD** (Jensen–Shannon divergence, Lin 1991, natural log):
+  symmetric, bounded [0, ln 2], robust to disjoint support.
 - **TV** (total variation distance): ½ Σ |p−q| ∈ [0, 1] — the
   fraction of probability mass that moved.
 

@@ -705,8 +705,11 @@ def kll_quantiles(
 # The distinct-count summary with SET ALGEBRA: HLL unions but cannot
 # intersect, so "how many eval docs are in the training crawl" / "how
 # much do two snapshots overlap" is out of its reach. A KMV (k minimum
-# values) theta sketch — the k smallest 64-bit hash values of a
-# group's distinct items — supports union, intersection, and Jaccard
+# values) theta sketch (Beyer et al., "On Synopses for Distinct-Value
+# Estimation Under Multiset Operations", SIGMOD'07 — the estimator
+# family behind Apache DataSketches' theta sketches) — the k smallest
+# 64-bit hash values of a group's distinct items — supports union,
+# intersection, and Jaccard
 # with bounded relative error (RSE ≈ 1/sqrt(k-2); k=1024 → ~3.1%),
 # while staying a plain (keys..., value) row-set like every other
 # sketch here: persistable, mergeable (union rows, keep k smallest),
