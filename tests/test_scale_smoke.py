@@ -563,3 +563,53 @@ def test_cdx_random_access_ledger_sf01(spark, warc_archive01):
         f"archive_bytes={total_bytes:,} fetched_members={n_wanted} "
         f"fetched_bytes={bytes_fetched:,} scan_fraction={frac:.4f}"
     )
+
+
+def test_theta_overlap_audit_sf01(spark, docs01):
+    """Theta at corpus scale: per-language distinct-doc sketches over
+    the real sf0.1 table, estimates within 5·RSE of exact
+    countDistinct, and the overlap matrix confirms languages partition
+    the corpus (pairwise intersections estimate ~0)."""
+    from fenix_spark.operators.sketches import (
+        overlap_matrix,
+        theta_estimate,
+        theta_rollup,
+    )
+
+    k = 1024
+    roll = theta_rollup(docs01, ["lang"], "doc_id", k).localCheckpoint()
+    exact = {
+        r["lang"]: r["d"]
+        for r in docs01.groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .collect()
+    }
+    rse = 1.0 / (k - 2) ** 0.5
+    for r in theta_estimate(roll, ["lang"], k).collect():
+        n = exact[r["lang"]]
+        assert abs(r["distinct_est"] - n) <= max(5 * rse * n, 2), (r, n)
+    # doc_ids are disjoint across languages → near-zero intersections
+    for r in overlap_matrix(roll, "lang", k).collect():
+        assert r["jaccard_est"] < 0.01, r
+
+
+def test_bottomk_sample_sf01(spark, docs01):
+    """Fixed-size per-language samples over the real corpus: exact
+    group sizes, layout-invariance (4 vs 32 partitions), payload rows
+    intact."""
+    from fenix_spark.operators.sampling import bottomk_sample
+
+    k = 25
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs01.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    a = bottomk_sample(docs01.repartition(4), ["lang"], "doc_id", k)
+    b = bottomk_sample(docs01.repartition(32), ["lang"], "doc_id", k)
+    sa = {(r["lang"], r["doc_id"]) for r in a.select("lang", "doc_id").collect()}
+    sb = {(r["lang"], r["doc_id"]) for r in b.select("lang", "doc_id").collect()}
+    assert sa == sb
+    per = {}
+    for lang, _ in sa:
+        per[lang] = per.get(lang, 0) + 1
+    assert per == {lang: min(k, n) for lang, n in sizes.items()}
