@@ -43,6 +43,7 @@ class StageReport:
     name: str
     rows_in: int
     rows_out: int
+    psi: float | None = None
 
     @property
     def dropped(self) -> int:
@@ -50,22 +51,63 @@ class StageReport:
 
 
 def run_pipeline(
-    df: DataFrame, stages: Sequence[Stage], audit: bool = True
+    df: DataFrame,
+    stages: Sequence[Stage],
+    audit: bool = True,
+    watch: tuple[str, float, float, int] | None = None,
+    max_psi: float | None = None,
 ) -> tuple[DataFrame, list[StageReport]]:
     """Chain stages; with ``audit`` return per-stage row accounting
-    (each boundary is counted once — localCheckpoint stops upstream
-    recompute per count)."""
+    (each boundary is counted once — the checkpoint stops upstream
+    recompute per count).
+
+    ``watch=(col, lo, hi, bins)`` adds distribution monitoring to the
+    audit: each stage's PSI of the watched numeric column (its output
+    distribution vs its input's, `operators/drift.py`) lands in the
+    report — one extra hist_rollup per boundary, summary-sized. A
+    curation stage SHOULD drop rows; what it should NOT do is RESHAPE
+    the survivors' distribution (a miswired quality gate flattening
+    token lengths shows up here while row counts still look sane).
+    ``max_psi`` turns the monitor into a gate: the first stage
+    exceeding it raises, naming the stage and its score (> 0.25 is
+    the conventional "shifted" threshold)."""
     reports: list[StageReport] = []
     cur = df
     if not audit:
         for _, fn in stages:
             cur = fn(cur)
         return cur, reports
+
+    def hist(frame: DataFrame):
+        from fenix_spark.operators.sketches import hist_rollup
+
+        col, lo, hi, bins = watch
+        return hist_rollup(
+            frame.select(F.lit("w").alias("__w"), F.col(col)),
+            ["__w"], col, lo, hi, bins,
+        ).transform(_ckpt_lazy)
+
     n_in = cur.count()
+    h_prev = hist(cur) if watch else None
     for name, fn in stages:
         cur = fn(cur).transform(_ckpt_lazy)
         n_out = cur.count()
-        reports.append(StageReport(name, n_in, n_out))
+        psi = None
+        if watch is not None:
+            from fenix_spark.operators.drift import hist_drift
+
+            h_cur = hist(cur)
+            row = hist_drift(h_prev, h_cur, ["__w"]).head()
+            psi = float(row["psi"]) if row is not None else None
+            h_prev = h_cur
+            if max_psi is not None and psi is not None and psi > max_psi:
+                raise ValueError(
+                    f"stage {name!r} shifted the {watch[0]!r} distribution: "
+                    f"PSI {psi:.4f} > max_psi {max_psi} (rows {n_in} -> "
+                    f"{n_out}) — a curation stage should drop rows, not "
+                    "reshape the survivors"
+                )
+        reports.append(StageReport(name, n_in, n_out, psi))
         n_in = n_out
     return cur, reports
 

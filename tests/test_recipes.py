@@ -127,3 +127,41 @@ def test_extended_stages_compose(spark, planted):
     # the shared paragraph survives in at most one of 301/302
     n_para = sum(1 for t in final.values() if para in t)
     assert n_para <= 1
+
+
+def test_pipeline_drift_watch_and_gate(spark):
+    """The audit drift monitor: a row-dropping stage that preserves
+    the survivors' distribution scores ~0 PSI; a stage that RESHAPES
+    the watched column scores high and the max_psi gate names it."""
+    import numpy as np
+
+    from fenix_spark.recipes import run_pipeline
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, float(np.clip(rng.normal(500, 120), 1, 999)))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens double")
+    watch = ("n_tokens", 0.0, 1000.0, 64)
+
+    drop_half = ("drop_half", lambda d: d.where("doc_id % 2 = 0"))
+    squash = ("squash", lambda d: d.withColumn(
+        "n_tokens", F.col("n_tokens") / 4 + 10
+    ))
+
+    out, reports = run_pipeline(df, [drop_half], watch=watch)
+    assert out.count() == 2000
+    r = {x.name: x for x in reports}
+    assert r["drop_half"].psi is not None and r["drop_half"].psi < 0.05
+
+    _, reports = run_pipeline(df, [drop_half, squash], watch=watch)
+    r = {x.name: x for x in reports}
+    assert r["squash"].psi > 0.25 > r["drop_half"].psi
+
+    with pytest.raises(ValueError, match="'squash'.*PSI"):
+        run_pipeline(df, [drop_half, squash], watch=watch, max_psi=0.25)
+
+    # no watch → reports carry None psi and nothing extra runs
+    _, reports = run_pipeline(df, [drop_half])
+    assert all(x.psi is None for x in reports)
