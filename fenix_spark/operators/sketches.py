@@ -844,7 +844,14 @@ def theta_set_ops(
     below θ, so jaccard is a plain ratio of the two counts and both
     sides exact ⇒ all five numbers exact. Keys present in only one
     rollup come back with intersect 0 and the other side's estimate
-    null."""
+    null. Empty ``keys`` compares the two GRAND sketches (one output
+    row)."""
+    if not keys:
+        g = F.lit("__all").alias("__g")
+        return theta_set_ops(
+            a.select(g, "value"), b.select(g, "value"), ["__g"], k
+        ).drop("__g")
+
     def th(df: DataFrame, tag: str) -> DataFrame:
         g = df.groupBy(*keys).agg(
             F.count("value").alias(f"__n_{tag}"),

@@ -746,3 +746,23 @@ def test_theta_rollup_excludes_nulls_and_empty_group(spark):
     assert got == {"a"}  # all-null group contributes no sketch rows
     est = {r["g"]: r["distinct_est"] for r in theta_estimate(roll, ["g"], 16).collect()}
     assert est == {"a": 1.0}
+
+
+def test_theta_set_ops_grand_sketches(spark):
+    """keys=[] (grand sketches) — the snapshot-vs-snapshot shape."""
+    from fenix_spark.operators.sketches import theta_rollup, theta_set_ops
+
+    a = spark.createDataFrame([(f"x{i}",) for i in range(2000)], "item string")
+    b = spark.createDataFrame(
+        [(f"x{i}",) for i in range(1000, 3000)], "item string"
+    )
+    k = 1024
+    r = theta_set_ops(
+        theta_rollup(a, [], "item", k), theta_rollup(b, [], "item", k), [], k
+    ).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert abs(r["intersect_est"] - 1000) / 1000 < 0.3
+    assert abs(r["union_est"] - 3000) / 3000 < 0.15
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.07
+    assert "__g" not in r.asDict()  # internal grouping column dropped
