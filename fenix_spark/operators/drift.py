@@ -51,6 +51,7 @@ def hist_drift(
     ε-smoothing: each side's per-bin probability is floored at
     ``eps`` before the log terms, the standard PSI guard for empty
     bins; with both sides identical, every metric is exactly 0.
+    Empty ``keys`` compares the two GRAND histograms (one output row).
 
     A key with NO data on one side compares against the all-ε floor:
     PSI saturates (≫ 0.25) and TV lands near 0.5 (the absent side is
@@ -58,6 +59,11 @@ def hist_drift(
     the missing side's ``n_ref``/``n_cur`` comes back NULL so callers
     can distinguish "appeared/vanished" from "shifted"."""
     key_list = list(keys)
+    if not key_list:
+        g = F.lit("__all").alias("__g")
+        return hist_drift(
+            ref.select(g, "bin", "c"), cur.select(g, "bin", "c"), ["__g"], eps
+        ).drop("__g")
 
     def norm(df: DataFrame, tag: str) -> DataFrame:
         tot = df.groupBy(*key_list).agg(F.sum("c").alias(f"__n_{tag}"))

@@ -111,3 +111,24 @@ def test_profile_drift_flags_the_right_columns(spark):
     assert d["name"]["null_rate_delta"] == pytest.approx(0.25)
     assert d["id"]["row_ratio"] == pytest.approx(0.8)
     assert d["id"]["max_changed"] and not d["id"]["min_changed"]
+
+
+def test_hist_drift_grand_histograms(spark):
+    """keys=[] compares grand histograms — one row, zero on self."""
+    import numpy as np
+
+    from fenix_spark.operators.sketches import hist_rollup
+
+    rng = np.random.default_rng(21)
+    a = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(40, 9, 1500)], "v double"
+    )
+    b = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(70, 9, 1500)], "v double"
+    )
+    ra = hist_rollup(a, [], "v", LO, HI, BINS)
+    rb = hist_rollup(b, [], "v", LO, HI, BINS)
+    same = hist_drift(ra, ra, []).collect()
+    assert len(same) == 1 and same[0]["psi"] == 0.0
+    moved = hist_drift(ra, rb, []).collect()[0]
+    assert moved["psi"] > 0.25 and "__g" not in moved.asDict()
