@@ -766,3 +766,23 @@ def test_theta_set_ops_grand_sketches(spark):
     assert abs(r["union_est"] - 3000) / 3000 < 0.15
     assert abs(r["jaccard_est"] - 1 / 3) < 0.07
     assert "__g" not in r.asDict()  # internal grouping column dropped
+
+
+def test_theta_query_path_is_native_and_keyed(spark):
+    """Python ends at the rollup build: estimate and set-ops plans
+    contain NO Arrow/Python evaluation and no cartesian product —
+    every join is keyed, every agg partial-aggregable."""
+    from fenix_spark.operators.sketches import (
+        theta_estimate,
+        theta_rollup,
+        theta_set_ops,
+    )
+
+    df = _planted_sets(spark)
+    a = theta_rollup(df.where("src = 'A'"), ["src"], "item", 128).localCheckpoint()
+    b = theta_rollup(df.where("src = 'B'"), ["src"], "item", 128).localCheckpoint()
+    for q in (theta_estimate(a, ["src"], 128), theta_set_ops(a, b, ["src"], 128)):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+        assert "CartesianProduct" not in plan
