@@ -299,3 +299,27 @@ def dsir_stage(
         return df.join(keep, id_col, "left_semi")
 
     return ("dsir_select", fn)
+
+
+def unicode_stage(text_col: str, nfkc: bool = False) -> Stage:
+    """Unicode hygiene (functions/unicode.py), the stage to run FIRST
+    — before anything hashes or shingles the text: mojibake repair →
+    NFC (or NFKC) normalization → invisible-codepoint strip. Composed
+    vs decomposed accents, zero-width-split tokens, and cp1252
+    double-decodes all collapse BEFORE dedup keys are derived, so
+    formatting-only variants dedup instead of surviving as distinct
+    content."""
+    from fenix_spark.functions.unicode import (
+        fix_mojibake,
+        normalize_text,
+        strip_invisible,
+    )
+
+    form = "NFKC" if nfkc else "NFC"
+
+    def fn(df: DataFrame) -> DataFrame:
+        c = fix_mojibake(F.col(text_col))
+        c = normalize_text(c, form)
+        return df.withColumn(text_col, strip_invisible(c))
+
+    return ("unicode", fn)

@@ -165,3 +165,27 @@ def test_pipeline_drift_watch_and_gate(spark):
     # no watch → reports carry None psi and nothing extra runs
     _, reports = run_pipeline(df, [drop_half])
     assert all(x.psi is None for x in reports)
+
+
+def test_unicode_stage_collapses_variants_before_dedup(spark):
+    """The ordering argument made executable: mojibake/decomposed/
+    zero-width variants of one document survive exact dedup as FOUR
+    rows without the unicode stage, and collapse to ONE with it."""
+    from fenix_spark.recipes import exact_dedup_stage, run_pipeline, unicode_stage
+
+    base = "café content here"
+    variants = [
+        (1, base),
+        (2, "café content here"),          # decomposed
+        (3, "cafÃ© content here"),     # mojibake
+        (4, "café con​tent here"),     # zero-width split
+    ]
+    df = spark.createDataFrame(variants, "doc_id int, text string")
+    without, _ = run_pipeline(df, [exact_dedup_stage("text", "doc_id")])
+    assert without.count() == 4
+    cleaned, reports = run_pipeline(
+        df, [unicode_stage("text"), exact_dedup_stage("text", "doc_id")]
+    )
+    assert cleaned.count() == 1
+    assert cleaned.first()["text"] == base
+    assert [r.name for r in reports] == ["unicode", "exact_dedup"]
