@@ -985,3 +985,48 @@ def overlap_matrix(
         F.when(F.col("__cu") > 0, F.col("__cc") / F.col("__cu"))
         .otherwise(F.lit(0.0)).alias("jaccard_est"),
     )
+
+
+def ngram_novelty(
+    ref: DataFrame,
+    cur: DataFrame,
+    text_col: str,
+    n: int = 3,
+    k: int = 4096,
+) -> dict:
+    """How much of ``cur`` is genuinely NEW against ``ref``, measured
+    on distinct word n-grams — the diminishing-returns question every
+    data-acquisition decision asks ("does this crawl add anything?"),
+    answered from two k-row theta sketches instead of a distinct-join
+    of two corpora's gram streams.
+
+    Returns {'ref_grams', 'cur_grams', 'shared_grams', 'new_grams',
+    'novelty'} — estimates (exact when a side holds < k distinct
+    grams); ``novelty`` = new/cur ∈ [0, 1]. Gram streams never
+    shuffle: each side folds to its bottom-k sketch scan-side
+    (theta_rollup), and the set algebra runs on ≤ 2k rows. Persist the
+    ref sketch once (it is a plain DataFrame) and score every
+    candidate corpus against it for free."""
+    from fenix_spark.functions.texthash import tokens, word_shingles
+
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.explode(
+                word_shingles(tokens(F.col(text_col)), n)
+            ).alias("gram")
+        )
+
+    a = theta_rollup(grams(ref), [], "gram", k)
+    b = theta_rollup(grams(cur), [], "gram", k)
+    row = theta_set_ops(a, b, [], k).first()
+    ref_g = float(row["a_est"] or 0.0)
+    cur_g = float(row["b_est"] or 0.0)
+    shared = min(float(row["intersect_est"]), cur_g)
+    new = max(cur_g - shared, 0.0)
+    return {
+        "ref_grams": ref_g,
+        "cur_grams": cur_g,
+        "shared_grams": shared,
+        "new_grams": new,
+        "novelty": (new / cur_g) if cur_g > 0 else 0.0,
+    }

@@ -786,3 +786,41 @@ def test_theta_query_path_is_native_and_keyed(spark):
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_planted(spark):
+    """Known composition: cur = half ref text + half fresh text →
+    novelty lands near the planted fraction; scoring ref against
+    itself gives ~0 novelty, disjoint text ~1."""
+    import numpy as np
+
+    from fenix_spark.operators.sketches import ngram_novelty
+
+    rng = np.random.default_rng(17)
+    vocab_a = [f"alpha{i}" for i in range(400)]
+    vocab_b = [f"beta{i}" for i in range(400)]
+
+    def doc(vocab, m=40):
+        return " ".join(rng.choice(vocab, m))
+
+    ref_docs = [(i, doc(vocab_a)) for i in range(300)]
+    ref = spark.createDataFrame(ref_docs, "id int, text string")
+    # cur = half VERBATIM ref docs (their grams are all shared) + half
+    # fresh-vocab docs (their grams are all new) → novelty ≈ 0.5
+    rows = ref_docs[:150] + [(1000 + i, doc(vocab_b)) for i in range(150)]
+    cur = spark.createDataFrame(rows, "id int, text string")
+
+    r = ngram_novelty(ref, cur, "text", n=3, k=4096)
+    assert 0.35 <= r["novelty"] <= 0.65, r
+    self_r = ngram_novelty(ref, ref, "text", n=3, k=4096)
+    assert self_r["novelty"] < 0.05, self_r
+    disjoint = ngram_novelty(
+        ref,
+        spark.createDataFrame(
+            [(i, doc(vocab_b)) for i in range(100)], "id int, text string"
+        ),
+        "text", n=3, k=4096,
+    )
+    assert disjoint["novelty"] > 0.95, disjoint
+    # bookkeeping identities hold
+    assert r["new_grams"] + r["shared_grams"] == pytest.approx(r["cur_grams"])
