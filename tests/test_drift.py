@@ -132,3 +132,56 @@ def test_hist_drift_grand_histograms(spark):
     assert len(same) == 1 and same[0]["psi"] == 0.0
     moved = hist_drift(ra, rb, []).collect()[0]
     assert moved["psi"] > 0.25 and "__g" not in moved.asDict()
+
+
+def test_freq_drift_categorical(spark):
+    """Language-mix drift: identical mixes score 0; a mix shift and a
+    vanished category both register; PSI matches the numpy formula."""
+    ref_rows = [("a", "en")] * 70 + [("a", "de")] * 20 + [("a", "fr")] * 10
+    cur_rows = [("a", "en")] * 40 + [("a", "de")] * 50 + [("a", "zh")] * 10
+    ref = spark.createDataFrame(ref_rows, "g string, lang string")
+    cur = spark.createDataFrame(cur_rows, "g string, lang string")
+    from fenix_spark.operators.drift import freq_drift
+
+    same = freq_drift(ref, ref, ["g"], "lang").collect()[0]
+    assert same["psi"] == 0.0 and same["tv"] == 0.0
+    r = freq_drift(ref, cur, ["g"], "lang").collect()[0]
+    eps = 1e-6
+    p = np.maximum(np.array([0.7, 0.2, 0.1, 0.0]), eps)
+    q = np.maximum(np.array([0.4, 0.5, 0.0, 0.1]), eps)
+    assert r["psi"] == pytest.approx(float(np.sum((p - q) * np.log(p / q))))
+    assert r["tv"] == pytest.approx(float(np.abs(p - q).sum() / 2))
+    assert r["psi"] > 0.25
+
+
+def test_kll_ks_matches_exact_statistic(spark):
+    """KS from sketches lands within the rank-error band of the exact
+    two-sample statistic — and needs NO range configuration."""
+    from fenix_spark.operators.drift import kll_ks
+    from fenix_spark.operators.sketches import kll_rollup
+
+    rng = np.random.default_rng(31)
+    xa = rng.normal(0, 1, 6000)
+    xb = rng.normal(0.35, 1, 6000)  # moderate shift
+
+    def roll(vals):
+        df = spark.createDataFrame([("k", float(v)) for v in vals], "g string, v double")
+        return kll_rollup(df, ["g"], "v", 200)
+
+    got = kll_ks(roll(xa), roll(xb), ["g"]).collect()[0]
+    # exact KS via numpy
+    allv = np.sort(np.concatenate([xa, xb]))
+    ca = np.searchsorted(np.sort(xa), allv, side="right") / len(xa)
+    cb = np.searchsorted(np.sort(xb), allv, side="right") / len(xb)
+    exact = float(np.max(np.abs(ca - cb)))
+    assert got["ks"] == pytest.approx(exact, abs=0.04)  # 2 sketches x ~2% rank err
+    assert (got["n_a"], got["n_b"]) == (6000, 6000)
+    # same distribution → ks within the noise/rank-error floor
+    xc = rng.normal(0, 1, 6000)
+    near0 = kll_ks(roll(xa), roll(xc), ["g"]).collect()[0]["ks"]
+    assert near0 < 0.06
+    # grand (empty-keys) arm works
+    grand = kll_ks(
+        roll(xa).drop("g"), roll(xb).drop("g"), []
+    ).collect()
+    assert len(grand) == 1 and grand[0]["ks"] == pytest.approx(exact, abs=0.04)
