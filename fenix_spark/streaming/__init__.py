@@ -27,12 +27,14 @@ from fenix_spark.streaming.sketches import (
     hist_state_layout,
     read_bloom,
     read_cms,
+    read_counts,
     read_hist,
     read_hll_rollup,
     read_kll,
     read_theta,
     stream_bloom,
     stream_cms,
+    stream_counts,
     stream_hist,
     stream_hll_rollup,
     stream_kll,
@@ -49,6 +51,8 @@ __all__ = [
     "read_kll",
     "read_theta",
     "read_hist",
+    "read_counts",
+    "stream_counts",
     "stream_hist",
     "hist_state_layout",
     "stream_bloom",

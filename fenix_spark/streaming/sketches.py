@@ -391,3 +391,42 @@ def hist_state_layout(spark: SparkSession, state_root: str) -> tuple[float, floa
         raise FileNotFoundError(f"no _hist_meta sidecar under {state_root}")
     lo, hi, bins = text.strip().split(",")
     return float(lo), float(hi), int(bins)
+
+
+def stream_counts(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    cat_col: str,
+    state_root: str,
+):
+    """foreachBatch writer for streaming CATEGORICAL counts — the live
+    side of ``drift.freq_drift``: per-batch (keys..., bin, c) partials
+    (bin = the category), merge = plain sum (exact). Feed
+    ``read_counts(...)`` straight into ``drift.hist_drift`` against a
+    frozen reference counts table to watch a language/source/status
+    mix drift in real time. compact_state's {bin, c} fold arm covers
+    this state too (string bins fold the same as int bins)."""
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        part = (
+            batch_df.where(F.col(cat_col).isNotNull())
+            .groupBy(*keys, F.col(cat_col).alias("bin"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        part.write.mode("overwrite").parquet(f"{state_root}/batch_id={batch_id}")
+
+    return stream_df.writeStream.foreachBatch(process)
+
+
+def read_counts(
+    spark: SparkSession, state_root: str, keys: Sequence[str]
+) -> DataFrame:
+    """The merged (keys..., bin, c) categorical counts over all landed
+    batches — hist_drift-ready."""
+    paths = _partial_paths(spark, state_root)
+    if not paths:
+        raise FileNotFoundError(f"no counts state under {state_root}")
+    return (
+        spark.read.parquet(*paths)
+        .groupBy(*keys, "bin")
+        .agg(F.sum("c").alias("c"))
+    )

@@ -985,3 +985,51 @@ def test_stream_hist_live_drift_against_reference(spark, events_prepared, tmp_pa
     }
     with pytest.raises(ValueError, match="lo,hi,bins"):
         stream_hist(stream, ["event_type"], "value", state, LO, HI, 64)
+
+
+def test_stream_counts_live_categorical_drift(spark, events_prepared, tmp_path):
+    """Streamed categorical counts == batch counts exactly; zero
+    drift vs the batch's own mix; a re-weighted reference registers;
+    compaction folds string-binned counts exactly."""
+    from fenix_spark.operators.drift import hist_drift
+    from fenix_spark.streaming.sketches import (
+        compact_state,
+        read_counts,
+        stream_counts,
+    )
+
+    src, batch_df = events_prepared
+    state = str(tmp_path / "cnt_state")
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_counts(stream.withColumn("g", F.lit("all")), ["g"], "event_type", state)
+        .option("checkpointLocation", str(tmp_path / "ck_cnt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    live = read_counts(spark, state, ["g"]).localCheckpoint()
+    batch = (
+        batch_df.withColumn("g", F.lit("all"))
+        .groupBy("g", F.col("event_type").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    assert {(r["bin"], r["c"]) for r in live.collect()} == {
+        (r["bin"], r["c"]) for r in batch.collect()
+    }
+    z = hist_drift(batch, live, ["g"]).collect()[0]
+    assert z["psi"] == 0.0 and z["tv"] == 0.0
+    skew = batch.withColumn(
+        "c", F.when(F.col("bin") == "click", F.col("c") * 10).otherwise(F.col("c"))
+    )
+    assert hist_drift(skew, live, ["g"]).collect()[0]["psi"] > 0.1
+
+    before = {(r["bin"], r["c"]) for r in live.collect()}
+    compact_state(spark, state)
+    after = {(r["bin"], r["c"]) for r in read_counts(spark, state, ["g"]).collect()}
+    assert after == before
