@@ -410,3 +410,150 @@ def bottomk_merge(
             lambda pdf: head_k(pdf), schema
         )
     return samples.groupBy().applyInPandas(lambda pdf: head_k(pdf), schema)
+
+
+# ------------------------------------------------ priority samples
+#
+# The weighted sibling of the bottom-k family: Priority Sampling
+# (Duffield, Lund, Thorup, "Priority sampling for estimation of
+# arbitrary subset sums", JACM 54(6), 2007 — public). Row i draws a
+# deterministic uniform u_i = (hash60(id+salt)+1)/2^60 ∈ (0,1] and a
+# priority q_i = w_i / u_i; the sample is the k highest-priority rows
+# per group, the threshold tau is the (k+1)-th priority, and each kept
+# row estimates its weight as max(w_i, tau). Subset sums estimated by
+# summing max(w_i, tau) over kept rows matching the predicate are
+# UNBIASED (DLT Thm 1), with near-optimal variance among k-sample
+# schemes — the principled answer to "estimate per-source token counts
+# from a bounded sample" where uniform sampling would be dominated by
+# the heavy tail.
+#
+# Like bottom-k, the state is a pure function of (id, weight, salt):
+# deterministic under retries and repartitioning, mergeable exactly
+# (top-(k+1) of a union == top-(k+1) of unioned top-(k+1)s), and
+# engine-portable (DuckDB mirror pinned in tests).
+
+
+def _priority(id_col: str, weight_col: str, salt: str) -> Column:
+    """q_i = w_i / u_i with u_i = (hash60(id‖salt)+1)/2^60 ∈ (0,1]."""
+    u = (hash60(F.concat(F.col(id_col).cast("string"), F.lit(salt))) + 1) / F.lit(
+        float(1 << 60)
+    )
+    return F.col(weight_col).cast("double") / u
+
+
+def priority_sample(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Mergeable priority-sample STATE: the k+1 highest-priority rows
+    per group (k+1, not k — the extra row carries the threshold that
+    makes estimates unbiased). Rows with NULL or non-positive weight
+    are excluded (they can never be sampled); duplicate ids keep the
+    highest-priority representative. Output = input columns +
+    ``sample_pri``. Feed to ``priority_take`` for the usable k-row
+    sample with estimates, or union shard states into
+    ``priority_merge``.
+
+    Two bounded phases like every sketch: per-batch top-(k+1) partials
+    in one Arrow pass (at most k+1 rows per group per batch shuffle —
+    raw groups never sort globally), then one per-group re-selection."""
+    import pandas as pd  # noqa: F401
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key_list = list(keys)
+    base = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("sample_pri", _priority(id_col, weight_col, salt))
+    schema = base.schema
+
+    def head_k(pdf):
+        out = pdf.sort_values(
+            ["sample_pri", id_col], ascending=[False, True]
+        ).drop_duplicates(subset=[id_col])
+        if key_list:
+            return out.groupby(key_list, dropna=False, sort=False).head(k + 1)
+        return out.head(k + 1)
+
+    def build(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield head_k(pdf)
+
+    partials = base.mapInPandas(build, schema)
+    if key_list:
+        return partials.groupBy(*key_list).applyInPandas(
+            lambda pdf: head_k(pdf), schema
+        )
+    return partials.groupBy().applyInPandas(lambda pdf: head_k(pdf), schema)
+
+
+def priority_merge(
+    samples: DataFrame, keys: Sequence[str], id_col: str, k: int
+) -> DataFrame:
+    """Fold unioned priority-sample states (e.g. per-shard outputs) to
+    the coarser ``keys`` grain — rows already carry ``sample_pri``, so
+    this is one summary-sized re-selection producing EXACTLY the state
+    a direct sample of the union would (pinned in tests). No rehash,
+    no data scan."""
+    import pandas as pd  # noqa: F401
+
+    key_list = list(keys)
+    schema = samples.schema
+
+    def head_k(pdf):
+        out = pdf.sort_values(
+            ["sample_pri", id_col], ascending=[False, True]
+        ).drop_duplicates(subset=[id_col])
+        if key_list:
+            return out.groupby(key_list, dropna=False, sort=False).head(k + 1)
+        return out.head(k + 1)
+
+    if key_list:
+        return samples.groupBy(*key_list).applyInPandas(
+            lambda pdf: head_k(pdf), schema
+        )
+    return samples.groupBy().applyInPandas(lambda pdf: head_k(pdf), schema)
+
+
+def priority_take(
+    state: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """The usable sample from a priority-sample state: the top-k rows
+    per group plus ``sample_est = max(weight, tau)`` where tau is the
+    (k+1)-th priority (0 when the group has ≤ k rows — then the sample
+    is the whole group and every estimate is exact). ``SUM(sample_est)
+    WHERE <predicate>`` is an unbiased estimate of the true weighted
+    subset sum (DLT Thm 1). Fully native window query over the
+    summary-sized state — two windows, no Python."""
+    key_list = list(keys)
+    w_rank = Window.partitionBy(*key_list).orderBy(
+        F.desc("sample_pri"), F.col(id_col)
+    )
+    w_grp = Window.partitionBy(*key_list)
+    ranked = state.withColumn("__rn", F.row_number().over(w_rank))
+    with_tau = ranked.withColumn(
+        "__tau",
+        F.coalesce(
+            F.max(F.when(F.col("__rn") == k + 1, F.col("sample_pri"))).over(
+                w_grp
+            ),
+            F.lit(0.0),
+        ),
+    )
+    return (
+        with_tau.where(F.col("__rn") <= k)
+        .withColumn(
+            "sample_est",
+            F.greatest(F.col(weight_col).cast("double"), F.col("__tau")),
+        )
+        .drop("__rn", "__tau")
+    )
