@@ -178,7 +178,25 @@ def compact_state(spark: SparkSession, state_root: str) -> int:
         return compact_ids[-1] if compact_ids else -1
     parts = spark.read.parquet(*inputs)
     cols = parts.columns
-    if {"r", "b", "c"} <= set(cols):
+    if "sample_pri" in cols:
+        from fenix_spark.operators.sampling import priority_merge
+
+        # priority-sample fold at the stream's own (k, keys, id) — all
+        # sidecar-pinned; re-selection of a union is idempotent, so
+        # crash-window extra partials are merge-safe (set semantics)
+        cfg = read_text(spark, f"{state_root}/_pri_cfg")
+        if cfg is None:
+            raise FileNotFoundError(
+                f"missing _pri_cfg sidecar under {state_root}"
+            )
+        cfg_k, _salt, pri_id, pri_keys = cfg.strip().split("|", 3)
+        folded = priority_merge(
+            parts,
+            [c for c in pri_keys.split(",") if c],
+            pri_id,
+            int(cfg_k),
+        )
+    elif {"r", "b", "c"} <= set(cols):
         folded = parts.groupBy("r", "b").agg(F.sum("c").alias("c"))
     elif {"word", "bits"} <= set(cols):
         folded = parts.groupBy("word").agg(F.bit_or("bits").alias("bits"))
@@ -430,3 +448,71 @@ def read_counts(
         .groupBy(*keys, "bin")
         .agg(F.sum("c").alias("c"))
     )
+
+
+def stream_priority(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    weight_col: str,
+    state_root: str,
+    k: int = 256,
+    salt: str = "",
+):
+    """foreachBatch writer for a LIVE priority sample
+    (operators/sampling.priority_sample — Duffield-Lund-Thorup): each
+    batch lands its own top-(k+1)-per-group state partial; a read
+    re-selects, which is EXACTLY the direct sample of everything
+    landed (priorities are a pure function of (id, weight, salt), so
+    replays/reorders/crash-window extras are all merge-safe — the
+    union re-selection is idempotent). The standing answer to "keep k
+    representative-by-weight examples per source, with unbiased
+    subset-sum estimates, as the corpus grows".
+
+    ``k``/``salt``/``id_col`` ride sidecars so maintenance folds at
+    the stream's own configuration; re-attaching with different ones
+    raises."""
+    from fenix_spark.operators.sampling import priority_sample
+
+    spark = stream_df.sparkSession
+    cfg = f"{k}|{salt}|{id_col}|{','.join(keys)}"
+    existing = read_text(spark, f"{state_root}/_pri_cfg")
+    if existing is not None and existing.strip() != cfg:
+        raise ValueError(
+            f"state at {state_root} was built with (k|salt|id)="
+            f"{existing.strip()!r}; re-attach with that configuration "
+            f"(got {cfg!r}) or use a fresh state_root"
+        )
+    write_text(spark, f"{state_root}/_pri_cfg", cfg)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        part = priority_sample(
+            batch_df, list(keys), id_col, weight_col, k, salt
+        )
+        part.write.mode("overwrite").parquet(f"{state_root}/batch_id={batch_id}")
+
+    return stream_df.writeStream.foreachBatch(process)
+
+
+def read_priority(
+    spark: SparkSession,
+    state_root: str,
+    keys: Sequence[str],
+    k: int | None = None,
+) -> DataFrame:
+    """Merge every landed batch partial into the current sample STATE
+    (top-(k+1) rows per group) — feed to ``sampling.priority_take``
+    for the usable k-row sample with unbiased estimates. ``k``
+    defaults to the sidecar the stream was built with."""
+    from fenix_spark.operators.sampling import priority_merge
+
+    paths = _partial_paths(spark, state_root)
+    if not paths:
+        raise FileNotFoundError(f"no priority-sample state under {state_root}")
+    cfg = read_text(spark, f"{state_root}/_pri_cfg")
+    if cfg is None:
+        raise FileNotFoundError(f"missing _pri_cfg sidecar under {state_root}")
+    cfg_k, _salt, id_col, _keys = cfg.strip().split("|", 3)
+    if k is None:
+        k = int(cfg_k)
+    return priority_merge(spark.read.parquet(*paths), list(keys), id_col, k)

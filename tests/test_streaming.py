@@ -1033,3 +1033,82 @@ def test_stream_counts_live_categorical_drift(spark, events_prepared, tmp_path):
     compact_state(spark, state)
     after = {(r["bin"], r["c"]) for r in read_counts(spark, state, ["g"]).collect()}
     assert after == before
+
+
+def test_stream_priority_sample_equals_batch_and_compacts(
+    spark, events_prepared, tmp_path
+):
+    """Live priority sample: the read-time re-selection over streamed
+    partials equals the direct batch sample EXACTLY (priorities are a
+    pure function of (id, weight, salt)), estimates stay exact for
+    small groups, compaction folds at the sidecar configuration, and
+    a mismatched re-attach refuses."""
+    import os
+
+    from fenix_spark.operators.sampling import priority_sample, priority_take
+    from fenix_spark.streaming.sketches import (
+        compact_state,
+        read_priority,
+        stream_priority,
+    )
+
+    src, batch_df = events_prepared
+    state = str(tmp_path / "pri_state")
+    k = 40
+    # weight: |value| + 1 so every row is sampleable with skew
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("w", F.abs(F.col("value")) + 1.0)
+    )
+    q = (
+        stream_priority(stream, ["event_type"], "event_id", "w", state, k=k)
+        .option("checkpointLocation", str(tmp_path / "ck_pri"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_w = batch_df.withColumn("w", F.abs(F.col("value")) + 1.0)
+    direct = {
+        (r["event_type"], r["event_id"], r["sample_pri"])
+        for r in priority_sample(
+            batch_w, ["event_type"], "event_id", "w", k
+        ).collect()
+    }
+    streamed_state = read_priority(spark, state, ["event_type"])
+    streamed = {
+        (r["event_type"], r["event_id"], r["sample_pri"])
+        for r in streamed_state.collect()
+    }
+    assert streamed == direct
+
+    # the usable sample: k rows per group with threshold estimates
+    taken = priority_take(
+        streamed_state, ["event_type"], "event_id", "w", k
+    ).collect()
+    per = {}
+    for r in taken:
+        per.setdefault(r["event_type"], []).append(r)
+    n_per = {
+        r["event_type"]: r["n"]
+        for r in batch_w.groupBy("event_type").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    for g, rs in per.items():
+        assert len(rs) == min(k, n_per[g])
+
+    # compaction folds batch partials away and preserves the state
+    compact_state(spark, state)
+    assert [d for d in os.listdir(state) if d.startswith("batch_id=")] == []
+    after = {
+        (r["event_type"], r["event_id"], r["sample_pri"])
+        for r in read_priority(spark, state, ["event_type"]).collect()
+    }
+    assert after == direct
+
+    # sidecar pins configuration; mismatched re-attach refuses
+    with pytest.raises(ValueError, match="re-attach"):
+        stream_priority(stream, ["event_type"], "event_id", "w", state, k=99)
