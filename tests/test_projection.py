@@ -1,0 +1,127 @@
+"""JL random projection (operators/projection.py).
+
+Proof bar:
+- the matrix is pinned to its hash spec (pure function of seed, cross-
+  process deterministic, balanced signs);
+- the Spark expression reproduces the numpy GEMM;
+- the JL lemma holds empirically: pairwise distances preserved within
+  the predicted distortion;
+- nearest-neighbor structure survives (KNN recall in projected space);
+- width mismatches raise instead of silently zero-padding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fenix_spark.operators.projection import jl_matrix, jl_project
+
+
+def test_matrix_pinned_and_balanced():
+    m = jl_matrix(64, 16, seed="s1")
+    assert m.shape == (64, 16)
+    assert np.allclose(np.abs(m), 1.0 / 4.0)  # ±1/sqrt(16)
+    # pure function of the seed, different across seeds
+    assert np.array_equal(m, jl_matrix(64, 16, seed="s1"))
+    assert not np.array_equal(m, jl_matrix(64, 16, seed="s2"))
+    # signs are hash-uniform: column sums concentrate near zero
+    signs = m * 4.0
+    assert abs(signs.sum()) < 4 * np.sqrt(64 * 16)
+    # spec pin: first column's first bits come from blake2b("jl|s1|0|0")
+    import hashlib
+
+    digest = hashlib.blake2b(b"jl|s1|0|0", digest_size=64).digest()
+    exp0 = 1.0 if (digest[0] & 1) else -1.0
+    assert signs[0, 0] == exp0
+
+
+def test_spark_matches_numpy_gemm(spark):
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(100, 32))
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "id int, vec array<double>",
+    )
+    m = jl_matrix(32, 8, seed="gemm")
+    got = {
+        r["id"]: np.array(r["jl"])
+        for r in jl_project(df, "vec", 32, 8, seed="gemm").collect()
+    }
+    exp = X @ m
+    for i in range(len(X)):
+        assert np.allclose(got[i], exp[i], rtol=1e-9, atol=1e-12)
+
+
+def test_jl_distance_preservation(spark):
+    """Empirical JL: with d_out = 64, pairwise distance distortion
+    |proj/orig - 1| stays small for 100 points (the lemma's ε at this
+    d_out and n is ~sqrt(8 ln 100 / 64) ≈ 0.76 worst-case bound;
+    typical distortion is far tighter — assert the realistic envelope)."""
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(100, 256))
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "id int, vec array<double>",
+    )
+    got = {
+        r["id"]: np.array(r["jl"])
+        for r in jl_project(df, "vec", 256, 64, seed="jl").collect()
+    }
+    P = np.stack([got[i] for i in range(len(X))])
+    D0 = np.sqrt(((X[:, None] - X[None, :]) ** 2).sum(-1))
+    D1 = np.sqrt(((P[:, None] - P[None, :]) ** 2).sum(-1))
+    iu = np.triu_indices(len(X), 1)
+    ratio = D1[iu] / D0[iu]
+    assert abs(np.mean(ratio) - 1.0) < 0.05
+    assert np.quantile(np.abs(ratio - 1.0), 0.95) < 0.35
+    assert np.max(np.abs(ratio - 1.0)) < 0.6
+
+
+def test_knn_structure_survives(spark):
+    """Planted clusters: every point's nearest neighbors in projected
+    space stay within its own cluster."""
+    rng = np.random.default_rng(9)
+    anchors = rng.normal(scale=10.0, size=(5, 128))
+    X, label = [], []
+    for ci, a in enumerate(anchors):
+        for _ in range(20):
+            X.append(a + rng.normal(scale=0.5, size=128))
+            label.append(ci)
+    X = np.stack(X)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(X)],
+        "id int, vec array<double>",
+    )
+    got = {
+        r["id"]: np.array(r["jl"])
+        for r in jl_project(df, "vec", 128, 16, seed="knn").collect()
+    }
+    P = np.stack([got[i] for i in range(len(X))])
+    D = ((P[:, None] - P[None, :]) ** 2).sum(-1)
+    np.fill_diagonal(D, np.inf)
+    for i in range(len(X)):
+        nn = int(np.argmin(D[i]))
+        assert label[nn] == label[i]
+
+
+def test_null_passthrough_and_width_mismatch_raises(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None)], "id int, vec array<double>"
+    )
+    rows = {r["id"]: r["jl"] for r in jl_project(df, "vec", 2, 4).collect()}
+    assert rows[1] is None
+    assert len(rows[0]) == 4
+    bad = spark.createDataFrame([(0, [1.0, 2.0, 3.0])], "id int, vec array<double>")
+    with pytest.raises(Exception, match="expected 2-dim"):
+        jl_project(bad, "vec", 2, 4).collect()
+
+
+def test_feeds_embeddings_table(spark, embeddings):
+    """End-to-end on the real table: project the embedding column and
+    keep non-null width."""
+    d_in = len(embeddings.select("embedding").head()["embedding"])
+    out = jl_project(embeddings.limit(50), "embedding", d_in, 8)
+    sizes = out.select(F.size("jl").alias("s")).distinct().collect()
+    assert [r["s"] for r in sizes] == [8]
