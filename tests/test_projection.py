@@ -16,7 +16,11 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from fenix_spark.operators.projection import jl_matrix, jl_project
+from fenix_spark.operators.projection import (
+    jl_matrix,
+    jl_project,
+    jl_project_expr,
+)
 
 
 def test_matrix_pinned_and_balanced():
@@ -49,6 +53,13 @@ def test_spark_matches_numpy_gemm(spark):
         r["id"]: np.array(r["jl"])
         for r in jl_project(df, "vec", 32, 8, seed="gemm").collect()
     }
+    # the bare expression form agrees with the guarded operator
+    raw = {
+        r["id"]: np.array(r["jl"])
+        for r in df.withColumn("jl", jl_project_expr("vec", m)).collect()
+    }
+    for i in got:
+        assert np.array_equal(got[i], raw[i])
     exp = X @ m
     for i in range(len(X)):
         assert np.allclose(got[i], exp[i], rtol=1e-9, atol=1e-12)
