@@ -824,3 +824,80 @@ def test_ngram_novelty_planted(spark):
     assert disjoint["novelty"] > 0.95, disjoint
     # bookkeeping identities hold
     assert r["new_grams"] + r["shared_grams"] == pytest.approx(r["cur_grams"])
+
+
+# ------------------------------------------------ CMS join-size
+
+
+def test_cms_join_size_one_sided_and_tight(spark):
+    """est >= true ALWAYS (fixed hashes, non-negative collision
+    terms); on realistic cardinalities the overshoot is small; the
+    exact join size Σ f_A(v)·f_B(v) is computed independently."""
+    from fenix_spark.operators.sketches import cms_build, cms_join_size
+
+    rows_a = [(f"k{i % 300}",) for i in range(6_000)]
+    rows_b = [(f"k{i % 450}",) for i in range(4_500)]
+    A = spark.createDataFrame(rows_a, "key string")
+    B = spark.createDataFrame(rows_b, "key string")
+    true = A.join(B, "key").count()
+    d, w = 4, 2048
+    est = cms_join_size(
+        cms_build(A, "key", d, w), cms_build(B, "key", d, w), depth=d
+    ).head()["join_size_est"]
+    assert est >= true
+    # the CM inner-product residue is ≈ ||f_A||₁·||f_B||₁/w per row;
+    # the min over rows must stay inside a small multiple of it
+    assert est - true <= 2 * (6_000 * 4_500 / w), (est, true)
+    # width buys accuracy: at 8x the width the estimate is tight
+    w2 = 16_384
+    est2 = cms_join_size(
+        cms_build(A, "key", d, w2), cms_build(B, "key", d, w2), depth=d
+    ).head()["join_size_est"]
+    assert true <= est2 <= 1.05 * true, (est2, true)
+
+
+def test_cms_join_size_disjoint_is_zero_or_tiny(spark):
+    from fenix_spark.operators.sketches import cms_build, cms_join_size
+
+    A = spark.createDataFrame([(f"a{i}",) for i in range(500)], "key string")
+    B = spark.createDataFrame([(f"b{i}",) for i in range(500)], "key string")
+    d, w = 4, 4096
+    est = cms_join_size(
+        cms_build(A, "key", d, w), cms_build(B, "key", d, w), depth=d
+    ).head()["join_size_est"]
+    true = A.join(B, "key").count()
+    assert true == 0
+    # collisions may leave a small residue; it must stay ≪ |A|·|B|
+    assert est <= 500 * 500 * (4.0 / w)
+
+
+def test_cms_join_size_empty_row_proves_empty(spark):
+    """If any hash row has no overlapping cells the estimate is
+    EXACTLY zero (shared keys would populate every row)."""
+    from fenix_spark.operators.sketches import cms_build, cms_join_size
+
+    A = spark.createDataFrame([("x",)], "key string")
+    B = spark.createDataFrame([("y",)], "key string")
+    d, w = 4, 1 << 20  # huge width → no collisions → some row empty
+    est = cms_join_size(
+        cms_build(A, "key", d, w), cms_build(B, "key", d, w), depth=d
+    ).head()["join_size_est"]
+    assert est == 0
+
+
+def test_cms_join_size_weighted_and_skewed(spark):
+    """Heavy-key joins (the case that melts reducers) are where the
+    planner needs the number: a 100x hot key dominates Σ f_A·f_B and
+    the estimate tracks it."""
+    from fenix_spark.operators.sketches import cms_build, cms_join_size
+
+    rows_a = [("HOT",)] * 2_000 + [(f"k{i}",) for i in range(1_000)]
+    rows_b = [("HOT",)] * 300 + [(f"k{i}",) for i in range(1_000)]
+    A = spark.createDataFrame(rows_a, "key string")
+    B = spark.createDataFrame(rows_b, "key string")
+    true = A.join(B, "key").count()  # 600_000 + 1_000
+    d, w = 4, 2048
+    est = cms_join_size(
+        cms_build(A, "key", d, w), cms_build(B, "key", d, w), depth=d
+    ).head()["join_size_est"]
+    assert true <= est <= 1.1 * true, (est, true)
