@@ -13,6 +13,8 @@ nothing (the 1/(k+rank) term is absent, per the original RRF paper).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -122,3 +124,91 @@ def hybrid_search(
         k=k,
         ascending=[False, True],  # bm25 score desc, distance asc
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    vec_col: str,
+    score_col: str,
+    k: int = 10,
+    lam: float = 0.5,
+    max_candidates: int = 10_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick argmax ``λ·relevance − (1−λ)·max
+    cosine-similarity to already-picked`` — the standard redundancy
+    cut for retrieval results (near-duplicate hits waste the result
+    page; pure top-k returns them all).
+
+    Runs per group over an ALREADY-BOUNDED candidate list (feed a
+    ranker's top-n, e.g. `hybrid_search`/`knn` output — never a raw
+    corpus; ``max_candidates`` enforces the contract loudly). Each
+    group is one Arrow batch: the greedy loop is numpy GEMM against
+    the picked set, O(n·k) per group, embarrassingly parallel across
+    groups. λ=1 reduces to plain score order (pinned in tests).
+
+    Deterministic: ties break by id ascending. Scores should be
+    already comparable within a group (MMR mixes them with cosine
+    sim, which lives in [-1, 1] — normalize upstream if needed).
+    Output: input columns + ``mmr_rank`` (0-based pick order) and
+    ``mmr_score`` (the marginal value at pick time)."""
+    import pandas as pd  # noqa: F401
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key_list = list(keys)
+    out_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in candidates.schema.fields
+        )
+        + ", mmr_rank int, mmr_score double"
+    )
+
+    def rerank(pdf):
+        import numpy as np
+
+        if len(pdf) > max_candidates:
+            raise ValueError(
+                f"mmr_rerank got a {len(pdf)}-row candidate group "
+                f"(max_candidates={max_candidates}); rerank a bounded "
+                "top-n, not a corpus"
+            )
+        pdf = pdf.sort_values(
+            [score_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        V = np.stack(pdf[vec_col].to_numpy())
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0.0] = 1.0
+        U = V / norms[:, None]
+        rel = pdf[score_col].to_numpy(dtype="float64")
+        n = len(pdf)
+        picked: list[int] = []
+        max_sim = np.full(n, -np.inf)
+        mmr_scores = []
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if picked:
+                marg = lam * rel - (1.0 - lam) * max_sim
+            else:
+                marg = lam * rel
+            marg_masked = np.where(remaining, marg, -np.inf)
+            best = int(np.argmax(marg_masked))  # first index wins ties
+            # ties broken by the (score desc, id asc) presort order
+            picked.append(best)
+            mmr_scores.append(float(marg_masked[best]))
+            remaining[best] = False
+            sims = U @ U[best]
+            max_sim = np.maximum(max_sim, sims)
+        out = pdf.iloc[picked].copy()
+        out["mmr_rank"] = range(len(picked))
+        out["mmr_score"] = mmr_scores
+        return out
+
+    if key_list:
+        return candidates.groupBy(*key_list).applyInPandas(rerank, out_schema)
+    return candidates.groupBy().applyInPandas(rerank, out_schema)
