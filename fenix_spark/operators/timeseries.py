@@ -205,3 +205,69 @@ def robust_anomalies(
         score.alias("score"),
         F.coalesce(score > F.lit(float(k)), F.lit(False)).alias("anomaly"),
     )
+
+
+# ------------------------------------------- exponentially-decayed counts
+
+
+def decayed_counts(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    ts_ms_col: str,
+    t_ref_ms: int,
+    half_life_ms: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Half-life-decayed mass per key, EXACT and mergeable — the
+    trending-score summary (an event ``half_life_ms`` old counts 0.5,
+    two half-lives 0.25, …):
+
+        w(key) = Σ_events weight · 2^((ts − t_ref) / half_life)
+
+    Output: (keys..., w double) anchored at ``t_ref_ms``. One groupBy
+    with a map-side partial sum of scan-local exponentials — no
+    window, no sort, cost identical to a plain count. States at the
+    SAME anchor merge by plain sum (linearity, pinned); re-anchor with
+    ``decayed_shift``. Unlike sliding-window counts, the state is one
+    row per key with NO event retention, and ranking by ``w`` is the
+    classic recency-weighted trending order (Cormode, Shkapenyuk,
+    Srivastava, Xu, ICDE 2009 forward-decay form, base 2).
+
+    Events far older than the anchor underflow to 0.0 mass (they are
+    dead by construction); events more than ~1000 half-lives NEWER
+    than the anchor would overflow double — anchor at or after the
+    data's max timestamp (the natural "now")."""
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.lit(1.0)
+    )
+    decay = F.pow(
+        F.lit(2.0),
+        (F.col(ts_ms_col).cast("double") - F.lit(float(t_ref_ms)))
+        / F.lit(float(half_life_ms)),
+    )
+    return (
+        df.where(F.col(ts_ms_col).isNotNull())
+        .groupBy(*keys)
+        .agg(F.sum(w * decay).alias("w"))
+    )
+
+
+def decayed_shift(
+    state: DataFrame,
+    t_ref_old_ms: int,
+    t_ref_new_ms: int,
+    half_life_ms: int,
+) -> DataFrame:
+    """Re-anchor a decayed-counts state to a new reference time:
+    w' = w · 2^((old − new) / half_life). Summary-sized, exact —
+    shift-then-merge equals building directly at the new anchor
+    (associativity pinned in tests)."""
+    factor = 2.0 ** ((t_ref_old_ms - t_ref_new_ms) / half_life_ms)
+    return state.withColumn("w", F.col("w") * F.lit(float(factor)))
+
+
+def decayed_merge(states: DataFrame, keys: "Sequence[str]") -> DataFrame:
+    """Sum unioned same-anchor states to the coarser ``keys`` grain."""
+    return states.groupBy(*keys).agg(F.sum("w").alias("w"))

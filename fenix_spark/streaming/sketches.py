@@ -178,7 +178,12 @@ def compact_state(spark: SparkSession, state_root: str) -> int:
         return compact_ids[-1] if compact_ids else -1
     parts = spark.read.parquet(*inputs)
     cols = parts.columns
-    if "sample_pri" in cols:
+    if read_text(spark, f"{state_root}/_decay_cfg") is not None:
+        # decayed-counts fold: plain sum at the state's full grain
+        # (linear and exact; all partials share the sidecar anchor)
+        group = [c for c in cols if c != "w"]
+        folded = parts.groupBy(*group).agg(F.sum("w").alias("w"))
+    elif "sample_pri" in cols:
         from fenix_spark.operators.sampling import priority_merge
 
         # priority-sample fold at the stream's own (k, keys, id) — all
@@ -516,3 +521,64 @@ def read_priority(
     if k is None:
         k = int(cfg_k)
     return priority_merge(spark.read.parquet(*paths), list(keys), id_col, k)
+
+
+def stream_decay(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    ts_ms_col: str,
+    state_root: str,
+    t_ref_ms: int,
+    half_life_ms: int,
+    weight_col: str | None = None,
+):
+    """foreachBatch writer for live half-life-decayed counts
+    (operators/timeseries.decayed_counts — the trending-score
+    summary): each batch lands its own exact (keys..., w) partial at
+    the sidecar anchor; merge is plain sum (linear), so replays
+    overwrite idempotently and compaction is exact. Read with
+    ``read_decay`` (optionally re-anchored to "now")."""
+    from fenix_spark.operators.timeseries import decayed_counts
+
+    spark = stream_df.sparkSession
+    cfg = f"{t_ref_ms}|{half_life_ms}"
+    existing = read_text(spark, f"{state_root}/_decay_cfg")
+    if existing is not None and existing.strip() != cfg:
+        raise ValueError(
+            f"state at {state_root} was built with (t_ref|half_life)="
+            f"{existing.strip()!r}; re-attach with that configuration "
+            f"(got {cfg!r}) or use a fresh state_root"
+        )
+    write_text(spark, f"{state_root}/_decay_cfg", cfg)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        part = decayed_counts(
+            batch_df, list(keys), ts_ms_col, t_ref_ms, half_life_ms,
+            weight_col=weight_col,
+        )
+        part.write.mode("overwrite").parquet(f"{state_root}/batch_id={batch_id}")
+
+    return stream_df.writeStream.foreachBatch(process)
+
+
+def read_decay(
+    spark: SparkSession,
+    state_root: str,
+    keys: Sequence[str],
+    t_now_ms: int | None = None,
+) -> DataFrame:
+    """Merged decayed mass per key; pass ``t_now_ms`` to re-anchor the
+    scores to query time (summary-sized multiply)."""
+    from fenix_spark.operators.timeseries import decayed_merge, decayed_shift
+
+    paths = _partial_paths(spark, state_root)
+    if not paths:
+        raise FileNotFoundError(f"no decay state under {state_root}")
+    cfg = read_text(spark, f"{state_root}/_decay_cfg")
+    if cfg is None:
+        raise FileNotFoundError(f"missing _decay_cfg sidecar under {state_root}")
+    t_ref, hl = (int(x) for x in cfg.strip().split("|"))
+    merged = decayed_merge(spark.read.parquet(*paths), list(keys))
+    if t_now_ms is not None and t_now_ms != t_ref:
+        merged = decayed_shift(merged, t_ref, t_now_ms, hl)
+    return merged

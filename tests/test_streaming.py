@@ -1112,3 +1112,73 @@ def test_stream_priority_sample_equals_batch_and_compacts(
     # sidecar pins configuration; mismatched re-attach refuses
     with pytest.raises(ValueError, match="re-attach"):
         stream_priority(stream, ["event_type"], "event_id", "w", state, k=99)
+
+
+def test_stream_decay_trending_equals_batch_and_compacts(
+    spark, events_prepared, tmp_path
+):
+    """Live decayed counts: streamed partials merge to EXACTLY the
+    batch summary (linearity), read-time re-anchoring shifts scores,
+    compaction folds exactly, mismatched re-attach refuses."""
+    import os
+
+    from fenix_spark.operators.timeseries import decayed_counts
+    from fenix_spark.streaming.sketches import (
+        compact_state,
+        read_decay,
+        stream_decay,
+    )
+
+    src, batch_df = events_prepared
+    t_ref = int(
+        batch_df.agg(F.max("ts_ms")).head()[0]
+    )
+    hl = 3_600_000
+    state = str(tmp_path / "decay_state")
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_decay(stream, ["event_type"], "ts_ms", state, t_ref, hl)
+        .option("checkpointLocation", str(tmp_path / "ck_decay"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    direct = {
+        r["event_type"]: r["w"]
+        for r in decayed_counts(
+            batch_df, ["event_type"], "ts_ms", t_ref, hl
+        ).collect()
+    }
+    streamed = {
+        r["event_type"]: r["w"]
+        for r in read_decay(spark, state, ["event_type"]).collect()
+    }
+    assert set(streamed) == set(direct)
+    for k in direct:
+        assert streamed[k] == pytest.approx(direct[k], rel=1e-9), k
+
+    # re-anchor at read time: every score scales by the same factor
+    t_now = t_ref + hl
+    shifted = {
+        r["event_type"]: r["w"]
+        for r in read_decay(spark, state, ["event_type"], t_now_ms=t_now).collect()
+    }
+    for k in direct:
+        assert shifted[k] == pytest.approx(direct[k] * 0.5, rel=1e-9), k
+
+    compact_state(spark, state)
+    assert [d for d in os.listdir(state) if d.startswith("batch_id=")] == []
+    after = {
+        r["event_type"]: r["w"]
+        for r in read_decay(spark, state, ["event_type"]).collect()
+    }
+    for k in direct:
+        assert after[k] == pytest.approx(direct[k], rel=1e-9), k
+
+    with pytest.raises(ValueError, match="re-attach"):
+        stream_decay(stream, ["event_type"], "ts_ms", state, t_ref + 1, hl)

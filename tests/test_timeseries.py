@@ -230,3 +230,116 @@ def test_robust_anomalies_duckdb_mirror(spark, sf_dir):
     """).fetchall():
         want[(key, b)] = (round(v, 6), round(s, 6) if s is not None else None, a)
     assert got == want
+
+
+# --------------------------------------------- decayed counts
+
+
+def test_decayed_counts_numpy_parity_and_half_life(spark):
+    import numpy as np
+
+    from fenix_spark.operators.timeseries import decayed_counts
+
+    hl = 3_600_000  # 1h
+    t_ref = 100 * hl
+    rows = [
+        ("a", t_ref, 1.0),          # fresh: 1.0
+        ("a", t_ref - hl, 1.0),     # one half-life: 0.5
+        ("a", t_ref - 2 * hl, 4.0), # two half-lives, weight 4: 1.0
+        ("b", t_ref - hl // 2, 2.0),
+        ("b", None, 99.0),          # null ts excluded
+    ]
+    df = spark.createDataFrame(rows, "key string, ts_ms long, wt double")
+    got = {
+        r["key"]: r["w"]
+        for r in decayed_counts(
+            df, ["key"], "ts_ms", t_ref, hl, weight_col="wt"
+        ).collect()
+    }
+    assert got["a"] == pytest.approx(1.0 + 0.5 + 1.0, rel=1e-12)
+    assert got["b"] == pytest.approx(2.0 * 2 ** (-0.5), rel=1e-12)
+    # numpy mirror over random data
+    rng = np.random.default_rng(5)
+    ts = (t_ref - rng.integers(0, 50 * hl, size=500)).tolist()
+    df2 = spark.createDataFrame(
+        [("k", int(t), 1.0) for t in ts], "key string, ts_ms long, wt double"
+    )
+    got2 = decayed_counts(df2, ["key"], "ts_ms", t_ref, hl).head()["w"]
+    exp = float(np.sum(2.0 ** ((np.array(ts) - t_ref) / hl)))
+    assert got2 == pytest.approx(exp, rel=1e-9)
+
+
+def test_decayed_merge_and_shift_associativity(spark):
+    from fenix_spark.operators.timeseries import (
+        decayed_counts,
+        decayed_merge,
+        decayed_shift,
+    )
+
+    hl = 1_000
+    t1, t2 = 50_000, 60_000
+    rows = [(f"k{i % 3}", 40_000 + (i * 37) % 15_000) for i in range(900)]
+    df = spark.createDataFrame(rows, "key string, ts_ms long")
+    # shard → per-shard states at t1 → merge → shift to t2
+    s_a = decayed_counts(df.where("ts_ms % 2 = 0"), ["key"], "ts_ms", t1, hl)
+    s_b = decayed_counts(df.where("ts_ms % 2 = 1"), ["key"], "ts_ms", t1, hl)
+    merged = decayed_merge(s_a.unionByName(s_b), ["key"])
+    shifted = {
+        r["key"]: r["w"]
+        for r in decayed_shift(merged, t1, t2, hl).collect()
+    }
+    direct = {
+        r["key"]: r["w"]
+        for r in decayed_counts(df, ["key"], "ts_ms", t2, hl).collect()
+    }
+    assert set(shifted) == set(direct)
+    for k in direct:
+        assert shifted[k] == pytest.approx(direct[k], rel=1e-9), k
+
+
+def test_decayed_trending_order_tracks_recency(spark):
+    """'hot' has fewer but recent events; 'stale' many but old — the
+    decayed rank puts hot first, the plain count the other way."""
+    from fenix_spark.operators.timeseries import decayed_counts
+
+    hl = 1_000
+    now = 1_000_000
+    rows = [("hot", now - i * 10) for i in range(50)] + [
+        ("stale", now - 20 * hl - i * 10) for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts_ms long")
+    got = {
+        r["key"]: r["w"]
+        for r in decayed_counts(df, ["key"], "ts_ms", now, hl).collect()
+    }
+    assert got["hot"] > got["stale"]
+    plain = {
+        r["key"]: r["c"]
+        for r in df.groupBy("key").agg(F.count("*").alias("c")).collect()
+    }
+    assert plain["stale"] > plain["hot"]
+
+
+def test_decayed_counts_duckdb_mirror(spark, tmp_path):
+    import duckdb
+
+    from fenix_spark.operators.timeseries import decayed_counts
+
+    hl = 2_000
+    t_ref = 500_000
+    rows = [(f"k{i % 5}", t_ref - (i * 613) % 40_000) for i in range(1_000)]
+    df = spark.createDataFrame(rows, "key string, ts_ms long")
+    p = str(tmp_path / "dc.parquet")
+    df.coalesce(1).write.parquet(p)
+    got = sorted(
+        (r["key"], round(r["w"], 9))
+        for r in decayed_counts(df, ["key"], "ts_ms", t_ref, hl).collect()
+    )
+    exp = sorted(
+        (k, round(w, 9))
+        for k, w in duckdb.sql(
+            f"""SELECT key, sum(pow(2.0, (ts_ms - {t_ref}) / {hl}.0)) AS w
+                FROM read_parquet('{p}/*.parquet') GROUP BY key"""
+        ).fetchall()
+    )
+    assert got == exp
