@@ -201,6 +201,22 @@ def compact_state(spark: SparkSession, state_root: str) -> int:
             pri_id,
             int(cfg_k),
         )
+    elif "sample_h" in cols:
+        from fenix_spark.operators.sampling import bottomk_merge
+
+        # bottom-k sample fold — same idempotent re-selection story
+        cfg = read_text(spark, f"{state_root}/_bk_cfg")
+        if cfg is None:
+            raise FileNotFoundError(
+                f"missing _bk_cfg sidecar under {state_root}"
+            )
+        cfg_k, _salt, bk_id, bk_keys = cfg.strip().split("|", 3)
+        folded = bottomk_merge(
+            parts,
+            [c for c in bk_keys.split(",") if c],
+            bk_id,
+            int(cfg_k),
+        )
     elif {"r", "b", "c"} <= set(cols):
         folded = parts.groupBy("r", "b").agg(F.sum("c").alias("c"))
     elif {"word", "bits"} <= set(cols):
@@ -582,3 +598,58 @@ def read_decay(
     if t_now_ms is not None and t_now_ms != t_ref:
         merged = decayed_shift(merged, t_ref, t_now_ms, hl)
     return merged
+
+
+def stream_bottomk(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    state_root: str,
+    k: int = 256,
+    salt: str = "",
+):
+    """foreachBatch writer for a LIVE uniform bottom-k sample
+    (operators/sampling.bottomk_sample): per-batch bottom-k partials;
+    a read re-selects, which equals the direct sample of everything
+    landed EXACTLY (hashes are a pure function of (id, salt) — same
+    merge-safety story as the priority stream). The standing "k
+    example rows per source, always current" view."""
+    from fenix_spark.operators.sampling import bottomk_sample
+
+    spark = stream_df.sparkSession
+    cfg = f"{k}|{salt}|{id_col}|{','.join(keys)}"
+    existing = read_text(spark, f"{state_root}/_bk_cfg")
+    if existing is not None and existing.strip() != cfg:
+        raise ValueError(
+            f"state at {state_root} was built with (k|salt|id|keys)="
+            f"{existing.strip()!r}; re-attach with that configuration "
+            f"(got {cfg!r}) or use a fresh state_root"
+        )
+    write_text(spark, f"{state_root}/_bk_cfg", cfg)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        part = bottomk_sample(batch_df, list(keys), id_col, k, salt)
+        part.write.mode("overwrite").parquet(f"{state_root}/batch_id={batch_id}")
+
+    return stream_df.writeStream.foreachBatch(process)
+
+
+def read_bottomk(
+    spark: SparkSession,
+    state_root: str,
+    keys: Sequence[str],
+    k: int | None = None,
+) -> DataFrame:
+    """The merged current sample over all landed batches."""
+    from fenix_spark.operators.sampling import bottomk_merge
+
+    paths = _partial_paths(spark, state_root)
+    if not paths:
+        raise FileNotFoundError(f"no bottom-k state under {state_root}")
+    cfg = read_text(spark, f"{state_root}/_bk_cfg")
+    if cfg is None:
+        raise FileNotFoundError(f"missing _bk_cfg sidecar under {state_root}")
+    cfg_k, _salt, id_col, _keys = cfg.strip().split("|", 3)
+    if k is None:
+        k = int(cfg_k)
+    return bottomk_merge(spark.read.parquet(*paths), list(keys), id_col, k)

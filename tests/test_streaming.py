@@ -1182,3 +1182,54 @@ def test_stream_decay_trending_equals_batch_and_compacts(
 
     with pytest.raises(ValueError, match="re-attach"):
         stream_decay(stream, ["event_type"], "ts_ms", state, t_ref + 1, hl)
+
+
+def test_stream_bottomk_sample_equals_batch_and_compacts(
+    spark, events_prepared, tmp_path
+):
+    """Live uniform bottom-k sample: streamed == direct batch sample
+    exactly, compaction folds at the sidecar configuration."""
+    import os
+
+    from fenix_spark.operators.sampling import bottomk_sample
+    from fenix_spark.streaming.sketches import (
+        compact_state,
+        read_bottomk,
+        stream_bottomk,
+    )
+
+    src, batch_df = events_prepared
+    state = str(tmp_path / "bk_state")
+    k = 30
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_bottomk(stream, ["event_type"], "event_id", state, k=k)
+        .option("checkpointLocation", str(tmp_path / "ck_bk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    direct = {
+        (r["event_type"], r["event_id"])
+        for r in bottomk_sample(batch_df, ["event_type"], "event_id", k).collect()
+    }
+    streamed = {
+        (r["event_type"], r["event_id"])
+        for r in read_bottomk(spark, state, ["event_type"]).collect()
+    }
+    assert streamed == direct
+
+    compact_state(spark, state)
+    assert [d for d in os.listdir(state) if d.startswith("batch_id=")] == []
+    after = {
+        (r["event_type"], r["event_id"])
+        for r in read_bottomk(spark, state, ["event_type"]).collect()
+    }
+    assert after == direct
+    with pytest.raises(ValueError, match="re-attach"):
+        stream_bottomk(stream, ["event_type"], "event_id", state, k=99)
