@@ -1939,6 +1939,51 @@ GROUP BY n_name
 """
 
 
+def _priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted bounded sampling with unbiased subset-sum estimates
+    (operators/sampling.priority_sample — Duffield-Lund-Thorup JACM'07):
+    per source, the 20 highest-priority docs by n_chars weight, each
+    carrying its threshold estimate ``sample_est`` (SUM(sample_est)
+    over any predicate unbiasedly estimates the true weighted sum).
+    Deterministic md5-derived priorities make the whole pipeline
+    engine-portable — the DuckDB mirror reproduces ids AND estimates."""
+    from fenix_spark.operators.sampling import priority_sample, priority_take
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    k = 20
+    state = priority_sample(docs, ["source"], "doc_id", "n_chars", k)
+    taken = priority_take(state, ["source"], "doc_id", "n_chars", k)
+    return taken.select(
+        "source",
+        "doc_id",
+        (F.round(F.col("sample_est"), 6) + F.lit(0.0)).alias("sample_est"),
+    )
+
+
+_PRIORITY_SAMPLE_SQL = """
+WITH pri AS (
+    SELECT source, doc_id, n_chars,
+           n_chars / ((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                      / 1152921504606846976.0) AS sample_pri
+    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY sample_pri DESC, doc_id
+    ) AS rn FROM pri
+), tau AS (
+    SELECT source, doc_id, n_chars, rn,
+           max(CASE WHEN rn = 21 THEN sample_pri END)
+               OVER (PARTITION BY source) AS tau
+    FROM ranked WHERE rn <= 21
+)
+SELECT source, doc_id,
+       round(greatest(n_chars::DOUBLE, coalesce(tau, 0.0)), 6) + 0.0 AS sample_est
+FROM tau WHERE rn <= 20
+"""
+
+
 def _regex_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function surface: regexp_extract / substring / casts —
     parse the numeric id out of 'Supplier#000000123' names and verify
@@ -2929,7 +2974,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #  covered by rollup_agg; the sketch family gains its first oracle
     #  row: the full hist_rollup → cum-sum → quantile pipeline.)
     "hist_quantiles": _hist_quantiles,
-    "argmax_per_group": _argmax_per_group,
+    # (argmax_per_group retired for priority_sample under the 50-row
+    #  cap, r8 session 2 — argmax-per-group IS group_topn at n=1 (the
+    #  window form) and its agg+join-back shape survives inside
+    #  curation_stats/dedup_keep_list; priority sampling is a whole
+    #  new estimation family — weighted bounded samples with unbiased
+    #  subset sums — whose md5-deterministic state makes a full
+    #  engine-portable mirror possible, so it belongs under the oracle.)
+    "priority_sample": _priority_sample_docs,
     # (moving_avg retired for gapfill_timeseries, r8 — its sliding
     #  ROWS frame stays covered by time_rollup's buckets + sessionize's
     #  ordered windows; gapfill is a whole operator family (dense-grid
@@ -2995,7 +3047,7 @@ ORACLE_SQL: dict[str, str] = {
     "rollup_agg": _ROLLUP_AGG_SQL,
     "percentile_stats": _PERCENTILE_STATS_SQL,
     "hist_quantiles": _HIST_QUANTILES_SQL,
-    "argmax_per_group": _ARGMAX_PER_GROUP_SQL,
+    "priority_sample": _PRIORITY_SAMPLE_SQL,
     "group_topn": _GROUP_TOPN_SQL,
     "substring_dedup": _SUBSTRING_DEDUP_SQL,
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,

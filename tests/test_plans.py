@@ -260,3 +260,20 @@ def test_gapfill_keyed_join_grid_sized_windows(spark, q):
     assert plan.count("HashAggregate") >= 2
     assert "mapInPandas" not in plan and "MapInPandas" not in plan
     assert_plan(df, scan_columns_subset_of={"event_type", "ts", "value"})
+
+
+def test_priority_sample_bounded_phases_no_cartesian(spark, q):
+    """Priority sample (r8 s2 oracle rotation): the scan reads only
+    (doc_id, source, n_chars); the heavy lifting is the two bounded
+    sketch phases (Arrow partials + per-group re-selection — the only
+    stages that see data-sized input emit ≤ k+1 rows per group per
+    batch); the take is native windows over the summary. Never a
+    cartesian or nested-loop join."""
+    df = q("priority_sample")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the two Arrow phases of the sketch-family contract
+    assert "MapInPandas" in plan or "mapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert_plan(df, scan_columns_subset_of={"doc_id", "source", "n_chars"})
