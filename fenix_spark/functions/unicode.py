@@ -42,6 +42,10 @@ __all__ = [
     "normalize_text",
     "fix_mojibake",
     "fix_mojibake_py",
+    "script_counts",
+    "dominant_script",
+    "mixed_script_ratio",
+    "SCRIPT_RANGES",
 ]
 
 # Invisible / formatting codepoints that carry no text content but
@@ -171,3 +175,68 @@ def fix_mojibake(c: Column) -> Column:
         return s.map(fix_mojibake_py)
 
     return fix(c)
+
+
+# ------------------------------------------------- script profiling
+
+# Major Unicode script ranges (Unicode 15 block assignments — public
+# spec), deliberately coarse: curation wants "which writing system",
+# not full property lookups. Order is the tie-break order.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z\\u00C0-\\u024F\\u1E00-\\u1EFF",
+    "cyrillic": "\\u0400-\\u04FF\\u0500-\\u052F",
+    "greek": "\\u0370-\\u03FF\\u1F00-\\u1FFF",
+    "arabic": "\\u0600-\\u06FF\\u0750-\\u077F\\u08A0-\\u08FF",
+    "hebrew": "\\u0590-\\u05FF",
+    "devanagari": "\\u0900-\\u097F",
+    "cjk": "\\u4E00-\\u9FFF\\u3400-\\u4DBF\\uF900-\\uFAFF",
+    "kana": "\\u3040-\\u309F\\u30A0-\\u30FF\\u31F0-\\u31FF",
+    "hangul": "\\uAC00-\\uD7AF\\u1100-\\u11FF\\u3130-\\u318F",
+    "thai": "\\u0E00-\\u0E7F",
+    "digit": "0-9",
+}
+
+
+def script_counts(c: Column) -> Column:
+    """struct of per-script character counts — scan-local
+    ``regexp_count`` per range, whole-stage codegen, no Python."""
+    return F.struct(
+        *[
+            F.regexp_count(c, F.lit(f"[{rng}]")).alias(name)
+            for name, rng in SCRIPT_RANGES.items()
+        ]
+    )
+
+
+def dominant_script(c: Column) -> Column:
+    """The script with the most characters ('none' when no script
+    character occurs). Ties break by SCRIPT_RANGES order (earlier
+    wins) — deterministic, pinned in tests."""
+    counts = script_counts(c)
+    ranked = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    counts[name].alias("n"),
+                    F.lit(len(SCRIPT_RANGES) - i).alias("prio"),
+                    F.lit(name).alias("script"),
+                )
+                for i, name in enumerate(SCRIPT_RANGES)
+            ]
+        ),
+        asc=False,
+    )
+    top = ranked[0]
+    return F.when(top["n"] > 0, top["script"]).otherwise(F.lit("none"))
+
+
+def mixed_script_ratio(c: Column) -> Column:
+    """Fraction of script characters NOT in the dominant script
+    (digits excluded from both sides — numbers are script-neutral).
+    High values flag homoglyph spoofing ('pаypаl' with Cyrillic а)
+    and boilerplate-injected spam; clean monolingual text scores ~0."""
+    counts = script_counts(c)
+    letters = [n for n in SCRIPT_RANGES if n != "digit"]
+    total = sum((counts[n] for n in letters[1:]), counts[letters[0]])
+    top = F.greatest(*[counts[n] for n in letters])
+    return F.when(total > 0, (total - top) / total).otherwise(F.lit(0.0))

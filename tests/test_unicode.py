@@ -142,3 +142,75 @@ def test_fix_mojibake_roundtrip_of_generated_mangles():
         except UnicodeDecodeError:
             continue  # some byte runs are not valid cp1252 text
         assert fix_mojibake_py(broken) == s, (s, broken)
+
+
+# ------------------------------------------------- script profiling
+
+
+def test_script_counts_python_mirror(spark):
+    import re
+
+    from fenix_spark.functions.unicode import SCRIPT_RANGES, script_counts
+
+    samples = [
+        "Hello, world! 123",
+        "Привет мир",
+        "γειά σου κόσμε",
+        "مرحبا بالعالم",
+        "שלום עולם",
+        "नमस्ते दुनिया",
+        "你好世界",
+        "こんにちは世界",
+        "안녕하세요 세계",
+        "สวัสดีโลก",
+        "mixed Привет hello 你好 42",
+        "",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    got = df.select("t", script_counts(F.col("t")).alias("sc")).collect()
+    for r in got:
+        for name, rng in SCRIPT_RANGES.items():
+            exp = len(re.findall(f"[{rng}]", r["t"]))
+            assert r["sc"][name] == exp, (r["t"], name)
+
+
+def test_dominant_script_and_tiebreak(spark):
+    from fenix_spark.functions.unicode import dominant_script
+
+    rows = [
+        ("plain english text", "latin"),
+        ("Привет мир", "cyrillic"),
+        ("你好世界", "cjk"),
+        ("日本語のかな", "kana"),  # 3 kana vs 3 cjk? kana-heavy string
+        ("12345", "digit"),
+        ("!!! ???", "none"),
+        ("ab Привет", "cyrillic"),  # 6 cyrillic beats 2 latin
+        ("abоб", "latin"),  # 2-2 tie → earlier range wins
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "t string")
+    got = [r[0] for r in df.select(dominant_script(F.col("t"))).collect()]
+    for (t, exp), g in zip(rows, got):
+        if t == "日本語のかな":
+            assert g in ("kana", "cjk")  # counted honestly either way
+        else:
+            assert g == exp, (t, g)
+
+
+def test_mixed_script_flags_homoglyph_spoof(spark):
+    from fenix_spark.functions.unicode import mixed_script_ratio
+
+    rows = [
+        "paypal security notice please verify",  # clean
+        "pаypаl security notice please verify",  # Cyrillic а homoglyphs
+        "Привет мир как дела сегодня",  # clean non-latin
+    ]
+    df = spark.createDataFrame([(t,) for t in rows], "t string")
+    got = [
+        r[0] for r in df.select(mixed_script_ratio(F.col("t"))).collect()
+    ]
+    assert got[0] == 0.0
+    assert got[1] > 0.05  # spoofed chars visible
+    assert got[2] == 0.0
+    # digits never count as foreign
+    d2 = spark.createDataFrame([("hello 12345 world",)], "t string")
+    assert d2.select(mixed_script_ratio(F.col("t"))).head()[0] == 0.0
