@@ -32,7 +32,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hist_drift", "profile_drift", "freq_drift", "kll_ks"]
+__all__ = ["hist_drift", "profile_drift", "freq_drift", "kll_ks", "embedding_drift"]
 
 
 def hist_drift(
@@ -210,3 +210,90 @@ def kll_ks(
         F.max("__na").alias("n_a"),
         F.max("__nb").alias("n_b"),
     )
+
+
+def _vec_suff_stats(df: DataFrame, vec_col: str) -> tuple:
+    """(n, Σx, Σx²) over an embedding column in ONE Arrow pass —
+    per-batch numpy partials (two d-vectors each), driver fold. The
+    diagonal-only sibling of pca.fit_pca's Gram pass: drift needs
+    per-dim means/variances, not the full covariance."""
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = pdf[vec_col].dropna()
+            if not len(vecs):
+                continue
+            X = np.stack(vecs.to_numpy()).astype("float64")
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "q": [(X * X).sum(axis=0).tolist()],
+                }
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partials, "n long, s array<double>, q array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"no non-null vectors in {vec_col!r}")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([r["s"] for r in rows], axis=0)
+    q = np.sum([r["q"] for r in rows], axis=0)
+    return n, s, q
+
+
+def embedding_drift(
+    ref: DataFrame, cur: DataFrame, vec_col: str
+) -> dict:
+    """Model-sized drift report between two embedding corpora — the
+    check that catches a silently swapped/retrained embedder or an
+    upstream normalization change, from two single-pass scans:
+
+    - ``centroid_cos_dist``: 0.5−0.5·cos between mean vectors (the
+      repo's cosine convention) — direction shift;
+    - ``centroid_l2``: Euclidean distance between means;
+    - ``trace_ratio``: total variance cur/ref — a scale/temperature
+      change (≈ s² under x→s·x);
+    - ``max_dim_z``/``max_dim``: the largest per-dimension
+      standardized mean shift |μc−μr|/√((vr+vc)/2) and which
+      dimension — localizes single-feature drift;
+    - ``n_ref``/``n_cur``.
+
+    Driver math is d-sized numpy; nothing data-sized leaves the
+    executors (two d-vectors per Arrow batch)."""
+    import numpy as np
+
+    n_r, s_r, q_r = _vec_suff_stats(ref, vec_col)
+    n_c, s_c, q_c = _vec_suff_stats(cur, vec_col)
+    if len(s_r) != len(s_c):
+        raise ValueError(
+            f"dim mismatch: ref {len(s_r)} vs cur {len(s_c)}"
+        )
+    mu_r, mu_c = s_r / n_r, s_c / n_c
+    var_r = np.maximum(q_r / n_r - mu_r**2, 0.0)
+    var_c = np.maximum(q_c / n_c - mu_c**2, 0.0)
+    nr = float(np.linalg.norm(mu_r))
+    nc = float(np.linalg.norm(mu_c))
+    cos = (
+        float(mu_r @ mu_c) / (nr * nc) if nr > 0 and nc > 0 else 1.0
+    )
+    pooled = np.sqrt((var_r + var_c) / 2.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = np.where(pooled > 0, np.abs(mu_c - mu_r) / pooled, 0.0)
+    tr_r, tr_c = float(var_r.sum()), float(var_c.sum())
+    return {
+        "n_ref": int(n_r),
+        "n_cur": int(n_c),
+        "centroid_cos_dist": 0.5 - 0.5 * cos,
+        "centroid_l2": float(np.linalg.norm(mu_c - mu_r)),
+        "trace_ratio": tr_c / tr_r if tr_r > 0 else float("inf"),
+        "max_dim_z": float(z.max()),
+        "max_dim": int(z.argmax()),
+    }

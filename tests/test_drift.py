@@ -185,3 +185,80 @@ def test_kll_ks_matches_exact_statistic(spark):
         roll(xa).drop("g"), roll(xb).drop("g"), []
     ).collect()
     assert len(grand) == 1 and grand[0]["ks"] == pytest.approx(exact, abs=0.04)
+
+
+# ------------------------------------------------- embedding drift
+
+
+def test_embedding_drift_identical_is_zero(spark):
+    import numpy as np
+
+    from fenix_spark.operators.drift import embedding_drift
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(500, 16))
+    df = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(X)], "id int, v array<double>"
+    )
+    rep = embedding_drift(df, df.repartition(7), "v")
+    assert rep["n_ref"] == rep["n_cur"] == 500
+    assert rep["centroid_cos_dist"] == pytest.approx(0.0, abs=1e-12)
+    assert rep["centroid_l2"] == pytest.approx(0.0, abs=1e-9)
+    assert rep["trace_ratio"] == pytest.approx(1.0, rel=1e-9)
+    assert rep["max_dim_z"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_embedding_drift_detects_shift_scale_and_dim(spark):
+    import numpy as np
+
+    from fenix_spark.operators.drift import embedding_drift
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(800, 12)) + 5.0  # offset so cosine is meaningful
+    Y = X.copy()
+    Y[:, 4] += 3.0  # one drifted dimension
+    df_x = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(X)], "id int, v array<double>"
+    )
+    df_y = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(Y)], "id int, v array<double>"
+    )
+    rep = embedding_drift(df_x, df_y, "v")
+    assert rep["max_dim"] == 4
+    assert rep["max_dim_z"] > 2.0
+    assert rep["centroid_l2"] == pytest.approx(3.0, rel=0.1)
+    # temperature change: x -> 2x scales variance by 4
+    df_2x = spark.createDataFrame(
+        [(i, (2 * r).tolist()) for i, r in enumerate(X)],
+        "id int, v array<double>",
+    )
+    rep2 = embedding_drift(df_x, df_2x, "v")
+    assert rep2["trace_ratio"] == pytest.approx(4.0, rel=1e-6)
+    # direction unchanged under pure scaling
+    assert rep2["centroid_cos_dist"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_embedding_drift_numpy_parity_and_guards(spark):
+    import numpy as np
+
+    from fenix_spark.operators.drift import embedding_drift
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(300, 8))
+    Y = rng.normal(size=(200, 8)) * 1.3 + 0.2
+    df_x = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(X)], "id int, v array<double>"
+    )
+    df_y = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(Y)], "id int, v array<double>"
+    )
+    rep = embedding_drift(df_x, df_y, "v")
+    mu_r, mu_c = X.mean(0), Y.mean(0)
+    cos = mu_r @ mu_c / (np.linalg.norm(mu_r) * np.linalg.norm(mu_c))
+    assert rep["centroid_cos_dist"] == pytest.approx(0.5 - 0.5 * cos, rel=1e-9)
+    assert rep["trace_ratio"] == pytest.approx(
+        X.var(0).sum() and Y.var(0).sum() / X.var(0).sum(), rel=1e-9
+    )
+    bad = spark.createDataFrame([(0, [1.0, 2.0])], "id int, v array<double>")
+    with pytest.raises(ValueError, match="dim mismatch"):
+        embedding_drift(df_x, bad, "v")
