@@ -257,7 +257,7 @@ def test_embedding_drift_numpy_parity_and_guards(spark):
     cos = mu_r @ mu_c / (np.linalg.norm(mu_r) * np.linalg.norm(mu_c))
     assert rep["centroid_cos_dist"] == pytest.approx(0.5 - 0.5 * cos, rel=1e-9)
     assert rep["trace_ratio"] == pytest.approx(
-        X.var(0).sum() and Y.var(0).sum() / X.var(0).sum(), rel=1e-9
+        Y.var(0).sum() / X.var(0).sum(), rel=1e-9
     )
     bad = spark.createDataFrame([(0, [1.0, 2.0])], "id int, v array<double>")
     with pytest.raises(ValueError, match="dim mismatch"):
