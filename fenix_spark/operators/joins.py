@@ -251,3 +251,67 @@ def range_join_bucketed(
     )
     joined = pts.join(ivs, b)
     return joined.where((F.col(lo) <= F.col(value)) & (F.col(value) < F.col(hi))).drop(b)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """INTERVAL-OVERLAP equi-join: every (left, right) pair whose
+    half-open spans have non-empty intersection
+    (``max(l_lo, r_lo) < min(l_hi, r_hi)`` — the set-semantics form,
+    which unlike the textbook ``l_lo < r_hi AND r_lo < l_hi`` stays
+    correct for degenerate zero-length inputs) — the
+    concurrent-sessions / overlapping-claims join that a plain range
+    join can't express (both sides are intervals).
+
+    Rewrite: each interval explodes into the integer buckets it
+    covers, the join is a hash EQUI-join on bucket id (both sides
+    distribute — no broadcast, no nested loop), the exact overlap
+    predicate post-filters. De-duplication without a ``distinct``:
+    a pair overlapping across many shared buckets is emitted ONLY in
+    its CLAIM bucket — the bucket of ``max(l_lo, r_lo)``, the overlap
+    span's start, which both sides provably cover — so each pair
+    appears exactly once by construction (pinned against brute force).
+
+    Pick ``bucket_width`` ≈ the median interval length: intervals
+    then explode to O(1) buckets each. Column names must be disjoint
+    between the two frames (raises otherwise). Zero-length intervals
+    (lo == hi) overlap nothing under half-open semantics."""
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(
+            f"interval_join requires disjoint column names; both sides "
+            f"have {sorted(clash)} — rename one side first"
+        )
+    b = "__BUCKET__"
+
+    def expand(df, lo, hi):
+        return df.withColumn(
+            b,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / bucket_width).cast("bigint"),
+                    # inclusive of hi's bucket — same exactness note as
+                    # range_join_bucketed: epsilon hacks drop matches
+                    F.floor(F.col(hi) / bucket_width).cast("bigint"),
+                )
+            ),
+        )
+
+    joined = expand(left, l_lo, l_hi).join(expand(right, r_lo, r_hi), b)
+    overlap = F.greatest(F.col(l_lo), F.col(r_lo)) < F.least(
+        F.col(l_hi), F.col(r_hi)
+    )
+    claim = (
+        F.floor(F.greatest(F.col(l_lo), F.col(r_lo)) / bucket_width).cast(
+            "bigint"
+        )
+        == F.col(b)
+    )
+    return joined.where(overlap & claim).drop(b)

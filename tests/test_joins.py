@@ -193,3 +193,64 @@ def test_asof_direction_validation(spark):
     left = spark.createDataFrame([(1, 1)], "k bigint, t bigint")
     with pytest.raises(ValueError, match="backward/forward/nearest"):
         asof_join(left, left, "k", "t", "t", [], direction="sideways")
+
+
+# ------------------------------------------------- interval overlap
+
+
+def test_interval_join_brute_parity_and_no_dupes(spark):
+    """Exact parity with the brute nested-loop overlap join across
+    random intervals (long spans, touching endpoints, zero-length),
+    and every pair emitted exactly once (claim-bucket dedup)."""
+    import numpy as np
+
+    from fenix_spark.operators.joins import interval_join
+
+    rng = np.random.default_rng(5)
+    a_rows, b_rows = [], []
+    for i in range(150):
+        lo = float(rng.uniform(0, 1000))
+        a_rows.append((f"a{i}", lo, lo + float(rng.exponential(20))))
+    for i in range(150):
+        lo = float(rng.uniform(0, 1000))
+        b_rows.append((f"b{i}", lo, lo + float(rng.exponential(20))))
+    # edge cases: zero-length, exactly touching, giant span
+    a_rows += [("az", 100.0, 100.0), ("at", 200.0, 210.0), ("ag", 0.0, 1000.0)]
+    b_rows += [("bz", 100.0, 100.0), ("bt", 210.0, 220.0)]
+    A = spark.createDataFrame(a_rows, "aid string, alo double, ahi double")
+    B = spark.createDataFrame(b_rows, "bid string, blo double, bhi double")
+    got = [
+        (r["aid"], r["bid"])
+        for r in interval_join(A, B, "alo", "ahi", "blo", "bhi", 25.0).collect()
+    ]
+    assert len(got) == len(set(got))  # exactly-once emission
+    brute = {
+        (r["aid"], r["bid"])
+        for r in A.crossJoin(B)
+        .where(
+            F.greatest(F.col("alo"), F.col("blo"))
+            < F.least(F.col("ahi"), F.col("bhi"))
+        )
+        .collect()
+    }
+    assert set(got) == brute
+    # half-open: touching endpoints don't pair; zero-length never pairs
+    assert ("at", "bt") not in brute or ("at", "bt") not in set(got)
+    assert not any(p[0] == "az" or p[1] == "bz" for p in got)
+
+
+def test_interval_join_column_clash_raises_and_plan_keyed(spark):
+    import pytest as _pytest
+
+    from fenix_spark.operators.joins import interval_join
+
+    A = spark.createDataFrame([("a", 0.0, 1.0)], "id string, lo double, hi double")
+    B = spark.createDataFrame([("b", 0.0, 1.0)], "id string, lo double, hi double")
+    with _pytest.raises(ValueError, match="disjoint"):
+        interval_join(A, B, "lo", "hi", "lo", "hi", 1.0)
+    B2 = B.toDF("rid", "rlo", "rhi")
+    out = interval_join(A, B2, "lo", "hi", "rlo", "rhi", 1.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert out.count() == 1
