@@ -116,3 +116,124 @@ def bm25_search(
         .agg((F.round(F.sum("w"), 6) + F.lit(0.0)).alias("score"))
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(k)
+
+
+# ----------------------------------------------------------- BM25F
+
+
+@dataclass(frozen=True)
+class BM25FIndex:
+    postings: DataFrame  # (doc_id, field, term, tf, dl_f)
+    doc_freq: DataFrame  # (term, df) — document-level, any field
+    n_docs: int
+    avgdl: dict  # field -> average field length
+
+
+def build_bm25f_index(
+    df: DataFrame, fields: "dict[str, tuple[float, float]]", id_col: str
+) -> BM25FIndex:
+    """Field-aware postings for BM25F (Robertson, Zaragoza, Taylor,
+    CIKM 2004 — "Simple BM25 extension to multiple weighted fields").
+    ``fields`` maps text column → (weight, b); the mapping is also
+    what ``bm25f_search`` scores with, so it is stored nowhere — pass
+    the same dict. Document frequency is DOCUMENT-level (a term in
+    any field counts once), which is the paper's core correction over
+    naive per-field BM25 mixing: a title hit must not get a second
+    idf from the body."""
+    from fenix_spark.operators.dedup import spread
+    from pyspark.sql import Window
+
+    parts = []
+    for col in fields:
+        parts.append(
+            spread(df)
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.lit(col).alias("field"),
+                F.explode(tokens(F.col(col))).alias("term"),
+            )
+            .groupBy("doc_id", "field", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+    raw = parts[0]
+    for p in parts[1:]:
+        raw = raw.unionByName(p)
+    postings = raw.withColumn(
+        "dl_f", F.sum("tf").over(Window.partitionBy("doc_id", "field"))
+    ).transform(_ckpt_lazy)
+    doc_freq = (
+        postings.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.count()
+    avgdl = {}
+    for col in fields:
+        total = (
+            postings.where(F.col("field") == col)
+            .groupBy("doc_id")
+            .agg(F.max("dl_f").alias("dl"))
+            .agg(F.sum("dl"))
+            .head()[0]
+            or 0
+        )
+        avgdl[col] = float(total) / n_docs if n_docs else 0.0
+    return BM25FIndex(postings, doc_freq, int(n_docs), avgdl)
+
+
+def bm25f_search(
+    spark: SparkSession,
+    index: BM25FIndex,
+    fields: "dict[str, tuple[float, float]]",
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+) -> DataFrame:
+    """Top-k (doc_id, score) under BM25F: per (doc, term) the fields
+    fold into one pseudo-frequency
+    ``tf̃ = Σ_f weight_f · tf_f / (1 − b_f + b_f·dl_f/avgdl_f)``
+    which then saturates ONCE through the usual k1 form
+    ``idf · tf̃·(k1+1)/(tf̃ + k1)``. With a single field at weight 1
+    this is exactly ``bm25_search`` (parity pinned in tests). Same
+    pruned-broadcast query shape: per-query cost is the matching
+    postings slice, never the corpus."""
+    q_terms = (
+        spark.createDataFrame([(t,) for t in set(query.split())], "qt string")
+        .select(tokens(F.col("qt")).alias("ts"))
+        .select(F.explode("ts").alias("term"))
+        .distinct()
+    )
+    hits = index.postings.join(F.broadcast(q_terms), "term")
+    norm = None
+    for col, (w, b) in fields.items():
+        avg = index.avgdl.get(col) or 1.0
+        term = F.when(
+            F.col("field") == col,
+            F.lit(w)
+            * F.col("tf")
+            / (1 - b + b * F.col("dl_f") / F.lit(avg)),
+        ).otherwise(F.lit(0.0))
+        norm = term if norm is None else norm + term
+    per_doc_term = hits.withColumn("tfw", norm).groupBy(
+        "doc_id", "term"
+    ).agg(F.sum("tfw").alias("tfw"))
+    q_df = index.doc_freq.join(F.broadcast(q_terms), "term")
+    scored = (
+        per_doc_term.join(F.broadcast(q_df), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(index.n_docs) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf") * (F.col("tfw") * (k1 + 1)) / (F.col("tfw") + k1),
+        )
+        .groupBy("doc_id")
+        .agg((F.round(F.sum("w"), 6) + F.lit(0.0)).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(k)

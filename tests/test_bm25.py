@@ -145,3 +145,121 @@ def test_query_plan_prunes_before_broadcast(spark, bm25):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+# ----------------------------------------------------------- BM25F
+
+
+def test_bm25f_single_field_reduces_to_bm25(spark, documents):
+    from fenix_spark.operators.bm25 import (
+        bm25_search,
+        bm25f_search,
+        build_bm25_index,
+        build_bm25f_index,
+    )
+
+    docs = documents.limit(300)
+    q = "model data training"
+    k1, b = 1.2, 0.75
+    idx1 = build_bm25_index(docs, "text", "doc_id")
+    base = {
+        r["doc_id"]: r["score"]
+        for r in bm25_search(spark, idx1, q, k=15, k1=k1, b=b).collect()
+    }
+    fields = {"text": (1.0, b)}
+    idxf = build_bm25f_index(docs, fields, "doc_id")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25f_search(spark, idxf, fields, q, k=15, k1=k1).collect()
+    }
+    assert set(got) == set(base)
+    for d in base:
+        assert got[d] == pytest.approx(base[d], abs=2e-6), d
+
+
+def test_bm25f_title_weight_changes_ranking(spark):
+    from fenix_spark.operators.bm25 import bm25f_search, build_bm25f_index
+
+    rows = [
+        # d1: query term in TITLE only; d2: in body only (longer field)
+        ("d1", "quantum computing", "an unrelated essay about farming " * 3),
+        ("d2", "farm report", "quantum " + "filler words here " * 5),
+        ("d3", "cooking pasta", "boil water add salt " * 4),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, title string, body string")
+    fields_flat = {"title": (1.0, 0.75), "body": (1.0, 0.75)}
+    fields_title = {"title": (5.0, 0.75), "body": (1.0, 0.75)}
+    idx = build_bm25f_index(df, fields_flat, "doc_id")
+    boosted = [
+        r["doc_id"]
+        for r in bm25f_search(
+            spark, idx, fields_title, "quantum", k=3
+        ).collect()
+    ]
+    assert boosted[0] == "d1"  # title hit dominates under the boost
+    assert set(boosted) == {"d1", "d2"}  # d3 never matches
+
+
+def test_bm25f_python_mirror(spark):
+    """Full pipeline parity with a pure-Python BM25F over a small
+    two-field corpus (document-level df, per-field length norms)."""
+    import math
+    import re
+
+    from fenix_spark.operators.bm25 import bm25f_search, build_bm25f_index
+
+    rows = [
+        ("a", "alpha beta", "gamma delta alpha"),
+        ("b", "beta beta gamma", "alpha epsilon"),
+        ("c", "zeta eta", "theta iota kappa alpha alpha"),
+        ("d", "alpha", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, t string, bdy string")
+    fields = {"t": (2.0, 0.4), "bdy": (1.0, 0.8)}
+    k1 = 1.2
+    query = "alpha gamma"
+
+    def toks(s):
+        return [x for x in re.split("[^a-z0-9]+", s.lower()) if x]
+
+    n = len(rows)
+    field_tf = {}
+    dl = {}
+    for did, t, bdy in rows:
+        for fname, text in (("t", t), ("bdy", bdy)):
+            ts = toks(text)
+            dl[(did, fname)] = len(ts)
+            for tok in ts:
+                field_tf[(did, fname, tok)] = (
+                    field_tf.get((did, fname, tok), 0) + 1
+                )
+    avg = {
+        f: sum(dl[(d, f)] for d, *_ in rows) / n for f in ("t", "bdy")
+    }
+    df_count = {}
+    for did, t, bdy in rows:
+        for tok in set(toks(t)) | set(toks(bdy)):
+            df_count[tok] = df_count.get(tok, 0) + 1
+    exp = {}
+    for did, *_ in rows:
+        s = 0.0
+        for tok in set(query.split()):
+            tfw = 0.0
+            for fname, (w, b) in fields.items():
+                tf = field_tf.get((did, fname, tok), 0)
+                if tf:
+                    tfw += w * tf / (1 - b + b * dl[(did, fname)] / avg[fname])
+            if tfw > 0:
+                dfc = df_count.get(tok, 0)
+                idf = math.log((n - dfc + 0.5) / (dfc + 0.5) + 1.0)
+                s += idf * tfw * (k1 + 1) / (tfw + k1)
+        if s > 0:
+            exp[did] = round(s, 6)
+    idx = build_bm25f_index(df, fields, "doc_id")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25f_search(spark, idx, fields, query, k=10, k1=k1).collect()
+    }
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d] == pytest.approx(exp[d], abs=2e-6), d
