@@ -107,3 +107,186 @@ def pagerank(
         f"pagerank did not converge in {max_iter} rounds (last L1 delta "
         f"{delta:.2e} ≥ tol {tol:.0e}); raise max_iter or loosen tol"
     )
+
+
+def _undirected_simple(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(a, b) with a < b, self-loops dropped, duplicates and reversed
+    duplicates collapsed — the canonical simple undirected edge set."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, triangles) — the number of triangles through every node
+    of the UNDIRECTED simple graph (direction, duplicate edges and
+    self-loops are all ignored; the global triangle count is
+    ``sum(triangles) / 3``).
+
+    Degree-ordered node-iterator (Schank & Wagner SEA'05; the
+    MapReduce formulation is Suri & Vassilvitskii WWW'11): orient
+    every edge from the endpoint of lower (degree, id) toward higher,
+    enumerate length-2 paths ("wedges") ONLY at their lowest-rank
+    vertex, and close each wedge with one equi-join back against the
+    oriented edge set. Every triangle is emitted exactly once — at its
+    minimum-rank corner.
+
+    Scale shape: the orientation bounds per-node wedge fan-out by the
+    node's OUT-degree in the oriented graph, which is O(√m) for every
+    node regardless of raw degree — a 10M-follower hub generates ZERO
+    wedges because all its edges point inward (its neighbors have
+    lower degree, so the hub is every edge's higher-rank endpoint).
+    Total wedge rows are O(m^{3/2}) worst case instead of Σ deg² —
+    the difference between feasible and not on a power-law graph.
+    Every join is an id-keyed equi-join (ids + one degree long per
+    row, never payloads); the closing probe is a 2-column equi-join
+    that AQE can plan as broadcast when the wedge side is small.
+    """
+    und = _undirected_simple(edges, src, dst).transform(_ckpt_lazy)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .transform(_ckpt_lazy)
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    # Orient low-rank → high-rank under the total order (deg, id).
+    lower_is_a = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(lower_is_a, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
+                "hi_deg"
+            ),
+        )
+        .transform(_ckpt_lazy)
+    )
+    e1 = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("hi_deg").alias("v_deg")
+    )
+    e2 = oriented.select(
+        F.col("lo").alias("u"), F.col("hi").alias("w"), F.col("hi_deg").alias("w_deg")
+    )
+    # Wedge (u, v, w) with rank(v) < rank(w): both arms leave u, so u is
+    # the wedge's minimum-rank vertex; the v<w rank filter halves the
+    # self-join and fixes the closing edge's orientation (v → w).
+    v_below_w = (F.col("v_deg") < F.col("w_deg")) | (
+        (F.col("v_deg") == F.col("w_deg")) & (F.col("v") < F.col("w"))
+    )
+    wedges = e1.join(e2, "u").where(v_below_w).select("u", "v", "w")
+    closing = oriented.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])  # one row per triangle
+    corner_counts = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.select("node")
+        .join(corner_counts, "node", "left")
+        .select("node", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, degree, triangles, coefficient) — the local clustering
+    coefficient 2·T_v / (deg_v·(deg_v−1)) (Watts & Strogatz 1998),
+    0.0 for degree < 2. One id-keyed join of the triangle frame
+    against the degree frame on top of :func:`triangle_count`."""
+    und = _undirected_simple(edges, src, dst)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_count(edges, src, dst)
+    return deg.join(tri, "node").select(
+        "node",
+        "degree",
+        "triangles",
+        F.when(
+            F.col("degree") >= 2,
+            2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coefficient"),
+    )
+
+
+def core_numbers(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 100
+) -> DataFrame:
+    """(node, core) — every node's coreness (the largest k such that
+    the node survives in the k-core) of the undirected simple graph.
+
+    Iterated neighborhood h-index (Lü, Zhou, Zhang, Stanley, Nature
+    Physics 2016; the distributed formulation is Montresor, De
+    Pellegrini & Miorandi, IEEE TPDS 2013): every node starts at its
+    degree and repeatedly replaces its estimate with the h-index of
+    its neighbors' estimates — the largest h such that at least h
+    neighbors currently estimate ≥ h. Estimates only ever decrease
+    and the fixpoint is exactly the core number.
+
+    Scale shape: state is ONE (node, est) frame of longs; each round
+    is one id-keyed equi-join (adjacency ⋈ estimates) plus one
+    windowed aggregate — the h-index of a sorted descending list
+    x₁ ≥ x₂ ≥ … is max_i min(i, x_i), so it needs a per-node sort of
+    NEIGHBOR ESTIMATES only (longs, never payloads). Convergence is
+    detected with sum(est): estimates are monotone non-increasing, so
+    an unchanged sum is a fixpoint — one scalar agg per round, no
+    join-based diff. Rounds needed are bounded by the graph's
+    degeneracy ordering depth; real graphs converge in O(10).
+    """
+    from pyspark.sql import Window
+
+    und = _undirected_simple(edges, src, dst)
+    adj = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .transform(_ckpt_lazy)
+    )
+    est = (
+        adj.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("est"))
+        .transform(_ckpt_lazy)
+    )
+    prev_sum = est.agg(F.sum("est")).head()[0]
+    if prev_sum is None:
+        return est.withColumnRenamed("est", "core")
+    nbr_est = est.select(F.col("node").alias("nbr"), F.col("est").alias("nbr_est"))
+    w = Window.partitionBy("node").orderBy(F.desc("nbr_est"), F.asc("nbr"))
+    for _ in range(max_iter):
+        est = (
+            adj.join(nbr_est, "nbr")
+            .withColumn("rn", F.row_number().over(w))
+            .groupBy("node")
+            .agg(F.max(F.least(F.col("rn"), F.col("nbr_est"))).alias("est"))
+            .transform(_ckpt_lazy)
+        )
+        cur_sum = est.agg(F.sum("est")).head()[0]
+        if cur_sum == prev_sum:  # monotone non-increasing → fixpoint
+            return est.withColumnRenamed("est", "core")
+        prev_sum = cur_sum
+        nbr_est = est.select(
+            F.col("node").alias("nbr"), F.col("est").alias("nbr_est")
+        )
+    raise RuntimeError(
+        f"core_numbers did not converge in {max_iter} rounds; raise max_iter"
+    )

@@ -62,3 +62,124 @@ def test_nonconvergence_raises(spark, star_graph):
     df, _ = star_graph
     with pytest.raises(RuntimeError, match="did not converge"):
         pagerank(df, tol=1e-15, max_iter=2)
+
+
+# ---------------------------------------------------------------------------
+# triangle_count / clustering_coefficient / core_numbers
+
+
+from itertools import combinations
+
+from fenix_spark.operators.graph import (
+    clustering_coefficient,
+    core_numbers,
+    triangle_count,
+)
+
+
+def _random_edges(n, p, seed):
+    rng = np.random.default_rng(seed)
+    return [(a, b) for a, b in combinations(range(n), 2) if rng.random() < p]
+
+
+def _adj(n, edge_list):
+    nbrs = {i: set() for i in range(n)}
+    for a, b in edge_list:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    return {k: v for k, v in nbrs.items() if v}
+
+
+def _brute_triangles(nbrs):
+    t = {v: 0 for v in nbrs}
+    for v in nbrs:
+        for a, b in combinations(sorted(nbrs[v]), 2):
+            if b in nbrs.get(a, ()):
+                t[v] += 1
+    return t
+
+
+def _brute_cores(nbrs):
+    """Textbook peeling: repeatedly remove min-degree nodes."""
+    nbrs = {v: set(ns) for v, ns in nbrs.items()}
+    core = {}
+    k = 0
+    while nbrs:
+        v = min(nbrs, key=lambda x: (len(nbrs[x]), x))
+        k = max(k, len(nbrs[v]))
+        core[v] = k
+        for u in nbrs.pop(v):
+            nbrs[u].discard(v)
+            if not nbrs[u]:
+                core[u] = max(k, 0) if u in core else k
+                nbrs.pop(u, None)
+    return core
+
+
+def test_triangle_count_matches_brute_force(spark):
+    edges = _random_edges(40, 0.15, seed=7)
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    want = _brute_triangles(_adj(40, edges))
+    assert got == want
+
+
+def test_triangle_count_planted_clique_and_path(spark):
+    # K6: every vertex in C(5,2)=10 triangles, 20 total; path: zero
+    clique = list(combinations(range(6), 2))
+    path = [(10 + i, 11 + i) for i in range(5)]
+    df = spark.createDataFrame(clique + path, "src bigint, dst bigint")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert all(got[v] == 10 for v in range(6))
+    assert all(got[v] == 0 for v in range(10, 16))
+    assert sum(got.values()) % 3 == 0 and sum(got.values()) // 3 == 20
+
+
+def test_triangle_count_ignores_direction_dups_and_loops(spark):
+    messy = [(0, 1), (1, 0), (1, 2), (2, 0), (2, 2), (0, 1)]
+    df = spark.createDataFrame(messy, "src bigint, dst bigint")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_clustering_coefficient_matches_brute(spark):
+    edges = _random_edges(30, 0.2, seed=11)
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    nbrs = _adj(30, edges)
+    tri = _brute_triangles(nbrs)
+    for r in clustering_coefficient(df).collect():
+        d = len(nbrs[r.node])
+        assert r.degree == d
+        want = 2.0 * tri[r.node] / (d * (d - 1)) if d >= 2 else 0.0
+        assert abs(r.coefficient - want) < 1e-12
+        assert 0.0 <= r.coefficient <= 1.0
+
+
+def test_core_numbers_matches_brute_peeling(spark):
+    edges = _random_edges(35, 0.15, seed=23)
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.core for r in core_numbers(df).collect()}
+    assert got == _brute_cores(_adj(35, edges))
+
+
+def test_core_numbers_planted_structures(spark):
+    # K5 (coreness 4) bridged to a path (coreness 1) and a 4-cycle (2)
+    clique = list(combinations(range(5), 2))
+    path = [(4, 10), (10, 11), (11, 12)]
+    cycle = [(20, 21), (21, 22), (22, 23), (23, 20)]
+    df = spark.createDataFrame(clique + path + cycle, "src bigint, dst bigint")
+    got = {r.node: r.core for r in core_numbers(df).collect()}
+    assert all(got[v] == 4 for v in range(5))
+    assert got[10] == got[11] == got[12] == 1
+    assert all(got[v] == 2 for v in (20, 21, 22, 23))
+
+
+def test_triangle_hub_generates_no_wedges(spark):
+    # A star's hub is every edge's higher-rank endpoint: the oriented
+    # self-join must stay empty (the degree-ordering scale guarantee),
+    # and the result is still correct.
+    star = [(0, i) for i in range(1, 50)]
+    df = spark.createDataFrame(star, "src bigint, dst bigint")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    assert set(got.values()) == {0}
