@@ -271,3 +271,189 @@ def decayed_shift(
 def decayed_merge(states: DataFrame, keys: "Sequence[str]") -> DataFrame:
     """Sum unioned same-anchor states to the coarser ``keys`` grain."""
     return states.groupBy(*keys).agg(F.sum("w").alias("w"))
+
+
+def cusum(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    grain_ms: int,
+    kappa: float = 0.5,
+    h: float = 5.0,
+    agg: str = "sum",
+) -> DataFrame:
+    """(key, bucket_ms, value, s_pos, s_neg, alarm) — two-sided CUSUM
+    mean-shift detection per series (Page, Biometrika 1954), the
+    standard sequential changepoint monitor: ``s_pos`` accumulates
+    evidence of an upward mean shift, ``s_neg`` downward, and
+    ``alarm`` fires when either exceeds the decision band.
+
+    ``kappa`` (slack) and ``h`` (band) are in units of the series'
+    ROBUST σ (1.4826·MAD about the median — an in-window mean shift
+    must not inflate its own baseline); the classical tuning κ=0.5σ,
+    h=5σ detects a 1σ shift with ~constant false-alarm rate.
+
+    Scale shape: the textbook recursion ``s⁺_t = max(0, s⁺_{t−1} +
+    z_t − κ)`` looks inherently sequential, but it has the running-
+    extremum closed form  s⁺_t = C_t − min_{j≤t} C_j  with
+    C_t = Σ_{i≤t}(z_i − κ), C_0 = 0 — a per-key cumulative sum and a
+    per-key running minimum, BOTH native window aggregates over
+    bucket rows (grid-sized, not event-sized). No UDF, no recursion,
+    no driver loop; the numpy recursion-vs-closed-form parity is
+    pinned in tests. Monitoring semantics: the statistic is NOT reset
+    after an alarm (resetting re-introduces the sequential
+    dependency); downstream consumers read the first alarm per key as
+    the changepoint signal.
+    """
+    if h <= 0 or kappa < 0:
+        raise ValueError(f"need h > 0 and kappa ≥ 0 (got h={h}, kappa={kappa})")
+    agg_fn = {
+        "avg": F.avg,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "count": lambda c: F.count(c).cast("double"),
+    }
+    if agg not in agg_fn:
+        raise ValueError(f"unsupported agg {agg!r}")
+    buckets = (
+        bucketize(df, ts_col, grain_ms)
+        .groupBy(F.col(key_col).alias("key"), "bucket_ms")
+        .agg(agg_fn[agg](F.col(value_col)).alias("value"))
+        .transform(_ckpt_lazy)
+    )
+    med = buckets.groupBy("key").agg(
+        F.expr("percentile(value, 0.5)").alias("center")
+    )
+    spread = (
+        buckets.join(med, "key")
+        .groupBy("key")
+        .agg(
+            F.first("center").alias("center"),
+            (
+                F.expr("percentile(abs(value - center), 0.5)") * 1.4826
+            ).alias("sigma"),
+        )
+    )
+    w = Window.partitionBy("key").orderBy("bucket_ms")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    z = (F.col("value") - F.col("center")) / F.col("sigma")
+    scored = (
+        buckets.join(spread, "key")
+        # constant series: MAD = 0 → z undefined; any deviation is an
+        # immediate alarm, matching the σ→0 limit
+        .withColumn(
+            "z",
+            F.when(F.col("sigma") > 0, z).otherwise(
+                F.when(F.col("value") == F.col("center"), 0.0).otherwise(
+                    F.lit(float("inf"))
+                    * F.signum(F.col("value") - F.col("center"))
+                )
+            ),
+        )
+        .withColumn("c_pos", F.sum(F.col("z") - F.lit(kappa)).over(run))
+        .withColumn("c_neg", F.sum(-F.col("z") - F.lit(kappa)).over(run))
+        .withColumn(
+            "s_pos", F.col("c_pos") - F.least(F.lit(0.0), F.min("c_pos").over(run))
+        )
+        .withColumn(
+            "s_neg", F.col("c_neg") - F.least(F.lit(0.0), F.min("c_neg").over(run))
+        )
+    )
+    return scored.select(
+        "key",
+        "bucket_ms",
+        "value",
+        "s_pos",
+        "s_neg",
+        ((F.col("s_pos") > h) | (F.col("s_neg") > h)).alias("alarm"),
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    grain_ms: int,
+    period: int,
+    agg: str = "avg",
+) -> DataFrame:
+    """(key, bucket_ms, value, trend, seasonal, resid) — classical
+    additive decomposition per series (the moving-average method of
+    Macaulay 1931, as in statsmodels' ``seasonal_decompose``):
+    ``value = trend + seasonal + resid``.
+
+    * trend: centered moving average of one ``period`` — for even
+      periods the standard 2×P average (half-weight endpoints) so the
+      window stays centered; null where the full window is absent
+      (the first/last ⌊P/2⌋ buckets, statsmodels semantics).
+    * seasonal: per-phase mean of the detrended series (phase =
+      bucket index mod P), centered so one period sums to ~0.
+    * resid: the remainder, null wherever trend is.
+
+    The series is densified on the ``grain_ms`` grid first (linear
+    interpolation in gaps — a missing bucket must not slide every
+    later observation one phase back); interior interpolated rows are
+    decomposed like real ones, leading/trailing unfillable edges stay
+    null through all three components.
+
+    Scale shape: one per-key window pass for the trend (bucket rows,
+    grid-sized), one (key, phase) aggregation — P rows per key —
+    joined back keyed, and the phase means are partial-aggregable.
+    All native expressions.
+    """
+    if period < 2:
+        raise ValueError(f"period must be ≥ 2 buckets (got {period})")
+    dense = gapfill(
+        df, key_col, ts_col, value_col, grain_ms, agg=agg, fill="linear"
+    ).transform(_ckpt_lazy)
+    w = Window.partitionBy("key").orderBy("bucket_ms")
+    half = period // 2
+    if period % 2:
+        frame = w.rowsBetween(-half, half)
+        need = period
+        trend = F.when(
+            F.count("value").over(frame) == need, F.avg("value").over(frame)
+        )
+    else:
+        # 2×P MA: full weight on the P−1 interior lags, half on ±P/2
+        frame = w.rowsBetween(-half, half)
+        need = period + 1
+        s = F.sum("value").over(frame)
+        ends = (
+            F.first("value").over(frame) + F.last("value").over(frame)
+        )
+        trend = F.when(
+            F.count("value").over(frame) == need,
+            (s - ends / 2) / period,
+        )
+    t = dense.withColumn("trend", trend).withColumn(
+        "phase",
+        F.pmod((F.col("bucket_ms") / grain_ms).cast("bigint"), F.lit(period)),
+    )
+    t = t.transform(_ckpt_lazy)
+    phase_means = (
+        t.withColumn("detr", F.col("value") - F.col("trend"))
+        .groupBy("key", "phase")
+        .agg(F.avg("detr").alias("phase_mean"))
+    )
+    centered = phase_means.withColumn(
+        "seasonal",
+        F.col("phase_mean")
+        - F.avg("phase_mean").over(Window.partitionBy("key")),
+    ).select("key", "phase", "seasonal")
+    return (
+        t.join(centered, ["key", "phase"], "left")
+        .select(
+            "key",
+            "bucket_ms",
+            "value",
+            "trend",
+            F.when(F.col("trend").isNotNull(), F.col("seasonal")).alias(
+                "seasonal"
+            ),
+            (F.col("value") - F.col("trend") - F.col("seasonal")).alias("resid"),
+        )
+    )

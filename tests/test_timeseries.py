@@ -343,3 +343,177 @@ def test_decayed_counts_duckdb_mirror(spark, tmp_path):
         ).fetchall()
     )
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# cusum
+
+
+def _numpy_cusum(values, kappa, h):
+    """The textbook sequential recursion — the closed form in the
+    operator must reproduce it exactly."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=float)
+    center = np.median(v)
+    sigma = 1.4826 * np.median(np.abs(v - center))
+    z = (v - center) / sigma
+    sp = sn = 0.0
+    s_pos, s_neg = [], []
+    for x in z:
+        sp = max(0.0, sp + x - kappa)
+        sn = max(0.0, sn - x - kappa)
+        s_pos.append(sp)
+        s_neg.append(sn)
+    return s_pos, s_neg, [p > h or n > h for p, n in zip(s_pos, s_neg)]
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    import numpy as np
+
+    from fenix_spark.operators.timeseries import cusum
+
+    rng = np.random.default_rng(5)
+    vals = [float(v) for v in rng.normal(10, 2, size=80)]
+    rows = [("k", i * 1000, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, ts bigint, v double")
+    got = (
+        cusum(df, "key", "ts", "v", 1000, kappa=0.5, h=4.0, agg="avg")
+        .orderBy("bucket_ms")
+        .collect()
+    )
+    s_pos, s_neg, alarm = _numpy_cusum(vals, 0.5, 4.0)
+    assert len(got) == len(vals)
+    for r, sp, sn, al in zip(got, s_pos, s_neg, alarm):
+        assert abs(r.s_pos - sp) < 1e-9
+        assert abs(r.s_neg - sn) < 1e-9
+        assert r.alarm == al
+
+
+def test_cusum_planted_mean_shift(spark):
+    import numpy as np
+
+    from fenix_spark.operators.timeseries import cusum
+
+    rng = np.random.default_rng(9)
+    pre = rng.normal(0, 1, size=60)
+    post = rng.normal(2.5, 1, size=40)  # 2.5σ upward shift at t=60
+    rows = [("k", i * 1000, float(v)) for i, v in enumerate([*pre, *post])]
+    df = spark.createDataFrame(rows, "key string, ts bigint, v double")
+    got = cusum(df, "key", "ts", "v", 1000, agg="avg").orderBy("bucket_ms").collect()
+    alarms = [i for i, r in enumerate(got) if r.alarm]
+    assert alarms, "shift never detected"
+    assert min(alarms) >= 55, f"false alarm before the shift at {min(alarms)}"
+    # the robust baseline is fit on the FULL series (40% post-shift
+    # mass pulls the median up), so the effective shift is < 2.5σ and
+    # detection needs a couple of dozen buckets of drift
+    assert min(alarms) <= 90, f"detection too slow ({min(alarms)})"
+
+
+def test_cusum_per_key_isolation_and_validation(spark):
+    import pytest as _pytest
+
+    from fenix_spark.operators.timeseries import cusum
+
+    rows = [("a", i * 1000, float(i % 3)) for i in range(30)] + [
+        ("b", i * 1000, 100.0 + (i % 2)) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts bigint, v double")
+    got = cusum(df, "key", "ts", "v", 1000, agg="avg")
+    # b's level-100 values must not contaminate a's baseline
+    assert not [r for r in got.collect() if r.alarm]
+    with _pytest.raises(ValueError):
+        cusum(df, "key", "ts", "v", 1000, h=0.0)
+
+
+# ---------------------------------------------------------------------------
+# seasonal_decompose
+
+
+def _numpy_decompose(values, period):
+    """statsmodels-style additive decomposition (centered MA trend,
+    mean-by-phase seasonal) on a dense series."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=float)
+    n = len(v)
+    half = period // 2
+    trend = np.full(n, np.nan)
+    if period % 2:
+        for i in range(half, n - half):
+            trend[i] = v[i - half : i + half + 1].mean()
+    else:
+        for i in range(half, n - half):
+            w = v[i - half : i + half + 1]
+            trend[i] = (w.sum() - (w[0] + w[-1]) / 2) / period
+    detr = v - trend
+    phase_mean = np.array(
+        [np.nanmean(detr[p::period]) for p in range(period)]
+    )
+    seasonal_pat = phase_mean - phase_mean.mean()
+    seasonal = np.array([seasonal_pat[i % period] for i in range(n)])
+    return trend, seasonal, v - trend - seasonal
+
+
+@pytest.mark.parametrize("period", [4, 7])
+def test_seasonal_decompose_matches_numpy(spark, period):
+    import numpy as np
+
+    from fenix_spark.operators.timeseries import seasonal_decompose
+
+    rng = np.random.default_rng(3)
+    n = 10 * period
+    t = np.arange(n)
+    vals = 0.3 * t + 5 * np.sin(2 * np.pi * t / period) + rng.normal(0, 0.2, n)
+    rows = [("k", int(i) * 1000, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, ts bigint, v double")
+    got = (
+        seasonal_decompose(df, "key", "ts", "v", 1000, period)
+        .orderBy("bucket_ms")
+        .collect()
+    )
+    trend, seasonal, resid = _numpy_decompose(vals, period)
+    assert len(got) == n
+    for i, r in enumerate(got):
+        if np.isnan(trend[i]):
+            assert r.trend is None and r.resid is None
+        else:
+            assert abs(r.trend - trend[i]) < 1e-9
+            assert abs(r.seasonal - seasonal[i]) < 1e-9
+            assert abs(r.resid - resid[i]) < 1e-9
+
+
+def test_seasonal_decompose_recovers_planted_pattern(spark):
+    import numpy as np
+
+    from fenix_spark.operators.timeseries import seasonal_decompose
+
+    # pure trend + weekly pattern, zero noise → resid ≈ 0 everywhere
+    period, n = 7, 70
+    pat = [3.0, -1.0, 0.5, 2.0, -2.5, -1.5, -0.5]
+    vals = [0.1 * i + pat[i % period] for i in range(n)]
+    rows = [("k", i * 1000, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, ts bigint, v double")
+    got = seasonal_decompose(df, "key", "ts", "v", 1000, period).collect()
+    mid = [r for r in got if r.resid is not None]
+    assert len(mid) == n - (period // 2) * 2
+    assert all(abs(r.resid) < 1e-9 for r in mid)
+
+
+def test_seasonal_decompose_densifies_gaps(spark):
+    from fenix_spark.operators.timeseries import seasonal_decompose
+
+    # drop one interior bucket: later rows must keep their TRUE phase
+    period = 4
+    vals = {i: float(i % period) for i in range(24)}
+    del vals[9]
+    rows = [("k", i * 1000, v) for i, v in vals.items()]
+    df = spark.createDataFrame(rows, "key string, ts bigint, v double")
+    got = {
+        r.bucket_ms // 1000: r
+        for r in seasonal_decompose(df, "key", "ts", "v", 1000, period).collect()
+    }
+    assert 9 in got  # the gap was densified, not dropped
+    # with an exact repeating pattern the interpolated gap is exact too
+    interior = [r for i, r in got.items() if r.resid is not None]
+    assert interior and all(abs(r.resid) < 1e-9 for r in interior)
