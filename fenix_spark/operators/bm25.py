@@ -237,3 +237,110 @@ def bm25f_search(
         .agg((F.round(F.sum("w"), 6) + F.lit(0.0)).alias("score"))
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """(doc_id, term, tf, tfidf, rank) — each document's ``k`` highest
+    scoring terms under smoothed TF-IDF (the sklearn convention:
+    idf = ln((N+1)/(df+1)) + 1, never negative, never divides by
+    zero), the standard corpus-statistical keyword extractor for
+    datacards and topic drill-downs.
+
+    Deterministic: ties broken by term ASC, so the output is oracle-
+    checkable row-for-row.
+
+    Scale shape: one postings build (explode → (doc, term, tf); ids +
+    terms in the shuffle, never text), one vocab-sized document-
+    frequency aggregate joined back ON TERM (vocab ≪ postings;
+    partial-aggregable), one per-doc window top-k. N is taken from
+    the postings (docs with no tokens contribute no terms and no df —
+    consistent numerator/denominator).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1 (got {k})")
+    postings = build_postings(df, text_col, id_col).transform(_ckpt_lazy)
+    n_docs = postings.select("doc_id").distinct().count()
+    doc_freq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1.0)) + 1.0
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        postings.join(doc_freq, "term")
+        .withColumn("tfidf", F.col("tf") * idf)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
+def group_distinctive_terms(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    k: int = 10,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """(group, term, count, zscore, rank) — the ``k`` terms most
+    DISTINCTIVE of each group versus the rest of the corpus, by
+    log-odds ratio with an informative Dirichlet prior (Monroe,
+    Colaresi & Quinn, Political Analysis 2008 — the "fightin' words"
+    statistic). Plain per-group TF-IDF surfaces common-but-frequent
+    terms; the z-scored log-odds surfaces what a group says that the
+    REST doesn't, shrinking rare-term noise through the corpus-wide
+    prior (``alpha`` · corpus term count).
+
+        δ_t = ln( (y_gt + α_t) / (n_g + α − y_gt − α_t) )
+            − ln( (y_rt + α_t) / (n_r + α − y_rt − α_t) )
+        σ²  ≈ 1/(y_gt + α_t) + 1/(y_rt + α_t),   z = δ/σ
+
+    Scale shape: ONE (group, term) count aggregation of the exploded
+    corpus (partial-aggregable; shuffle rows are (group, term, long)),
+    a vocab-sized corpus-total frame joined back on term, group
+    totals broadcast, one per-group window top-k. Nothing driver-side.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1 (got {k})")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (got {alpha})")
+    gt = (
+        df.select(
+            F.col(group_col).alias("group"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("group", "term")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .transform(_ckpt_lazy)
+    )
+    corpus = gt.groupBy("term").agg(F.sum("count").alias("y_all"))
+    totals = gt.groupBy("group").agg(F.sum("count").alias("n_g"))
+    n_all = gt.agg(F.sum("count")).head()[0] or 0
+    a_t = F.col("y_all") * F.lit(alpha)
+    a_tot = F.lit(float(n_all * alpha))
+    y_g = F.col("count")
+    y_r = F.col("y_all") - F.col("count")
+    n_r = F.lit(float(n_all)) - F.col("n_g")
+    delta = F.log((y_g + a_t) / (F.col("n_g") + a_tot - y_g - a_t)) - F.log(
+        (y_r + a_t) / (n_r + a_tot - y_r - a_t)
+    )
+    var = 1.0 / (y_g + a_t) + 1.0 / (y_r + a_t)
+    w = Window.partitionBy("group").orderBy(F.desc("zscore"), F.asc("term"))
+    return (
+        gt.join(corpus, "term")
+        .join(F.broadcast(totals), "group")
+        .withColumn("zscore", delta / F.sqrt(var))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("group", "term", "count", "zscore", "rank")
+    )

@@ -263,3 +263,140 @@ def test_bm25f_python_mirror(spark):
     assert set(got) == set(exp)
     for d in exp:
         assert got[d] == pytest.approx(exp[d], abs=2e-6), d
+
+
+# ---------------------------------------------------------------------------
+# tfidf_top_terms / group_distinctive_terms
+
+
+import math
+
+import duckdb
+import pytest
+
+from fenix_spark.operators.bm25 import group_distinctive_terms, tfidf_top_terms
+
+
+def test_tfidf_hand_computed(spark):
+    docs = [
+        (1, "cat cat dog"),
+        (2, "dog fish"),
+        (3, "cat fish fish fish"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.term): (r.tf, r.tfidf, r.rank)
+        for r in tfidf_top_terms(df, "text", "doc_id", k=2).collect()
+    }
+    # N=3; df: cat 2, dog 2, fish 2 → idf = ln(4/3)+1 for all
+    idf = math.log(4 / 3) + 1
+    assert got[(1, "cat")] == (2, pytest.approx(2 * idf), 1)
+    assert got[(1, "dog")] == (1, pytest.approx(idf), 2)
+    assert got[(3, "fish")][2] == 1
+    assert (2, "dog") in got and (2, "fish") in got
+    # doc 2's tie (both tf=1, same idf) breaks by term asc: dog first
+    assert got[(2, "dog")][2] == 1 and got[(2, "fish")][2] == 2
+
+
+def test_tfidf_duckdb_mirror_on_documents(spark, sf_dir):
+    from fenix_spark.functions.texthash import duck_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r.doc_id, r.rank, r.term, round(r.tfidf, 9))
+        for r in tfidf_top_terms(docs, "text", "doc_id", k=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(
+        (r[0], r[1], r[2], round(r[3], 9))
+        for r in con.execute(
+            f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({duck_tokens('text')}) AS term FROM documents
+            ),
+            postings AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            dfreq AS (
+              SELECT term, count(*) AS df FROM postings GROUP BY 1
+            ),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM postings),
+            scored AS (
+              SELECT p.doc_id, p.term, p.tf,
+                     p.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0) AS tfidf
+              FROM postings p, dfreq d, n
+              WHERE p.term = d.term
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+              FROM scored
+            )
+            SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def _py_log_odds(group_counts, alpha):
+    """Monroe et al. 2008 mirror over {group: {term: count}}."""
+    corpus = {}
+    for terms in group_counts.values():
+        for t, c in terms.items():
+            corpus[t] = corpus.get(t, 0) + c
+    n_all = sum(corpus.values())
+    out = {}
+    for g, terms in group_counts.items():
+        n_g = sum(terms.values())
+        n_r = n_all - n_g
+        for t, y_g in terms.items():
+            a_t = alpha * corpus[t]
+            a_tot = alpha * n_all
+            y_r = corpus[t] - y_g
+            delta = math.log((y_g + a_t) / (n_g + a_tot - y_g - a_t)) - math.log(
+                (y_r + a_t) / (n_r + a_tot - y_r - a_t)
+            )
+            var = 1.0 / (y_g + a_t) + 1.0 / (y_r + a_t)
+            out[(g, t)] = delta / math.sqrt(var)
+    return out
+
+
+def test_group_distinctive_terms_matches_python_mirror(spark):
+    docs = [
+        ("physics", "quantum field quantum energy the the"),
+        ("physics", "energy quantum the particle"),
+        ("cooking", "salt pepper the energy the salt"),
+        ("cooking", "salt butter the pan"),
+    ]
+    df = spark.createDataFrame(docs, "src string, text string")
+    got = group_distinctive_terms(df, "text", "src", k=100, alpha=0.05)
+    counts = {}
+    for g, text in docs:
+        for t in text.split():
+            counts.setdefault(g, {}).setdefault(t, 0)
+            counts[g][t] += 1
+    want = _py_log_odds(counts, 0.05)
+    rows = got.collect()
+    assert {(r.group, r.term) for r in rows} == set(want)
+    for r in rows:
+        assert abs(r.zscore - want[(r.group, r.term)]) < 1e-9
+
+
+def test_group_distinctive_surfaces_planted_vocabulary(spark):
+    rows = []
+    for i in range(30):
+        rows.append(("a", f"common filler words quantum flux number{i}"))
+        rows.append(("b", f"common filler words recipe sauce number{i}"))
+    df = spark.createDataFrame(rows, "src string, text string")
+    got = group_distinctive_terms(df, "text", "src", k=2).collect()
+    top = {r.group: [] for r in got}
+    for r in sorted(got, key=lambda r: (r.group, r.rank)):
+        top[r.group].append(r.term)
+    assert set(top["a"]) == {"quantum", "flux"}
+    assert set(top["b"]) == {"recipe", "sauce"}
+    # shared vocabulary must not outrank the planted terms
+    assert "common" not in top["a"] + top["b"]
