@@ -1064,3 +1064,88 @@ def cms_join_size(a: DataFrame, b: DataFrame, depth: int = 4) -> DataFrame:
         .otherwise(F.coalesce(F.min("s"), F.lit(0)))
         .alias("join_size_est")
     )
+
+
+def equi_depth_edges(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    keys: Sequence[str] = (),
+    k: int = 200,
+) -> DataFrame:
+    """(keys..., edges) — the ``n_bins − 1`` interior cut points that
+    split each group's value distribution into equal-mass bins, from
+    one KLL sketch pass (:func:`kll_rollup`): edge i is the lower
+    weighted quantile at i/n_bins. Equi-depth discretization is the
+    feature-binning / stratification primitive equal-WIDTH histograms
+    can't provide on skewed data — a power-law column puts 99% of
+    rows in one width-bin, but depth-bins stay balanced within the
+    sketch's rank error (O(1/k)·√log(n/k)).
+
+    Edges are non-decreasing by construction (cumulative-weight
+    thresholds over one sorted sketch); heavy ties can REPEAT an edge
+    — :func:`assign_equi_depth` then simply leaves the duplicate bin
+    empty rather than splitting a tied value across bins (determinism
+    over cosmetic balance). All-null/empty groups yield no row, like
+    the percentile aggregates.
+
+    Scale shape: inherits the sketch contract — raw values never
+    shuffle, edges per group are ``n_bins − 1`` doubles, and the edge
+    frame is broadcast-sized for the assignment join.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be ≥ 2 (got {n_bins})")
+    rollup = kll_rollup(df, list(keys), value_col, k=k)
+    qs = [i / n_bins for i in range(1, n_bins)]
+    quants = kll_quantiles(rollup, list(keys), qs)
+    # kll_quantiles emits (keys..., q, value): collect each group's
+    # edges into one ascending array row
+    return (
+        quants.groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("q"), F.col("value")))
+            ).alias("_qv")
+        )
+        .select(
+            *keys,
+            F.transform(F.col("_qv"), lambda s: s["value"]).alias("edges"),
+        )
+    )
+
+
+def assign_equi_depth(
+    df: DataFrame,
+    edges: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    out_col: str = "bin",
+) -> DataFrame:
+    """Attach ``out_col`` = the 0-based equi-depth bin of ``value_col``
+    under the ``edges`` frame (from :func:`equi_depth_edges`): the
+    number of edges ≤ the value — lower-inclusive, matching the lower-
+    quantile convention of the edges, so a value exactly on edge i
+    lands in bin i. Null values get a null bin; rows whose group has
+    no edges row (all-null at fit time) also get null.
+
+    The edges frame is broadcast (one short array per group) and the
+    bin is a native ``filter``/``size`` expression — no shuffle of
+    ``df`` at all."""
+    # GRAND (no keys): route through an internal constant key so the
+    # join stays a left equi-join — a crossJoin against an EMPTY edges
+    # frame (all-null fit input) would drop every row instead of
+    # null-binning them
+    e = edges.select(*keys, F.col("edges").alias("__edges")).withColumn(
+        "__g", F.lit(1)
+    )
+    joined = df.withColumn("__g", F.lit(1)).join(
+        F.broadcast(e), [*keys, "__g"], "left"
+    ).drop("__g")
+    v = F.col(value_col)
+    return joined.withColumn(
+        out_col,
+        F.when(
+            v.isNotNull() & F.col("__edges").isNotNull(),
+            F.size(F.filter(F.col("__edges"), lambda x: x <= v)),
+        ),
+    ).drop("__edges")

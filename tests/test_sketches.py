@@ -901,3 +901,106 @@ def test_cms_join_size_weighted_and_skewed(spark):
         cms_build(A, "key", d, w), cms_build(B, "key", d, w), depth=d
     ).head()["join_size_est"]
     assert true <= est <= 1.1 * true, (est, true)
+
+
+# ---------------------------------------------------------------------------
+# equi-depth binning
+
+
+def test_equi_depth_edges_exact_when_sketch_exact(spark):
+    # < k distinct values: KLL retains everything → edges are the
+    # EXACT lower weighted quantiles; mirror in plain python
+    from fenix_spark.operators.sketches import equi_depth_edges
+
+    vals = [float(v) for v in [1, 2, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144]]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    [row] = equi_depth_edges(df, "v", 4, k=200).collect()
+    sv = sorted(vals)
+    n = len(sv)
+
+    def lower_q(q):
+        # smallest item whose cumulative weight ≥ q·n
+        import math
+
+        return sv[max(0, math.ceil(q * n) - 1)]
+
+    assert row.edges == [lower_q(0.25), lower_q(0.5), lower_q(0.75)]
+
+
+def test_equi_depth_bins_balanced_on_skewed_data(spark):
+    import numpy as np
+
+    from fenix_spark.operators.sketches import (
+        assign_equi_depth,
+        equi_depth_edges,
+    )
+
+    rng = np.random.default_rng(2)
+    vals = [float(v) for v in rng.lognormal(0, 2, size=20_000)]  # heavy tail
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    edges = equi_depth_edges(df, "v", 10, k=200)
+    binned = assign_equi_depth(df, edges, "v")
+    counts = {r.bin: r.c for r in binned.groupBy("bin").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("c")
+    ).collect()}
+    assert set(counts) == set(range(10))
+    for b, c in counts.items():
+        # 10% ± sketch rank error (k=200 → ~1%; generous 3× slack)
+        assert abs(c - 2000) < 0.03 * 20_000, (b, c)
+
+
+def test_equi_depth_per_key_and_null_semantics(spark):
+    from fenix_spark.operators.sketches import (
+        assign_equi_depth,
+        equi_depth_edges,
+    )
+
+    rows = [("a", float(i)) for i in range(100)] + [
+        ("b", float(1000 + i)) for i in range(100)
+    ] + [("a", None), ("c", None)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    edges = equi_depth_edges(df, "v", 4, keys=("k",))
+    # group c is all-null: no edges row at all
+    erows = {r.k: r.edges for r in edges.collect()}
+    assert set(erows) == {"a", "b"}
+    # 100 values, < k retained → exact lower quantiles: ceil(q·100)−1
+    assert erows["a"] == [24.0, 49.0, 74.0]
+    out = assign_equi_depth(df, edges, "v", keys=("k",)).collect()
+    for r in out:
+        if r.v is None or r.k == "c":
+            assert r.bin is None
+        elif r.k == "a":
+            assert r.bin == sum(1 for e in erows["a"] if e <= r.v)
+        else:
+            assert 0 <= r.bin <= 3
+    # per-key isolation: b's values all exceed a's edges but still
+    # spread across b's own four bins
+    bbins = {r.bin for r in out if r.k == "b"}
+    assert bbins == {0, 1, 2, 3}
+
+
+def test_equi_depth_edge_value_lands_lower_inclusive(spark):
+    from fenix_spark.operators.sketches import (
+        assign_equi_depth,
+        equi_depth_edges,
+    )
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 9)], "v double")
+    edges = equi_depth_edges(df, "v", 2)
+    [erow] = edges.collect()
+    [edge] = erow.edges
+    got = {
+        r.v: r.bin for r in assign_equi_depth(df, edges, "v").collect()
+    }
+    assert got[edge] == 1  # exactly-on-edge → upper bin (lower-inclusive)
+    assert got[edge - 1.0] == 0
+
+
+def test_equi_depth_validation(spark):
+    import pytest as _pytest
+
+    from fenix_spark.operators.sketches import equi_depth_edges
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with _pytest.raises(ValueError):
+        equi_depth_edges(df, "v", 1)
