@@ -457,3 +457,62 @@ def seasonal_decompose(
             (F.col("value") - F.col("trend") - F.col("seasonal")).alias("resid"),
         )
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    grain_ms: int,
+    max_age: int | None = None,
+) -> DataFrame:
+    """(cohort_ms, age, active_users, cohort_size, retention) — the
+    classic cohort-retention triangle: users are cohorted by the
+    ``grain_ms`` bucket of their FIRST event, and each later bucket in
+    which they appear marks them active at ``age`` = buckets since
+    their cohort. ``retention`` = active_users / cohort_size; age 0 is
+    1.0 by construction (every user is active in their first bucket).
+
+    ``max_age`` truncates the triangle (e.g. 12 for a 12-week view);
+    None keeps every observed age.
+
+    Scale shape: ONE distinct over (user, bucket) — event-count →
+    user-bucket-count collapse, partial-aggregable — then a min-bucket
+    window per user REUSING the same hash partitioning (no second
+    shuffle of the events), a (cohort, age) count aggregation of the
+    collapsed rows, and a broadcast-sized cohort-size join. Nothing is
+    ever keyed on the raw event stream twice.
+    """
+    if max_age is not None and max_age < 0:
+        raise ValueError(f"max_age must be ≥ 0 (got {max_age})")
+    ub = (
+        bucketize(df, ts_col, grain_ms)
+        .select(F.col(user_col).alias("user"), "bucket_ms")
+        .distinct()
+    )
+    w = Window.partitionBy("user")
+    aged = ub.withColumn("cohort_ms", F.min("bucket_ms").over(w)).select(
+        "cohort_ms",
+        ((F.col("bucket_ms") - F.col("cohort_ms")) / grain_ms)
+        .cast("bigint")
+        .alias("age"),
+        "user",
+    )
+    if max_age is not None:
+        aged = aged.where(F.col("age") <= max_age)
+    active = aged.groupBy("cohort_ms", "age").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+    sizes = active.where(F.col("age") == 0).select(
+        "cohort_ms", F.col("active_users").alias("cohort_size")
+    )
+    return (
+        active.join(F.broadcast(sizes), "cohort_ms")
+        .select(
+            "cohort_ms",
+            "age",
+            "active_users",
+            "cohort_size",
+            (F.col("active_users") / F.col("cohort_size")).alias("retention"),
+        )
+    )

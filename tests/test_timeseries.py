@@ -517,3 +517,109 @@ def test_seasonal_decompose_densifies_gaps(spark):
     # with an exact repeating pattern the interpolated gap is exact too
     interior = [r for i, r in got.items() if r.resid is not None]
     assert interior and all(abs(r.resid) < 1e-9 for r in interior)
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention
+
+
+def _py_retention(events, grain):
+    """{(cohort, age): active} mirror over (user, ts) pairs."""
+    ub = {(u, (t // grain) * grain) for u, t in events}
+    first = {}
+    for u, b in ub:
+        first[u] = min(first.get(u, b), b)
+    out = {}
+    for u, b in ub:
+        key = (first[u], (b - first[u]) // grain)
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
+def test_cohort_retention_matches_python_mirror(spark):
+    import numpy as np
+
+    from fenix_spark.operators.timeseries import cohort_retention
+
+    rng = np.random.default_rng(17)
+    events = [
+        (int(rng.integers(0, 40)), int(rng.integers(0, 10_000)))
+        for _ in range(2_000)
+    ]
+    df = spark.createDataFrame(events, "user_id bigint, ts bigint")
+    got = {
+        (r.cohort_ms, r.age): (r.active_users, r.cohort_size)
+        for r in cohort_retention(df, "user_id", "ts", 1000).collect()
+    }
+    want = _py_retention(events, 1000)
+    assert set(got) == set(want)
+    for (c, a), active in want.items():
+        assert got[(c, a)][0] == active
+        assert got[(c, a)][1] == want[(c, 0)]
+
+
+def test_cohort_retention_semantics(spark):
+    from fenix_spark.operators.timeseries import cohort_retention
+
+    # cohort A (bucket 0): u1 active at ages 0,1,2 ; u2 at 0,2 ;
+    # cohort B (bucket 1000): u3 at 0 only
+    rows = [
+        (1, 10), (1, 1010), (1, 2010),
+        (2, 20), (2, 2020), (2, 25),  # duplicate in-bucket events collapse
+        (3, 1500),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts bigint")
+    got = {
+        (r.cohort_ms, r.age): r
+        for r in cohort_retention(df, "user_id", "ts", 1000).collect()
+    }
+    assert got[(0, 0)].active_users == 2 and got[(0, 0)].retention == 1.0
+    assert got[(0, 1)].active_users == 1 and got[(0, 1)].retention == 0.5
+    assert got[(0, 2)].active_users == 2
+    assert got[(1000, 0)].active_users == 1
+    assert (1000, 1) not in got
+    # max_age truncation
+    trunc = cohort_retention(df, "user_id", "ts", 1000, max_age=1)
+    assert max(r.age for r in trunc.collect()) == 1
+
+
+def test_cohort_retention_duckdb_mirror_on_events(spark, sf_dir):
+    import duckdb
+
+    from fenix_spark.operators.timeseries import cohort_retention
+    from fenix_spark.suite import events_table
+
+    ev = events_table(spark, sf_dir)
+    got = sorted(
+        (r.cohort_ms, r.age, r.active_users, r.cohort_size)
+        for r in cohort_retention(ev, "user_id", "ts_ms", 86_400_000).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH ub AS (
+              SELECT DISTINCT user_id,
+                     floor(epoch_ms(ts) / 86400000)::BIGINT * 86400000 AS b
+              FROM events
+            ),
+            aged AS (
+              SELECT min(b) OVER (PARTITION BY user_id) AS cohort_ms,
+                     (b - min(b) OVER (PARTITION BY user_id)) / 86400000 AS age
+              FROM ub
+            ),
+            active AS (
+              SELECT cohort_ms, age::BIGINT AS age, count(*) AS active
+              FROM aged GROUP BY 1, 2
+            )
+            SELECT a.cohort_ms, a.age, a.active, s.active AS cohort_size
+            FROM active a JOIN active s
+              ON a.cohort_ms = s.cohort_ms AND s.age = 0
+            """
+        ).fetchall()
+    )
+    assert got == want
