@@ -2157,6 +2157,49 @@ SELECT count(*) AS users,
 FROM s
 """
 
+def _cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-retention triangle (operators/timeseries.py): users
+    cohorted by the day of their first event; each (cohort, age) cell
+    counts users active `age` days after their cohort day, with
+    retention = active / cohort-size. Scale shape: ONE distinct over
+    (user, day) collapses the event stream, the first-day window
+    REUSES that shuffle's partitioning, and the denominator is a
+    broadcast self-join of the age-0 summary rows — the raw events
+    are keyed exactly once."""
+    from fenix_spark.operators.timeseries import cohort_retention
+
+    ev = events_table(spark, sf_dir)
+    ret = cohort_retention(ev, "user_id", "ts_ms", 86_400_000)
+    return ret.select(
+        "cohort_ms",
+        "age",
+        "active_users",
+        "cohort_size",
+        _round_dist(F.col("retention")).alias("retention"),
+    )
+
+
+_COHORT_RETENTION_SQL = """
+WITH ub AS (
+    SELECT DISTINCT user_id,
+           (epoch_ms(ts) // 86400000) * 86400000 AS b
+    FROM events
+),
+aged AS (
+    SELECT min(b) OVER (PARTITION BY user_id) AS cohort_ms,
+           ((b - min(b) OVER (PARTITION BY user_id)) / 86400000)::BIGINT AS age
+    FROM ub
+),
+active AS (
+    SELECT cohort_ms, age, count(*) AS active_users
+    FROM aged GROUP BY 1, 2
+)
+SELECT a.cohort_ms, a.age, a.active_users, s.active_users AS cohort_size,
+       round(a.active_users / s.active_users, 6) + 0.0 AS retention
+FROM active a JOIN active s ON a.cohort_ms = s.cohort_ms AND s.age = 0
+"""
+
+
 _ROLLUP_GRAINS_MS = {"hour": 3_600_000, "day": 86_400_000, "week": 604_800_000}
 
 
@@ -2968,7 +3011,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anti_join": _anti_join,
     "set_ops": _set_ops,
     "rollup_agg": _rollup_agg,
-    "percentile_stats": _percentile_stats,
+    # (percentile_stats retired for cohort_retention under the 50-row
+    #  cap, r8 session 3 — its exact-interpolated-percentile parity
+    #  (Spark `percentile` == DuckDB `quantile_cont`) stays covered by
+    #  the robust_anomalies and gapfill DuckDB-mirror tests, and its
+    #  countDistinct shape by curation_stats; cohort retention is a
+    #  new analytics family — first-touch cohorting with a
+    #  self-referencing denominator join — over the events table.)
     # (pivot_status_priority retired for hist_quantiles under the
     #  50-row cap, r8 — pivot = groupBy + CASE arms, arithmetic
     #  covered by rollup_agg; the sketch family gains its first oracle
@@ -3003,6 +3052,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_events": _asof_join_events,
     "range_join_events": _range_join_events,
     "funnel_conversion": _funnel_conversion,
+    "cohort_retention": _cohort_retention_q,
     "time_rollup": _time_rollup,
     "gapfill_timeseries": _gapfill_timeseries,
     "stream_window_counts": _stream_window_counts,
@@ -3045,7 +3095,6 @@ ORACLE_SQL: dict[str, str] = {
     "anti_join": _ANTI_JOIN_SQL,
     "set_ops": _SET_OPS_SQL,
     "rollup_agg": _ROLLUP_AGG_SQL,
-    "percentile_stats": _PERCENTILE_STATS_SQL,
     "hist_quantiles": _HIST_QUANTILES_SQL,
     "priority_sample": _PRIORITY_SAMPLE_SQL,
     "group_topn": _GROUP_TOPN_SQL,
@@ -3060,6 +3109,7 @@ ORACLE_SQL: dict[str, str] = {
     "asof_join_events": _ASOF_JOIN_SQL,
     "range_join_events": _RANGE_JOIN_SQL,
     "funnel_conversion": _FUNNEL_SQL,
+    "cohort_retention": _COHORT_RETENTION_SQL,
     "time_rollup": _TIME_ROLLUP_SQL,
     "gapfill_timeseries": _GAPFILL_SQL,
     "stream_window_counts": _STREAM_WINDOW_SQL,

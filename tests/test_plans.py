@@ -277,3 +277,25 @@ def test_priority_sample_bounded_phases_no_cartesian(spark, q):
     assert "MapInPandas" in plan or "mapInPandas" in plan
     assert "FlatMapGroupsInPandas" in plan
     assert_plan(df, scan_columns_subset_of={"doc_id", "source", "n_chars"})
+
+
+def test_cohort_retention_single_event_shuffle(spark, q):
+    """Cohort retention (r8 s3 oracle rotation, percentile_stats out):
+    the event stream is keyed exactly once (the user/day distinct);
+    the first-day window reuses that partitioning; the denominator
+    join is broadcast over summary rows. Scan reads only (user_id,
+    ts); fully native — and the plan LINTER agrees end-to-end."""
+    from fenix_spark.plans.lint import assert_clean_plan
+
+    df = q("cohort_retention")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "mapInPandas" not in plan and "MapInPandas" not in plan
+    assert_plan(
+        df,
+        min_broadcast_joins=1,
+        scan_columns_subset_of={"user_id", "ts"},
+    )
+    assert_clean_plan(df)
