@@ -290,3 +290,65 @@ def core_numbers(
     raise RuntimeError(
         f"core_numbers did not converge in {max_iter} rounds; raise max_iter"
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 30,
+) -> DataFrame:
+    """(node, dist) — directed hop distance from the nearest node of
+    ``sources`` (a one-column frame), for every node within
+    ``max_depth`` hops. The crawl-depth / link-distance primitive:
+    distance from the seed list is a standard crawl-quality signal
+    (pages far from any seed are disproportionately spam), and
+    unreachable-from-seeds is a discovery gap report.
+
+    Pregel-style frontier expansion: round t joins the CURRENT
+    FRONTIER (nodes first reached at distance t) against the edge
+    list and anti-joins the visited set — every round shuffles
+    (id, id) pairs proportional to the frontier's out-edges, never
+    payloads and never the whole graph's state. Terminates when the
+    frontier empties (diameter reached) or at ``max_depth``; hitting
+    the cap is NOT an error — BFS to depth d is a complete answer for
+    "everything within d hops" (nodes beyond it are simply absent),
+    unlike the iterative fixpoints above where truncation would be a
+    wrong answer.
+
+    Undirected graphs: pass each edge both ways (same convention as
+    :func:`pagerank`).
+    """
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be ≥ 0 (got {max_depth})")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .transform(_ckpt_lazy)
+    )
+    [src_col] = sources.columns
+    visited = (
+        sources.select(F.col(src_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .transform(_ckpt_lazy)
+    )
+    frontier = visited.select("node")
+    for depth in range(1, max_depth + 1):
+        reached = (
+            e.join(frontier, e["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        fresh = reached.join(visited.select("node"), "node", "left_anti").transform(
+            _ckpt_lazy
+        )
+        if not fresh.head(1):
+            return visited
+        visited = visited.unionByName(
+            fresh.withColumn("dist", F.lit(depth))
+        ).transform(_ckpt_lazy)
+        frontier = fresh.select("node")
+    return visited

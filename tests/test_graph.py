@@ -183,3 +183,53 @@ def test_triangle_hub_generates_no_wedges(spark):
     df = spark.createDataFrame(star, "src bigint, dst bigint")
     got = {r.node: r.triangles for r in triangle_count(df).collect()}
     assert set(got.values()) == {0}
+
+
+def test_bfs_distances_matches_brute(spark):
+    from collections import deque
+
+    from fenix_spark.operators.graph import bfs_distances
+
+    edges = _random_edges(40, 0.08, seed=31)
+    # directed: use pairs as generated (a < b) PLUS some reversed
+    directed = edges + [(b, a) for a, b in edges[::3]]
+    df = spark.createDataFrame(directed, "src bigint, dst bigint")
+    srcs = spark.createDataFrame([(0,), (7,)], "node bigint")
+    got = {r.node: r.dist for r in bfs_distances(df, srcs).collect()}
+
+    adj = {}
+    for a, b in directed:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    want, dq = {0: 0, 7: 0}, deque([0, 7])
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    assert got == want
+
+
+def test_bfs_depth_cap_is_a_complete_prefix(spark):
+    from fenix_spark.operators.graph import bfs_distances
+
+    chain = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(chain, "src bigint, dst bigint")
+    srcs = spark.createDataFrame([(0,)], "node bigint")
+    got = {r.node: r.dist for r in bfs_distances(df, srcs, max_depth=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # nothing beyond, nothing wrong
+    full = {r.node: r.dist for r in bfs_distances(df, srcs).collect()}
+    assert full == {i: i for i in range(11)}
+
+
+def test_bfs_directionality_and_unreachable(spark):
+    from fenix_spark.operators.graph import bfs_distances
+
+    df = spark.createDataFrame(
+        [(1, 2), (3, 2), (4, 5)], "src bigint, dst bigint"
+    )
+    srcs = spark.createDataFrame([(1,)], "node bigint")
+    got = {r.node: r.dist for r in bfs_distances(df, srcs).collect()}
+    # 3 points INTO 2 but is not reachable from 1; 4/5 disconnected
+    assert got == {1: 0, 2: 1}
