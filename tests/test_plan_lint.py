@@ -101,3 +101,38 @@ def test_suite_flagship_queries_lint_clean(spark, sf_dir):
     for name in ("tpch_q1", "group_topn", "exact_dedup", "sessionize"):
         df = SPARK_QUERIES[name](spark, sf_dir)
         assert_clean_plan(df)
+
+
+# Per-query allowances for the full-suite sweep, each with the reason
+# the finding is deliberate. Everything NOT listed must lint clean at
+# warn+ — a new shuffle-side regression in any of the 50 oracle
+# queries turns this test red.
+_SUITE_ALLOW = {
+    # 1-row broadcast cross joins (corpus size N / query shingles into
+    # a summary frame) — BuildRight over literally one row
+    "tfidf_top_terms": ("nested-loop-join",),
+    "ngram_jaccard_topk": ("nested-loop-join",),
+    # deterministic md5 hash-bucket sampling: the predicate is the
+    # sample definition; parquet cannot evaluate md5
+    "curation_stats": ("filter-not-pushed",),
+    "decontamination": ("filter-not-pushed",),  # doc_id % 29 sample
+    # computed-column predicates evaluated over the scanned column
+    # (LSH band hash over the embedding array; token-count gates over
+    # text): structurally unpushable, filter-at-scan is the right plan
+    "lsh_ann_search": ("filter-not-pushed",),
+    "substring_dedup": ("filter-not-pushed",),
+}
+
+
+def test_all_fifty_suite_queries_lint_clean(spark, sf_dir):
+    """The linter over the ENTIRE oracle suite: every query is free of
+    warn+ findings except the six documented allowances above."""
+    from fenix_spark.suite import SPARK_QUERIES
+
+    failures = []
+    for name, fn in SPARK_QUERIES.items():
+        try:
+            assert_clean_plan(fn(spark, sf_dir), allow=_SUITE_ALLOW.get(name, ()))
+        except AssertionError as e:
+            failures.append(f"{name}: {str(e).splitlines()[0]}")
+    assert not failures, "\n".join(failures)
