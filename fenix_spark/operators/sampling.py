@@ -557,3 +557,129 @@ def priority_take(
         )
         .drop("__rn", "__tau")
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata: Sequence[str],
+    value_col: str,
+    n_total: int,
+) -> DataFrame:
+    """(strata..., n_rows, stddev, alloc) — the optimal (Neyman 1934)
+    allocation of an ``n_total``-row sample budget across strata for
+    estimating the mean/total of ``value_col``: n_h ∝ N_h·σ_h, the
+    allocation that minimizes estimator variance for a fixed budget.
+    Proportional allocation oversamples big-but-uniform strata and
+    starves small-but-wild ones; Neyman spends the budget where the
+    variance actually lives.
+
+    Allocations are computed by largest-remainder rounding so they sum
+    EXACTLY to ``n_total`` (capped at the stratum population; freed
+    budget is re-spread over uncapped strata by the same rule).
+    Zero-variance strata (constant or single-row) get σ = 0 and are
+    sampled only through remainder spreading — one representative row
+    tells you everything about a constant stratum.
+
+    Scale shape: ONE partial-aggregable groupBy computes (N_h, σ_h);
+    the allocation arithmetic runs on the strata-count-sized summary
+    driver-side (strata are report-sized by definition). Pair with
+    :func:`bottomk_sample` keyed by the same strata to DRAW the
+    allocated rows deterministically.
+    """
+    if n_total < 1:
+        raise ValueError(f"n_total must be ≥ 1 (got {n_total})")
+    if not strata:
+        raise ValueError("strata must be non-empty")
+    stats = (
+        df.groupBy(*strata)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(F.stddev_pop(value_col), F.lit(0.0)).alias("stddev"),
+        )
+        .collect()
+    )
+    if not stats:
+        raise ValueError("no rows to allocate over")
+    weights = [r["n_rows"] * r["stddev"] for r in stats]
+    caps = [r["n_rows"] for r in stats]
+    alloc = [0] * len(stats)
+    remaining = n_total
+    active = [i for i, w in enumerate(weights) if w > 0]
+    # iterate: proportional shares with largest-remainder rounding;
+    # capped strata drop out and their slack re-spreads
+    while remaining > 0 and active:
+        tot = sum(weights[i] for i in active)
+        shares = [(i, remaining * weights[i] / tot) for i in active]
+        base = {i: min(int(s), caps[i] - alloc[i]) for i, s in shares}
+        handed = sum(base.values())
+        rema = sorted(
+            ((s - int(s), i) for i, s in shares),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for frac, i in rema:
+            if handed >= remaining:
+                break
+            if alloc[i] + base[i] < caps[i]:
+                base[i] += 1
+                handed += 1
+        for i, b in base.items():
+            alloc[i] += b
+        remaining -= handed
+        active = [i for i in active if alloc[i] < caps[i]]
+        if handed == 0:
+            break
+    if remaining > 0:
+        # spread leftovers (all weighted strata capped) over zero-σ /
+        # capped-out strata by population, largest first
+        order = sorted(
+            range(len(stats)), key=lambda i: (-(caps[i] - alloc[i]), i)
+        )
+        for i in order:
+            take = min(remaining, caps[i] - alloc[i])
+            alloc[i] += take
+            remaining -= take
+            if remaining == 0:
+                break
+    spark = df.sparkSession
+    rows = [
+        tuple(r[c] for c in strata) + (r["n_rows"], float(r["stddev"]), alloc[i])
+        for i, r in enumerate(stats)
+    ]
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(*strata).schema.fields
+    )
+    return spark.createDataFrame(
+        rows, key_schema + ", n_rows long, stddev double, alloc long"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    value_col: str,
+    id_col: str,
+    n_total: int,
+    salt: str = "",
+) -> DataFrame:
+    """Draw the :func:`neyman_allocation` deterministically: per-
+    stratum bottom-k by ``hash60(id+salt)`` at each stratum's
+    allocated k — mergeable, retry-stable, layout-independent (the
+    bottom-k properties), with the budget spent variance-optimally."""
+    allocs = neyman_allocation(df, strata, value_col, n_total)
+    ranked = bottomk_sample(df, list(strata), id_col, n_total, salt=salt)
+    # bottomk_sample at the global budget over-draws per stratum; cut
+    # each stratum to its allocation by the SAME hash order so the
+    # result equals a direct per-stratum bottom-alloc draw
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata).orderBy(
+        hash60(F.concat(F.col(id_col).cast("string"), F.lit(salt))).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        ranked.withColumn("__rk", F.row_number().over(w))
+        .join(F.broadcast(allocs.select(*strata, "alloc")), list(strata))
+        .where(F.col("__rk") <= F.col("alloc"))
+        .drop("__rk", "alloc")
+    )
