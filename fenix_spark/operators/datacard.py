@@ -30,8 +30,19 @@ from fenix_spark.checkpoint import checkpoint_lazy as _ckpt_lazy
 
 
 def datacard(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    metadata_cols: tuple[str, ...] = (),
+    redundancy_nmi: float = 0.9,
 ) -> tuple[dict, DataFrame]:
+    """See module docstring. With ``metadata_cols``, the card gains a
+    column-dependence section (operators/infotheory.py): per-column
+    Shannon entropy — a zero-entropy metadata column carries nothing —
+    and every column pair whose normalized mutual information exceeds
+    ``redundancy_nmi`` listed as redundant (one is (nearly) a renaming
+    of the other). Both run over CATEGORY-sized aggregates; corpus
+    size never hits the driver."""
     from fenix_spark.operators.dedup import spread
 
     t = F.col(text_col)
@@ -94,4 +105,17 @@ def datacard(
         .withColumn("doc_frac", F.col("n_docs") / F.lit(float(n_docs or 1)))
         .orderBy(F.col("n_docs").desc(), F.col("lang").asc())
     )
+    if metadata_cols:
+        from fenix_spark.operators.infotheory import column_entropy, mi_matrix
+
+        card["metadata_entropy"] = {
+            r["column"]: float(r["entropy"])
+            for r in column_entropy(df, list(metadata_cols)).collect()
+        }
+        if len(metadata_cols) >= 2:
+            card["redundant_metadata_pairs"] = sorted(
+                (r["col_a"], r["col_b"], float(r["nmi"]))
+                for r in mi_matrix(df, list(metadata_cols)).collect()
+                if r["nmi"] >= redundancy_nmi
+            )
     return card, lang_dist

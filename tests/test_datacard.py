@@ -36,3 +36,26 @@ def test_datacard_on_documents(spark, documents):
     assert card["total_tokens"] > 0
     assert 0.0 <= card["exact_dup_rate_est"] < 1.0
     assert lang.count() >= 1
+
+
+def test_datacard_metadata_dependence_section(spark, documents):
+    from fenix_spark.operators.datacard import datacard
+    from pyspark.sql import functions as F
+
+    # lang_copy is a pure renaming of lang: it must show up redundant
+    df = documents.withColumn("lang_copy", F.upper("lang"))
+    card, _ = datacard(
+        df, "text", "doc_id", metadata_cols=("lang", "source", "lang_copy")
+    )
+    ent = card["metadata_entropy"]
+    assert set(ent) == {"lang", "source", "lang_copy"}
+    assert ent["lang"] == pytest.approx(ent["lang_copy"])
+    assert all(v >= 0 for v in ent.values())
+    pairs = card["redundant_metadata_pairs"]
+    assert ("lang", "lang_copy", pytest.approx(1.0)) in [
+        (a, b, n) for a, b, n in pairs
+    ]
+    assert all(n >= 0.9 for _, _, n in pairs)
+    # without metadata_cols the card is unchanged (backwards compat)
+    card2, _ = datacard(documents, "text", "doc_id")
+    assert "metadata_entropy" not in card2
