@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from fenix_spark.operators.sketches import _BLOOM_WORD_BITS, _bloom_positions
 
-__all__ = ["build_file_bloom", "candidate_files", "point_lookup"]
+__all__ = ["build_file_bloom", "append_file_bloom", "candidate_files", "point_lookup"]
 
 
 def build_file_bloom(
@@ -155,3 +155,53 @@ def point_lookup(
     if not cand:
         return full.where(F.lit(False))
     return spark.read.parquet(*cand).where(probe)
+
+
+def append_file_bloom(
+    spark: SparkSession,
+    index: DataFrame,
+    path: str,
+    col: str,
+    m_bits: int = 1 << 17,
+    k: int = 5,
+) -> DataFrame:
+    """Extend an existing index to the dataset's CURRENT file set:
+    only files with no index rows are read and sketched; the old rows
+    pass through untouched (per-file filters never interact, so append
+    is a plain union — the incremental-maintenance property that makes
+    the index viable on a growing 100 TB dataset: indexing cost tracks
+    the delta, not the corpus). ``m_bits``/``k`` must match the
+    original build — mixed geometries would corrupt lookups, so the
+    caller owns that contract (store them next to the index)."""
+    have = index.select("file").distinct()
+    current = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"))
+        .distinct()
+    )
+    missing = [r.file for r in current.join(have, "file", "left_anti").collect()]
+    if not missing:
+        return index
+    df = spark.read.parquet(*missing)
+    positions = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.input_file_name().alias("file"),
+            F.explode(F.array(*_bloom_positions(F.col(col), m_bits, k))).alias(
+                "pos"
+            ),
+        )
+    )
+    bit_lut = F.lit([1 << j for j in range(_BLOOM_WORD_BITS)])
+    fresh = (
+        positions.select(
+            "file",
+            F.shiftright(F.col("pos"), 5).alias("word"),
+            F.element_at(
+                bit_lut, (F.col("pos") % _BLOOM_WORD_BITS + 1).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("file", "word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    return index.unionByName(fresh)

@@ -84,3 +84,32 @@ def test_validation_contracts(spark, dataset):
         candidate_files(idx, [])
     with pytest.raises(ValueError, match="NULL"):
         candidate_files(idx, [1, None])
+
+
+def test_append_indexes_only_new_files(spark, dataset, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fenix_spark.sources.file_bloom import append_file_bloom
+
+    # copy the dataset so appends don't pollute the shared fixture
+    p = str(tmp_path / "grow")
+    spark.read.parquet(dataset).write.parquet(p)
+    idx = build_file_bloom(spark, p, "k")
+    n_before = idx.select("file").distinct().count()
+    # no new files → the index comes back as-is
+    same = append_file_bloom(spark, idx, p, "k")
+    assert same.count() == idx.count()
+    # append a new file with fresh keys, extend, and find them
+    spark.range(50_000, 51_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1).write.mode("append").parquet(p)
+    idx2 = append_file_bloom(spark, idx, p, "k")
+    assert idx2.select("file").distinct().count() == n_before + 1
+    got = point_lookup(spark, p, "k", [50_123, 42], idx2).collect()
+    assert sorted((r.k, r.v) for r in got) == [(42, 84), (50_123, 100_246)]
+    # old rows untouched: the original files' words are byte-identical
+    a = sorted(map(tuple, idx.collect()))
+    b = sorted(
+        map(tuple, idx2.join(idx.select("file").distinct(), "file").collect())
+    )
+    assert a == b
