@@ -89,15 +89,52 @@ def dedup_keep_list(
     id_col: str,
     left: str = "id_a",
     right: str = "id_b",
+    prefer_col: str | None = None,
 ) -> DataFrame:
-    """Rows of ``df`` that SURVIVE pair-based dedup: the minimum-id
+    """Rows of ``df`` that SURVIVE pair-based dedup: one canonical
     member of every duplicate component, plus every row in no pair at
-    all. The join is on ids only; document payloads ride along
-    untouched (column-pruned until the final projection)."""
+    all.
+
+    The canonical member is the minimum-id row (deterministic,
+    engine-portable) — unless ``prefer_col`` names a column, in which
+    case each component keeps its HIGHEST-``prefer_col`` row (min id
+    among ties; null prefer values lose to any non-null). That is the
+    production policy: when a quality score exists, dedup should keep
+    the best copy, not the oldest id.
+
+    The joins are on ids (+ one prefer value); document payloads ride
+    along untouched (column-pruned until the final projection)."""
     comp = connected_components(pairs, left, right)
-    drop = comp.where(F.col("node") != F.col("component")).select(
-        F.col("node").alias("__drop_id")
-    )
+    if prefer_col is None:
+        drop = comp.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias("__drop_id")
+        )
+    else:
+        scored = comp.join(
+            df.select(
+                F.col(id_col).alias("node"),
+                F.col(prefer_col).alias("__pref"),
+            ),
+            "node",
+        )
+        # per-component winner: max prefer, min id on ties — one
+        # max_by aggregate over (component)-keyed summary rows (nulls
+        # sort last via the is-null flag in the ordering struct)
+        winners = scored.groupBy("component").agg(
+            F.max_by(
+                F.col("node"),
+                F.struct(
+                    F.col("__pref").isNotNull().alias("has"),
+                    F.col("__pref").alias("pref"),
+                    (-F.col("node")).alias("neg_id"),
+                ),
+            ).alias("__keep_id")
+        )
+        drop = (
+            comp.join(winners, "component")
+            .where(F.col("node") != F.col("__keep_id"))
+            .select(F.col("node").alias("__drop_id"))
+        )
     return df.join(
         drop, df[id_col] == drop["__drop_id"], "left_anti"
     )

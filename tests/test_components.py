@@ -82,3 +82,23 @@ def test_dedup_keep_list_end_to_end(spark, documents):
     all_ids = {r["doc_id"] for r in documents.select("doc_id").collect()}
     want = (all_ids - paired) | survivors
     assert {r["doc_id"] for r in kept.select("doc_id").collect()} == want
+
+
+def test_keep_list_prefer_col_keeps_best_copy(spark):
+    rows = [
+        (1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5),   # component {1,2,3}: 2 wins (max q, min id on tie)
+        (10, None), (11, 0.1),                    # {10,11}: null loses → 11
+        (20, 0.7),                                # unpaired: survives
+        (30, None), (31, None),                   # all-null component → min id 30
+    ]
+    df = spark.createDataFrame(rows, "id bigint, q double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (30, 31)], "id_a bigint, id_b bigint"
+    )
+    kept = sorted(
+        r.id for r in dedup_keep_list(df, pairs, "id", prefer_col="q").collect()
+    )
+    assert kept == [2, 4, 11, 20, 30]
+    # default policy unchanged: min id per component
+    kept_min = sorted(r.id for r in dedup_keep_list(df, pairs, "id").collect())
+    assert kept_min == [1, 4, 10, 20, 30]
