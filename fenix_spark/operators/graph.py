@@ -352,3 +352,99 @@ def bfs_distances(
         ).transform(_ckpt_lazy)
         frontier = fresh.select("node")
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, community) — density-based community detection by label
+    propagation (Raghavan, Albert & Kumara, Phys. Rev. E 2007) over
+    the undirected simple graph, made DETERMINISTIC and
+    oscillation-free:
+
+    - update rule: adopt the most frequent label in the CLOSED
+      neighborhood (neighbors + the node's own current label — the
+      self-inclusive LPA variant), ties broken by the smallest label
+      (no RNG anywhere). Self-inclusion is what damps the label-swap
+      oscillation synchronous neighbor-only LPA exhibits on bipartite
+      structures;
+    - schedule: two half-sweeps by node-id parity against a frozen
+      snapshot each — deterministic and fully data-parallel within a
+      phase, and the staggering lets information cross a frontier in
+      one sweep instead of two;
+    - termination: a full sweep with zero label changes. Hitting
+      ``max_iter`` RAISES — a half-converged labeling silently
+      under-merges communities (the components contract).
+
+    Communities are denser-than-their-surroundings groups — unlike
+    :func:`connected_components` (reachability = one label per
+    component), LPA splits a sparse bridge between two cliques.
+
+    Scale shape: per phase, one id-keyed equi-join (adjacency ⋈
+    labels) + one (node, label) count aggregate + one max_by per node
+    — shuffle rows are (id, label) longs, state is ONE (node, label)
+    frame, lineage truncated per phase. Label ids are node ids, so the
+    output is engine-portable and join-stable."""
+    und = _undirected_simple(edges, src, dst)
+    adj = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .union(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .transform(_ckpt_lazy)
+    )
+    labels = (
+        adj.select("node").distinct().withColumn("community", F.col("node"))
+    ).transform(_ckpt_lazy)
+    for _ in range(max_iter):
+        changed_total = 0
+        for parity in (0, 1):
+            nbr_lab = labels.select(
+                F.col("node").alias("nbr"), F.col("community").alias("nlab")
+            )
+            votes = (
+                adj.where(F.col("node") % 2 == parity)
+                .join(nbr_lab, "nbr")
+                .select("node", "nlab")
+                .unionByName(
+                    labels.where(F.col("node") % 2 == parity).select(
+                        "node", F.col("community").alias("nlab")
+                    )
+                )
+            )
+            best = (
+                votes.groupBy("node", "nlab")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .groupBy("node")
+                .agg(
+                    F.max_by(
+                        F.col("nlab"),
+                        F.struct(
+                            F.col("c").alias("c"),
+                            (-F.col("nlab")).alias("neg"),
+                        ),
+                    ).alias("new_lab")
+                )
+            )
+            updated = (
+                labels.join(best, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("new_lab", "community").alias("community"),
+                    (
+                        F.col("new_lab").isNotNull()
+                        & (F.col("new_lab") != F.col("community"))
+                    ).alias("__chg"),
+                )
+                .transform(_ckpt_lazy)
+            )
+            changed = updated.where(F.col("__chg")).count()
+            labels = updated.drop("__chg")
+            changed_total += changed
+        if changed_total == 0:
+            return labels
+    raise RuntimeError(
+        f"label_propagation did not converge in {max_iter} sweeps; "
+        "raise max_iter"
+    )

@@ -233,3 +233,42 @@ def test_bfs_directionality_and_unreachable(spark):
     got = {r.node: r.dist for r in bfs_distances(df, srcs).collect()}
     # 3 points INTO 2 but is not reachable from 1; 4/5 disconnected
     assert got == {1: 0, 2: 1}
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    from fenix_spark.operators.graph import label_propagation
+
+    # two K6 cliques joined by ONE bridge edge: connected_components
+    # sees one blob; LPA must find two communities
+    c1 = list(combinations(range(6), 2))
+    c2 = list(combinations(range(10, 16), 2))
+    bridge = [(5, 10)]
+    df = spark.createDataFrame(c1 + c2 + bridge, "src bigint, dst bigint")
+    got = {r.node: r.community for r in label_propagation(df).collect()}
+    left = {got[v] for v in range(6)}
+    right = {got[v] for v in range(10, 16)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+    from fenix_spark.operators.graph import bfs_distances  # noqa: F401
+    from fenix_spark.operators.components import connected_components
+
+    comp = {
+        r.node: r.component
+        for r in connected_components(
+            df.withColumnRenamed("src", "id_a").withColumnRenamed("dst", "id_b"),
+        ).collect()
+    }
+    assert len(set(comp.values())) == 1  # the contrast that motivates LPA
+
+
+def test_label_propagation_deterministic_and_bipartite_safe(spark):
+    from fenix_spark.operators.graph import label_propagation
+
+    # complete bipartite K3,3 — the classic synchronous-LPA oscillator
+    edges = [(i, 10 + j) for i in range(3) for j in range(3)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = sorted(map(tuple, label_propagation(df).collect()))
+    b = sorted(map(tuple, label_propagation(df.repartition(7)).collect()))
+    assert a == b  # terminated (no oscillation) and layout-independent
+    # one community: K3,3 is a single dense blob
+    assert len({c for _, c in a}) == 1
