@@ -21,6 +21,7 @@ from fenix_spark.streaming.dedup import (
 )
 from fenix_spark.streaming.ingest import enrich_stream, stream_ingest, stream_source
 from fenix_spark.streaming.joins import stream_interval_join
+from fenix_spark.streaming.sequences import merge_transitions, stream_transitions
 from fenix_spark.streaming.sessions import sessionize_stateful
 from fenix_spark.streaming.sketches import (
     compact_state,
@@ -59,6 +60,8 @@ __all__ = [
     "stream_kll",
     "stream_theta",
     "sessionize_stateful",
+    "stream_transitions",
+    "merge_transitions",
     "stream_cms",
     "stream_heavy_hitters",
     "merged_heavy_hitters",

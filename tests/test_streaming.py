@@ -1233,3 +1233,67 @@ def test_stream_bottomk_sample_equals_batch_and_compacts(
     assert after == direct
     with pytest.raises(ValueError, match="re-attach"):
         stream_bottomk(stream, ["event_type"], "event_id", state, k=99)
+
+
+def test_stream_transitions_match_batch_across_boundaries(
+    spark, events_prepared, tmp_path
+):
+    """Transition partials streamed one file per trigger fold to the
+    EXACT batch matrix — including the pairs that straddle micro-batch
+    boundaries, which the state stitches."""
+    import shutil
+    import time
+
+    from fenix_spark.operators.sequences import transition_counts
+    from fenix_spark.streaming.sequences import (
+        merge_transitions,
+        stream_transitions,
+    )
+
+    src_path, batch_df = events_prepared
+    # time-split into two ordered files so pairs straddle the boundary
+    mid = batch_df.agg(F.expr("percentile(ts_ms, 0.5)")).head()[0]
+    src_dir = tmp_path / "tsrc"
+    src_dir.mkdir()
+    for i, part in enumerate(
+        (
+            batch_df.where(F.col("ts_ms") <= mid),
+            batch_df.where(F.col("ts_ms") > mid),
+        )
+    ):
+        stage = tmp_path / f"tstage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        (f,) = [n for n in os.listdir(stage) if n.endswith(".parquet")]
+        dst = src_dir / f"part-{i:03d}.parquet"
+        shutil.copy(stage / f, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    from fenix_spark.streaming import stream_source
+
+    src = stream_source(
+        spark, str(src_dir), batch_df.schema, max_files_per_trigger=1
+    ).select(
+        F.col("user_id").alias("key"), "ts_ms", F.col("event_type").alias("state")
+    )
+    parts = stream_transitions(src)
+    _drain(parts, "transitions_out", "append")
+    streamed = {
+        (r.from_state, r.to_state): (r.n, round(r.prob, 9))
+        for r in merge_transitions(
+            spark.sql("SELECT * FROM transitions_out")
+        ).collect()
+    }
+    want = {
+        (r.from_state, r.to_state): (r.n, round(r.prob, 9))
+        for r in transition_counts(
+            spark.read.parquet(str(src_dir)), "user_id", "ts_ms", "event_type"
+        ).collect()
+    }
+    assert streamed == want
+    # and the stream really ran more than one batch: partial rows for
+    # at least one pair exceed the folded row count
+    raw = spark.sql(
+        "SELECT from_state, to_state, count(*) AS c FROM transitions_out "
+        "GROUP BY 1, 2 ORDER BY c DESC"
+    ).head()
+    assert raw.c >= 2
