@@ -210,3 +210,83 @@ def remove(root: str) -> None:
     """Remove the whole store (ref: flight.py:102-103 'remove' action)."""
     if os.path.isdir(root):
         shutil.rmtree(root)
+
+
+def bloom_index_path(root: str, name: str, column: str) -> str:
+    return os.path.join(_sources_dir(root), name, "_bloom", column)
+
+
+def make_bloom_index(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    column: str,
+    m_bits: int = 1 << 17,
+    k: int = 5,
+) -> None:
+    """Build and persist a file-level Bloom index
+    (sources/file_bloom.py) for ``column`` of catalog table ``name``,
+    WITH its geometry: (m_bits, k) ride in a ``_geometry.json``
+    sidecar next to the index rows, so later lookups can never probe
+    with mismatched parameters — the corruption mode the raw module
+    documents as caller-owned becomes structurally impossible through
+    the catalog."""
+    import json
+
+    from fenix_spark.sources.file_bloom import build_file_bloom
+
+    idx = build_file_bloom(spark, source_path(root, name), column, m_bits, k)
+    p = bloom_index_path(root, name, column)
+    idx.write.mode("overwrite").parquet(p)
+    with open(os.path.join(p, "_geometry.json"), "w") as f:
+        json.dump({"m_bits": m_bits, "k": k, "column": column}, f)
+
+
+def refresh_bloom_index(
+    spark: SparkSession, root: str, name: str, column: str
+) -> None:
+    """Extend the persisted index to files appended since the build —
+    indexes ONLY the delta (sources/file_bloom.append_file_bloom),
+    using the stored geometry."""
+    import json
+
+    from fenix_spark.sources.file_bloom import append_file_bloom
+
+    p = bloom_index_path(root, name, column)
+    with open(os.path.join(p, "_geometry.json")) as f:
+        geo = json.load(f)
+    idx = spark.read.parquet(p)
+    new = append_file_bloom(
+        spark, idx, source_path(root, name), column, geo["m_bits"], geo["k"]
+    )
+    # the new index READS the old: stage distributed into a sibling
+    # dir, then swap — never a driver-side collect of index rows
+    tmp = p + ".staging"
+    new.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(p)
+    os.rename(tmp, p)
+    with open(os.path.join(p, "_geometry.json"), "w") as f:
+        json.dump(geo, f)
+
+
+def bloom_point_lookup(
+    spark: SparkSession, root: str, name: str, column: str, values: Sequence
+) -> DataFrame:
+    """Point lookup through the persisted index with the persisted
+    geometry — reads only candidate files, results identical to a
+    full-scan filter."""
+    import json
+
+    from fenix_spark.sources.file_bloom import point_lookup
+
+    p = bloom_index_path(root, name, column)
+    with open(os.path.join(p, "_geometry.json")) as f:
+        geo = json.load(f)
+    if geo["column"] != column:
+        raise ValueError(
+            f"index at {p} was built for column {geo['column']!r}, not {column!r}"
+        )
+    idx = spark.read.parquet(p)
+    return point_lookup(
+        spark, source_path(root, name), column, values, idx, geo["m_bits"], geo["k"]
+    )

@@ -238,3 +238,38 @@ def test_apply_confs(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == rec["confs"]["spark.sql.shuffle.partitions"]
     # restore the session conf for the rest of the suite
     spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_catalog_bloom_index_lifecycle(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fenix_spark import catalog
+
+    root = str(tmp_path / "cat")
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartition(4)
+    catalog.make(root, "t", df)
+    catalog.make_bloom_index(spark, root, "t", "k", m_bits=1 << 15)
+    got = sorted(
+        r.k for r in catalog.bloom_point_lookup(spark, root, "t", "k", [5, 3999]).collect()
+    )
+    assert got == [5, 3999]
+    # geometry travels with the index: a lookup never needs m_bits/k
+    # append new data through the catalog path and refresh the delta
+    spark.range(10_000, 10_100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).coalesce(1).write.mode("append").parquet(catalog.source_path(root, "t"))
+    catalog.refresh_bloom_index(spark, root, "t", "k")
+    got = sorted(
+        r.k
+        for r in catalog.bloom_point_lookup(
+            spark, root, "t", "k", [5, 10_050]
+        ).collect()
+    )
+    assert got == [5, 10_050]
+    # wrong column is loud
+    import pytest as _pytest
+
+    with _pytest.raises((ValueError, FileNotFoundError)):
+        catalog.bloom_point_lookup(spark, root, "t", "v", [1])
