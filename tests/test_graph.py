@@ -272,3 +272,48 @@ def test_label_propagation_deterministic_and_bipartite_safe(spark):
     assert a == b  # terminated (no oscillation) and layout-independent
     # one community: K3,3 is a single dense blob
     assert len({c for _, c in a}) == 1
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    from fenix_spark.operators.graph import personalized_pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (5, 0)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(0,), (3,)], "node bigint")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(df, seeds, damping=0.6, tol=1e-10).collect()
+    }
+
+    n = 6
+    m = np.zeros((n, n))
+    deg = np.zeros(n)
+    for s, d in edges:
+        m[d, s] = 1.0
+        deg[s] += 1
+    for s in range(n):
+        if deg[s]:
+            m[:, s] /= deg[s]
+    restart = np.zeros(n)
+    restart[[0, 3]] = 0.5
+    r = restart.copy()
+    for _ in range(500):
+        dangling = r[deg == 0].sum()
+        r = (1 - 0.6) * restart + 0.6 * (m @ r + dangling * restart)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-8
+    # node 5 has no inbound path from any seed → rank 0
+    assert got[5] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_personalized_pagerank_validation(spark):
+    from fenix_spark.operators.graph import personalized_pagerank
+
+    df = spark.createDataFrame([(0, 1)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="at least one seed"):
+        personalized_pagerank(df, df.select("src").where(F.lit(False)))
+    with pytest.raises(ValueError, match="appear in the edge set"):
+        personalized_pagerank(
+            df, spark.createDataFrame([(99,)], "node bigint")
+        )
