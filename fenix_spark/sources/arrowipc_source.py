@@ -192,3 +192,37 @@ class ArrowIPCReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent registration of the ``arrowipc`` format."""
     spark.dataSource.register(ArrowIPCDataSource)
+
+
+def write_arrow_ipc(df, path: str, max_rows: int = 5_000_000) -> int:
+    """Export ``df`` to a single Arrow IPC STREAM file — the reference
+    engine's native one-file-per-table layout (ref:
+    src/fenix/io/arrow/arrow.py:6-21), closing the interop loop:
+    ``migrate_reference_store`` brings a reference store in, this
+    writes query results back out where the reference (or any Arrow
+    consumer: polars, duckdb, pyarrow) can read them.
+
+    The format is a SINGLE sequential stream, so this is inherently a
+    one-writer export — a driver-side collect, loudly capped at
+    ``max_rows`` (the same bounded-driver-materialization contract as
+    ``bloom_to_words``). It is an interop/export tool for result and
+    dimension tables, NOT a data sink: corpus-sized output belongs in
+    parquet through the catalog, where every executor writes in
+    parallel. Returns the row count written."""
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"write_arrow_ipc is a single-stream driver-side export: "
+            f"{n} rows > max_rows={max_rows}. Corpus-sized data belongs "
+            "in parquet (catalog.make); raise max_rows only if the "
+            "driver can really hold this table"
+        )
+    table = df.toArrow()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with pa.OSFile(path, "wb") as sink:
+        with ipc.new_stream(sink, table.schema) as w:
+            w.write_table(table)
+    return n

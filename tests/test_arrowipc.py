@@ -226,3 +226,36 @@ def test_migrate_keyed_rejects_duplicate_key(spark, tmp_path):
         migrate_reference_store(
             spark, ref, out, skip_codings=True, key_col="vec_id"
         )
+
+
+def test_write_arrow_ipc_round_trip(spark, tmp_path):
+    from fenix_spark.sources.arrowipc_source import register, write_arrow_ipc
+
+    df = spark.range(0, 500).selectExpr(
+        "id", "cast(id * 0.5 as double) AS v", "concat('s', id) AS s"
+    )
+    p = str(tmp_path / "out" / "t.arrow")
+    n = write_arrow_ipc(df, p)
+    assert n == 500
+
+    # 1) pyarrow reads the stream directly
+    import pyarrow.ipc as ipc
+
+    with ipc.open_stream(p) as r:
+        t = r.read_all()
+    assert t.num_rows == 500 and t.column_names == ["id", "v", "s"]
+
+    # 2) the repo's own arrowipc source round-trips it
+    register(spark)
+    back = spark.read.format("arrowipc").schema(df.schema).load(p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_write_arrow_ipc_cap_is_loud(spark, tmp_path):
+    import pytest as _pytest
+
+    from fenix_spark.sources.arrowipc_source import write_arrow_ipc
+
+    df = spark.range(0, 1000)
+    with _pytest.raises(ValueError, match="max_rows"):
+        write_arrow_ipc(df, str(tmp_path / "x.arrow"), max_rows=10)
