@@ -323,3 +323,20 @@ def unicode_stage(text_col: str, nfkc: bool = False) -> Stage:
         return df.withColumn(text_col, strip_invisible(c))
 
     return ("unicode", fn)
+
+
+def repetition_stage(
+    text_col: str, thresholds: dict[str, float] | None = None
+) -> Stage:
+    """Drop documents failing the Gopher repetition rules
+    (functions/repetition.py): duplicated lines / dominant n-grams at
+    the published thresholds (override per-signal via
+    ``thresholds``). Runs scan-local; the signal columns do not
+    survive the stage."""
+    from fenix_spark.functions.repetition import gopher_repetition_filter
+
+    def fn(df: DataFrame) -> DataFrame:
+        out = gopher_repetition_filter(df, text_col, thresholds, "__rep_ok")
+        return out.where(F.col("__rep_ok")).drop("__rep_ok", "__rep_ok_signals")
+
+    return ("repetition_filter", fn)

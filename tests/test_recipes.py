@@ -189,3 +189,21 @@ def test_unicode_stage_collapses_variants_before_dedup(spark):
     assert cleaned.count() == 1
     assert cleaned.first()["text"] == base
     assert [r.name for r in reports] == ["unicode", "exact_dedup"]
+
+
+def test_repetition_stage_drops_spam_keeps_prose(spark):
+    from fenix_spark.recipes import repetition_stage, run_pipeline
+
+    rows = [
+        (1, ("free coins click here " * 50).strip()),
+        (2, "A perfectly ordinary paragraph about harbors, nets, and "
+            "the slow business of morning markets by the sea."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out, reports = run_pipeline(df, [repetition_stage("text")])
+    assert [r.doc_id for r in out.collect()] == [2]
+    [rep] = reports
+    assert rep.name == "repetition_filter"
+    assert (rep.rows_in, rep.rows_out) == (2, 1)
+    # stage is self-cleaning: no signal columns leak downstream
+    assert out.columns == ["doc_id", "text"]
