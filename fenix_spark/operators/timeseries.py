@@ -516,3 +516,110 @@ def cohort_retention(
             (F.col("active_users") / F.col("cohort_size")).alias("retention"),
         )
     )
+
+
+def ohlc(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    grain_ms: int,
+) -> DataFrame:
+    """(key, bucket_ms, open, high, low, close, n) — candlestick
+    rollup: first/last by event time (min_by/max_by — hash aggregates,
+    no per-bucket sort) and min/max per bucket. Ties on the exact same
+    timestamp break by value (min for open, max for close) so the
+    result is deterministic and oracle-checkable."""
+    b = bucketize(df, ts_col, grain_ms)
+    v, t = F.col(value_col), F.col(ts_col)
+    return b.groupBy(F.col(key_col).alias("key"), "bucket_ms").agg(
+        F.min_by(v, F.struct(t.alias("t"), v.alias("v"))).alias("open"),
+        F.max(v).alias("high"),
+        F.min(v).alias("low"),
+        F.max_by(v, F.struct(t.alias("t"), v.alias("v"))).alias("close"),
+        F.count(v).alias("n"),
+    )
+
+
+def twap(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    grain_ms: int,
+) -> DataFrame:
+    """(key, bucket_ms, twap, n) — TIME-weighted average per bucket
+    under step (last-observation-holds) semantics, the irregular-
+    sampling correction a plain ``avg`` gets wrong: a value held for
+    59 s must outweigh one held for 1 s regardless of how many samples
+    each produced.
+
+    Each observation is weighted by the time until the next
+    observation in the SAME bucket (the last one holds to the bucket
+    edge); an observation's weight never crosses its bucket, so the
+    rollup stays a per-bucket aggregate. One per-key lead window over
+    event rows + one hash aggregate; same-timestamp duplicates get
+    zero weight except the last (deterministic value tiebreak on the
+    ordering)."""
+    b = bucketize(df, ts_col, grain_ms).select(
+        F.col(key_col).alias("key"),
+        "bucket_ms",
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("v"),
+    )
+    w = Window.partitionBy("key", "bucket_ms").orderBy(
+        F.asc("ts"), F.asc("v")
+    )
+    nxt = F.lead("ts").over(w)
+    weight = (
+        F.coalesce(nxt, F.col("bucket_ms") + F.lit(grain_ms)) - F.col("ts")
+    ).cast("double")
+    return (
+        b.withColumn("w", weight)
+        .groupBy("key", "bucket_ms")
+        .agg(
+            (F.sum(F.col("v") * F.col("w")) / F.sum("w")).alias("twap"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def counter_rate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """(key, ts, value, delta, rate_per_sec) — per-sample increase of
+    a MONOTONIC counter (PromQL ``rate()`` semantics for resets): a
+    decrease means the counter restarted, so the post-reset increase
+    is the raw value itself, never a negative delta. First sample per
+    key has null delta/rate (nothing to diff against). One per-key
+    lag window over (ts, value) rows; ``rate_per_sec`` divides by the
+    elapsed ms × 1000 (same-timestamp duplicates yield null rate, not
+    a division by zero)."""
+    w = Window.partitionBy("key").orderBy(F.asc("ts"), F.asc("value"))
+    b = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).alias("value"),
+    )
+    prev_v = F.lag("value").over(w)
+    prev_t = F.lag("ts").over(w)
+    delta = F.when(F.col("value") >= prev_v, F.col("value") - prev_v).otherwise(
+        F.col("value")  # reset: counter restarted from ~0
+    )
+    dt = F.col("ts") - prev_t
+    return b.select(
+        "key",
+        "ts",
+        "value",
+        F.when(prev_v.isNotNull(), delta).alias("delta"),
+        F.when(
+            prev_v.isNotNull() & (dt > 0),
+            F.when(F.col("value") >= prev_v, F.col("value") - prev_v).otherwise(
+                F.col("value")
+            )
+            / (dt / 1000.0),
+        ).alias("rate_per_sec"),
+    )

@@ -623,3 +623,116 @@ def test_cohort_retention_duckdb_mirror_on_events(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ohlc / twap / counter_rate
+
+
+def test_ohlc_hand_computed_and_duckdb(spark, sf_dir):
+    import duckdb
+
+    from fenix_spark.operators.timeseries import ohlc
+    from fenix_spark.suite import events_table
+
+    rows = [
+        ("k", 100, 5.0), ("k", 900, 2.0), ("k", 500, 9.0),  # bucket 0
+        ("k", 1100, 4.0),                                    # bucket 1000
+    ]
+    df = spark.createDataFrame(rows, "key string, ts bigint, v double")
+    got = {r.bucket_ms: r for r in ohlc(df, "key", "ts", "v", 1000).collect()}
+    assert (got[0].open, got[0].high, got[0].low, got[0].close, got[0].n) == (
+        5.0, 9.0, 2.0, 2.0, 3,
+    )
+    assert got[1000].open == got[1000].close == 4.0
+
+    ev = events_table(spark, sf_dir)
+    grain = 3_600_000
+    got_all = sorted(
+        (r.key, r.bucket_ms, r.open, r.high, r.low, r.close, r.n)
+        for r in ohlc(ev, "event_type", "ts_ms", "value", grain).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH b AS (
+              SELECT event_type AS key,
+                     (epoch_ms(ts) // {grain}) * {grain} AS b,
+                     epoch_ms(ts) AS t, value
+              FROM events
+            ),
+            r AS (
+              SELECT *,
+                row_number() OVER (PARTITION BY key, b ORDER BY t, value) AS ra,
+                row_number() OVER (PARTITION BY key, b ORDER BY t DESC, value DESC) AS rd
+              FROM b
+            )
+            SELECT key, b,
+                   max(CASE WHEN ra = 1 THEN value END) AS open,
+                   max(value) AS high, min(value) AS low,
+                   max(CASE WHEN rd = 1 THEN value END) AS close,
+                   count(value) AS n
+            FROM r GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    assert got_all == want
+
+
+def test_twap_step_semantics(spark):
+    from fenix_spark.operators.timeseries import twap
+
+    # value 10 held 0→900 (w 900), 20 held 900→1000 (w 100):
+    # twap = (10*900 + 20*100) / 1000 = 11; plain avg would say 15
+    rows = [("k", 0, 10.0), ("k", 900, 20.0)]
+    df = spark.createDataFrame(rows, "key string, ts bigint, v double")
+    [r] = twap(df, "key", "ts", "v", 1000).collect()
+    assert r.twap == pytest.approx(11.0)
+
+    # python mirror on a random irregular series
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    ts = sorted(int(t) for t in rng.choice(10_000, size=60, replace=False))
+    vals = [float(v) for v in rng.normal(50, 10, size=60)]
+    df = spark.createDataFrame(
+        [("k", t, v) for t, v in zip(ts, vals)], "key string, ts bigint, v double"
+    )
+    got = {r.bucket_ms: r.twap for r in twap(df, "key", "ts", "v", 1000).collect()}
+    per_bucket = {}
+    for t, v in zip(ts, vals):
+        per_bucket.setdefault((t // 1000) * 1000, []).append((t, v))
+    for b, obs in per_bucket.items():
+        obs.sort()
+        num = den = 0.0
+        for i, (t, v) in enumerate(obs):
+            w = (obs[i + 1][0] if i + 1 < len(obs) else b + 1000) - t
+            num, den = num + v * w, den + w
+        assert got[b] == pytest.approx(num / den), b
+
+
+def test_counter_rate_resets_and_rates(spark):
+    from fenix_spark.operators.timeseries import counter_rate
+
+    rows = [
+        ("k", 0, 100.0),
+        ("k", 1000, 150.0),   # +50 over 1s → 50/s
+        ("k", 3000, 30.0),    # RESET: delta = raw 30 over 2s → 15/s
+        ("k", 4000, 31.0),
+        ("j", 500, 7.0),      # other key isolated; first sample null
+    ]
+    df = spark.createDataFrame(rows, "key string, ts bigint, v double")
+    got = {(r.key, r.ts): r for r in counter_rate(df, "key", "ts", "v").collect()}
+    assert got[("k", 0)].delta is None and got[("k", 0)].rate_per_sec is None
+    assert got[("k", 1000)].delta == 50.0
+    assert got[("k", 1000)].rate_per_sec == pytest.approx(50.0)
+    assert got[("k", 3000)].delta == 30.0  # reset, never negative
+    assert got[("k", 3000)].rate_per_sec == pytest.approx(15.0)
+    assert got[("k", 4000)].delta == 1.0
+    assert got[("j", 500)].delta is None
+    assert all(r.delta is None or r.delta >= 0 for r in got.values())
