@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["transition_counts", "sequence_logprob"]
+__all__ = ["transition_counts", "sequence_logprob", "top_paths"]
 
 
 def _pairs(df: DataFrame, key_col: str, ts_col: str, state_col: str) -> DataFrame:
@@ -113,3 +113,50 @@ def sequence_logprob(
         F.sum("lp").alias("logprob"),
         (F.sum("lp") / F.count(F.lit(1))).alias("avg_logprob"),
     )
+
+
+def top_paths(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """(path, n_occurrences, n_keys, rank) — the ``k`` most common
+    length-``n`` state paths (consecutive-event n-grams within a key),
+    the "what do sessions actually do" drill-down behind the
+    transition matrix. Deterministic: ties rank by path ASC.
+
+    Native lead-chain: n−1 ``lead`` columns over one per-key window
+    (no per-key list materialization), then a partial-aggregable
+    count over the path string — shuffle rows are (path, key) pairs.
+    """
+    if n < 2:
+        raise ValueError(f"n must be ≥ 2 (got {n})")
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1 (got {k})")
+    w = Window.partitionBy("key").orderBy(F.asc("ts"), F.asc("s0"))
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(state_col).alias("s0"),
+    )
+    for i in range(1, n):
+        base = base.withColumn(f"s{i}", F.lead("s0", i).over(w))
+    complete = base.where(F.col(f"s{n - 1}").isNotNull())
+    path = F.concat_ws(" > ", *[F.col(f"s{i}") for i in range(n)])
+    counted = (
+        complete.select("key", path.alias("path"))
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("key").alias("n_keys"),
+        )
+    )
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, never a single-partition sort of all path rows); the rank
+    # window then runs over ≤ k rows
+    topk = counted.orderBy(F.desc("n_occurrences"), F.asc("path")).limit(k)
+    wr = Window.orderBy(F.desc("n_occurrences"), F.asc("path"))
+    return topk.withColumn("rank", F.row_number().over(wr)).orderBy("rank")

@@ -623,3 +623,67 @@ def counter_rate(
             / (dt / 1000.0),
         ).alias("rate_per_sec"),
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    grain_ms: int,
+    period: int,
+    k: float = 3.5,
+    agg: str = "avg",
+) -> DataFrame:
+    """(key, bucket_ms, value, resid, center, spread, score, anomaly)
+    — anomalies scored on the seasonally-adjusted RESIDUAL: a Monday
+    peak is normal for a weekly series, so :func:`robust_anomalies`
+    on raw values either misses weekday-sized anomalies or flags every
+    Monday; removing trend+seasonal first (:func:`seasonal_decompose`)
+    scores each bucket against what THIS phase usually looks like.
+    Rows where the decomposition is undefined (the edge half-windows)
+    carry null resid/score and are never flagged.
+
+    Composition of two proven operators — one decomposition pass plus
+    a median/MAD aggregate over residual rows (grid-sized)."""
+    dec = seasonal_decompose(
+        df, key_col, ts_col, value_col, grain_ms, period, agg
+    ).transform(_ckpt_lazy)
+    med = dec.where(F.col("resid").isNotNull()).groupBy("key").agg(
+        F.expr("percentile(resid, 0.5)").alias("center")
+    )
+    spread = (
+        dec.where(F.col("resid").isNotNull())
+        .join(med, "key")
+        .groupBy("key")
+        .agg(
+            F.first("center").alias("center"),
+            (F.expr("percentile(abs(resid - center), 0.5)") * 1.4826).alias(
+                "spread"
+            ),
+        )
+    )
+    z = F.abs(F.col("resid") - F.col("center")) / F.col("spread")
+    scored = dec.join(F.broadcast(spread), "key", "left").withColumn(
+        "score",
+        F.when(
+            F.col("resid").isNotNull() & (F.col("spread") > 0), z
+        ).otherwise(
+            F.when(
+                F.col("resid").isNotNull()
+                & (F.col("spread") == 0)
+                & (F.col("resid") != F.col("center")),
+                F.lit(float("inf")),
+            )
+        ),
+    )
+    return scored.select(
+        "key",
+        "bucket_ms",
+        "value",
+        "resid",
+        "center",
+        "spread",
+        "score",
+        F.coalesce(F.col("score") > k, F.lit(False)).alias("anomaly"),
+    )

@@ -155,3 +155,49 @@ def test_transitions_duckdb_mirror_on_events(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_top_paths_matches_python_mirror(spark):
+    evs = [
+        ("u1", 0, "a"), ("u1", 1, "b"), ("u1", 2, "c"), ("u1", 3, "a"),
+        ("u2", 0, "a"), ("u2", 1, "b"), ("u2", 2, "c"),
+        ("u3", 0, "b"), ("u3", 1, "c"), ("u3", 2, "a"),
+    ]
+    df = spark.createDataFrame(evs, "key string, ts bigint, s string")
+    from fenix_spark.operators.sequences import top_paths
+
+    got = [(r.path, r.n_occurrences, r.n_keys, r.rank)
+           for r in top_paths(df, "key", "ts", "s", n=3, k=10).collect()]
+    # brute: per-key ordered 3-grams
+    seqs = {}
+    for k_, t, s in sorted(evs, key=lambda e: (e[0], e[1])):
+        seqs.setdefault(k_, []).append(s)
+    from collections import Counter
+
+    cnt, keys = Counter(), {}
+    for k_, seq in seqs.items():
+        for i in range(len(seq) - 2):
+            p = " > ".join(seq[i : i + 3])
+            cnt[p] += 1
+            keys.setdefault(p, set()).add(k_)
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(p, n) for p, n, _, _ in got] == want
+    for p, n, nk, r in got:
+        assert nk == len(keys[p])
+    assert [r for _, _, _, r in got] == list(range(1, len(got) + 1))
+    assert got[0][0] == "a > b > c" and got[0][1] == 2
+
+
+def test_top_paths_k_and_validation(spark):
+    from fenix_spark.operators.sequences import top_paths
+
+    df = spark.createDataFrame(
+        [("u", i, str(i % 4)) for i in range(40)], "key string, ts bigint, s string"
+    )
+    assert top_paths(df, "key", "ts", "s", n=2, k=3).count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        top_paths(df, "key", "ts", "s", n=1)
+    with _pytest.raises(ValueError):
+        top_paths(df, "key", "ts", "s", k=0)

@@ -736,3 +736,48 @@ def test_counter_rate_resets_and_rates(spark):
     assert got[("k", 4000)].delta == 1.0
     assert got[("j", 500)].delta is None
     assert all(r.delta is None or r.delta >= 0 for r in got.values())
+
+
+def test_seasonal_anomalies_flags_phase_aware(spark):
+    import numpy as np
+
+    from fenix_spark.operators.timeseries import (
+        robust_anomalies,
+        seasonal_anomalies,
+    )
+
+    # weekly ramp pattern + one anomaly that is WILD for its phase but
+    # mid-range globally: raw robust_anomalies must miss it (it sits
+    # inside the corpus-wide MAD band), the seasonally-adjusted
+    # detector must catch it
+    period, nweeks = 7, 30
+    pat = [0.0, 5.0, 10.0, 15.0, 20.0, 25.0, 30.0]
+    rng = np.random.default_rng(6)
+    rows = []
+    for i in range(period * nweeks):
+        v = pat[i % period] + float(rng.normal(0, 0.2))
+        rows.append(("k", i * 1000, v))
+    # anomaly: a phase-0 bucket (usual ≈ 0) reading 15 — the global
+    # median, invisible without deseasonalizing
+    anom_i = period * 10
+    rows[anom_i] = ("k", anom_i * 1000, 15.0)
+    df = spark.createDataFrame(rows, "key string, ts bigint, v double")
+
+    raw = {r["bucket_ms"]: r for r in robust_anomalies(
+        df, "key", "ts", "v", 1000, k=3.5, agg="avg"
+    ).collect()}
+    assert not raw[anom_i * 1000]["anomaly"]  # masked by the weekly swing
+
+    adj = {r["bucket_ms"]: r for r in seasonal_anomalies(
+        df, "key", "ts", "v", 1000, period, k=3.5
+    ).collect()}
+    assert adj[anom_i * 1000]["anomaly"]
+    flagged = [b for b, r in adj.items() if r["anomaly"]]
+    # the centered-MA trend smears the anomaly into its half-window
+    # neighbors (inherent to MA decomposition) — every flag must stay
+    # local to the planted bucket, nothing elsewhere
+    assert all(
+        abs(b - anom_i * 1000) <= period * 1000 for b in flagged
+    ), flagged
+    # edge half-windows: undefined resid → null score, never flagged
+    assert adj[0]["resid"] is None and not adj[0]["anomaly"]
