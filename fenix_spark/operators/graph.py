@@ -549,3 +549,103 @@ def personalized_pagerank(
         f"personalized_pagerank did not converge in {max_iter} rounds "
         f"(last L1 delta {delta:.2e} ≥ tol {tol:.0e})"
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    tol: float = 1e-8,
+    max_iter: int = 100,
+) -> DataFrame:
+    """(node, hub, authority) — Kleinberg's HITS (JACM 1999): mutually
+    reinforcing hub scores (points at good authorities) and authority
+    scores (pointed at by good hubs), each L2-normalized per round
+    (the power iteration on AᵀA / AAᵀ). PageRank ranks by global
+    random-surfer mass; HITS separates "good directory" from "good
+    destination" — the curation use is seed-list expansion and
+    link-farm diagnosis (farms show high hub / low authority).
+
+    Same scale skeleton as :func:`pagerank`: state is ONE (node, hub,
+    authority) frame, each round is two id-keyed equi-join+aggregate
+    passes (authority from in-edges' hubs, hubs from out-edges' new
+    authorities), two scalar norm aggregates, lineage truncated per
+    round. Convergence is the L1 delta of both vectors;
+    non-convergence raises."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .transform(_ckpt_lazy)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .transform(_ckpt_lazy)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn(
+            "authority", F.lit(0.0)
+        )
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be ≥ 1 (got {max_iter})")
+    init = 1.0 / (n**0.5)
+    state = nodes.select(
+        "node", F.lit(init).alias("hub"), F.lit(init).alias("authority")
+    )
+    for _ in range(max_iter):
+        # authority(v) = Σ hub(u) over in-edges (u → v), then L2-norm
+        auth_raw = (
+            e.join(
+                state.select(F.col("node").alias("src"), "hub"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        a = nodes.join(auth_raw, "node", "left").select(
+            "node", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")
+        )
+        a_norm = a.agg(F.sqrt(F.sum(F.col("a_raw") ** 2))).head()[0] or 1.0
+        a = a.select("node", (F.col("a_raw") / a_norm).alias("authority")).transform(
+            _ckpt_lazy
+        )
+        # hub(u) = Σ authority(v) over out-edges, from the NEW authorities
+        hub_raw = (
+            e.join(a.select(F.col("node").alias("dst"), "authority"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("h_raw"))
+        )
+        h = nodes.join(hub_raw, "node", "left").select(
+            "node", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")
+        )
+        h_norm = h.agg(F.sqrt(F.sum(F.col("h_raw") ** 2))).head()[0] or 1.0
+        h = h.select("node", (F.col("h_raw") / h_norm).alias("hub")).transform(
+            _ckpt_lazy
+        )
+        new_state = h.join(a, "node").transform(_ckpt_lazy)
+        delta = (
+            new_state.join(
+                state.select(
+                    "node",
+                    F.col("hub").alias("ph"),
+                    F.col("authority").alias("pa"),
+                ),
+                "node",
+            )
+            .agg(
+                F.sum(
+                    F.abs(F.col("hub") - F.col("ph"))
+                    + F.abs(F.col("authority") - F.col("pa"))
+                )
+            )
+            .head()[0]
+        )
+        state = new_state
+        if delta < tol:
+            return state
+    raise RuntimeError(
+        f"hits did not converge in {max_iter} rounds (last L1 delta "
+        f"{delta:.2e} ≥ tol {tol:.0e})"
+    )

@@ -317,3 +317,43 @@ def test_personalized_pagerank_validation(spark):
         personalized_pagerank(
             df, spark.createDataFrame([(99,)], "node bigint")
         )
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    from fenix_spark.operators.graph import hits
+
+    edges = [(0, 3), (0, 4), (1, 3), (1, 4), (2, 4), (3, 0), (4, 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: (r.hub, r.authority) for r in hits(df, tol=1e-12).collect()}
+
+    n = 6  # node 5 absent; nodes 0..4 used
+    A = np.zeros((5, 5))
+    for s, d in edges:
+        A[s, d] = 1.0
+    h = np.full(5, 1 / np.sqrt(5))
+    a = h.copy()
+    for _ in range(2000):
+        a = A.T @ h
+        a /= np.linalg.norm(a)
+        h = A @ a
+        h /= np.linalg.norm(h)
+    for i in range(5):
+        assert got[i][0] == pytest.approx(h[i], abs=1e-6)
+        assert got[i][1] == pytest.approx(a[i], abs=1e-6)
+    # structure: 0 and 1 are the strong hubs; 4 the top authority
+    assert got[0][0] > got[2][0] and got[4][1] >= got[3][1]
+
+
+def test_hits_link_farm_signature(spark):
+    from fenix_spark.operators.graph import hits
+
+    # a farm: many pages all pointing at each other's ONE target, plus
+    # an organic core; farm pages score as hubs, not authorities
+    organic = [(0, 1), (1, 2), (2, 0), (0, 2)]
+    farm = [(100 + i, 999) for i in range(10)]
+    df = spark.createDataFrame(organic + farm, "src bigint, dst bigint")
+    got = {r.node: (r.hub, r.authority) for r in hits(df).collect()}
+    for i in range(10):
+        hub, auth = got[100 + i]
+        assert auth == pytest.approx(0.0, abs=1e-9)  # nobody links farms
+        assert hub > 0
