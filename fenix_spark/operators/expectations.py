@@ -116,3 +116,78 @@ def expect_subset(
     (dangling foreign keys) — empty means referentially intact."""
     keys = F.broadcast(dim.select(F.col(dim_col).alias(col)).distinct())
     return df.join(keys, col, "left_anti")
+
+
+def expect_complete(
+    df: DataFrame, cols: Sequence[str], max_null_frac: float = 0.0
+) -> DataFrame:
+    """(column, nulls, total, fraction, ok) — per-column completeness
+    in ONE aggregation pass; ``ok`` is fraction ≤ ``max_null_frac``.
+    The row-rule form of "these columns must be populated", reported
+    per column instead of per rule."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("__total")] + [
+        F.coalesce(
+            F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+        ).alias(c)
+        for c in cols
+    ]
+    row = df.agg(*aggs).first()
+    total = row["__total"]
+    out = [
+        (
+            c,
+            int(row[c]),
+            int(total),
+            (row[c] / total) if total else 0.0,
+            ((row[c] / total) if total else 0.0) <= max_null_frac,
+        )
+        for c in cols
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "column string, nulls long, total long, fraction double, ok boolean"
+    )
+
+
+def expect_monotonic(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    strict: bool = False,
+) -> DataFrame:
+    """Violating rows — (key, order, value, prev_value) wherever
+    ``value_col`` DECREASES (or fails to strictly increase) along
+    ``order_col`` within a key; empty means monotonic. The counter /
+    watermark / version-column sanity check: one per-key lag window
+    over (key, order, value) rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.asc(order_col))
+    staged = df.select(key_col, order_col, value_col).withColumn(
+        "prev_value", F.lag(value_col).over(w)
+    )
+    pv = F.col("prev_value")
+    bad = F.col(value_col) <= pv if strict else F.col(value_col) < pv
+    return staged.where(pv.isNotNull() & bad)
+
+
+def expect_fresh(
+    df: DataFrame, ts_col: str, as_of_ms: int, max_lag_ms: int
+) -> DataFrame:
+    """One-row ledger (latest_ms, as_of_ms, lag_ms, ok) — is the
+    newest record within ``max_lag_ms`` of ``as_of_ms``? The caller
+    supplies the clock (determinism: a check that reads the wall
+    clock can't be replayed); empty input yields null latest and
+    ok=false — no data is the stalest possible feed."""
+    if max_lag_ms <= 0:
+        raise ValueError(f"max_lag_ms must be > 0 (got {max_lag_ms})")
+    row = df.agg(F.max(F.col(ts_col)).alias("latest")).first()
+    latest = row["latest"]
+    lag = (as_of_ms - int(latest)) if latest is not None else None
+    ok = lag is not None and lag <= max_lag_ms
+    return df.sparkSession.createDataFrame(
+        [(latest, as_of_ms, lag, ok)],
+        "latest_ms long, as_of_ms long, lag_ms long, ok boolean",
+    )

@@ -101,3 +101,48 @@ def test_duplicate_rule_names_rejected(spark):
         validate(df, [("r", F.col("id") >= 0), ("r", F.col("id") < 10)])
     with pytest.raises(ValueError, match="__total"):
         validate(df, [("__total", F.col("id") >= 0)])
+
+
+def test_expect_complete_per_column(spark):
+    from fenix_spark.operators.expectations import expect_complete
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, None), (3, "c", 1.0), (4, "d", None)],
+        "id bigint, s string, v double",
+    )
+    got = {r.column: r for r in expect_complete(df, ["id", "s", "v"], 0.3).collect()}
+    assert got["id"].nulls == 0 and got["id"].ok
+    assert got["s"].nulls == 1 and got["s"].fraction == 0.25 and got["s"].ok
+    assert got["v"].nulls == 3 and not got["v"].ok
+    # empty frame: zero fractions, everything ok
+    empty = expect_complete(df.where("id < 0"), ["s"]).collect()
+    assert empty[0].fraction == 0.0 and empty[0].ok
+
+
+def test_expect_monotonic_finds_regressions(spark):
+    from fenix_spark.operators.expectations import expect_monotonic
+
+    rows = [
+        ("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 15.0),  # regression at 3
+        ("b", 1, 5.0), ("b", 2, 5.0),                    # flat
+    ]
+    df = spark.createDataFrame(rows, "k string, o int, v double")
+    bad = expect_monotonic(df, "k", "o", "v").collect()
+    assert [(r.k, r.o, r.v, r.prev_value) for r in bad] == [("a", 3, 15.0, 20.0)]
+    # strict mode also rejects the flat step
+    strict = {(r.k, r.o) for r in expect_monotonic(df, "k", "o", "v", strict=True).collect()}
+    assert strict == {("a", 3), ("b", 2)}
+
+
+def test_expect_fresh_ledger(spark):
+    from fenix_spark.operators.expectations import expect_fresh
+
+    df = spark.createDataFrame([(1_000,), (9_000,)], "ts bigint")
+    [ok] = expect_fresh(df, "ts", as_of_ms=10_000, max_lag_ms=2_000).collect()
+    assert ok.latest_ms == 9_000 and ok.lag_ms == 1_000 and ok.ok
+    [stale] = expect_fresh(df, "ts", as_of_ms=20_000, max_lag_ms=2_000).collect()
+    assert not stale.ok
+    [empty] = expect_fresh(
+        df.where("ts < 0"), "ts", as_of_ms=10_000, max_lag_ms=2_000
+    ).collect()
+    assert empty.latest_ms is None and not empty.ok
