@@ -162,3 +162,70 @@ def pruning_fraction(report: DataFrame) -> float:
         F.sum("rows_skippable").alias("s"), F.sum("n_rows").alias("n")
     ).head()
     return float(row["s"] or 0) / float(row["n"] or 1)
+
+
+def compaction_report(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-files health check for a parquet dataset — the ops
+    question behind ``catalog.compact``: is this table drowning in
+    files the scheduler will pay per-task overhead for?
+
+    Returns a driver-side dict (the table's file COUNT bounds it):
+    ``n_files``, ``total_bytes``, ``total_rows``, ``avg_file_bytes``,
+    ``median_file_bytes``, ``small_files`` / ``small_file_frac``
+    (files under half the target), ``recommended_files`` (⌈total /
+    target⌉) and ``compaction_recommended`` (more than 2× the
+    recommended count AND a meaningful small-file share). Listing and
+    footer reads run DISTRIBUTED one-file-per-task (the
+    ``rowgroup_stats`` pattern); only per-file (bytes, rows) summaries
+    return to the driver."""
+    import pandas as pd  # noqa: F401
+
+    files = _file_list(spark, path)
+    schema = "file string, bytes long, n_rows long"
+
+    def sizes(batches):
+        import os as _os
+
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        for pdf in batches:
+            out = []
+            for f in pdf["file"]:
+                local = f[len("file:") :] if f.startswith("file:") else f
+                md = _pq.ParquetFile(local).metadata
+                out.append(
+                    {
+                        "file": f,
+                        "bytes": _os.path.getsize(local),
+                        "n_rows": md.num_rows,
+                    }
+                )
+            yield _pd.DataFrame(out, columns=["file", "bytes", "n_rows"])
+
+    per_file = files.repartition(32).mapInPandas(sizes, schema)
+    rows = per_file.collect()
+    if not rows:
+        raise ValueError(f"no parquet files under {path}")
+    sizes_b = sorted(r["bytes"] for r in rows)
+    total_b = sum(sizes_b)
+    n = len(sizes_b)
+    small = sum(1 for b in sizes_b if b < target_file_bytes // 2)
+    recommended = max(1, -(-total_b // target_file_bytes))
+    return {
+        "n_files": n,
+        "total_bytes": int(total_b),
+        "total_rows": int(sum(r["n_rows"] for r in rows)),
+        "avg_file_bytes": float(total_b / n),
+        "median_file_bytes": float(sizes_b[n // 2]),
+        "small_files": int(small),
+        "small_file_frac": float(small / n),
+        "recommended_files": int(recommended),
+        "compaction_recommended": bool(
+            n > 2 * recommended and small / n > 0.5
+        ),
+    }

@@ -144,3 +144,25 @@ def test_zorder_compact_improves_two_column_pruning(spark, tmp_path):
     # z-order gives BOTH dimensions real pruning power
     assert f_x > 0.4, f_x
     assert f_y > 0.4, f_y
+
+
+def test_compaction_report_flags_fragmented_layout(spark, tmp_path):
+    from fenix_spark.sources.parquet_stats import compaction_report
+
+    frag = str(tmp_path / "frag")
+    spark.range(0, 50_000).repartition(64).write.parquet(frag)
+    rep = compaction_report(spark, frag, target_file_bytes=1 << 20)
+    assert rep["n_files"] == 64
+    assert rep["total_rows"] == 50_000
+    assert rep["small_file_frac"] > 0.9
+    assert rep["compaction_recommended"]
+    assert rep["recommended_files"] < rep["n_files"]
+
+    healthy = str(tmp_path / "ok")
+    spark.range(0, 50_000).coalesce(1).write.parquet(healthy)
+    rep2 = compaction_report(spark, healthy, target_file_bytes=1 << 20)
+    assert rep2["n_files"] == 1
+    assert not rep2["compaction_recommended"]
+
+    with pytest.raises(Exception):
+        compaction_report(spark, str(tmp_path / "missing"))
