@@ -191,3 +191,37 @@ def expect_fresh(
         [(latest, as_of_ms, lag, ok)],
         "latest_ms long, as_of_ms long, lag_ms long, ok boolean",
     )
+
+
+def expect_schema(
+    df: DataFrame, expected_ddl: str, allow_extra: bool = False
+) -> DataFrame:
+    """(column, expected_type, actual_type, status) — schema drift
+    ledger against an expected DDL string (``"id bigint, text
+    string"``): ``missing`` (expected, absent), ``type_mismatch``,
+    ``extra`` (present, undeclared — violations unless
+    ``allow_extra``), ``ok``. Pure metadata comparison: zero scans,
+    zero jobs; the upstream-producer-changed-the-schema gate that
+    should run before any data is touched."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    expected = {
+        f.name: f.dataType.simpleString()
+        for f in _parse_datatype_string(expected_ddl).fields
+    }
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    rows = []
+    for name, et in expected.items():
+        at = actual.get(name)
+        if at is None:
+            rows.append((name, et, None, "missing"))
+        elif at != et:
+            rows.append((name, et, at, "type_mismatch"))
+        else:
+            rows.append((name, et, at, "ok"))
+    for name, at in actual.items():
+        if name not in expected:
+            rows.append((name, None, at, "extra" if not allow_extra else "ok"))
+    return df.sparkSession.createDataFrame(
+        rows, "column string, expected_type string, actual_type string, status string"
+    )

@@ -146,3 +146,28 @@ def test_expect_fresh_ledger(spark):
         df.where("ts < 0"), "ts", as_of_ms=10_000, max_lag_ms=2_000
     ).collect()
     assert empty.latest_ms is None and not empty.ok
+
+
+def test_expect_schema_ledger(spark):
+    from fenix_spark.operators.expectations import expect_schema
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.0)], "id bigint, text string, extra double"
+    )
+    got = {r.column: r.status for r in expect_schema(
+        df, "id bigint, text string, missing_col int"
+    ).collect()}
+    assert got == {
+        "id": "ok",
+        "text": "ok",
+        "missing_col": "missing",
+        "extra": "extra",
+    }
+    # type mismatch + allow_extra
+    got2 = {r.column: r.status for r in expect_schema(
+        df, "id string, text string", allow_extra=True
+    ).collect()}
+    assert got2["id"] == "type_mismatch" and got2["extra"] == "ok"
+    # clean pass: every row ok
+    clean = expect_schema(df, "id bigint, text string, extra double").collect()
+    assert all(r.status == "ok" for r in clean)
