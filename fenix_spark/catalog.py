@@ -260,13 +260,23 @@ def refresh_bloom_index(
         spark, idx, source_path(root, name), column, geo["m_bits"], geo["k"]
     )
     # the new index READS the old: stage distributed into a sibling
-    # dir, then swap — never a driver-side collect of index rows
+    # dir, then swap — never a driver-side collect of index rows.
+    # Crash-safe ordering: the geometry sidecar is written INTO the
+    # staging dir before any rename, then the live dir is moved aside
+    # (not deleted) before the staging dir takes its place — a crash at
+    # any step leaves a readable index WITH its geometry at either the
+    # live path or the .old path; nothing is deleted until the new
+    # index is fully in place.
     tmp = p + ".staging"
     new.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(p)
-    os.rename(tmp, p)
-    with open(os.path.join(p, "_geometry.json"), "w") as f:
+    with open(os.path.join(tmp, "_geometry.json"), "w") as f:
         json.dump(geo, f)
+    old = p + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(p, old)
+    os.rename(tmp, p)
+    shutil.rmtree(old)
 
 
 def bloom_point_lookup(

@@ -132,11 +132,22 @@ def lsh_candidates(
     rows_per_band: int = 8,
     carry: tuple[str, ...] = (),
     max_group: int | None = None,
+    pair_where: Column | None = None,
+    emit_carry: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (id_l < id_r) agreeing on ≥1 band.
     ``carry`` columns of ``signed`` travel through the band join and
     come out as ``{col}_l`` / ``{col}_r`` (they must be functionally
     dependent on id, or the distinct dedups less than it should).
+
+    ``pair_where`` is an optional predicate over the joined pair
+    columns (``id_l``/``id_r``/``{carry}_l``/``{carry}_r``) applied
+    BEFORE the distinct: deterministic pair filters (length bounds,
+    signature-estimate gates) prune multi-band duplicates before the
+    dedup pays for them, and with ``emit_carry=False`` the distinct
+    then runs over bare (id_l, id_r) instead of rows widened by the
+    carried columns — the filter-early shape for wide carries like
+    signatures.
 
     ``max_group`` caps the band-bucket size: buckets with more members
     are DROPPED before the self-join. A boilerplate-heavy corpus (one
@@ -194,13 +205,15 @@ def lsh_candidates(
     r = band_rows.select(
         F.col("id").alias("id_r"), *[F.col(c).alias(f"{c}_r") for c in carry], "band", "key"
     )
-    out_cols = ["id_l", "id_r", *[f"{c}_l" for c in carry], *[f"{c}_r" for c in carry]]
-    return (
-        l.join(r, ["band", "key"])
-        .where(F.col("id_l") < F.col("id_r"))
-        .select(*out_cols)
-        .distinct()
+    out_cols = (
+        ["id_l", "id_r", *[f"{c}_l" for c in carry], *[f"{c}_r" for c in carry]]
+        if emit_carry
+        else ["id_l", "id_r"]
     )
+    joined = l.join(r, ["band", "key"]).where(F.col("id_l") < F.col("id_r"))
+    if pair_where is not None:
+        joined = joined.where(pair_where)
+    return joined.select(*out_cols).distinct()
 
 
 def jaccard(s1: Column, s2: Column) -> Column:
@@ -218,6 +231,7 @@ def minhash_neardup_pairs(
     num_components: int = 24,
     bands: int = 3,
     max_group: int | None = None,
+    est_min: float | str | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -225,7 +239,30 @@ def minhash_neardup_pairs(
     from the LSH band join; each candidate pair is then verified with
     the EXACT Jaccard of the (hashed) shingle sets, so false positives
     are eliminated and the output is deterministic (band hashing is
-    md5-based, identical across engines and runs).
+    md5-based, identical across engines and runs). The length filter
+    and (when enabled) the estimate gate run BEFORE the candidate
+    distinct, so multi-band duplicate pairs are pruned before the
+    dedup pays for them and the distinct shuffles bare id pairs.
+
+    ``est_min`` is an OPT-IN signature-estimate pre-filter for
+    boilerplate-heavy corpora: the fraction of agreeing signature
+    components is an unbiased Jaccard estimate computed from integers
+    already in hand, so candidates whose estimate falls below
+    ``est_min`` are dropped before the verify join ships the (much
+    wider) member arrays. Like the band join itself, the gate is a
+    DETERMINISTIC pure function of the md5-based signatures —
+    identical across engines and runs — and it gates WORK, never
+    values: every emitted pair still carries its exact Jaccard. Recall
+    impact is the banding story's tail: a true pair at J = threshold
+    has P(estimate < threshold − 0.25) ≈ Binomial(num_components, J)
+    lower-tail mass, ~1e-7 at 24 components / 0.95. ``"auto"`` =
+    max(0, threshold − 0.25); ``None``/0 (default) disables the gate.
+    MEASURED guidance (SCALE.md): enable it only when the candidate
+    stream is dominated by sub-knee junk (boilerplate at J ≈ 0.5–0.8
+    sneaking past the band knee) — on a clean corpus the gate prunes
+    ~1% of candidates while the carried signatures widen the band join,
+    a net loss (sf0.1 A/B: 4.27 s gated vs 2.97 s ungated, same rows);
+    on a boilerplate corpus the pruned verify mass dominates.
 
     The whole pipeline runs on ``hashed_token_sets``: shingle text is
     md5'd once at tokenize time and only 4-byte hashes flow through
@@ -266,12 +303,42 @@ def minhash_neardup_pairs(
     # max_group applies AFTER identical-set grouping, so it only bites
     # on NEAR-identical boilerplate clusters (byte-identical docs
     # collapse to one LSH row above and never inflate a bucket)
+    if est_min == "auto":
+        est_min = max(0.0, threshold - 0.25)
+    pair_where = F.least("sz_l", "sz_r") >= (threshold - 1e-6) * F.greatest(
+        "sz_l", "sz_r"
+    )
+    carry: tuple[str, ...] = ("sz",)
+    if est_min:
+        # signature-estimate gate (docstring): agreement fraction of
+        # the two signatures — integers already riding the band join —
+        # drops sub-knee candidates before the wide-array verify join.
+        # The cutoff is resolved to an INTEGER component count driver-
+        # side so both engines compare integers (no float-literal
+        # rendering to coordinate). Both filters run PRE-distinct via
+        # pair_where, so the distinct dedups bare (id_l, id_r) rows —
+        # the signatures never widen the shuffle.
+        import math
+
+        cut = int(math.ceil(est_min * num_components - 1e-9))
+        agree = F.aggregate(
+            F.zip_with(
+                "sig_l", "sig_r", lambda a, b: (a == b).cast("int")
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        pair_where = pair_where & (agree >= F.lit(cut))
+        carry = ("sz", "sig")
     cand = lsh_candidates(
-        signed, bands, num_components // bands, carry=("sz",), max_group=max_group
-    ).where(
-        F.least("sz_l", "sz_r")
-        >= (threshold - 1e-6) * F.greatest("sz_l", "sz_r")
-    ).select("id_l", "id_r")
+        signed,
+        bands,
+        num_components // bands,
+        carry=carry,
+        max_group=max_group,
+        pair_where=pair_where,
+        emit_carry=False,
+    )
     l = reps.select(F.col("id").alias("id_l"), F.col("s").alias("s_l"))
     r = reps.select(F.col("id").alias("id_r"), F.col("s").alias("s_r"))
     rep_pairs = (
@@ -374,8 +441,11 @@ def incremental_neardup_pairs(
     band table on (band, key) — increment ≪ corpus, so the probe side
     broadcasts or shuffles only increment-sized data; corpus text is
     never touched (the verify join reads the persisted hashed sets of
-    candidate ids only). Equivalent to the full recompute restricted
-    to increment-touching pairs (tested). Ids must be disjoint between
+    candidate ids only). Equivalent to the full recompute
+    (``est_min=None`` — the persisted state carries band keys, not
+    signatures, so the batch path's signature-estimate gate does not
+    apply here) restricted to increment-touching pairs (tested); every
+    emitted pair is exact-verified either way. Ids must be disjoint between
     corpus and increment (the caller's contract; same id = same doc).
     """
     new_sets, new_bands = minhash_state(

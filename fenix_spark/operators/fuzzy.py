@@ -77,9 +77,12 @@ def _postings(df: DataFrame, col: str, id_col: str, d: int, max_len: int) -> Dat
             f"fuzzy join input exceeds max_len={max_len}; raise max_len "
             "(neighborhood cost grows ~len^deletes) or pre-truncate"
         )
-    # two-step projection: aliasing the input to "s" while a sibling
-    # expression still references the input name trips Spark 4's
-    # lateral-column-alias resolution (see .claude/skills/verify gotcha)
+    # two-step projection: in Spark 4, a select() that defines an alias
+    # ("s") while a SIBLING expression in the same select references a
+    # column of the same lineage can resolve the sibling against the
+    # lateral alias instead of the input (lateral column alias takes
+    # precedence over the child's output), changing semantics — so
+    # define the alias in one select and consume it in the next.
     base = spread(df).select(F.col(id_col).alias("id"), F.col(col).alias("s"))
     return base.select(
         "id", "s", F.explode(deletion_variants(F.col("s"), d)).alias("v")

@@ -363,8 +363,14 @@ def bottomk_sample(
     schema = base.schema
 
     def head_k(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # Dedup PER GROUP (keys + id), not globally by id: the partial
+        # phase sees multi-group Arrow batches, and an id legitimately
+        # appearing under two different key groups must survive in
+        # both — id-only dedup here would make the result depend on
+        # batch layout. (In the per-group applyInPandas phase the key
+        # columns are constant, so the subset is equivalent to id-only.)
         out = pdf.sort_values("sample_h").drop_duplicates(
-            subset=[id_col]
+            subset=[*key_list, id_col]
         )
         if key_list:
             out = out.groupby(key_list, dropna=False, sort=False).head(k)
@@ -398,7 +404,12 @@ def bottomk_merge(
     schema = samples.schema
 
     def head_k(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        out = pdf.sort_values("sample_h").drop_duplicates(subset=[id_col])
+        # keys + id in the subset for the same layout-independence
+        # reason as bottomk_sample (within one applyInPandas group the
+        # key columns are constant, so this equals id-only dedup).
+        out = pdf.sort_values("sample_h").drop_duplicates(
+            subset=[*key_list, id_col]
+        )
         return (
             out.groupby(key_list, dropna=False, sort=False).head(k)
             if key_list
@@ -472,9 +483,12 @@ def priority_sample(
     schema = base.schema
 
     def head_k(pdf):
+        # Dedup per (keys, id): the partial phase sees multi-group
+        # batches, and an id under two key groups must survive in both
+        # (see bottomk_sample.head_k).
         out = pdf.sort_values(
             ["sample_pri", id_col], ascending=[False, True]
-        ).drop_duplicates(subset=[id_col])
+        ).drop_duplicates(subset=[*key_list, id_col])
         if key_list:
             return out.groupby(key_list, dropna=False, sort=False).head(k + 1)
         return out.head(k + 1)
@@ -506,9 +520,11 @@ def priority_merge(
     schema = samples.schema
 
     def head_k(pdf):
+        # keys + id in the subset (constant within a group — equals
+        # id-only dedup; kept consistent with priority_sample).
         out = pdf.sort_values(
             ["sample_pri", id_col], ascending=[False, True]
-        ).drop_duplicates(subset=[id_col])
+        ).drop_duplicates(subset=[*key_list, id_col])
         if key_list:
             return out.groupby(key_list, dropna=False, sort=False).head(k + 1)
         return out.head(k + 1)

@@ -131,17 +131,29 @@ def similarity_join_brute(
     # byte budget, so collecting row_cap+1 rows before raising stays
     # inside the memory the caller declared collectable.
     r_proj = right.select(F.col(right_id).alias(right_id), F.col(column).alias(column))
-    # Byte-aware bound: dim read from one row (cheap single-row scan;
-    # a null vector yields a null size — treat as unknown dim and fall
-    # back to the row cap alone).
-    dim_row = r_proj.select(F.size(vec_double(column)).alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row is not None and dim_row["d"] is not None else 0
+    # Byte-aware bound WITHOUT a dedicated dim-probe job: the dim comes
+    # from tensor_shape column metadata when the caller used
+    # with_shape; otherwise the collect is capped at the byte budget's
+    # floor (the smallest row count any dim >= 1 could allow — i.e.
+    # bytes/8, one double per row) and the exact dim read from the
+    # FIRST COLLECTED row re-checks the budget post-collect. The
+    # pre-cap keeps the fail path bounded by construction (a collect
+    # can never exceed the declared byte budget by more than one row's
+    # worth), and the common case saves one Spark job per call.
+    from fenix_spark.functions.tensors import shape_of
+
+    shape = shape_of(right, column)
+    dim = int(shape[-1]) if shape else 0
     if dim < 0:
         dim = 0
     row_cap = max_broadcast_rows
     if dim > 0:
         row_cap = min(row_cap, max_broadcast_bytes // (dim * 8))
     r_rows = r_proj.limit(row_cap + 1).collect()
+    if dim == 0 and r_rows and r_rows[0][1] is not None:
+        dim = len(r_rows[0][1])
+        if dim > 0:
+            row_cap = min(row_cap, max_broadcast_bytes // (dim * 8))
     if len(r_rows) > row_cap:
         raise ValueError(
             f"similarity_join_brute: right side exceeds the broadcast "

@@ -1019,6 +1019,17 @@ def ngram_novelty(
     a = theta_rollup(grams(ref), [], "gram", k)
     b = theta_rollup(grams(cur), [], "gram", k)
     row = theta_set_ops(a, b, [], k).first()
+    if row is None:
+        # both corpora produced zero grams (empty / whitespace-only
+        # text, or texts shorter than n words): nothing new by
+        # definition — return the zeroed report instead of crashing.
+        return {
+            "ref_grams": 0.0,
+            "cur_grams": 0.0,
+            "shared_grams": 0.0,
+            "new_grams": 0.0,
+            "novelty": 0.0,
+        }
     ref_g = float(row["a_est"] or 0.0)
     cur_g = float(row["b_est"] or 0.0)
     shared = min(float(row["intersect_est"]), cur_g)

@@ -52,41 +52,71 @@ def _open_ipc(path: str):
         return pa.ipc.open_file(source)
 
 
+def _signed_for_unsigned(t):
+    """Spark's Arrow bridge has no unsigned ints: widen to the signed
+    type that holds the full range (uint8 → int16 — the same
+    array<smallint> convention functions/tensors.py uses for quantized
+    payloads — uint16 → int32, uint32 → int64). uint64 is rejected
+    loudly rather than silently wrapped."""
+    import pyarrow as pa
+
+    if pa.types.is_uint8(t):
+        return pa.int16()
+    if pa.types.is_uint16(t):
+        return pa.int32()
+    if pa.types.is_uint32(t):
+        return pa.int64()
+    if pa.types.is_uint64(t):
+        raise ValueError(
+            "arrowipc: uint64 column cannot be represented losslessly "
+            "in Spark; cast it before export"
+        )
+    return None
+
+
+def _normalize_type(t):
+    """The Spark-ingestible type for an Arrow type (extension →
+    storage, fixed_size_list → list, dictionary → values, unsigned →
+    wider signed), applied recursively through list values."""
+    import pyarrow as pa
+
+    if isinstance(t, pa.BaseExtensionType):
+        t = t.storage_type
+    if pa.types.is_dictionary(t):
+        t = t.value_type
+    if pa.types.is_fixed_size_list(t) or pa.types.is_list(t):
+        return pa.list_(_normalize_type(t.value_type))
+    signed = _signed_for_unsigned(t)
+    return signed if signed is not None else t
+
+
 def _normalize_batch(batch):
     import pyarrow as pa
 
     cols, fields = [], []
     for i, field in enumerate(batch.schema):
         arr = batch.column(i)
-        t = field.type
-        if isinstance(t, pa.ExtensionType):
+        if isinstance(field.type, pa.BaseExtensionType):
             arr = arr.storage
-            t = arr.type
-        if pa.types.is_fixed_size_list(t):
-            arr = arr.cast(pa.list_(t.value_type))
-            t = arr.type
-        if pa.types.is_dictionary(t):
+        if pa.types.is_dictionary(arr.type):
             arr = arr.dictionary_decode()
-            t = arr.type
+        want = _normalize_type(field.type)
+        if arr.type != want:
+            arr = arr.cast(want)
         cols.append(arr)
-        fields.append(pa.field(field.name, t, field.nullable))
+        fields.append(pa.field(field.name, want, field.nullable))
     return pa.RecordBatch.from_arrays(cols, schema=pa.schema(fields))
 
 
 def _normalize_schema(schema):
     import pyarrow as pa
 
-    fields = []
-    for field in schema:
-        t = field.type
-        if isinstance(t, pa.ExtensionType):
-            t = t.storage_type
-        if pa.types.is_fixed_size_list(t):
-            t = pa.list_(t.value_type)
-        if pa.types.is_dictionary(t):
-            t = t.value_type
-        fields.append(pa.field(field.name, t, field.nullable))
-    return pa.schema(fields)
+    return pa.schema(
+        [
+            pa.field(field.name, _normalize_type(field.type), field.nullable)
+            for field in schema
+        ]
+    )
 
 
 class ArrowIPCDataSource(DataSource):
@@ -194,6 +224,148 @@ def register(spark) -> None:
     spark.dataSource.register(ArrowIPCDataSource)
 
 
+# ------------------------------------------------------------------
+# Reference Arrow extension-type fidelity (ref: src/fenix/ex/arrow/
+# tensor/tensor.py:10-29, quint8/quint8.py:56-87). Spark columns can't
+# BE extension arrays, so the mapping is:
+#
+#   TensorType(dtype, shape)            <-> array<T> + tensor_shape
+#                                           column metadata
+#   QUInt8TensorType(shape,scale,shift) <-> array<smallint> + quant +
+#                                           tensor_shape metadata
+#
+# On EXPORT, columns carrying that metadata are re-wrapped into the
+# reference's exact wire form: fixed_size_list storage + the standard
+# Arrow extension field-metadata keys (ARROW:extension:name /
+# ARROW:extension:metadata with the msgpack payloads the reference's
+# __arrow_ext_serialize__ emits) — a reference process with the types
+# registered reconstructs TensorType/QUInt8TensorType natively, and
+# any Arrow reader still sees valid storage. On INGEST, the same
+# annotations (from a registered ExtensionType instance or the raw
+# field-metadata keys) map back to column metadata instead of being
+# normalized away.
+
+_EXT_NAME = b"ARROW:extension:name"
+_EXT_META = b"ARROW:extension:metadata"
+
+
+def _extension_annotation(field):
+    """(name, payload) for a field that is a registered ExtensionType
+    or carries the standard extension field-metadata keys; else None."""
+    import pyarrow as pa
+
+    t = field.type
+    if isinstance(t, pa.BaseExtensionType):
+        try:
+            return t.extension_name, t.__arrow_ext_serialize__()
+        except NotImplementedError:
+            return None
+    meta = field.metadata or {}
+    if _EXT_NAME in meta:
+        return meta[_EXT_NAME].decode("ascii"), meta.get(_EXT_META, b"")
+    return None
+
+
+def _spark_meta_for_extension(name: str, payload: bytes) -> dict | None:
+    """Spark column metadata for a reference extension annotation."""
+    import json
+
+    from fenix_spark.sources.msgpack_mini import unpackb
+
+    if name == "tensor":
+        shape = unpackb(payload)
+        return {"tensor_shape": [int(d) for d in shape]}
+    if name == "tensor::qint8":
+        p = unpackb(payload)
+        return {
+            "tensor_shape": [int(d) for d in p["shape"]],
+            "quant": json.dumps(
+                {"scale": float(p["scale"]), "shift": int(p["shift"])}
+            ),
+        }
+    return None
+
+
+def read_arrow_ipc(spark, path: str, suffix: str = ".arrow"):
+    """Read reference ``.arrow`` tables WITH extension-type fidelity:
+    the ``arrowipc`` datasource yields the storage arrays (Spark has no
+    extension columns), and this helper re-attaches the reference's
+    Tensor/QUInt8 annotations as ``tensor_shape``/``quant`` column
+    metadata read from the first file's Arrow schema — the same keys
+    ``functions/tensors.py`` and ``write_arrow_ipc`` speak, closing the
+    round trip export → reference schema → re-ingest."""
+    register(spark)
+    df = spark.read.format("arrowipc").options(path=path, suffix=suffix).load()
+    files = _list_files(path, suffix)
+    if not files:
+        return df
+    reader = _open_ipc(files[0])
+    try:
+        arrow_schema = reader.schema
+    finally:
+        _close(reader)
+    for field in arrow_schema:
+        ann = _extension_annotation(field)
+        if ann is None or field.name not in df.columns:
+            continue
+        meta = _spark_meta_for_extension(*ann)
+        if meta:
+            existing = dict(df.schema[field.name].metadata or {})
+            existing.update(meta)
+            df = df.withMetadata(field.name, existing)
+    return df
+
+
+def _wrap_extension_columns(df, table):
+    """Rewrap plain-array columns of an exported Arrow table into the
+    reference's extension wire form wherever the Spark schema carries
+    tensor metadata. Returns the (possibly) rewritten table."""
+    import math
+
+    import pyarrow as pa
+
+    from fenix_spark.functions.tensors import qparams_of, shape_of
+    from fenix_spark.sources.msgpack_mini import packb
+
+    cols, fields = [], []
+    changed = False
+    for i, field in enumerate(table.schema):
+        arr = table.column(i)
+        shape = (
+            shape_of(df, field.name) if field.name in df.columns else None
+        )
+        if shape and pa.types.is_list(field.type):
+            n = int(math.prod(shape))
+            qp = qparams_of(df, field.name)
+            if qp is not None:
+                scale, shift = qp
+                storage = arr.cast(pa.list_(pa.uint8())).cast(
+                    pa.list_(pa.uint8(), n)
+                )
+                name = b"tensor::qint8"
+                payload = packb(
+                    {"shape": list(shape), "scale": scale, "shift": shift}
+                )
+            else:
+                storage = arr.cast(pa.list_(field.type.value_type, n))
+                name = b"tensor"
+                payload = packb(list(shape))
+            meta = dict(field.metadata or {})
+            meta[_EXT_NAME] = name
+            meta[_EXT_META] = payload
+            cols.append(storage.combine_chunks())
+            fields.append(
+                pa.field(field.name, storage.type, field.nullable, meta)
+            )
+            changed = True
+        else:
+            cols.append(arr)
+            fields.append(field)
+    if not changed:
+        return table
+    return pa.Table.from_arrays(cols, schema=pa.schema(fields))
+
+
 def write_arrow_ipc(df, path: str, max_rows: int = 5_000_000) -> int:
     """Export ``df`` to a single Arrow IPC STREAM file — the reference
     engine's native one-file-per-table layout (ref:
@@ -221,6 +393,11 @@ def write_arrow_ipc(df, path: str, max_rows: int = 5_000_000) -> int:
             "driver can really hold this table"
         )
     table = df.toArrow()
+    # columns carrying tensor_shape / quant metadata go out in the
+    # reference's extension wire form (fixed_size_list storage +
+    # ARROW:extension:* field metadata) so a reference reader
+    # reconstructs TensorType / QUInt8TensorType exactly
+    table = _wrap_extension_columns(df, table)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with pa.OSFile(path, "wb") as sink:
         with ipc.new_stream(sink, table.schema) as w:

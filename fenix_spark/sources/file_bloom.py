@@ -84,7 +84,13 @@ def _required_words(
         raise ValueError("values must be non-empty")
     if any(v is None for v in values):
         raise ValueError("cannot probe for NULL (null never equals anything)")
-    vals = spark.createDataFrame([(str(v),) for v in values], "value string")
+    # Build the probe frame TYPED and let Spark do the string cast
+    # inside _bloom_positions: the index hashed cast('string') of the
+    # data column, and Spark's rendering differs from Python str() for
+    # booleans ('true' vs 'True'), floats ('1.0E20' vs '1e+20'), and
+    # timestamps — hashing str(v) would produce silent false negatives.
+    typed = spark.createDataFrame([(v,) for v in values], ["typed"])
+    vals = typed.select(F.col("typed").cast("string").alias("value"))
     bit_lut = F.lit([1 << j for j in range(_BLOOM_WORD_BITS)])
     pos = vals.select(
         "value",
@@ -151,7 +157,11 @@ def point_lookup(
         .collect()
     ]
     full = spark.read.parquet(path)
-    probe = F.col(col).cast("string").isin([str(v) for v in values])
+    # typed isin, not str(v) string-matching: Spark coerces the
+    # literals against the column's own type (so boolean/float/
+    # timestamp probes compare correctly), and the native predicate
+    # pushes down to the parquet scan.
+    probe = F.col(col).isin(list(values))
     if not cand:
         return full.where(F.lit(False))
     return spark.read.parquet(*cand).where(probe)

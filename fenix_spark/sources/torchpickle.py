@@ -42,6 +42,8 @@ __all__ = [
     "read_torch_pickle",
     "load_reference_coding",
     "import_reference_coding",
+    "write_torch_pickle",
+    "export_reference_coding",
 ]
 
 # torch storage-class name → numpy dtype of the raw storage bytes.
@@ -296,3 +298,201 @@ def import_reference_coding(spark, torch_path: str, out_path: str):
     )
     df.coalesce(1).write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path)
+
+
+# ------------------------------------------------------------------
+# The EXPORT half: write torch's zip serialization without torch, so a
+# Spark-trained coding can be dropped into a reference store and
+# served by the reference engine (ref: io/coder/coder.py:120-125 saves
+# {"tensor": Tensor, "column": pa.DataType, "config": Config} at
+# codings/<name>.torch; coder.load torch.load()s it back). torch.save
+# stores tensors as GLOBAL records resolved BY NAME ("torch._utils
+# _rebuild_tensor_v2", "torch FloatStorage") plus persistent-id
+# externalized storages — so the writer needs only modules that
+# CLAIM those names while pickling. When a real torch is importable
+# its own globals are used; otherwise inert stand-in modules are
+# registered in sys.modules for the duration of the dump (the emitted
+# bytes are identical either way — pickle writes module+name strings).
+
+
+class _NumpyTensorProxy:
+    """Pickles exactly like a contiguous torch Tensor."""
+
+    def __init__(self, arr: np.ndarray):
+        self.arr = np.ascontiguousarray(arr)
+
+    def __reduce_ex__(self, protocol):
+        import sys
+
+        rebuild = sys.modules["torch._utils"]._rebuild_tensor_v2
+        flat = self.arr.reshape(-1)
+        stride = tuple(s // self.arr.itemsize for s in self.arr.strides)
+        return (
+            rebuild,
+            (
+                _NumpyStorageProxy(flat),
+                0,
+                tuple(self.arr.shape),
+                stride,
+                False,
+                OrderedDict(),
+            ),
+        )
+
+
+class _NumpyStorageProxy:
+    def __init__(self, flat: np.ndarray):
+        self.flat = flat
+        name = {
+            np.dtype("float64"): "DoubleStorage",
+            np.dtype("float32"): "FloatStorage",
+            np.dtype("float16"): "HalfStorage",
+            np.dtype("int64"): "LongStorage",
+            np.dtype("int32"): "IntStorage",
+            np.dtype("int16"): "ShortStorage",
+            np.dtype("int8"): "CharStorage",
+            np.dtype("uint8"): "ByteStorage",
+            np.dtype("bool"): "BoolStorage",
+        }.get(flat.dtype)
+        if name is None:
+            raise TypeError(f"no torch storage for numpy dtype {flat.dtype}")
+        self.storage_name = name
+
+
+def _torch_name_modules():
+    """(modules_dict, installed) — module objects answering to
+    ``torch`` / ``torch._utils`` for pickling-by-name. Real torch wins
+    when importable; otherwise inert stand-ins are built."""
+    import sys
+    import types
+
+    try:
+        import torch  # noqa: F401 - real torch: nothing to fake
+
+        return {}, False
+    except ImportError:
+        pass
+    if "torch" in sys.modules:  # a prior writer's stand-ins are live
+        return {}, False
+    torch_mod = types.ModuleType("torch")
+    utils_mod = types.ModuleType("torch._utils")
+
+    def _rebuild_tensor_v2(*a):  # pickled by NAME, never called here
+        raise AssertionError("write-side stand-in")
+
+    _rebuild_tensor_v2.__module__ = "torch._utils"
+    _rebuild_tensor_v2.__qualname__ = "_rebuild_tensor_v2"
+    utils_mod._rebuild_tensor_v2 = _rebuild_tensor_v2
+    for name in _STORAGE_DTYPES:
+        setattr(
+            torch_mod,
+            name,
+            type(name, (), {"__module__": "torch", "__qualname__": name}),
+        )
+    torch_mod._utils = utils_mod
+    sys.modules["torch"] = torch_mod
+    sys.modules["torch._utils"] = utils_mod
+    return {"torch": torch_mod, "torch._utils": utils_mod}, True
+
+
+def write_torch_pickle(path: str, obj: Any) -> None:
+    """Serialize ``obj`` in torch's zip format (torch-free). numpy
+    arrays wrapped in ``_NumpyTensorProxy`` become torch Tensors on a
+    real-torch reader; plain dict/list/str/int/float/pyarrow-DataType
+    values pickle natively. Layout matches torch.save: one
+    ``archive/data.pkl`` (protocol 2, torch's default), externalized
+    little-endian storages under ``archive/data/<key>``, plus the
+    ``byteorder``/``version`` members."""
+    import io
+    import sys
+
+    installed, created = _torch_name_modules()
+    try:
+        storages: list[tuple[str, bytes]] = []
+
+        class _P(pickle.Pickler):
+            def persistent_id(self, o):
+                if isinstance(o, _NumpyStorageProxy):
+                    key = str(len(storages))
+                    storages.append((key, o.flat.tobytes()))
+                    stype = getattr(sys.modules["torch"], o.storage_name)
+                    return ("storage", stype, key, "cpu", int(o.flat.size))
+                return None
+
+        buf = io.BytesIO()
+        _P(buf, protocol=2).dump(obj)
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+
+        def _member(name: str) -> zipfile.ZipInfo:
+            # fixed timestamp: same object → byte-identical archive
+            # (exports are content-addressed-diffable, tests byte-pin)
+            return zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+
+        with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+            zf.writestr(_member("archive/data.pkl"), buf.getvalue())
+            zf.writestr(_member("archive/byteorder"), "little")
+            zf.writestr(_member("archive/version"), "3")
+            for key, data in storages:
+                zf.writestr(_member(f"archive/data/{key}"), data)
+    finally:
+        if created:
+            for name in installed:
+                sys.modules.pop(name, None)
+
+
+def export_reference_coding(
+    coding, path: str, batch_size: int = 256, num_epochs: int = 1
+) -> None:
+    """Inverse of :func:`import_reference_coding`: serialize a coding
+    table trained by ``coder.train_coding`` (rows of (codebook, cell,
+    centroid, metric, codebook_size, num_codebooks)) into the
+    reference's ``codings/<name>.torch`` layout, so a reference server
+    can load and serve a Spark-trained coding without retraining.
+
+    The tensor goes out float32 (the reference trains in float32);
+    ``column`` is the source vector type the reference records —
+    ``fixed_size_list(float32, num_codebooks * sub_dim)``.
+    ``batch_size``/``num_epochs`` are provenance fields in the
+    reference Config (io/coder/coder.py:24-29) with no effect on
+    serving; the defaults mark an externally-trained coding. Collect
+    is codebook-sized (num_codebooks × codebook_size rows) — a model,
+    not data."""
+    import pyarrow as pa
+
+    rows = coding.select(
+        "codebook", "cell", "centroid", "metric", "codebook_size", "num_codebooks"
+    ).collect()
+    if not rows:
+        raise ValueError("export_reference_coding: empty coding table")
+    n = int(rows[0]["num_codebooks"])
+    k = int(rows[0]["codebook_size"])
+    metric = str(rows[0]["metric"])
+    sub_dim = len(rows[0]["centroid"])
+    tensor = np.zeros((n, k, sub_dim), dtype=np.float32)
+    seen = set()
+    for r in rows:
+        j, c = int(r["codebook"]), int(r["cell"])
+        if not (0 <= j < n and 0 <= c < k):
+            raise ValueError(
+                f"coding row (codebook={j}, cell={c}) outside "
+                f"({n} codebooks × {k} cells)"
+            )
+        tensor[j, c] = np.asarray(r["centroid"], dtype=np.float32)
+        seen.add((j, c))
+    if len(seen) != n * k:
+        raise ValueError(
+            f"coding table holds {len(seen)} distinct (codebook, cell) "
+            f"rows; the reference layout needs all {n * k}"
+        )
+    obj = {
+        "tensor": _NumpyTensorProxy(tensor),
+        "column": pa.list_(pa.float32(), n * sub_dim),
+        "config": {
+            "metric": metric,
+            "codebook_size": k,
+            "num_codebooks": n,
+            "batch_size": int(batch_size),
+            "num_epochs": int(num_epochs),
+        },
+    }
+    write_torch_pickle(path, obj)

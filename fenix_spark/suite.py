@@ -1557,11 +1557,14 @@ FROM events GROUP BY event_type
 def _minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: shingle → 24-component minhash → 3 bands
     × 8 rows → band-bucket equi-join (the only shuffle) → exact-Jaccard
-    verify at ≥0.95. The 3×8 band geometry puts the LSH knee at
-    (1/3)^(1/8) ≈ 0.87, matched to the 0.95 threshold (a loose 4×3
-    geometry floods verify with 3× the candidates). Unigram shingles
-    fit this corpus's ~31-word vocab; the operator takes shingle=n for
-    real text."""
+    verify at ≥0.95, with the length filter applied BEFORE the
+    candidate distinct (multi-band duplicates pruned pre-dedup). The
+    3×8 band geometry puts the LSH knee at (1/3)^(1/8) ≈ 0.87, matched
+    to the 0.95 threshold (a loose 4×3 geometry floods verify with 3×
+    the candidates). The opt-in signature-estimate gate (est_min)
+    stays OFF here — measured net loss on this boilerplate-free corpus
+    (SCALE.md). Unigram shingles fit this corpus's ~31-word vocab; the
+    operator takes shingle=n for real text."""
     from fenix_spark.operators.dedup import minhash_neardup_pairs
 
     return minhash_neardup_pairs(

@@ -268,6 +268,14 @@ def test_catalog_bloom_index_lifecycle(spark, tmp_path):
         ).collect()
     )
     assert got == [5, 10_050]
+    # crash-safe swap leaves a clean state: geometry lives IN the
+    # index dir, and no .staging/.old residue survives a clean refresh
+    import os as _os
+
+    p = catalog.bloom_index_path(root, "t", "k")
+    assert _os.path.exists(_os.path.join(p, "_geometry.json"))
+    assert not _os.path.exists(p + ".staging")
+    assert not _os.path.exists(p + ".old")
     # wrong column is loud
     import pytest as _pytest
 

@@ -61,6 +61,37 @@ def test_minhash_lsh_finds_planted_dups(spark, docs_with_dups):
     assert all(j >= 0.99 for j in got.values())
 
 
+def test_minhash_est_gate_work_not_results(spark, documents):
+    """The opt-in signature-estimate pre-filter gates WORK, never
+    results: on this corpus the gated ("auto" = threshold-0.25) output
+    equals the ungated (default) output exactly; est_min=1.0 (only
+    all-components-agreeing signatures survive) is a subset that still
+    contains every identical-set pair (those bypass the gate via the
+    intra arm)."""
+    ungated = {
+        (r.id_l, r.id_r, r.jaccard)
+        for r in minhash_neardup_pairs(
+            documents, "text", "doc_id", threshold=0.95
+        ).collect()
+    }
+    gated = {
+        (r.id_l, r.id_r, r.jaccard)
+        for r in minhash_neardup_pairs(
+            documents, "text", "doc_id", threshold=0.95, est_min="auto"
+        ).collect()
+    }
+    assert gated == ungated
+    strict = {
+        (r.id_l, r.id_r, r.jaccard)
+        for r in minhash_neardup_pairs(
+            documents, "text", "doc_id", threshold=0.95, est_min=1.0
+        ).collect()
+    }
+    assert strict <= gated
+    exact_pairs = {t for t in ungated if t[2] == 1.0}
+    assert exact_pairs and exact_pairs <= strict
+
+
 def test_minhash_candidates_never_false_positive_after_verify(spark, documents):
     pairs = minhash_neardup_pairs(documents, "text", "doc_id", threshold=0.95)
     sets = token_sets(documents, "text", "doc_id")
@@ -173,7 +204,11 @@ def test_incremental_neardup_equals_full_recompute(spark, documents):
 
     full = {
         (r.id_l, r.id_r, r.jaccard)
-        for r in minhash_neardup_pairs(docs, "text", "doc_id", threshold=0.8).collect()
+        # est_min=None: the persisted state carries band keys, not
+        # signatures, so incremental equals the UNGATED batch path
+        for r in minhash_neardup_pairs(
+            docs, "text", "doc_id", threshold=0.8, est_min=None
+        ).collect()
         if r.id_l in inc_ids or r.id_r in inc_ids
     }
     assert got == full

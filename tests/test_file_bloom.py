@@ -51,6 +51,30 @@ def test_lookup_skips_most_files(spark, dataset):
     assert len(missing) <= 1
 
 
+def test_typed_probes_no_false_negatives(spark, tmp_path):
+    """The index hashes Spark's cast('string') of the column; probes
+    must hash the SAME rendering. Python str() differs for floats
+    ('1e+20' vs Spark '1.0E20') and booleans ('True' vs 'true') — the
+    probe frame is built typed so Spark does the cast, and point_lookup
+    compares typed. A rendering mismatch would be a silent false
+    negative, violating the module's soundness claim."""
+    p = str(tmp_path / "t")
+    rows = [(1, 1e20, True), (2, 0.5, False), (3, -3.25, True)]
+    spark.createDataFrame(
+        rows, "id int, f double, b boolean"
+    ).coalesce(1).write.parquet(p)
+
+    idx_f = build_file_bloom(spark, p, "f")
+    assert candidate_files(idx_f, [1e20]).count() >= 1
+    got = point_lookup(spark, p, "f", [1e20, -3.25], idx_f).collect()
+    assert sorted(r.id for r in got) == [1, 3]
+
+    idx_b = build_file_bloom(spark, p, "b")
+    assert candidate_files(idx_b, [True]).count() >= 1
+    got_b = point_lookup(spark, p, "b", [True], idx_b).collect()
+    assert sorted(r.id for r in got_b) == [1, 3]
+
+
 def test_soundness_under_forced_false_positives(spark, dataset):
     # a tiny filter (256 bits for 1000 values/file) saturates → every
     # file becomes a candidate, and results are STILL exact

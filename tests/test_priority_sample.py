@@ -110,6 +110,24 @@ def test_duplicate_ids_keep_highest_priority(spark):
     assert got["x"] == pytest.approx(9.0 / _py_u("x"), rel=1e-12)
 
 
+def test_same_id_under_two_groups_one_batch(spark):
+    """An id under TWO group keys forced into one Arrow batch must
+    survive in both groups (partial-phase dedup is per (keys, id))."""
+    rows = [("g0", "dup", 3.0), ("g1", "dup", 4.0)] + [
+        (f"g{i % 2}", f"id{i}", float(i + 1)) for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, id string, w double"
+    ).coalesce(1)
+    got = {}
+    for r in priority_sample(df, ["grp"], "id", "w", 10).collect():
+        got.setdefault(r["grp"], {})[r["id"]] = r["sample_pri"]
+    assert "dup" in got["g0"] and "dup" in got["g1"]
+    assert got["g0"]["dup"] == pytest.approx(3.0 / _py_u("dup"), rel=1e-12)
+    assert got["g1"]["dup"] == pytest.approx(4.0 / _py_u("dup"), rel=1e-12)
+    assert len(got["g0"]) == 5 and len(got["g1"]) == 5
+
+
 def test_merge_equals_direct_exactly(spark):
     rows = _rows(4_000, n_grp=3)
     df = spark.createDataFrame(rows, "grp string, id string, w double")

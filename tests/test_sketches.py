@@ -687,6 +687,33 @@ def test_bottomk_sample_fixed_size_and_invariant(spark):
     assert bottomk_sample(tiny, ["grp"], "id", 50).count() == 7
 
 
+def test_bottomk_same_id_under_two_groups_one_batch(spark):
+    """An id appearing under TWO different group keys, forced into one
+    Arrow batch (coalesce(1)), must survive in BOTH groups: the partial
+    phase dedups per (keys, id), not globally by id — otherwise the
+    result would depend on batch layout."""
+    from fenix_spark.operators.sampling import bottomk_sample
+
+    rows = [(g, "dup", 1.0) for g in ("g0", "g1")] + [
+        (f"g{i % 2}", f"id{i}", float(i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, id string, payload double"
+    ).coalesce(1)
+    got = bottomk_sample(df, ["grp"], "id", 50).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["grp"], set()).add(r["id"])
+    assert "dup" in per["g0"] and "dup" in per["g1"]
+    assert len(per["g0"]) == 6 and len(per["g1"]) == 6
+    # and the result is identical under a spread layout
+    got2 = bottomk_sample(df.repartition(8), ["grp"], "id", 50).collect()
+    per2 = {}
+    for r in got2:
+        per2.setdefault(r["grp"], set()).add(r["id"])
+    assert per == per2
+
+
 def test_bottomk_merge_equals_direct_and_uniformity(spark):
     from fenix_spark.operators.sampling import bottomk_merge, bottomk_sample
 
@@ -824,6 +851,23 @@ def test_ngram_novelty_planted(spark):
     assert disjoint["novelty"] > 0.95, disjoint
     # bookkeeping identities hold
     assert r["new_grams"] + r["shared_grams"] == pytest.approx(r["cur_grams"])
+
+
+def test_ngram_novelty_zero_gram_corpora(spark):
+    """Zero-row corpora produce zero grams on both sides (the theta
+    set-ops frame is empty, .first() is None) — the report must be the
+    zeroed dict, not a TypeError."""
+    from fenix_spark.operators.sketches import ngram_novelty
+
+    empty = spark.createDataFrame([], "id int, text string")
+    r = ngram_novelty(empty, empty, "text", n=3, k=64)
+    assert r == {
+        "ref_grams": 0.0,
+        "cur_grams": 0.0,
+        "shared_grams": 0.0,
+        "new_grams": 0.0,
+        "novelty": 0.0,
+    }
 
 
 # ------------------------------------------------ CMS join-size

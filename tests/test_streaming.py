@@ -429,7 +429,12 @@ def test_stream_incremental_neardup_equals_batch(spark, documents, tmp_path):
     }
     want = {
         (r.id_l, r.id_r, r.jaccard)
-        for r in minhash_neardup_pairs(docs, "text", "doc_id", threshold=0.8).collect()
+        # est_min=None: the incremental state carries band keys, not
+        # signatures, so the streamed path matches the UNGATED batch
+        # semantics (gate = batch-path work-skip only, see dedup.py)
+        for r in minhash_neardup_pairs(
+            docs, "text", "doc_id", threshold=0.8, est_min=None
+        ).collect()
     }
     assert got == want
     assert want, "corpus must contain near-dup pairs for the test to bite"

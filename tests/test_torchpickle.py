@@ -390,3 +390,153 @@ def test_fuzz_mutated_archives_raise_one_exception_family(tmp_path):
         except allowed:
             pass
     assert ok < len(cases)  # the suite actually exercised failures
+
+
+# ---------------------------------------------------------------
+# EXPORT half (sources/torchpickle.write_torch_pickle /
+# export_reference_coding): a Spark-trained coding serialized into the
+# reference's codings/<name>.torch layout (ref: io/coder/coder.py:
+# 120-125), proven by re-importing through the INDEPENDENT reader and
+# by byte-level comparison with this file's fixture writer (which
+# reproduces real torch.save bytes).
+
+
+def test_export_reference_coding_round_trip(spark, tmp_path):
+    """export → load_reference_coding bit-parity: tensor, config, and
+    column type all survive; import_reference_coding of the export
+    equals the original coding table."""
+    from fenix_spark.operators.coder import coding_to_numpy
+    from fenix_spark.sources.torchpickle import export_reference_coding
+
+    rng = np.random.default_rng(11)
+    tensor = rng.normal(size=(2, 4, 8)).astype(np.float32)
+    rows = [
+        (j, c, tensor[j, c].astype(np.float64).tolist(), "cosine", 4, 2)
+        for j in range(2)
+        for c in range(4)
+    ]
+    coding = spark.createDataFrame(
+        rows,
+        "codebook int, cell int, centroid array<double>, "
+        "metric string, codebook_size int, num_codebooks int",
+    )
+    p = str(tmp_path / "codings" / "pq.torch")
+    export_reference_coding(coding, p)
+
+    d = load_reference_coding(p)
+    np.testing.assert_array_equal(d["tensor"], tensor)  # bit parity
+    assert d["config"] == {
+        "metric": "cosine",
+        "codebook_size": 4,
+        "num_codebooks": 2,
+        "batch_size": 256,
+        "num_epochs": 1,
+    }
+    assert d["column"] == pa.list_(pa.float32(), 16)
+
+    back = import_reference_coding(spark, p, str(tmp_path / "coding_tbl"))
+    cents, metric, k, n = coding_to_numpy(back)
+    assert (metric, k, n) == ("cosine", 4, 2)
+    np.testing.assert_allclose(cents, tensor.astype(np.float64), rtol=1e-7)
+
+
+def test_export_bytes_match_fixture_writer(tmp_path):
+    """The product writer and this file's fixture writer (pinned to
+    real torch.save's layout) produce byte-identical archives for the
+    same coding object — pickle stream, storage bytes, and members."""
+    from fenix_spark.sources.torchpickle import (
+        _NumpyTensorProxy,
+        write_torch_pickle,
+    )
+
+    rng = np.random.default_rng(7)
+    tensor = rng.normal(size=(2, 3, 4)).astype(np.float32)
+    obj_fixture = _coding_obj(tensor, metric="l2")
+    p1 = str(tmp_path / "fixture.torch")
+    torch_save(p1, obj_fixture)
+
+    obj_product = {
+        "tensor": _NumpyTensorProxy(tensor),
+        "column": pa.list_(pa.float32(), 48),
+        "config": {
+            "metric": "l2",
+            "codebook_size": 3,
+            "num_codebooks": 2,
+            "batch_size": 256,
+            "num_epochs": 2,
+        },
+    }
+    p2 = str(tmp_path / "product.torch")
+    write_torch_pickle(p2, obj_product)
+
+    with zipfile.ZipFile(p1) as z1, zipfile.ZipFile(p2) as z2:
+        assert z1.namelist() == z2.namelist()
+        for name in z1.namelist():
+            assert z1.read(name) == z2.read(name), name
+
+
+def test_export_trained_coding_serves_identically(spark, tmp_path):
+    """Full loop: train a coding on Spark, export to .torch, re-import,
+    and ASSIGN with both — the joint cell id agrees for every row up to
+    the float32 serialization (distance ties broken identically), so
+    the export really is the model, not a lossy copy. Exactness check:
+    re-exporting the IMPORT reproduces identical bytes (float32 is a
+    fixpoint)."""
+    import filecmp
+
+    from fenix_spark.operators.coder import CodingConfig, train_coding
+    from fenix_spark.operators.index import assign_code_expr
+    from fenix_spark.sources.torchpickle import export_reference_coding
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    coding = train_coding(
+        emb,
+        "embedding",
+        CodingConfig(metric="l2", codebook_size=8, num_codebooks=2, seed=5),
+    )
+    p = str(tmp_path / "codings" / "trained.torch")
+    export_reference_coding(coding, p)
+    back = import_reference_coding(spark, p, str(tmp_path / "tbl"))
+
+    a = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", assign_code_expr("embedding", coding).alias("c")
+        ).collect()
+    }
+    b = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", assign_code_expr("embedding", back).alias("c")
+        ).collect()
+    }
+    assert len(a) > 0
+    agree = sum(1 for i in a if a[i] == b[i])
+    # float64-trained centroids quantize to float32 on the reference
+    # wire; a disagreement needs a row nearly equidistant to two
+    # centroids — none exist in this corpus
+    assert agree == len(a), f"{agree}/{len(a)} codes agree"
+
+    # export of the re-import is byte-identical (f32 round-trip fixpoint)
+    p2 = str(tmp_path / "codings" / "again.torch")
+    export_reference_coding(back, p2)
+    assert filecmp.cmp(p, p2, shallow=False)
+
+
+def test_export_rejects_sparse_or_empty_coding(spark, tmp_path):
+    from fenix_spark.sources.torchpickle import export_reference_coding
+
+    empty = spark.createDataFrame(
+        [],
+        "codebook int, cell int, centroid array<double>, "
+        "metric string, codebook_size int, num_codebooks int",
+    )
+    with pytest.raises(ValueError, match="empty"):
+        export_reference_coding(empty, str(tmp_path / "e.torch"))
+    sparse = spark.createDataFrame(
+        [(0, 0, [1.0], "l2", 2, 1)],
+        "codebook int, cell int, centroid array<double>, "
+        "metric string, codebook_size int, num_codebooks int",
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        export_reference_coding(sparse, str(tmp_path / "s.torch"))
