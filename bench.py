@@ -59,7 +59,11 @@ BENCH_QUERIES = [
     "quantized_knn",
     "ivfpq_search",
     "tfidf_top_terms",
-    "time_rollup",
+    # (time_rollup rotated out of the oracle suite in r9 — bench rows
+    #  track the live suite; its bucket-agg cost shape is carried by
+    #  funnel_conversion/sessionize on the same events scan.)
+    "heavy_hitters",
+    "drift_psi",
     "funnel_conversion",
 ]
 

@@ -66,22 +66,25 @@ def hist_drift(
         ).drop("__g")
 
     def norm(df: DataFrame, tag: str) -> DataFrame:
-        tot = df.groupBy(*key_list).agg(F.sum("c").alias(f"__n_{tag}"))
-        return (
-            df.groupBy(*key_list, "bin")
-            .agg(F.sum("c").alias(f"__c_{tag}"))
-            .join(tot, key_list)
+        # per-(key, bin) counts, then the per-key total as a WINDOW sum
+        # over the already-aggregated (≤ bins-per-key) rows — one
+        # exchange per side instead of a groupBy + join-back pair
+        counts = df.groupBy(*key_list, "bin").agg(
+            F.sum("c").alias(f"__c_{tag}")
         )
+        w = Window.partitionBy(*key_list)
+        return counts.withColumn(f"__n_{tag}", F.sum(f"__c_{tag}").over(w))
 
     r = norm(ref, "ref")
     c = norm(cur, "cur")
     joined = r.join(c, [*key_list, "bin"], "full_outer")
     # per-key totals survive only on rows from that side; re-spread
-    # them across the group so one-sided bins get real probabilities
-    grp = joined.groupBy(*key_list).agg(
-        F.max("__n_ref").alias("n_ref"), F.max("__n_cur").alias("n_cur")
+    # them across the group (window max over summary rows) so
+    # one-sided bins get real probabilities
+    w = Window.partitionBy(*key_list)
+    j = joined.withColumn("n_ref", F.max("__n_ref").over(w)).withColumn(
+        "n_cur", F.max("__n_cur").over(w)
     )
-    j = joined.select(*key_list, "bin", "__c_ref", "__c_cur").join(grp, key_list)
     p = F.greatest(
         F.coalesce(F.col("__c_ref") / F.col("n_ref"), F.lit(0.0)), F.lit(eps)
     )

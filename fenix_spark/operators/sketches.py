@@ -285,7 +285,9 @@ def heavy_hitters(
         .agg(F.sum("w").alias("count"))
     )
     return (
-        exact.withColumn("count_floor", F.lit(int(n_total // (mm + 1))))
+        exact.withColumn(
+            "count_floor", F.lit(int(n_total // (mm + 1))).cast("bigint")
+        )
         .orderBy(F.col("count").desc(), F.col("term").asc())
         .limit(k)
     )

@@ -1,5 +1,7 @@
 """Time-series gap fill + interpolation — the hypertable-style
-operator family around the suite's ``time_rollup``: regularize an
+operator family around multi-grain rollups (the ``time_rollup``
+pattern, oracle-checked through r8 and still DuckDB-mirrored in
+tests/test_events_ts.py): regularize an
 irregular event stream onto a fixed grid, materialize MISSING buckets,
 and fill them (TimescaleDB's ``time_bucket_gapfill`` + ``locf`` /
 ``interpolate``, rebuilt relationally).

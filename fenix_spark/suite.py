@@ -923,6 +923,92 @@ SELECT event_type, q, (bin + 1)::DOUBLE * 5.0 AS value FROM hit
 """
 
 
+def _heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters end-to-end (operators/sketches.py:
+    heavy_hitters): one scan of per-partition m-counter MG summaries
+    (each partition ships ≤ m (term, lb) rows — the term universe
+    never shuffles), then exact counts for the candidate union via a
+    broadcast semi-join. Counts are EXACT and the completeness bound
+    rides along as count_floor = ⌊N/(m+1)⌋, so the oracle is the plain
+    exact top-k: any MG completeness failure (a frequent term missing
+    from every partition summary) would drop a row and hash-mismatch."""
+    from fenix_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(
+        table(spark, sf_dir, "documents"), "text", k=20, m=512
+    )
+
+
+def _heavy_hitters_sql() -> str:
+    from fenix_spark.functions.texthash import duck_tokens
+
+    return f"""
+    WITH toks AS (
+        SELECT unnest({duck_tokens("text")}) AS term FROM documents
+    ), tot AS (SELECT count(*) AS n FROM toks)
+    SELECT term, count(*) AS count,
+           (SELECT n // 513 FROM tot) AS count_floor
+    FROM toks GROUP BY term
+    ORDER BY count DESC, term ASC LIMIT 20
+    """
+
+
+def _drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical distribution drift (operators/drift.py:freq_drift):
+    the language mix per source, even doc_ids (ref) vs odd (cur) —
+    PSI / Jensen-Shannon / total-variation with the standard ε-floor
+    for empty categories. Each side folds to per-(source, lang) counts
+    with one partial-agg groupBy; the compare is a summary-sized
+    full-outer join — at 100 TB the only full-data work is two scans.
+    Metrics are rounded at 6dp on both engines (sums of ≤5 log terms;
+    both engines accumulate in double)."""
+    from fenix_spark.operators.drift import freq_drift
+
+    docs = table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    cur = docs.where(F.col("doc_id") % 2 == 1)
+    out = freq_drift(ref, cur, ["source"], "lang")
+    return out.select(
+        "source",
+        F.round("psi", 6).alias("psi"),
+        F.round("jsd", 6).alias("jsd"),
+        F.round("tv", 6).alias("tv"),
+        "n_ref",
+        "n_cur",
+    )
+
+
+_DRIFT_PSI_SQL = """
+WITH rc AS (
+    SELECT source, lang AS bin, count(*) AS c_ref
+    FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1, 2
+), cc AS (
+    SELECT source, lang AS bin, count(*) AS c_cur
+    FROM documents WHERE doc_id % 2 = 1 AND lang IS NOT NULL GROUP BY 1, 2
+), j AS (
+    SELECT coalesce(rc.source, cc.source) AS source,
+           coalesce(rc.bin, cc.bin) AS bin, c_ref, c_cur
+    FROM rc FULL OUTER JOIN cc ON rc.source = cc.source AND rc.bin = cc.bin
+), spread AS (
+    SELECT source, bin, c_ref, c_cur,
+           sum(c_ref) OVER (PARTITION BY source)::BIGINT AS n_ref,
+           sum(c_cur) OVER (PARTITION BY source)::BIGINT AS n_cur
+    FROM j
+), pq AS (
+    SELECT source, n_ref, n_cur,
+           greatest(coalesce(c_ref / n_ref::DOUBLE, 0), 1e-6) AS p,
+           greatest(coalesce(c_cur / n_cur::DOUBLE, 0), 1e-6) AS q
+    FROM spread
+)
+SELECT source,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       round(sum(0.5 * (p * ln(p / ((p + q) / 2)) + q * ln(q / ((p + q) / 2)))), 6) AS jsd,
+       round(sum(abs(p - q)) / 2, 6) AS tv,
+       max(n_ref) AS n_ref, max(n_cur) AS n_cur
+FROM pq GROUP BY source
+"""
+
+
 def _set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All §2.7 set operations in one tagged result. 'vstack' rows =
     P6 union-all / multi-source load (ref: src/fenix/io/table/
@@ -2985,7 +3071,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_neardup": _minhash_neardup,
     "simhash_neardup": _simhash_neardup,
     "fingerprints": _fingerprints,
-    "ngram_jaccard_topk": _ngram_jaccard_topk,
+    # (ngram_jaccard_topk retired for heavy_hitters under the 50-row
+    #  cap, r9 — its exact-Jaccard-on-shingle-sets verify is the same
+    #  expression minhash_neardup's verify stage hash-checks every
+    #  round, and its broadcast-probe + window-top-k shape survives in
+    #  group_topn and bm25_search; Misra-Gries is a whole sketch family
+    #  whose completeness bound deserved an oracle row.)
     "embedding_neardup": _embedding_neardup,
     "dedup_keep_list": _dedup_keep_list,
     # -- text analysis / curation --
@@ -3026,6 +3117,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #  covered by rollup_agg; the sketch family gains its first oracle
     #  row: the full hist_rollup → cum-sum → quantile pipeline.)
     "hist_quantiles": _hist_quantiles,
+    "heavy_hitters": _heavy_hitters_q,
+    "drift_psi": _drift_psi,
     # (argmax_per_group retired for priority_sample under the 50-row
     #  cap, r8 session 2 — argmax-per-group IS group_topn at n=1 (the
     #  window form) and its agg+join-back shape survives inside
@@ -3056,7 +3149,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_events": _range_join_events,
     "funnel_conversion": _funnel_conversion,
     "cohort_retention": _cohort_retention_q,
-    "time_rollup": _time_rollup,
+    # (time_rollup retired for drift_psi under the 50-row cap, r9 —
+    #  its multi-grain bucket explode + hash aggregate is the same
+    #  bucket-agg shape gapfill_timeseries (grid buckets) and
+    #  hist_quantiles (value buckets) hash-check every round, and the
+    #  ohlc/twap arithmetic keeps its DuckDB+python mirrors in
+    #  tests/test_events_ts.py; distribution drift is a whole
+    #  monitoring family — PSI/JSD/TV with ε-floor semantics — whose
+    #  deterministic math makes a full engine mirror possible.)
     "gapfill_timeseries": _gapfill_timeseries,
     "stream_window_counts": _stream_window_counts,
 }
@@ -3081,7 +3181,6 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_neardup": _minhash_neardup_sql(),
     "simhash_neardup": _simhash_neardup_sql(),
     "fingerprints": _fingerprints_sql(),
-    "ngram_jaccard_topk": _ngram_jaccard_topk_sql(),
     "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
     "dedup_keep_list": _dedup_keep_list_sql(),
     "text_metrics": _text_metrics_sql(),
@@ -3099,6 +3198,8 @@ ORACLE_SQL: dict[str, str] = {
     "set_ops": _SET_OPS_SQL,
     "rollup_agg": _ROLLUP_AGG_SQL,
     "hist_quantiles": _HIST_QUANTILES_SQL,
+    "heavy_hitters": _heavy_hitters_sql(),
+    "drift_psi": _DRIFT_PSI_SQL,
     "priority_sample": _PRIORITY_SAMPLE_SQL,
     "group_topn": _GROUP_TOPN_SQL,
     "substring_dedup": _SUBSTRING_DEDUP_SQL,
@@ -3113,7 +3214,6 @@ ORACLE_SQL: dict[str, str] = {
     "range_join_events": _RANGE_JOIN_SQL,
     "funnel_conversion": _FUNNEL_SQL,
     "cohort_retention": _COHORT_RETENTION_SQL,
-    "time_rollup": _TIME_ROLLUP_SQL,
     "gapfill_timeseries": _GAPFILL_SQL,
     "stream_window_counts": _STREAM_WINDOW_SQL,
 }

@@ -299,3 +299,40 @@ def test_cohort_retention_single_event_shuffle(spark, q):
         scan_columns_subset_of={"user_id", "ts"},
     )
     assert_clean_plan(df)
+
+
+def test_heavy_hitters_bounded_shuffles_broadcast_candidates(spark, q):
+    """Heavy hitters (r9 oracle rotation, ngram_jaccard_topk out):
+    pass 1 folds per-partition Misra-Gries summaries inside one Arrow
+    pass (the term universe never shuffles raw — only ≤ m rows per
+    partition reach the candidate groupBy); pass 2's exact count joins
+    the candidate set via BROADCAST, and the scan reads only the text
+    column. No cartesian, no row-UDF."""
+    df = q("heavy_hitters")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert_plan(
+        df,
+        min_broadcast_joins=1,
+        scan_columns_subset_of={"text"},
+    )
+
+
+def test_drift_psi_summary_sized_native(spark, q):
+    """Distribution drift (r9 oracle rotation, time_rollup out): each
+    side folds to per-(source, lang) counts with a partial-agg groupBy
+    — the full-outer compare join and every log-term computation run
+    over summary rows (≤ sources × langs). Fully native (no Python in
+    the plan), scan reads only (doc_id, source, lang), and the plan
+    linter is clean modulo the documented %2-split allowance."""
+    from fenix_spark.plans.lint import assert_clean_plan
+
+    df = q("drift_psi")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "mapInPandas" not in plan and "MapInPandas" not in plan
+    assert_clean_plan(df, allow=("filter-not-pushed",))
+    assert_plan(df, scan_columns_subset_of={"doc_id", "source", "lang"})
