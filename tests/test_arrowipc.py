@@ -460,3 +460,35 @@ def test_msgpack_mini_reference_payload_bytes():
         list(range(20)),
     ):
         assert unpackb(packb(v)) == v
+
+
+def test_msgpack_mini_fuzz_round_trip():
+    """Hypothesis sweep of the supported value space: every encodable
+    value decodes back equal (ints across the full 64-bit signed +
+    unsigned range, floats, text, binary, nested lists/dicts)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fenix_spark.sources.msgpack_mini import packb, unpackb
+
+    scalars = (
+        st.none()
+        | st.booleans()
+        | st.integers(min_value=-(2**63), max_value=2**64 - 1)
+        | st.floats(allow_nan=False)
+        | st.text(max_size=80)
+        | st.binary(max_size=80)
+    )
+    values = st.recursive(
+        scalars,
+        lambda c: st.lists(c, max_size=6)
+        | st.dictionaries(st.text(max_size=12), c, max_size=6),
+        max_leaves=25,
+    )
+
+    @given(values)
+    @settings(max_examples=300, deadline=None)
+    def check(v):
+        assert unpackb(packb(v)) == v
+
+    check()
