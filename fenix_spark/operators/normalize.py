@@ -1,0 +1,82 @@
+"""Quantile (rank) normalization — map a score column onto [0, 1] by
+its own per-group distribution, WITHOUT a global sort.
+
+The curation use-case: quality scores from different sources live on
+incomparable scales (one classifier's 0.9 is another's 0.4), so a
+global "keep the top 30%" threshold silently over-keeps whichever
+source scores high. Rank-normalizing per source calibrates them: the
+normalized value is the empirical CDF position, so 0.7 means "beats
+70% of its own source" everywhere.
+
+The naive form is a per-group window sort (``cume_dist``) — a full
+sort of 100 TB per query. This operator fits a KLL quantile sketch per
+group instead (``sketches.kll_rollup`` — one Arrow pass + one
+summary-sized merge, ~k·log(n/k) rows per group), broadcasts the
+sketches, and evaluates the CDF natively per row: rank = Σ weight of
+sketch items ≤ x over the group's total. Exact when the sketch is
+exact (distinct values ≤ k — pinned against ``cume_dist``); otherwise
+within the KLL rank-error bound (~1% at k=200). The sketch argument
+also takes a PRE-FIT state, so new data can be normalized against a
+frozen reference distribution (the score-drift workflow: fit once on
+the reference corpus, score every increment against it).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["quantile_normalize"]
+
+
+def quantile_normalize(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k: int = 200,
+    out_col: str = "pct_rank",
+    sketch: DataFrame | None = None,
+) -> DataFrame:
+    """``df`` + ``out_col`` = empirical-CDF position of ``value_col``
+    within its group (``cume_dist`` convention: P(X ≤ x), ties get
+    their maximal rank). NULL values get NULL rank. ``sketch`` may be
+    a pre-fit ``kll_rollup(…, keys, value_col)`` state — same keys —
+    to normalize against a reference distribution instead of ``df``'s
+    own."""
+    from fenix_spark.operators.sketches import kll_rollup
+
+    key_list = list(keys)
+    state = sketch if sketch is not None else kll_rollup(df, key_list, value_col, k)
+    packed = (
+        state.groupBy(*key_list)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("item", "weight"))
+            ).alias("__kll"),
+            F.sum("weight").alias("__kll_n"),
+        )
+        if key_list
+        else state.groupBy().agg(
+            F.sort_array(
+                F.collect_list(F.struct("item", "weight"))
+            ).alias("__kll"),
+            F.sum("weight").alias("__kll_n"),
+        )
+    )
+    if key_list:
+        joined = df.join(F.broadcast(packed), key_list, "left")
+    else:
+        joined = df.crossJoin(F.broadcast(packed))  # one summary row
+    x = F.col(value_col).cast("double")
+    below = F.aggregate(
+        F.filter("__kll", lambda s: s["item"] <= x),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc + s["weight"],
+    )
+    rank = F.when(
+        x.isNotNull() & F.col("__kll_n").isNotNull(),
+        below / F.col("__kll_n"),
+    )
+    return joined.withColumn(out_col, rank).drop("__kll", "__kll_n")
