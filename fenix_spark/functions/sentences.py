@@ -67,7 +67,11 @@ def split_sentences(text: Column) -> Column:
     """array<string> of sentences (whitespace-trimmed, empties
     dropped). NULL text → NULL."""
     parts = F.split(text, SENTENCE_SPLIT_REGEX)
-    trimmed = F.transform(parts, F.trim)
+    # explicit lambda: F.transform(parts, F.trim) would bind trim's
+    # optional second parameter to the element INDEX (trim chars), a
+    # silent no-op/corruption — the HOF passes (x, i) to any callable
+    # accepting two args
+    trimmed = F.transform(parts, lambda s: F.trim(s))
     return F.filter(trimmed, lambda s: F.length(s) > 0)
 
 

@@ -1,0 +1,114 @@
+"""Readability (functions/readability.py): counts and scores pinned
+against hand computation of the SAME published formulas + documented
+syllable heuristic; simple-beats-complex ordering; degenerate inputs
+NULL; python mirror over a batch."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from fenix_spark.functions.readability import (
+    flesch_reading_ease,
+    readability_stats,
+)
+
+
+def _py_syllables(text: str) -> int:
+    low = text.lower()
+    groups = len(re.findall(r"[aeiouy]+", low))
+    silent = len(re.findall(r"[b-df-hj-np-tv-z]e\b", low))
+    words = len(text.split())
+    return max(words, groups - silent)
+
+
+def _py_scores(text: str, n_sentences: int):
+    w = len(text.split())
+    syl = _py_syllables(text)
+    chars = len(re.findall(r"\S", text))
+    letters = len(re.findall(r"[a-z]", text.lower()))
+    s = n_sentences
+    fre = 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+    fkgl = 0.39 * (w / s) + 11.8 * (syl / w) - 15.59
+    ari = 4.71 * (chars / w) + 0.5 * (w / s) - 21.43
+    cli = 0.0588 * (letters / w * 100) - 0.296 * (s / w * 100) - 15.8
+    return w, syl, fre, fkgl, ari, cli
+
+
+def _stats(spark, text):
+    df = spark.createDataFrame([(text,)], "text string")
+    return readability_stats(df, "text").first()
+
+
+def test_counts_and_scores_match_hand_computation(spark):
+    text = "The cat sat on the mat. It was a simple day."
+    r = _stats(spark, text)
+    assert r["n_sentences"] == 2
+    w, syl, fre, fkgl, ari, cli = _py_scores(text, 2)
+    assert r["n_words"] == w == 11
+    assert r["n_syllables"] == syl
+    assert r["fre"] == pytest.approx(fre, abs=1e-3)
+    assert r["fk_grade"] == pytest.approx(fkgl, abs=1e-3)
+    assert r["ari"] == pytest.approx(ari, abs=1e-3)
+    assert r["cli"] == pytest.approx(cli, abs=1e-3)
+
+
+def test_syllable_heuristic_cases(spark):
+    # mate: 2 vowel groups (a, e) - 1 silent e = 1; see: 1 group, no
+    # consonant+e ending = 1; beautiful: eau+i+u = 3; rhythm: y = 1
+    for text, want in (
+        ("mate", 1),
+        ("see", 1),
+        ("beautiful", 3),
+        ("rhythm", 1),
+        ("the quick brown fox", 4),
+    ):
+        assert _stats(spark, text + ".")["n_syllables"] == want, text
+
+
+def test_simple_text_reads_easier_than_complex(spark):
+    simple = "The dog ran. The sun was hot. We sat by the sea."
+    complex_ = (
+        "Notwithstanding considerable epistemological heterogeneity, "
+        "the multidimensional characterization necessitates "
+        "comprehensive interdisciplinary reconceptualization."
+    )
+    rs, rc = _stats(spark, simple), _stats(spark, complex_)
+    assert rs["fre"] > 80 > rc["fre"]
+    assert rs["fk_grade"] < 5 < rc["fk_grade"]
+    assert rs["ari"] < rc["ari"]
+    assert rs["cli"] < rc["cli"]
+
+
+def test_flesch_expression_matches_stats_column(spark):
+    df = spark.createDataFrame([("A tiny test. Another one.",)], "text string")
+    r = df.select(
+        F.round(flesch_reading_ease(F.col("text")), 3).alias("fre")
+    ).first()
+    assert r["fre"] == readability_stats(df, "text").first()["fre"]
+
+
+def test_degenerate_inputs_null_not_inf(spark):
+    for text in ("", "   ", "..."):
+        r = _stats(spark, text)
+        assert r["fre"] is None and r["fk_grade"] is None
+        assert r["ari"] is None and r["cli"] is None
+
+
+def test_batch_python_mirror(spark):
+    texts = [
+        "One sentence only here.",
+        "Two short ones. Both tiny. And a third thing now!",
+        "Measurements require careful statistical methodology. Results vary.",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = {r["text"]: r for r in readability_stats(df, "text").collect()}
+    for t in texts:
+        n_s = rows[t]["n_sentences"]
+        w, syl, fre, fkgl, ari, cli = _py_scores(t, n_s)
+        assert rows[t]["n_words"] == w
+        assert rows[t]["n_syllables"] == syl
+        assert rows[t]["fre"] == pytest.approx(fre, abs=1e-3)
+        assert rows[t]["ari"] == pytest.approx(ari, abs=1e-3)
