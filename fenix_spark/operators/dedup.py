@@ -305,19 +305,20 @@ def minhash_neardup_pairs(
     # collapse to one LSH row above and never inflate a bucket)
     if est_min == "auto":
         est_min = max(0.0, threshold - 0.25)
-    pair_where = F.least("sz_l", "sz_r") >= (threshold - 1e-6) * F.greatest(
+    length_ok = F.least("sz_l", "sz_r") >= (threshold - 1e-6) * F.greatest(
         "sz_l", "sz_r"
     )
-    carry: tuple[str, ...] = ("sz",)
     if est_min:
         # signature-estimate gate (docstring): agreement fraction of
         # the two signatures — integers already riding the band join —
         # drops sub-knee candidates before the wide-array verify join.
         # The cutoff is resolved to an INTEGER component count driver-
         # side so both engines compare integers (no float-literal
-        # rendering to coordinate). Both filters run PRE-distinct via
-        # pair_where, so the distinct dedups bare (id_l, id_r) rows —
-        # the signatures never widen the shuffle.
+        # rendering to coordinate). With the gate ON, BOTH filters run
+        # PRE-distinct via pair_where: the gate is selective (that is
+        # why it was enabled), so pruning before the distinct shrinks
+        # it, and the carried signatures never reach the distinct's
+        # shuffle (emit_carry=False).
         import math
 
         cut = int(math.ceil(est_min * num_components - 1e-9))
@@ -328,17 +329,33 @@ def minhash_neardup_pairs(
             F.lit(0),
             lambda acc, x: acc + x,
         )
-        pair_where = pair_where & (agree >= F.lit(cut))
-        carry = ("sz", "sig")
-    cand = lsh_candidates(
-        signed,
-        bands,
-        num_components // bands,
-        carry=carry,
-        max_group=max_group,
-        pair_where=pair_where,
-        emit_carry=False,
-    )
+        cand = lsh_candidates(
+            signed,
+            bands,
+            num_components // bands,
+            carry=("sz", "sig"),
+            max_group=max_group,
+            pair_where=length_ok & (agree >= F.lit(cut)),
+            emit_carry=False,
+        )
+    else:
+        # ungated default: the length filter runs POST-distinct —
+        # measured (r9 A/B at sf0.1, load 1.0, min-of-3): 2.55 s vs
+        # 2.80 s pre-distinct, because on length-homogeneous corpora
+        # the filter prunes little while pre-distinct re-evaluates it
+        # on every multi-band duplicate pair. Pre-distinct placement
+        # pays off only for SELECTIVE pair predicates (the est gate).
+        cand = (
+            lsh_candidates(
+                signed,
+                bands,
+                num_components // bands,
+                carry=("sz",),
+                max_group=max_group,
+            )
+            .where(length_ok)
+            .select("id_l", "id_r")
+        )
     l = reps.select(F.col("id").alias("id_l"), F.col("s").alias("s_l"))
     r = reps.select(F.col("id").alias("id_r"), F.col("s").alias("s_r"))
     rep_pairs = (
