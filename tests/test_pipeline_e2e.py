@@ -145,3 +145,28 @@ def test_curation_pipeline_v2(spark, documents, embeddings):
     assert probe_doc.doc_id in {h.doc_id for h in hits}
     ordered = [(h.score, h.doc_id) for h in hits]
     assert ordered == sorted(ordered, key=lambda p: (-p[0], p[1]))
+
+    # 6. terminal export: the train split ships as TFRecord training
+    # shards (executor-parallel writer) and reads back whole — the
+    # pipeline's last mile is the reference-free training format
+    import tempfile
+
+    from fenix_spark.sources.tfrecord import register_tfrecord
+
+    register_tfrecord(spark)
+    out = tempfile.mkdtemp(prefix="e2e_tfr_")
+    (
+        train.select("doc_id", "text", "n_tokens")
+        .repartition(2)
+        .write.format("tfrecord")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = (
+        spark.read.format("tfrecord")
+        .schema("doc_id long, text string, n_tokens long")
+        .load(out)
+    )
+    assert back.count() == n_train
+    joined = back.join(train, "doc_id", "inner")
+    assert joined.count() == n_train  # every id round-tripped
