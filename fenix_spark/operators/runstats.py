@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "StageStats",
     "run_with_stats",
+    "stage_snapshot",
+    "stats_since",
     "skew_findings",
     "format_stats",
 ]
@@ -92,13 +94,19 @@ def _completed_stage_ids(spark: SparkSession) -> set[int]:
     return {seq.apply(i).stageId() for i in range(seq.size())}
 
 
-def run_with_stats(df: DataFrame, action: str = "count"):
-    """Run ``df.<action>()`` and return ``(result, [StageStats])`` for
-    the stages the job executed (SKIPPED stages — reused exchanges —
-    are excluded: they did no work this run)."""
-    spark = df.sparkSession
-    before = _completed_stage_ids(spark)
-    result = getattr(df, action)()
+def stage_snapshot(spark: SparkSession) -> set[int]:
+    """Stage-id watermark for :func:`stats_since` — take one before a
+    job, pass it back after, get only that job's stages. Lets callers
+    that trigger execution through something other than a DataFrame
+    method (``df.write.format("noop")``, streaming batches) use the
+    same stats path as :func:`run_with_stats`."""
+    return _completed_stage_ids(spark)
+
+
+def stats_since(spark: SparkSession, before: set[int]) -> list["StageStats"]:
+    """StageStats for every stage COMPLETED after ``before`` was taken
+    (SKIPPED stages — reused exchanges — are excluded: they did no
+    work this run)."""
     gw = spark.sparkContext._gateway
     store = _store(spark)
     qs = gw.new_array(gw.jvm.double, len(_QUANTILES))
@@ -139,7 +147,16 @@ def run_with_stats(df: DataFrame, action: str = "count"):
             )
         )
     out.sort(key=lambda st: st.stage_id)
-    return result, out
+    return out
+
+
+def run_with_stats(df: DataFrame, action: str = "count"):
+    """Run ``df.<action>()`` and return ``(result, [StageStats])`` for
+    the stages the job executed."""
+    spark = df.sparkSession
+    before = stage_snapshot(spark)
+    result = getattr(df, action)()
+    return result, stats_since(spark, before)
 
 
 def skew_findings(
