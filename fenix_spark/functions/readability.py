@@ -54,15 +54,27 @@ def sentence_count(text: Column) -> Column:
 
 
 def syllable_estimate(text: Column) -> Column:
-    """Vowel-group heuristic: Σ over words of max(1, vowel runs −
-    trailing silent 'e'). Computed with three whole-text regex counts —
-    no per-word loop."""
-    lower = F.lower(text)
-    groups = F.regexp_count(lower, F.lit("[aeiouy]+"))
+    """Vowel-group heuristic with the ≥1 floor applied PER WORD: Σ
+    over words of max(1, vowel runs − trailing silent 'e' runs). A
+    higher-order aggregate over the token array — JVM-side, no Python
+    UDF. (Earlier revisions applied the floor globally, which let
+    zero-syllable function words like "the" deflate syllables/word and
+    inflate FRE; the per-word floor is the documented heuristic.)"""
+    toks = F.filter(
+        F.split(F.trim(F.lower(text)), "\\s+"),
+        lambda t: t.rlike("[\\p{L}\\p{N}]"),
+    )
     # trailing consonant+e (silent e): "mate", "fore"; NOT "see"/"tree"
-    silent_e = F.regexp_count(lower, F.lit("[b-df-hj-np-tv-z]e\\b"))
-    words = word_count(text)
-    return F.greatest(words, (groups - silent_e).cast("int")).cast("int")
+    return F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc
+        + F.greatest(
+            F.lit(1),
+            F.regexp_count(t, F.lit("[aeiouy]+"))
+            - F.regexp_count(t, F.lit("[b-df-hj-np-tv-z]e\\b")),
+        ),
+    ).cast("int")
 
 
 def _ratios(text: Column) -> tuple[Column, Column, Column, Column]:

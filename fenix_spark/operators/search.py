@@ -149,6 +149,12 @@ def similarity_join_brute(
     row_cap = max_broadcast_rows
     if dim > 0:
         row_cap = min(row_cap, max_broadcast_bytes // (dim * 8))
+    else:
+        # dim unknown until the first collected row: pre-cap at the
+        # byte budget's floor (dim >= 1 → at least 8 bytes/row) so the
+        # fail-path collect can never exceed the declared byte budget
+        # even when the caller lowered it below rows×8.
+        row_cap = min(row_cap, max_broadcast_bytes // 8)
     r_rows = r_proj.limit(row_cap + 1).collect()
     if dim == 0 and r_rows and r_rows[0][1] is not None:
         dim = len(r_rows[0][1])

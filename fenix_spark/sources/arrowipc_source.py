@@ -272,6 +272,11 @@ def _spark_meta_for_extension(name: str, payload: bytes) -> dict | None:
 
     from fenix_spark.sources.msgpack_mini import unpackb
 
+    if not payload:
+        # Named-but-unannotated extension field (metadata key absent):
+        # nothing to decode — skip the annotation rather than crash on
+        # an empty msgpack payload.
+        return None
     if name == "tensor":
         shape = unpackb(payload)
         return {"tensor_shape": [int(d) for d in shape]}

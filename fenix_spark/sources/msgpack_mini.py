@@ -124,6 +124,8 @@ def _pack_int(v: int, out: bytearray) -> None:
 
 
 def unpackb(data: bytes):
+    if not data:
+        raise ValueError("empty msgpack payload")
     obj, pos = _unpack(memoryview(data), 0)
     if pos != len(data):
         raise ValueError(f"trailing bytes after msgpack value ({len(data) - pos})")

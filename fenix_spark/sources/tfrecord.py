@@ -385,11 +385,16 @@ class TFRecordWriter(DataSourceArrowWriter):
 
         pid = TaskContext.get().partitionId()
         os.makedirs(self.path, exist_ok=True)
-        out = os.path.join(
-            self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{self.suffix}"
-        )
+        # Task-commit protocol: write under an underscore-prefixed temp
+        # name (readers skip '_'-files) and rename into place only when
+        # the task's iterator is exhausted. A task that dies mid-write —
+        # even exactly at a record boundary — leaves no readable shard,
+        # in overwrite AND append mode; rename is atomic on posix.
+        base = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{self.suffix}"
+        out = os.path.join(self.path, base)
+        tmp = os.path.join(self.path, "_tmp-" + base)
         n = 0
-        with open(out, "wb") as fh:
+        with open(tmp, "wb") as fh:
             for batch in iterator:
                 cols = {
                     name: batch.column(i).to_pylist()
@@ -406,7 +411,9 @@ class TFRecordWriter(DataSourceArrowWriter):
                     fh.write(_frame(_example(feats)))
                     n += 1
         if n == 0:
-            os.remove(out)  # no empty shards
+            os.remove(tmp)  # no empty shards
+        else:
+            os.replace(tmp, out)
         return _ShardDone()
 
     def commit(self, messages):
@@ -416,7 +423,16 @@ class TFRecordWriter(DataSourceArrowWriter):
             fh.write("")
 
     def abort(self, messages):
-        pass  # partial shards carry unique names; overwrite clears them
+        # Committed shards were renamed into place by tasks that
+        # FINISHED; failed tasks left only '_tmp-'-prefixed files,
+        # which readers already skip — sweep them so an aborted append
+        # leaves the directory byte-identical to before the write.
+        try:
+            for name in os.listdir(self.path):
+                if name.startswith("_tmp-") and name.endswith(self.suffix):
+                    os.remove(os.path.join(self.path, name))
+        except OSError:
+            pass  # directory never created: nothing to clean
 
 
 def _encode_value(name: str, v) -> bytes:

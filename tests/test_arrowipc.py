@@ -422,6 +422,47 @@ def test_export_quint8_extension_wire_form(spark, tmp_path):
     assert got[5] == [5, 6, 7, 8] and len(got) == 10
 
 
+def test_unannotated_extension_field_is_skipped(spark, tmp_path):
+    """A field carrying ARROW:extension:name but NO metadata payload
+    must read cleanly with the annotation skipped — not crash the
+    msgpack decoder on an empty buffer."""
+    import pyarrow.ipc as ipc
+
+    from fenix_spark.sources.arrowipc_source import read_arrow_ipc
+    from fenix_spark.sources.msgpack_mini import unpackb
+
+    # The guard under test lives in OUR metadata path, which only runs
+    # when no pyarrow extension type is registered for the name (a
+    # registered type makes pyarrow itself deserialize — and crash —
+    # during stream open, before our code sees the field). Unregister
+    # so the test is order-independent of the wire-form tests above.
+    try:
+        pa.unregister_extension_type("tensor")
+    except (pa.ArrowKeyError, KeyError):
+        pass
+
+    f = pa.field(
+        "emb",
+        pa.list_(pa.float64(), 2),
+        metadata={b"ARROW:extension:name": b"tensor"},  # no :metadata
+    )
+    t = pa.table(
+        {"id": pa.array([1, 2]), "emb": pa.array([[1.0, 2.0], [3.0, 4.0]])},
+        schema=pa.schema([pa.field("id", pa.int64()), f]),
+    )
+    p = str(tmp_path / "bare.arrow")
+    with ipc.new_stream(p, t.schema) as w:
+        w.write_table(t)
+    back = read_arrow_ipc(spark, p)
+    got = {r["id"]: list(r["emb"]) for r in back.collect()}
+    assert got == {1: [1.0, 2.0], 2: [3.0, 4.0]}
+    from fenix_spark.functions.tensors import shape_of
+
+    assert not shape_of(back, "emb")  # annotation skipped, not invented
+    with pytest.raises(ValueError, match="empty msgpack"):
+        unpackb(b"")
+
+
 def test_msgpack_mini_reference_payload_bytes():
     """Byte-exact pins for the two reference payload shapes (the public
     msgpack encoding msgspec produces for them) + round-trip sweep."""

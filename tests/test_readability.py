@@ -17,11 +17,15 @@ from fenix_spark.functions.readability import (
 
 
 def _py_syllables(text: str) -> int:
-    low = text.lower()
-    groups = len(re.findall(r"[aeiouy]+", low))
-    silent = len(re.findall(r"[b-df-hj-np-tv-z]e\b", low))
-    words = len(text.split())
-    return max(words, groups - silent)
+    # per-word floor, mirroring syllable_estimate exactly
+    total = 0
+    for tok in text.lower().split():
+        if not re.search(r"[a-z0-9]", tok):
+            continue
+        groups = len(re.findall(r"[aeiouy]+", tok))
+        silent = len(re.findall(r"[b-df-hj-np-tv-z]e\b", tok))
+        total += max(1, groups - silent)
+    return total
 
 
 def _py_scores(text: str, n_sentences: int):
@@ -57,13 +61,18 @@ def test_counts_and_scores_match_hand_computation(spark):
 
 def test_syllable_heuristic_cases(spark):
     # mate: 2 vowel groups (a, e) - 1 silent e = 1; see: 1 group, no
-    # consonant+e ending = 1; beautiful: eau+i+u = 3; rhythm: y = 1
+    # consonant+e ending = 1; beautiful: eau+i+u = 3; rhythm: y = 1;
+    # "the" nets 0 (1 group - 1 silent e) but the PER-WORD floor keeps
+    # it at 1. "the beautiful sea" distinguishes per-word from a
+    # global floor: per-word 1+3+1 = 5; a global floor would give
+    # max(3 words, 5 groups - 1 silent) = 4.
     for text, want in (
         ("mate", 1),
         ("see", 1),
         ("beautiful", 3),
         ("rhythm", 1),
         ("the quick brown fox", 4),
+        ("the beautiful sea", 5),
     ):
         assert _stats(spark, text + ".")["n_syllables"] == want, text
 

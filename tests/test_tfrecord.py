@@ -156,6 +156,43 @@ def test_corrupt_records_fail_by_name(tmp_path):
         list(read_records(p))
 
 
+def test_failed_append_leaves_directory_unchanged(spark, tmp_path):
+    """A write that dies mid-task in APPEND mode must leave the target
+    byte-identical: tasks write '_tmp-' names and rename only on
+    completion, so no partial shard — even one truncated exactly at a
+    record boundary — ever carries a readable name."""
+    register_tfrecord(spark)
+    out = str(tmp_path / "shards")
+    base = spark.range(0, 50).select(F.col("id"))
+    base.write.format("tfrecord").mode("overwrite").save(out)
+    before = {
+        f: os.path.getsize(os.path.join(out, f))
+        for f in os.listdir(out)
+        if not f.startswith("_")
+    }
+
+    # raise AFTER some rows have been produced so the task genuinely
+    # writes records before dying (the error expression lives in the
+    # written column itself, so Catalyst cannot prune it away)
+    bad = spark.range(0, 1000).coalesce(1).select(
+        F.when(F.col("id") < 500, F.col("id"))
+        .otherwise(F.raise_error(F.lit("boom")).cast("long"))
+        .alias("id")
+    )
+    with pytest.raises(Exception, match="boom"):
+        bad.write.format("tfrecord").mode("append").save(out)
+
+    after = {
+        f: os.path.getsize(os.path.join(out, f))
+        for f in os.listdir(out)
+        if not f.startswith("_")
+    }
+    assert after == before
+    # and the survivors still read clean
+    got = spark.read.format("tfrecord").schema("id long").load(out).count()
+    assert got == 50
+
+
 def test_unsupported_type_raises_by_column(spark, tmp_path):
     register_tfrecord(spark)
     df = spark.createDataFrame([(1, True)], "id bigint, flag boolean")
