@@ -65,6 +65,12 @@ BENCH_QUERIES = [
     "heavy_hitters",
     "drift_psi",
     "funnel_conversion",
+    # r10 rotations: one-pass Poisson bootstrap + sort-free rank
+    # normalization (tpch_q10 / anti_join rotated out of the oracle;
+    # their join+agg+topk and left-anti shapes stay benched via
+    # tpch_q3/q5 and decontamination).
+    "bootstrap_ci",
+    "quantile_normalize",
 ]
 
 

@@ -2073,6 +2073,111 @@ FROM tau WHERE rn <= 20
 """
 
 
+def _bootstrap_ci_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for total chars per language
+    (operators/bootstrap.bootstrap_ci — Hanley & MacGibbon 2006,
+    the at-scale bootstrap: per-(row, replicate) Poisson(1) weights
+    instead of resample shuffles): 80 replicates in ONE scan + one
+    summary shuffle — each group ships 81 partial sums, never rows.
+    Replicate weights are a pure function of (doc_id, salt) via the
+    same md5→uniform construction as the sampling family, so the whole
+    computation is engine-portable. ``stat='sum'`` keeps every
+    replicate statistic on exact integers (weights 0-10 × integer
+    n_chars, far below 2^53), so estimate/lo/hi are bit-identical
+    doubles on any engine — cast to BIGINT, no rounding anywhere."""
+    from fenix_spark.operators.bootstrap import bootstrap_ci
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = bootstrap_ci(
+        docs,
+        ["lang"],
+        "n_chars",
+        "doc_id",
+        stat="sum",
+        n_boot=80,
+        confidence=0.95,
+        salt="r10",
+    )
+    return out.select(
+        "lang",
+        F.col("estimate").cast("bigint").alias("estimate"),
+        F.col("lo").cast("bigint").alias("lo"),
+        F.col("hi").cast("bigint").alias("hi"),
+        "n_boot",
+    )
+
+
+def _bootstrap_ci_sql() -> str:
+    # The exact Poisson(1) inverse-CDF ladder the Spark expression uses
+    # (operators/bootstrap.POISSON1_CDF), rendered at full double
+    # precision so both engines threshold the same u against the same
+    # constants. The percentile indices are computed by the SAME float
+    # arithmetic as bootstrap_ci (1-0.95 is not exactly 0.05 in
+    # binary: ceil(80*alpha/2) = 3, not 2 — hand-computing the index
+    # silently disagrees with the operator by one order statistic).
+    import math
+
+    from fenix_spark.operators.bootstrap import POISSON1_CDF
+
+    n_boot = 80
+    alpha = 1.0 - 0.95
+    lo_idx = max(1, math.ceil(n_boot * alpha / 2))
+    hi_idx = n_boot - lo_idx + 1
+    ladder = " ".join(
+        f"WHEN u <= {c!r} THEN {k}" for k, c in enumerate(POISSON1_CDF)
+    )
+    return f"""
+WITH base AS (
+    SELECT lang, doc_id, CAST(n_chars AS DOUBLE) AS x
+    FROM documents WHERE n_chars IS NOT NULL
+), weighted AS (
+    SELECT lang, b,
+           sum((CASE {ladder} ELSE 10 END) * x) AS s
+    FROM (
+        SELECT lang, x, t.b,
+               (('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|r10|b' || CAST(t.b AS VARCHAR)), 1, 15))::BIGINT + 1)
+               / 1152921504606846976.0 AS u
+        FROM base CROSS JOIN range(80) t(b)
+    )
+    GROUP BY lang, b
+), reps AS (
+    SELECT lang, list_sort(list(s)) AS ts FROM weighted GROUP BY lang
+), pt AS (
+    SELECT lang, sum(x) AS est FROM base GROUP BY lang
+)
+SELECT p.lang,
+       CAST(p.est AS BIGINT) AS estimate,
+       CAST(ts[{lo_idx}] AS BIGINT) AS lo,
+       CAST(ts[{hi_idx}] AS BIGINT) AS hi,
+       {n_boot} AS n_boot
+FROM reps JOIN pt p USING (lang)
+"""
+
+
+def _quantile_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-free per-language rank normalization
+    (operators/normalize.quantile_normalize): empirical-CDF position
+    of n_chars within its lang via a broadcast KLL sketch — one Arrow
+    sketch pass + one summary merge + a broadcast join, NO per-group
+    window sort of the corpus. k=1024 exceeds the distinct n_chars per
+    lang at both oracle SFs (≤ 501 measured), so the sketch is EXACT
+    and pct_rank equals the window ``cume_dist`` bit-for-bit: the rank
+    is (Σ weight of sketch items ≤ x) / n, a ratio of exact integers —
+    identical doubles on any engine, no rounding anywhere."""
+    from fenix_spark.operators.normalize import quantile_normalize
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = quantile_normalize(docs, ["lang"], "n_chars", k=1024, out_col="pct_rank")
+    return out.select("doc_id", "lang", "n_chars", "pct_rank")
+
+
+_QUANTILE_NORMALIZE_SQL = """
+SELECT doc_id, lang, n_chars,
+       cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS pct_rank
+FROM documents
+"""
+
+
 def _regex_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-function surface: regexp_extract / substring / casts —
     parse the numeric id out of 'Supplier#000000123' names and verify
@@ -3099,10 +3204,23 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (q6/q12 retired for dsir_scores + paragraph_dedup under the
     #  50-row cap, r7 — q6's single-table filter-aggregate arithmetic
     #  stays covered by q1, its pushdown proof by scan_filter_project;
-    #  q12's conditional agg over a key join by q10/curation_stats.)
-    "tpch_q10": _tpch_q10,
+    #  q12's conditional agg over a key join by curation_stats.)
+    # (tpch_q10 retired for bootstrap_ci under the 50-row cap, r10 —
+    #  its plan is a composite of shapes the suite hash-checks every
+    #  round: fact-fact join + groupBy + TakeOrderedAndProject is
+    #  exactly tpch_q3's plan, the customer/nation broadcast dims are
+    #  tpch_q5's, and the discount-revenue arithmetic is q1/q3's; the
+    #  Poisson bootstrap is a whole new estimation family — one-pass
+    #  resampling-without-resampling — whose md5-deterministic weights
+    #  make a full engine-portable mirror possible.)
     "tpch_q18": _tpch_q18,
-    "anti_join": _anti_join,
+    # (anti_join retired for quantile_normalize under the 50-row cap,
+    #  r10 — the left-anti shape stays hash-checked every round twice:
+    #  decontamination ends in the same broadcast left-anti keep-list
+    #  join, and set_ops' EXCEPT arm compiles to the same aggregate-
+    #  on-key anti semantics; sort-free rank normalization is a new
+    #  family — distributed empirical-CDF scoring via mergeable
+    #  sketches — with an exact cume_dist mirror at oracle SFs.)
     "set_ops": _set_ops,
     "rollup_agg": _rollup_agg,
     # (percentile_stats retired for cohort_retention under the 50-row
@@ -3139,6 +3257,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dedup": _substring_dedup,
     "paragraph_dedup": _paragraph_dedup,
     "dsir_scores": _dsir_scores,
+    "bootstrap_ci": _bootstrap_ci_docs,
+    "quantile_normalize": _quantile_normalize_docs,
     "regex_extract_ids": _regex_extract_ids,
     "decontamination": _decontamination,
     "nested_access": _nested_access,
@@ -3192,9 +3312,7 @@ ORACLE_SQL: dict[str, str] = {
     "tpch_q1": _TPCH_Q1_SQL,
     "tpch_q3": _TPCH_Q3_SQL,
     "tpch_q5": _TPCH_Q5_SQL,
-    "tpch_q10": _TPCH_Q10_SQL,
     "tpch_q18": _TPCH_Q18_SQL,
-    "anti_join": _ANTI_JOIN_SQL,
     "set_ops": _SET_OPS_SQL,
     "rollup_agg": _ROLLUP_AGG_SQL,
     "hist_quantiles": _HIST_QUANTILES_SQL,
@@ -3205,6 +3323,8 @@ ORACLE_SQL: dict[str, str] = {
     "substring_dedup": _SUBSTRING_DEDUP_SQL,
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
     "dsir_scores": _dsir_scores_sql(),
+    "bootstrap_ci": _bootstrap_ci_sql(),
+    "quantile_normalize": _QUANTILE_NORMALIZE_SQL,
     "regex_extract_ids": _REGEX_EXTRACT_SQL,
     "decontamination": _decontamination_sql(),
     "nested_access": _NESTED_ACCESS_SQL,
