@@ -49,10 +49,14 @@ def make(root: str, name: str, df: DataFrame, partition_by: Sequence[str] = ()) 
 
 def load(spark: SparkSession, root: str, name: str | Sequence[str]) -> DataFrame:
     """Load one table, or union-all a list of tables by column name
-    (ref: table.load multi-source v-stack, table.py:12-21,29-35)."""
+    (ref: table.load multi-source v-stack, table.py:12-21,29-35).
+    Resolves through the manifest pointer when the table has been
+    compacted (manifest.py) — flat tables read unchanged."""
+    from fenix_spark.manifest import resolve
+
     if isinstance(name, str):
-        return spark.read.parquet(source_path(root, name))
-    dfs = [spark.read.parquet(source_path(root, n)) for n in name]
+        return spark.read.parquet(resolve(source_path(root, name)))
+    dfs = [spark.read.parquet(resolve(source_path(root, n))) for n in name]
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=False), dfs)
 
 
@@ -93,21 +97,30 @@ def compact(
     point-lookups skip whole files; ``zorder_by`` clusters SEVERAL
     columns at once via a Morton key (multi-dimensional pruning).
 
-    Rewrite is copy-then-swap: readers racing the swap see the old or
-    the new files, never a mix (same guarantee level as the
-    reference's whole-file overwrite, table.py:24-26; a real lakehouse
-    deployment would use a table format's atomic commit instead).
+    Rewrite is a MANIFEST COMMIT (manifest.py), object-store-safe: the
+    new files are written into a hidden generation directory (invisible
+    to readers by construction — no staging rename), the ``_CURRENT``
+    pointer is flipped with ONE atomic single-file write, and only then
+    is the superseded data vacuumed. A crash at any step leaves readers
+    on a complete generation: before the flip they see the old table,
+    after it the new one; cleanup failures cost storage, never
+    correctness. Crash-injection tests at every boundary:
+    tests/test_manifest.py. Single writer per table (manifest.py
+    contract): pause a streaming ingest while compacting its table.
     Returns the number of files written.
     """
+    from fenix_spark import manifest
+
     path = source_path(root, name)
+    src_dir = manifest.resolve(path)
     on_disk = sum(
         os.path.getsize(os.path.join(d, f))
-        for d, _, fs in os.walk(path)
+        for d, _, fs in os.walk(src_dir)
         for f in fs
         if f.endswith(".parquet")
     )
     n_files = max(1, -(-on_disk // target_file_bytes))  # ceil
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(src_dir)
     if zorder_by:
         # multi-column clustering: range-partition + sort by the Morton
         # key so EVERY zorder_by column gets narrow per-file min/max
@@ -126,10 +139,10 @@ def compact(
         out = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
     else:
         out = df.repartition(n_files)
-    tmp = path + "__compacting"
-    out.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    gen, staging = manifest.begin(path)
+    out.write.mode("overwrite").parquet(staging)
+    manifest.commit(path, gen)
+    manifest.vacuum(path)
     return n_files
 
 
@@ -233,13 +246,22 @@ def make_bloom_index(
     the catalog."""
     import json
 
+    from fenix_spark import manifest
     from fenix_spark.sources.file_bloom import build_file_bloom
 
-    idx = build_file_bloom(spark, source_path(root, name), column, m_bits, k)
+    idx = build_file_bloom(
+        spark, manifest.resolve(source_path(root, name)), column, m_bits, k
+    )
     p = bloom_index_path(root, name, column)
-    idx.write.mode("overwrite").parquet(p)
-    with open(os.path.join(p, "_geometry.json"), "w") as f:
+    # manifest commit from the first build: the geometry sidecar is
+    # written INTO the generation before the pointer flips, so a
+    # half-built index is never resolvable
+    gen, staging = manifest.begin(p)
+    idx.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, "_geometry.json"), "w") as f:
         json.dump({"m_bits": m_bits, "k": k, "column": column}, f)
+    manifest.commit(p, gen)
+    manifest.vacuum(p)
 
 
 def refresh_bloom_index(
@@ -250,33 +272,35 @@ def refresh_bloom_index(
     using the stored geometry."""
     import json
 
+    from fenix_spark import manifest
     from fenix_spark.sources.file_bloom import append_file_bloom
 
     p = bloom_index_path(root, name, column)
-    with open(os.path.join(p, "_geometry.json")) as f:
+    live = manifest.resolve(p)
+    with open(os.path.join(live, "_geometry.json")) as f:
         geo = json.load(f)
-    idx = spark.read.parquet(p)
+    idx = spark.read.parquet(live)
     new = append_file_bloom(
-        spark, idx, source_path(root, name), column, geo["m_bits"], geo["k"]
+        spark,
+        idx,
+        manifest.resolve(source_path(root, name)),
+        column,
+        geo["m_bits"],
+        geo["k"],
     )
-    # the new index READS the old: stage distributed into a sibling
-    # dir, then swap — never a driver-side collect of index rows.
-    # Crash-safe ordering: the geometry sidecar is written INTO the
-    # staging dir before any rename, then the live dir is moved aside
-    # (not deleted) before the staging dir takes its place — a crash at
-    # any step leaves a readable index WITH its geometry at either the
-    # live path or the .old path; nothing is deleted until the new
-    # index is fully in place.
-    tmp = p + ".staging"
-    new.write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(tmp, "_geometry.json"), "w") as f:
+    # the new index READS the old, so the write must not disturb it:
+    # the new generation is written in place (hidden dir — no rename,
+    # object-store-safe), geometry sidecar INSIDE it before the
+    # single-file pointer flip. A crash at any step leaves the pointer
+    # on a complete index WITH its geometry; vacuum afterwards only
+    # garbage-collects (tests/test_manifest.py injects a crash at
+    # every boundary).
+    gen, staging = manifest.begin(p)
+    new.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, "_geometry.json"), "w") as f:
         json.dump(geo, f)
-    old = p + ".old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(p, old)
-    os.rename(tmp, p)
-    shutil.rmtree(old)
+    manifest.commit(p, gen)
+    manifest.vacuum(p)
 
 
 def bloom_point_lookup(
@@ -287,16 +311,24 @@ def bloom_point_lookup(
     full-scan filter."""
     import json
 
+    from fenix_spark import manifest
     from fenix_spark.sources.file_bloom import point_lookup
 
     p = bloom_index_path(root, name, column)
-    with open(os.path.join(p, "_geometry.json")) as f:
+    live = manifest.resolve(p)
+    with open(os.path.join(live, "_geometry.json")) as f:
         geo = json.load(f)
     if geo["column"] != column:
         raise ValueError(
             f"index at {p} was built for column {geo['column']!r}, not {column!r}"
         )
-    idx = spark.read.parquet(p)
+    idx = spark.read.parquet(live)
     return point_lookup(
-        spark, source_path(root, name), column, values, idx, geo["m_bits"], geo["k"]
+        spark,
+        manifest.resolve(source_path(root, name)),
+        column,
+        values,
+        idx,
+        geo["m_bits"],
+        geo["k"],
     )

@@ -63,10 +63,33 @@ def stream_ingest(
     the catalog location batch readers use (catalog.py). With
     ``available_now`` the query drains everything currently available
     and stops: deterministic for tests and backfills; pass False for a
-    continuously running ingest."""
+    continuously running ingest.
+
+    COMPACTED TABLES REFUSE FILE-SINK APPENDS (loud, not silent): the
+    parquet file-sink keeps its own ``_spark_metadata`` transaction log
+    and batch readers of a sink-owned directory trust ONLY that log —
+    a sink started inside a compacted generation would make the
+    compacted files invisible to every reader (split-brain, measured in
+    tests/test_manifest.py). The 100 TB pattern is base + delta:
+    continue ingesting into a sibling table (``<name>_delta``) and read
+    ``catalog.load(spark, root, [name, delta])`` — then fold the union
+    into a new base with ``catalog.make`` + ``compact`` when the delta
+    grows, and restart the delta sink fresh."""
+    from fenix_spark.catalog import source_path
+    from fenix_spark.manifest import current_gen
+
+    path = source_path(root, name)
+    if current_gen(path) is not None:
+        raise ValueError(
+            f"table {name!r} has been compacted (manifest-managed): the "
+            "parquet file-sink's _spark_metadata log cannot adopt the "
+            "compacted files, so appending here would hide them from "
+            "readers. Ingest into a sibling delta table and union via "
+            f"catalog.load(spark, root, [{name!r}, '<delta>'])."
+        )
     writer = (
         df.writeStream.format("parquet")
-        .option("path", f"{root}/sources/{name}")
+        .option("path", path)
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )

@@ -42,6 +42,13 @@ QUERIES = [
     "similarity_join_topk",
     "embedding_neardup",
     "tpch_q5",
+    # r10 (VERDICT r09 #2): the dedup/text rows a 100 TB pipeline
+    # leans on hardest — all scan the replicated documents table.
+    "substring_dedup",
+    "decontamination",
+    "heavy_hitters",
+    "drift_psi",
+    "tfidf_top_terms",
 ]
 
 
@@ -103,6 +110,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     _build_sf1(spark)
 
+    queries = list(QUERIES)
+    for i, a in enumerate(sys.argv):
+        if a == "--only" and i + 1 < len(sys.argv):
+            wanted = sys.argv[i + 1].split(",")
+            queries = [q for q in queries if q in wanted]
+
     from fenix_spark.artifacts import ensure_artifacts
     from fenix_spark.plans.inspect import broadcast_join_count, shuffle_count
     from fenix_spark.suite import SPARK_QUERIES
@@ -112,7 +125,7 @@ def main() -> None:
 
     print(f"| query | sf0.1 wall | sf1 wall | ratio | shuffles 0.1→1 | bcast 0.1→1 | rows 0.1→1 |")
     print("|---|---|---|---|---|---|---|")
-    for name in QUERIES:
+    for name in queries:
         fn = SPARK_QUERIES[name]
         rec = {}
         for label, sf in (("a", SF01), ("b", SF1)):

@@ -130,13 +130,16 @@ def test_bucketed_overwrite_and_load(spark, root):
 def test_compact_merges_small_files_and_sorts(spark, root):
     """Many small ingest files → few size-targeted files; with sort_by,
     per-file key ranges are disjoint so min/max stats prune lookups."""
+    from fenix_spark import manifest
+
     df = spark.range(10_000).select(F.col("id").alias("k"), F.rand(7).alias("v"))
     df.repartition(64).write.mode("overwrite").parquet(catalog.source_path(root, "c"))
     path = catalog.source_path(root, "c")
     n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
     assert n_before == 64
     catalog.compact(spark, root, "c", target_file_bytes=1 << 30, sort_by=["k"])
-    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    live = manifest.resolve(path)  # compaction commits a manifest generation
+    files = [f for f in os.listdir(live) if f.endswith(".parquet")]
     assert len(files) == 1
     back = catalog.load(spark, root, "c")
     assert back.count() == 10_000
@@ -156,11 +159,14 @@ def test_compact_range_partitions_are_disjoint(spark, root):
     )
     n = catalog.compact(spark, root, "d", target_file_bytes=on_disk // 4, sort_by=["k"])
     assert n >= 3
+    from fenix_spark import manifest
+
+    live = manifest.resolve(path)
     ranges = []
-    for f in sorted(os.listdir(path)):
+    for f in sorted(os.listdir(live)):
         if not f.endswith(".parquet"):
             continue
-        md = pq.read_metadata(os.path.join(path, f))
+        md = pq.read_metadata(os.path.join(live, f))
         mins = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
         maxs = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
         ranges.append((mins, maxs))
@@ -268,14 +274,16 @@ def test_catalog_bloom_index_lifecycle(spark, tmp_path):
         ).collect()
     )
     assert got == [5, 10_050]
-    # crash-safe swap leaves a clean state: geometry lives IN the
-    # index dir, and no .staging/.old residue survives a clean refresh
+    # manifest commit leaves a clean state: geometry lives IN the
+    # committed generation, and a clean refresh vacuums the old one
     import os as _os
 
+    from fenix_spark import manifest
+
     p = catalog.bloom_index_path(root, "t", "k")
-    assert _os.path.exists(_os.path.join(p, "_geometry.json"))
-    assert not _os.path.exists(p + ".staging")
-    assert not _os.path.exists(p + ".old")
+    live = manifest.resolve(p)
+    assert _os.path.exists(_os.path.join(live, "_geometry.json"))
+    assert manifest.list_gens(p) == [manifest.current_gen(p)]
     # wrong column is loud
     import pytest as _pytest
 

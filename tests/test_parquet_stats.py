@@ -138,7 +138,9 @@ def test_zorder_compact_improves_two_column_pruning(spark, tmp_path):
     catalog.compact(
         spark, root, "t", target_file_bytes=16 << 10, zorder_by=["x", "y"]
     )
-    path = catalog.source_path(root, "t")
+    from fenix_spark import manifest
+
+    path = manifest.resolve(catalog.source_path(root, "t"))
     f_x = pruning_fraction(pruning_report(spark, path, "x", 0, 60))
     f_y = pruning_fraction(pruning_report(spark, path, "y", 0, 60))
     # z-order gives BOTH dimensions real pruning power
