@@ -121,3 +121,141 @@ def test_batch_python_mirror(spark):
         assert rows[t]["n_syllables"] == syl
         assert rows[t]["fre"] == pytest.approx(fre, abs=1e-3)
         assert rows[t]["ari"] == pytest.approx(ari, abs=1e-3)
+
+
+def _duckdb_readability_sql(table: str = "docs") -> str:
+    """Full DuckDB mirror of readability_stats — the rotation-candidate
+    oracle (VERDICT r09 #7). RE2 has no lookbehind, so the sentence
+    rule is re-expressed in two lookaround-free passes: (1) NEUTRALIZE
+    guarded terminals — an abbreviation-dot or single-initial-dot
+    immediately before whitespace becomes '#' (these positions are
+    exactly where the Spark regex's bounded lookbehinds suppress the
+    split; neutralizing without consuming the following word keeps
+    ADJACENT guards countable — 'J. R. Hartley' needs both); then (2)
+    count candidate boundaries (terminal [+closers] + space + opener)
+    on the cleaned text. Closers between dot and space disable the
+    guard in both formulations (the replace requires dot-then-space,
+    the lookbehind window ends at the closer)."""
+    from fenix_spark.functions.sentences import _ABBREV
+
+    closers = "[\"'”’)\\]]{0,2}"
+    opener = "[\"'“‘(\\[]*[A-Z0-9À-Þ]"
+    abbrevs = "|".join(a.replace(".", "\\.") for a in _ABBREV)
+
+    def q(pat: str) -> str:  # SQL string literal: '' escapes '
+        return pat.replace("'", "''")
+
+    candidate = q(f"[.!?…]{closers}\\s+(?:{opener})")
+    abbrev_neut = q(f"\\b({abbrevs})\\.(\\s)")
+    initial_neut = q("\\b([A-Z])\\.(\\s)")
+    cleaned = (
+        "regexp_replace(regexp_replace(text, "
+        f"'{abbrev_neut}', '\\1#\\2', 'g'), "
+        f"'{initial_neut}', '\\1#\\2', 'g')"
+    )
+    wordpred = "[\\p{L}\\p{N}]"
+    syl = (
+        "list_sum(list_transform("
+        "  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+        f"              t -> regexp_matches(t, '{wordpred}')),"
+        "  t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))"
+        "                 - len(regexp_extract_all(t, '[b-df-hj-np-tv-z]e\\b')))"
+        "))"
+    )
+    return f"""
+    WITH counts AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> regexp_matches(t, '{wordpred}'))) AS w,
+               1 + len(regexp_extract_all({cleaned}, '{candidate}')) AS s,
+               coalesce({syl}, 0) AS syl,
+               len(regexp_extract_all(text, '\\S')) AS chars,
+               len(regexp_extract_all(lower(text), '[a-z]')) AS letters
+        FROM {table}
+    )
+    SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,
+           round(206.835 - 1.015 * (w / CAST(s AS DOUBLE))
+                         - 84.6 * (syl / CAST(w AS DOUBLE)), 3) AS fre,
+           round(0.39 * (w / CAST(s AS DOUBLE))
+                 + 11.8 * (syl / CAST(w AS DOUBLE)) - 15.59, 3) AS fk_grade,
+           round(4.71 * (chars / CAST(w AS DOUBLE))
+                 + 0.5 * (w / CAST(s AS DOUBLE)) - 21.43, 3) AS ari,
+           round(0.0588 * (letters / CAST(w AS DOUBLE) * 100)
+                 - 0.296 * (s / CAST(w AS DOUBLE) * 100) - 15.8, 3) AS cli
+    FROM counts WHERE w > 0 AND s > 0
+    ORDER BY doc_id
+    """
+
+
+def test_duckdb_mirror_on_documents_corpus(spark):
+    """Rotation-candidate proof (VERDICT r09 #7): the FULL readability
+    pipeline — tokenize, sentence-split (lookbehind-free RE2
+    reformulation), per-word syllables, all four published formulas —
+    mirrored in DuckDB and compared row-by-row on the real sf0.001
+    documents corpus. Counts must match exactly; scores to 3dp (the
+    operator's own rounding)."""
+    import duckdb
+
+    from fenix_spark.functions.readability import readability_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in readability_stats(docs, "text")
+        .where(F.col("n_words") > 0)
+        .where(F.col("n_sentences") > 0)
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW docs AS SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = con.execute(_duckdb_readability_sql()).fetchall()
+    assert len(want) == len(got) > 0
+    for doc_id, w, s, syl, fre, fkgl, ari, cli in want:
+        g = got[doc_id]
+        assert g["n_words"] == w, doc_id
+        assert g["n_sentences"] == s, doc_id
+        assert g["n_syllables"] == syl, doc_id
+        assert g["fre"] == pytest.approx(fre, abs=2e-3), doc_id
+        assert g["fk_grade"] == pytest.approx(fkgl, abs=2e-3), doc_id
+        assert g["ari"] == pytest.approx(ari, abs=2e-3), doc_id
+        assert g["cli"] == pytest.approx(cli, abs=2e-3), doc_id
+
+
+def test_duckdb_mirror_on_adversarial_texts(spark):
+    """The mirror holds on the boundary-rule stress cases too:
+    abbreviations, initials, closers between terminal and space,
+    decimals, ellipses, unicode quotes."""
+    import duckdb
+
+    from fenix_spark.functions.readability import readability_stats
+
+    texts = [
+        "Dr. Smith went home. He slept.",
+        "J. R. Hartley wrote it. Nobody read it!",
+        'He said "stop." Then he left.',
+        "Pi is 3.14 roughly. Use 2.71 for e.",
+        "Wait… Really? Yes. e.g. this one works.",
+        "Costs rose (see Fig. 2) sharply. Prices fell.",
+        "“Quoted start.” And another sentence.",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r for r in readability_stats(docs, "text").collect()
+    }
+    con = duckdb.connect()
+    con.register("docs_src", __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]))
+    con.execute("CREATE VIEW docs AS SELECT * FROM docs_src")
+    want = con.execute(_duckdb_readability_sql()).fetchall()
+    assert len(want) == len(texts)
+    for doc_id, w, s, syl, *_scores in want:
+        g = got[doc_id]
+        assert (g["n_words"], g["n_sentences"], g["n_syllables"]) == (w, s, syl), (
+            doc_id,
+            texts[doc_id],
+        )
