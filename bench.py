@@ -153,7 +153,11 @@ def _child_main() -> None:
     # min of back-to-back runs is the standard load-noise filter and
     # tracks the data-proportional cost. The adaptive third run only
     # triggers for queries a noise spike actually hit.
-    from fenix_spark.operators.runstats import stage_snapshot, stats_since
+    from fenix_spark.operators.runstats import (
+        skew_findings,
+        stage_snapshot,
+        stats_since,
+    )
 
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
@@ -196,6 +200,11 @@ def _child_main() -> None:
                     "spill_disk": sum(s.spill_disk_bytes for s in stats),
                     "stages": len(stats),
                 }
+                # stragglers / hot shuffle partitions / any spill —
+                # the per-query skew report, only when non-empty
+                finds = skew_findings(stats)
+                if finds:
+                    raw_bytes[name]["findings"] = finds
         if abs(runs[0] - runs[1]) > 0.3 * min(runs):
             start = time.perf_counter()
             SPARK_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
