@@ -126,10 +126,48 @@ class Server:
     def _table_schema(self, name: str):
         return self.store.read_table(name).limit(0).toArrow().schema
 
+    # flush threshold for streamed puts: bounds driver memory to one
+    # buffer regardless of upload size (tests lower it to force the
+    # multi-flush path)
+    put_flush_bytes: int = 128 << 20
+
     def _do_put(self, descriptor, reader) -> None:
+        """Streamed ingest with BOUNDED driver memory: batches buffer
+        up to ``put_flush_bytes`` then flush (first flush overwrites,
+        later ones append) — a 100 GB put never holds 100 GB on the
+        driver, same shape as the arrow-IPC ingest in
+        sources/readers.py."""
+        import pyarrow as pa
+
         name = descriptor.path[0].decode()
-        table = _normalize_arrow(reader.read_all())
-        self.store.make_table(name, self.spark.createDataFrame(table))
+        from fenix_spark.catalog import source_path
+
+        target = source_path(self.store.root, name)
+        rb = reader.to_reader()
+        buf: list = []
+        nbytes = 0
+        first = True
+
+        def flush() -> None:
+            nonlocal buf, nbytes, first
+            if not buf:
+                return
+            tbl = _normalize_arrow(pa.Table.from_batches(buf))
+            mode = "overwrite" if first else "append"
+            self.spark.createDataFrame(tbl).write.mode(mode).parquet(target)
+            buf, nbytes, first = [], 0, False
+
+        for batch in rb:
+            buf.append(batch)
+            nbytes += batch.nbytes
+            if nbytes >= self.put_flush_bytes:
+                flush()
+        if first and not buf:
+            # empty stream: still create the (empty) table with schema
+            tbl = _normalize_arrow(rb.schema.empty_table())
+            self.spark.createDataFrame(tbl).write.mode("overwrite").parquet(target)
+            return
+        flush()
 
     def _spec_df(self, spec: dict):
         flt = spec.get("filter")

@@ -155,6 +155,34 @@ def test_drop_index_drops_coder_and_indexes(spark, served, vectors):
     assert "code8" not in st.list_coders()
 
 
+def test_streamed_put_with_bounded_buffer(served, monkeypatch):
+    """A put larger than the flush threshold lands through multiple
+    overwrite-then-append flushes — driver memory stays bounded by one
+    buffer — and the table is byte-complete afterwards."""
+    server, client, _ = served
+    monkeypatch.setattr(server, "put_flush_bytes", 1 << 10)  # 1 KB
+    n = 5000
+    t = pa.table({"id": list(range(n)), "payload": [f"row-{i:06d}" for i in range(n)]})
+    reader = pa.RecordBatchReader.from_batches(
+        t.schema, t.to_batches(max_chunksize=250)  # 20 batches, many flushes
+    )
+    client.make_table("bigput", reader)
+    back = client.read_table("bigput").read_all()
+    assert back.num_rows == n
+    assert sorted(back.column("id").to_pylist()) == list(range(n))
+    got = dict(zip(back.column("id").to_pylist(), back.column("payload").to_pylist()))
+    assert got[4321] == "row-004321"
+
+
+def test_empty_put_creates_empty_table_with_schema(served):
+    _, client, _ = served
+    t = pa.table({"id": pa.array([], pa.int64()), "s": pa.array([], pa.string())})
+    client.make_table("emptyput", t)
+    back = client.read_table("emptyput").read_all()
+    assert back.num_rows == 0
+    assert set(back.schema.names) == {"id", "s"}
+
+
 def test_launch_builds_server_and_serves(tmp_path, monkeypatch):
     """The launcher (ref launch.py:12-17): builds a session + server
     over the root and blocks in serve(). serve() is stubbed so the
