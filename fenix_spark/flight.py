@@ -55,7 +55,6 @@ from fenix_spark.store import Store
 __all__ = ["Server", "Client", "launch"]
 
 _BATCH_ROWS = 1 << 16
-_MAX_LOOPED_TARGETS = 16
 
 
 def _require_flight():
@@ -235,14 +234,26 @@ class Server:
                 query_id="__qid",
                 right_id=spec.get("id_col") or "vec_id",
             ).withColumnRenamed("query_id", "query_index")
+        elif coding is None and len(targets) > 1:
+            # brute multi-target: ONE corpus scan with the query matrix
+            # broadcast (operators.search.batch_knn_brute) — no
+            # per-target plan loop; its max_targets cap stays the loud
+            # bound for absurd query sets (use an index instead)
+            from fenix_spark.operators.search import batch_knn_brute
+
+            corpus = self.store.read_table(source)
+            if common["filter"] is not None:
+                corpus = corpus.where(common["filter"])
+            rid = spec.get("id_col") or "vec_id"
+            out = batch_knn_brute(
+                corpus, column, targets, metric=metric, k=k, right_id=rid
+            )
+            sel = spec.get("select")
+            if sel:
+                # the result is N×k rows — joining the selected columns
+                # back is a broadcast join against one more corpus scan
+                out = out.join(corpus.select(rid, *sel), rid)
         else:
-            if len(targets) > _MAX_LOOPED_TARGETS:
-                raise ValueError(
-                    f"do_exchange without coding loops one brute k-NN plan "
-                    f"per target, capped at {_MAX_LOOPED_TARGETS} "
-                    f"(got {len(targets)}); build an index and pass "
-                    "coding= for the batched cell equi-join path"
-                )
             parts = []
             for i, t in enumerate(targets):
                 one = self.store.search(

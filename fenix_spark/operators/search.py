@@ -261,3 +261,123 @@ def similarity_join(
         .where(F.col("rank") <= k)
         .select("left_id", "right_id", dist_col, "rank")
     )
+
+
+def batch_knn_brute(
+    corpus: DataFrame,
+    column: str,
+    targets: Sequence[Sequence[float]],
+    metric: str = "l2",
+    k: int = 10,
+    right_id: str = "vec_id",
+    dist_col: str = DISTANCE_COL,
+    round_to: int | None = None,
+    max_targets: int = 1024,
+    chunk_rows: int = 2048,
+) -> DataFrame:
+    """Exact k-NN for MANY query vectors in ONE corpus scan — the
+    TRANSPOSE of ``similarity_join_brute``: there the RIGHT side
+    broadcasts and top-k lands per left row; here the QUERY matrix
+    broadcasts (N×d doubles — driver-trivial, ``max_targets``-capped)
+    and the corpus streams through a per-partition GEMM keeping a
+    running top-k PER QUERY. Only ``partitions × N × k`` candidate
+    rows ever leave the scan; one summary window picks the global
+    top-k. The corpus never shuffles and nothing N×|corpus|-sized
+    ever exists.
+
+    Determinism: ties break by ascending id, matching ``knn``. Inside
+    the scan each chunk is sorted by id and selected with a STABLE
+    argsort, so equal-distance candidates survive in id order; the
+    per-partition merge and the final window order by (distance, id).
+
+    Output: (query_index, <right_id>, <dist_col>, rank), rank 1..k per
+    query_index = position in ``targets``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    tmat = np.asarray([list(t) for t in targets], dtype="float64")
+    if tmat.ndim != 2 or len(tmat) == 0:
+        raise ValueError("targets must be a non-empty list of vectors")
+    n_q = len(tmat)
+    if n_q > max_targets:
+        raise ValueError(
+            f"batch_knn_brute caps the broadcast query matrix at "
+            f"{max_targets} targets (got {n_q}); raise max_targets or "
+            "use an index (operators.index.batch_probe_search) for "
+            "query sets that large"
+        )
+    if metric not in ("l2", "euclidean", "cosine", "dot", "inner_product"):
+        raise ValueError(f"unknown metric {metric!r}")
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(tmat)
+    out_schema = (
+        f"query_index int, {right_id} bigint, {dist_col} double, rank int"
+    )
+
+    def gen(batches):
+        t = bc.value
+        t_sq = (t * t).sum(axis=1)
+        t_norm = np.sqrt(t_sq)
+        # per-query candidate buffers across the partition's chunks
+        cand_d: list = []
+        cand_i: list = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("__rid", kind="mergesort")
+            for lo in range(0, len(pdf), chunk_rows):
+                part = pdf.iloc[lo : lo + chunk_rows]
+                cmat = np.asarray(part["__vec"].tolist(), dtype="float64")
+                cids = part["__rid"].to_numpy()
+                gram = cmat @ t.T  # rows × N
+                if metric in ("l2", "euclidean"):
+                    c_sq = (cmat * cmat).sum(axis=1)
+                    dmat = np.sqrt(
+                        np.maximum(c_sq[:, None] + t_sq[None, :] - 2.0 * gram, 0.0)
+                    )
+                elif metric == "cosine":
+                    c_norm = np.linalg.norm(cmat, axis=1)
+                    dmat = 0.5 - 0.5 * gram / (c_norm[:, None] * t_norm[None, :])
+                else:
+                    dmat = -gram
+                if round_to is not None:
+                    dmat = dmat.round(round_to) + 0.0
+                kk = min(k, len(cids))
+                # rows are id-sorted, so the STABLE sort keeps
+                # equal-distance candidates in ascending-id order
+                order = np.argsort(dmat, axis=0, kind="stable")[:kk]  # kk×N
+                cand_d.append(np.take_along_axis(dmat, order, axis=0))
+                cand_i.append(cids[order])
+        if not cand_d:
+            return
+        all_d = np.concatenate(cand_d, axis=0)  # C×N
+        all_i = np.concatenate(cand_i, axis=0)
+        out_q, out_i, out_d, out_r = [], [], [], []
+        for q in range(all_d.shape[1]):
+            sel = np.lexsort((all_i[:, q], all_d[:, q]))[:k]
+            out_q.extend([q] * len(sel))
+            out_i.extend(all_i[sel, q])
+            out_d.extend(all_d[sel, q])
+            out_r.extend(range(1, len(sel) + 1))
+        yield pd.DataFrame(
+            {
+                "query_index": np.asarray(out_q, dtype="int32"),
+                right_id: out_i,
+                dist_col: out_d,
+                "rank": np.asarray(out_r, dtype="int32"),
+            }
+        )
+
+    src = corpus.select(
+        F.col(right_id).alias("__rid"), vec_double(column).alias("__vec")
+    )
+    partial = src.mapInPandas(gen, out_schema)
+    w = Window.partitionBy("query_index").orderBy(
+        F.col(dist_col).asc(), F.col(right_id).asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_index", "rank")
+    )

@@ -138,11 +138,38 @@ def test_indexed_batch_search_over_the_wire(spark, served, vectors):
         assert by_q[qi][0] == vid  # self is the nearest at full probes
 
 
-def test_brute_multi_target_cap_is_loud(served, vectors):
+def test_brute_multi_target_matches_per_target_knn(spark, served, vectors):
+    """Brute search with MANY targets runs as ONE corpus scan
+    (batch_knn_brute) and must equal the per-target knn loop."""
+    _, client, root = served
+    items = list(vectors.items())[:20]
+    got = client.search(
+        [v for _, v in items], "vecs", "embedding", maxval=3, id_col="vec_id"
+    )
+    by_q = {}
+    for r in got.to_pylist():
+        by_q.setdefault(r["query_index"], []).append(r["vec_id"])
+    st = Store(spark, root)
+    for qi, (vid, v) in enumerate(items):
+        want = [
+            r["vec_id"]
+            for r in st.search(
+                "vecs", "embedding", v, maxval=3, id_col="vec_id"
+            ).collect()
+        ]
+        assert by_q[qi] == want, qi
+        assert by_q[qi][0] == vid
+
+
+def test_brute_target_flood_is_loud(served, vectors):
+    """The query-matrix broadcast keeps a loud bound: absurd target
+    counts are refused with routing guidance, not silently looped."""
     _, client, _ = served
-    many = [v for v in list(vectors.values())[:17]]
-    with pytest.raises((fl.FlightServerError, pa.lib.ArrowInvalid), match="coding"):
-        client.search(many, "vecs", "embedding", maxval=2)
+    one = next(iter(vectors.values()))
+    with pytest.raises(
+        (fl.FlightServerError, pa.lib.ArrowInvalid), match="max_targets"
+    ):
+        client.search([one] * 1100, "vecs", "embedding", maxval=2)
 
 
 def test_drop_index_drops_coder_and_indexes(spark, served, vectors):

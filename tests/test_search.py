@@ -131,3 +131,60 @@ def test_similarity_join_brute_empty_right(spark):
         [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
     )
     assert similarity_join_brute(left, right, "embedding", k=2).count() == 0
+
+
+@pytest.mark.parametrize("metric", ["l2", "cosine", "dot"])
+def test_batch_knn_brute_matches_numpy(embeddings, emb_np, metric):
+    """Transposed brute batch-KNN (query-side broadcast, one corpus
+    scan): every query's top-k equals the numpy exact answer with the
+    (distance, id) tie order."""
+    from fenix_spark.operators.search import batch_knn_brute
+
+    ids, mat, _ = emb_np
+    targets = [mat[i].tolist() for i in range(0, 40, 7)]
+    out = batch_knn_brute(
+        embeddings, "embedding", targets, metric=metric, k=5, right_id="vec_id"
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_index"], []).append(r["vec_id"])
+    t = np.array(targets)
+    if metric == "l2":
+        d = np.sqrt(((mat[None, :, :] - t[:, None, :]) ** 2).sum(axis=2))
+    elif metric == "cosine":
+        d = 0.5 - 0.5 * (t @ mat.T) / (
+            np.linalg.norm(t, axis=1)[:, None] * np.linalg.norm(mat, axis=1)[None, :]
+        )
+    else:
+        d = -(t @ mat.T)
+    for qi in range(len(targets)):
+        order = np.lexsort((ids, d[qi]))[:5]
+        assert by_q[qi] == list(ids[order]), (metric, qi)
+
+
+def test_batch_knn_brute_tie_break_is_id_stable(spark):
+    """Many corpus rows at EXACTLY the same distance: the returned k
+    must be the lowest ids, independent of partitioning/chunking —
+    the stable-argsort + id-sorted-chunk contract."""
+    from fenix_spark.operators.search import batch_knn_brute
+
+    # 60 identical vectors (distance ties everywhere), shuffled layout
+    rows = [(int(i), [1.0, 2.0]) for i in range(59, -1, -1)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>").repartition(7)
+    out = batch_knn_brute(
+        df, "embedding", [[1.0, 2.0]], metric="l2", k=4, right_id="vec_id",
+        chunk_rows=3,  # force many chunks inside each partition
+    ).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 2, 3]
+    assert all(r["rank"] == i + 1 for i, r in enumerate(out))
+
+
+def test_batch_knn_brute_guards(spark, embeddings):
+    from fenix_spark.operators.search import batch_knn_brute
+
+    with pytest.raises(ValueError, match="max_targets"):
+        batch_knn_brute(
+            embeddings, "embedding", [[0.0] * 4] * 11, k=2, max_targets=10
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        batch_knn_brute(embeddings, "embedding", [], k=2)
