@@ -89,7 +89,7 @@ def test_compact_zorder_by(spark, tmp_path):
     )
     catalog.make(root, "t", df)
     n = compact(spark, root, "t", target_file_bytes=4 << 10, zorder_by=["a", "b"])
-    back = spark.read.parquet(catalog.source_path(root, "t"))
+    back = catalog.load(spark, root, "t")  # resolves the manifest commit
     assert back.count() == 2000 and set(back.columns) == {"a", "b"}
     assert n >= 1
     with pytest.raises(ValueError, match="not both"):
