@@ -112,6 +112,19 @@ class Server:
                         outer._table_schema(name), fld.for_path(name), [], -1, -1
                     )
 
+            def get_flight_info(self, ctx, descriptor):
+                # the reference raises NotImplementedError here
+                # (flight.py:24-28); serving the schema + endpoint is
+                # strictly more useful and costs one limit(0) plan
+                name = descriptor.path[0].decode()
+                return fl.FlightInfo(
+                    outer._table_schema(name),
+                    descriptor,
+                    [fl.FlightEndpoint(name, [outer.grpc])],
+                    -1,
+                    -1,
+                )
+
         self.spark = spark
         self.store = Store(spark, root)
         self._impl = _Impl(location=f"grpc://{host}:{port}")

@@ -66,6 +66,18 @@ def test_read_with_sql_filter_and_select(served):
     assert sorted(r["id"] for r in rows) == want
 
 
+def test_flight_info_and_listing_surface(served):
+    """get_flight_info serves the table schema (the reference raises
+    NotImplementedError there); list_flights enumerates tables."""
+    server, client, _ = served
+    info = client.conn.get_flight_info(fl.FlightDescriptor.for_path("people"))
+    assert set(info.schema.names) == {"id", "val", "name"}
+    listed = {
+        f.descriptor.path[0].decode() for f in client.conn.list_flights()
+    }
+    assert "people" in listed
+
+
 def test_multi_source_union(served):
     _, client, _ = served
     client.make_table("a1", pa.table({"k": [1, 2], "s": ["x", "y"]}))
