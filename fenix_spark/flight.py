@@ -265,7 +265,10 @@ class Server:
             if sel:
                 # the result is N×k rows — joining the selected columns
                 # back is a broadcast join against one more corpus scan
-                out = out.join(corpus.select(rid, *sel), rid)
+                # (re-sorted after: the join drops the rank order)
+                out = out.join(corpus.select(rid, *sel), rid).orderBy(
+                    "query_index", "rank"
+                )
         else:
             parts = []
             for i, t in enumerate(targets):

@@ -371,7 +371,7 @@ def batch_knn_brute(
 
     src = corpus.select(
         F.col(right_id).alias("__rid"), vec_double(column).alias("__vec")
-    )
+    ).where(F.col("__vec").isNotNull())  # null vectors match nothing, like knn
     partial = src.mapInPandas(gen, out_schema)
     w = Window.partitionBy("query_index").orderBy(
         F.col(dist_col).asc(), F.col(right_id).asc()

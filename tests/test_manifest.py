@@ -113,6 +113,24 @@ def test_crash_after_commit_before_vacuum_serves_new_table(spark, root, monkeypa
     assert _ids(spark, root) == before
 
 
+def test_make_after_compact_resets_to_flat_layout(spark, root):
+    """catalog.make (full overwrite) on a manifest-managed table wipes
+    the pointer with the rest of the directory — the table returns to
+    flat layout and reads correctly through load either way."""
+    _mk(spark, root, n=100, files=2)
+    catalog.compact(spark, root, "t", target_file_bytes=1 << 30)
+    assert manifest.current_gen(catalog.source_path(root, "t")) == 1
+    df2 = spark.range(7).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    catalog.make(root, "t", df2)
+    path = catalog.source_path(root, "t")
+    assert manifest.current_gen(path) is None  # pointer gone with the dir
+    assert _ids(spark, root) == list(range(7))
+    # and the flat table can be compacted again from scratch
+    catalog.compact(spark, root, "t", target_file_bytes=1 << 30)
+    assert manifest.current_gen(path) == 1
+    assert _ids(spark, root) == list(range(7))
+
+
 def test_package_aliases_run_the_full_protocol(tmp_path):
     """The package-level names (manifest_begin/commit/resolve/vacuum —
     aliased to avoid colliding with versions.vacuum) drive one full
