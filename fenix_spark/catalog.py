@@ -112,6 +112,17 @@ def compact(
     from fenix_spark import manifest
 
     path = source_path(root, name)
+    if spark.catalog.tableExists(bucketed_table_name(name)):
+        # a bucketed table's rows live at this same path but its
+        # bucket metadata lives in the session catalog, which lists
+        # the location NON-recursively — moving the files into a
+        # hidden generation would silently empty spark.table() reads
+        raise ValueError(
+            f"table {name!r} is bucketed ({bucketed_table_name(name)}): "
+            "compaction would strand its metastore listing. Rewrite it "
+            "with make_bucketed (bucketing already fixes file count "
+            "and co-location) instead of compact()."
+        )
     src_dir = manifest.resolve(path)
     on_disk = sum(
         os.path.getsize(os.path.join(d, f))
@@ -143,6 +154,13 @@ def compact(
     out.write.mode("overwrite").parquet(staging)
     manifest.commit(path, gen)
     manifest.vacuum(path)
+    # a file-level bloom index cannot survive a rewrite of the file
+    # set (its rows name the OLD files, which the vacuum just
+    # removed): drop the sidecar so the next lookup fails loudly with
+    # "rebuild me" instead of resolving stale paths mid-query
+    bloom = os.path.join(path, "_bloom")
+    if os.path.isdir(bloom):
+        shutil.rmtree(bloom)
     return n_files
 
 

@@ -125,10 +125,18 @@ class Server:
                     -1,
                 )
 
+        import collections
+
         self.spark = spark
         self.store = Store(spark, root)
         self._impl = _Impl(location=f"grpc://{host}:{port}")
-        self._state: dict[str, dict] = {}
+        # per-peer session state, LRU-bounded: peers are ip:ephemeral-
+        # port strings (unique per CONNECTION) and disconnects are
+        # invisible to the server, so an unbounded dict grows with
+        # total connections served. 1024 live set-* sessions is far
+        # beyond any real concurrency; older ones age out.
+        self._state: "collections.OrderedDict[str, dict]" = collections.OrderedDict()
+        self._state_cap = 1024
         self.host = host
         self.port = self._impl.port
         self.grpc = f"grpc://{host}:{self.port}"
@@ -136,6 +144,19 @@ class Server:
     # ---------------------------------------------------------- verbs
 
     def _table_schema(self, name: str):
+        # footer read, not a Spark plan: list_flights over a 50-table
+        # store must not run 50 plan-compile/execute round-trips
+        import os
+
+        import pyarrow.parquet as pq
+
+        from fenix_spark.catalog import source_path
+        from fenix_spark.manifest import resolve
+
+        d = resolve(source_path(self.store.root, name))
+        for entry in sorted(os.listdir(d)):
+            if entry.endswith(".parquet") and not entry.startswith(("_", ".")):
+                return pq.read_schema(os.path.join(d, entry))
         return self.store.read_table(name).limit(0).toArrow().schema
 
     # flush threshold for streamed puts: bounds driver memory to one
@@ -144,42 +165,46 @@ class Server:
     put_flush_bytes: int = 128 << 20
 
     def _do_put(self, descriptor, reader) -> None:
-        """Streamed ingest with BOUNDED driver memory: batches buffer
-        up to ``put_flush_bytes`` then flush (first flush overwrites,
-        later ones append) — a 100 GB put never holds 100 GB on the
-        driver, same shape as the arrow-IPC ingest in
-        sources/readers.py."""
+        """Streamed ingest, ATOMIC and memory-bounded: batches buffer
+        up to ``put_flush_bytes`` then append into a hidden manifest
+        GENERATION; the pointer flips only when the stream completes.
+        A 100 GB put never holds more than one buffer on the driver,
+        and a connection dropped mid-stream leaves the previous table
+        intact (the orphan generation is vacuumed by the next commit) —
+        the same crash contract as catalog.compact."""
         import pyarrow as pa
 
-        name = descriptor.path[0].decode()
+        from fenix_spark import manifest
         from fenix_spark.catalog import source_path
 
-        target = source_path(self.store.root, name)
+        name = descriptor.path[0].decode()
+        path = source_path(self.store.root, name)
+        gen, staging = manifest.begin(path)
         rb = reader.to_reader()
         buf: list = []
         nbytes = 0
-        first = True
+        wrote = False
 
         def flush() -> None:
-            nonlocal buf, nbytes, first
+            nonlocal buf, nbytes, wrote
             if not buf:
                 return
             tbl = _normalize_arrow(pa.Table.from_batches(buf))
-            mode = "overwrite" if first else "append"
-            self.spark.createDataFrame(tbl).write.mode(mode).parquet(target)
-            buf, nbytes, first = [], 0, False
+            self.spark.createDataFrame(tbl).write.mode("append").parquet(staging)
+            buf, nbytes, wrote = [], 0, True
 
         for batch in rb:
             buf.append(batch)
             nbytes += batch.nbytes
             if nbytes >= self.put_flush_bytes:
                 flush()
-        if first and not buf:
+        flush()
+        if not wrote:
             # empty stream: still create the (empty) table with schema
             tbl = _normalize_arrow(rb.schema.empty_table())
-            self.spark.createDataFrame(tbl).write.mode("overwrite").parquet(target)
-            return
-        flush()
+            self.spark.createDataFrame(tbl).write.mode("append").parquet(staging)
+        manifest.commit(path, gen)
+        manifest.vacuum(path)
 
     def _spec_df(self, spec: dict):
         flt = spec.get("filter")
@@ -236,17 +261,33 @@ class Server:
                 [(i, t) for i, t in enumerate(targets)],
                 f"__qid bigint, {column} array<double>",
             )
-            out = batch_probe_search(
-                queries,
-                indexed,
-                self.store.read_coder(coding),
-                column,
-                metric=metric,
-                k=k,
-                probes=int(spec.get("probes") or 8),
-                query_id="__qid",
-                right_id=spec.get("id_col") or "vec_id",
-            ).withColumnRenamed("query_id", "query_index")
+            rid = spec.get("id_col") or "vec_id"
+            out = (
+                batch_probe_search(
+                    queries,
+                    indexed,
+                    self.store.read_coder(coding),
+                    column,
+                    metric=metric,
+                    k=k,
+                    probes=int(spec.get("probes") or 8),
+                    query_id="__qid",
+                    right_id=rid,
+                )
+                .withColumnRenamed("query_id", "query_index")
+                # one wire schema across the multi-target branches: the
+                # id column keeps its REAL name, never 'right_id'
+                .withColumnRenamed("right_id", rid)
+            )
+            sel = spec.get("select")
+            if sel:
+                # N×k result rows — joining the selected columns back
+                # is a broadcast join; re-sorted after (joins drop it).
+                # Without this the batched path silently swallowed the
+                # select spec the other two branches honor.
+                out = out.join(indexed.select(rid, *sel), rid).orderBy(
+                    "query_index", "rank"
+                )
         elif coding is None and len(targets) > 1:
             # brute multi-target: ONE corpus scan with the query matrix
             # broadcast (operators.search.batch_knn_brute) — no
@@ -318,7 +359,11 @@ class Server:
         elif kind.startswith("set-") and kind[4:] in (
             "coding", "column", "filter", "select",
         ):
-            self._state.setdefault(ctx.peer(), {})[kind[4:]] = cfg[kind[4:]]
+            peer = ctx.peer()
+            self._state.setdefault(peer, {})[kind[4:]] = cfg[kind[4:]]
+            self._state.move_to_end(peer)
+            while len(self._state) > self._state_cap:
+                self._state.popitem(last=False)
         elif kind.startswith("del-") and kind[4:] in (
             "coding", "column", "filter", "select",
         ):

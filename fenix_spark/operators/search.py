@@ -311,9 +311,17 @@ def batch_knn_brute(
         raise ValueError(f"unknown metric {metric!r}")
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(tmat)
+    # id column keeps its real Spark type (string ids are as common as
+    # bigints in document corpora)
+    id_type = corpus.schema[right_id].dataType.simpleString()
     out_schema = (
-        f"query_index int, {right_id} bigint, {dist_col} double, rank int"
+        f"query_index int, {right_id} {id_type}, {dist_col} double, rank int"
     )
+
+    # candidate buffers compact back to k rows per query whenever they
+    # exceed this many rows — partition size never enters the memory
+    # bound (the docstring's partitions×N×k story, enforced)
+    reduce_at = max(64, 8 * k)
 
     def gen(batches):
         t = bc.value
@@ -322,6 +330,23 @@ def batch_knn_brute(
         # per-query candidate buffers across the partition's chunks
         cand_d: list = []
         cand_i: list = []
+
+        def _reduce(limit: int):
+            nonlocal cand_d, cand_i
+            all_d = np.concatenate(cand_d, axis=0)
+            all_i = np.concatenate(cand_i, axis=0)
+            keep = min(limit, all_d.shape[0])
+            red_d = np.empty((keep, all_d.shape[1]))
+            red_i = np.empty((keep, all_i.shape[1]), dtype=all_i.dtype)
+            for q in range(all_d.shape[1]):
+                sel = sorted(
+                    range(all_d.shape[0]),
+                    key=lambda i: (all_d[i, q], all_i[i, q]),
+                )[:keep]
+                red_d[:, q] = all_d[sel, q]
+                red_i[:, q] = all_i[sel, q]
+            cand_d, cand_i = [red_d], [red_i]
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -349,17 +374,18 @@ def batch_knn_brute(
                 order = np.argsort(dmat, axis=0, kind="stable")[:kk]  # kk×N
                 cand_d.append(np.take_along_axis(dmat, order, axis=0))
                 cand_i.append(cids[order])
+                if sum(c.shape[0] for c in cand_d) >= reduce_at:
+                    _reduce(k)
         if not cand_d:
             return
-        all_d = np.concatenate(cand_d, axis=0)  # C×N
-        all_i = np.concatenate(cand_i, axis=0)
+        _reduce(k)
+        all_d, all_i = cand_d[0], cand_i[0]  # k×N after the reduce
         out_q, out_i, out_d, out_r = [], [], [], []
         for q in range(all_d.shape[1]):
-            sel = np.lexsort((all_i[:, q], all_d[:, q]))[:k]
-            out_q.extend([q] * len(sel))
-            out_i.extend(all_i[sel, q])
-            out_d.extend(all_d[sel, q])
-            out_r.extend(range(1, len(sel) + 1))
+            out_q.extend([q] * all_d.shape[0])
+            out_i.extend(all_i[:, q])
+            out_d.extend(all_d[:, q])
+            out_r.extend(range(1, all_d.shape[0] + 1))
         yield pd.DataFrame(
             {
                 "query_index": np.asarray(out_q, dtype="int32"),

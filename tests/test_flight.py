@@ -143,7 +143,9 @@ def test_indexed_batch_search_over_the_wire(spark, served, vectors):
     )
     by_q = {}
     for r in got.to_pylist():
-        by_q.setdefault(r["query_index"], []).append(r["right_id"])
+        # one wire schema across branches: the id column keeps its
+        # real name ('vec_id'), never the internal 'right_id'
+        by_q.setdefault(r["query_index"], []).append(r["vec_id"])
     assert set(by_q) == {0, 1, 2}
     for qi, (vid, _v) in enumerate(items):
         assert len(by_q[qi]) == 4
@@ -211,6 +213,34 @@ def test_streamed_put_with_bounded_buffer(served, monkeypatch):
     assert sorted(back.column("id").to_pylist()) == list(range(n))
     got = dict(zip(back.column("id").to_pylist(), back.column("payload").to_pylist()))
     assert got[4321] == "row-004321"
+
+
+def test_failed_put_leaves_previous_table_intact(spark, served, monkeypatch):
+    """do_put is ATOMIC: flushes land in a hidden manifest generation
+    and the pointer flips only at end-of-stream — a connection dropped
+    mid-upload (simulated at the commit boundary) leaves the previous
+    table contents untouched; the retry supersedes the orphan."""
+    from fenix_spark import manifest
+
+    server, client, root = served
+    base = pa.table({"id": [1, 2, 3], "s": ["a", "b", "c"]})
+    client.make_table("atomic", base)
+    real_commit = manifest.commit
+
+    def boom(p, g):
+        raise OSError("injected put crash before commit")
+
+    monkeypatch.setattr(manifest, "commit", boom)
+    bad = pa.table({"id": [9], "s": ["zz"]})
+    with pytest.raises(Exception, match="injected"):
+        client.make_table("atomic", bad)
+    back = client.read_table("atomic").read_all()
+    assert sorted(back.column("id").to_pylist()) == [1, 2, 3]  # old data
+
+    monkeypatch.setattr(manifest, "commit", real_commit)
+    client.make_table("atomic", bad)
+    back = client.read_table("atomic").read_all()
+    assert back.column("id").to_pylist() == [9]  # replaced atomically
 
 
 def test_empty_put_creates_empty_table_with_schema(served):

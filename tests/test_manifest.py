@@ -264,3 +264,35 @@ def test_vacuum_sweeps_stale_sink_log(spark, root, tmp_path):
     catalog.compact(spark, root, "s", target_file_bytes=1 << 30)
     assert not os.path.exists(os.path.join(path, "_spark_metadata"))
     assert _ids(spark, root, "s") == list(range(300))
+
+
+def test_compact_refuses_bucketed_tables(spark, root):
+    """Bucketed rows live at the same path but the metastore lists the
+    location non-recursively — compaction would silently empty
+    spark.table() reads, so it refuses loudly."""
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") % 5).alias("v"))
+    catalog.make_bucketed(spark, root, "bt", df, "k", buckets=4)
+    with pytest.raises(ValueError, match="bucketed"):
+        catalog.compact(spark, root, "bt", target_file_bytes=1 << 30)
+    assert catalog.load_bucketed(spark, "bt").count() == 100
+
+
+def test_compact_invalidates_stale_bloom_sidecar(spark, root):
+    """A file-level bloom index names the pre-compact files; after the
+    rewrite the sidecar is dropped so the next lookup fails loudly
+    with 'rebuild me' instead of resolving vacuumed paths mid-query."""
+    _mk(spark, root, n=500, files=4)
+    catalog.make_bloom_index(spark, root, "t", "k", m_bits=1 << 14)
+    got = sorted(
+        r.k for r in catalog.bloom_point_lookup(spark, root, "t", "k", [5]).collect()
+    )
+    assert got == [5]
+    catalog.compact(spark, root, "t", target_file_bytes=1 << 30)
+    with pytest.raises(FileNotFoundError):
+        catalog.bloom_point_lookup(spark, root, "t", "k", [5])
+    # rebuild works against the committed generation
+    catalog.make_bloom_index(spark, root, "t", "k", m_bits=1 << 14)
+    got = sorted(
+        r.k for r in catalog.bloom_point_lookup(spark, root, "t", "k", [5]).collect()
+    )
+    assert got == [5]

@@ -188,3 +188,35 @@ def test_batch_knn_brute_guards(spark, embeddings):
         )
     with pytest.raises(ValueError, match="non-empty"):
         batch_knn_brute(embeddings, "embedding", [], k=2)
+
+
+def test_batch_knn_brute_string_ids_and_buffer_reduction(spark):
+    """String id columns keep their type end-to-end, and the in-scan
+    candidate-buffer reduction (forced by tiny chunk_rows on many
+    chunks) changes nothing about the result."""
+    from fenix_spark.operators.search import batch_knn_brute
+
+    rows = [(f"doc-{i:04d}", [float(i), float(i % 13)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id string, v array<double>").repartition(3)
+    out = batch_knn_brute(
+        df, "v", [[7.0, 7.0], [250.0, 3.0]], metric="l2", k=3,
+        right_id="doc_id", chunk_rows=16,  # ~9 chunks/partition → reductions fire
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_index"], []).append(r["doc_id"])
+    mat = np.array([v for _, v in rows])
+    ids = np.array([d for d, _ in rows])
+    for qi, t in enumerate([[7.0, 7.0], [250.0, 3.0]]):
+        d = np.sqrt(((mat - np.array(t)) ** 2).sum(axis=1))
+        want = [ids[i] for i in sorted(range(len(ids)), key=lambda i: (d[i], ids[i]))[:3]]
+        assert by_q[qi] == want, qi
+
+
+def test_batch_knn_brute_skips_null_vectors(spark):
+    from fenix_spark.operators.search import batch_knn_brute
+
+    rows = [(1, [0.0, 0.0]), (2, None), (3, [1.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, v array<double>")
+    out = batch_knn_brute(df, "v", [[0.0, 0.0]], k=5, right_id="vec_id").collect()
+    assert [r["vec_id"] for r in out] == [1, 3]
