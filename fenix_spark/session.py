@@ -136,3 +136,52 @@ def apply_confs(spark: SparkSession, rec: dict) -> SparkSession:
                 "apply_confs: conf %s=%s refused: %s", k, v, exc
             )
     return spark
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship the ``fenix_spark`` package to executor Python workers via
+    ``addPyFile`` — idempotent per session.
+
+    Why: Arrow-batched closures that reference module-level helpers
+    (e.g. the KLL builder in operators/sketches.py) pickle those
+    helpers BY MODULE REFERENCE, so the worker interpreter must be
+    able to ``import fenix_spark``. Our own sessions run with the repo
+    as cwd and never notice; a FOREIGN session (the correctness
+    driver, a user's Flight server launched from another directory, a
+    real multi-machine cluster) has no such guarantee — this is the
+    standard Spark mechanism for it, and on a 1000-executor cluster
+    it is how the package gets there at all. The zip is rebuilt at
+    most once per driver process (mtime-checked), ~100s of KB of .py
+    sources."""
+    sc = spark.sparkContext
+    includes = getattr(sc, "_python_includes", None) or []
+    if any("fenix_spark_pkg" in str(inc) for inc in includes):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_dir)
+    out = os.path.join(
+        tempfile.gettempdir(), f"fenix_spark_pkg-{os.getuid()}.zip"
+    )
+    newest = max(
+        (
+            os.path.getmtime(os.path.join(d, f))
+            for d, _, fs in os.walk(pkg_dir)
+            for f in fs
+            if f.endswith(".py")
+        ),
+        default=0.0,
+    )
+    if not os.path.exists(out) or os.path.getmtime(out) < newest:
+        tmp = out + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for d, _, fs in os.walk(pkg_dir):
+                for f in sorted(fs):
+                    if f.endswith(".py"):
+                        full = os.path.join(d, f)
+                        z.write(full, os.path.relpath(full, parent))
+        os.replace(tmp, out)
+    sc.addPyFile(out)

@@ -45,6 +45,9 @@ class Store:
     ``sources/ codings/ indexes/``)."""
 
     def __init__(self, spark: SparkSession, root: str):
+        from fenix_spark.session import ensure_package_shipped
+
+        ensure_package_shipped(spark)  # foreign sessions: workers must import us
         self.spark = spark
         self.root = root
 
