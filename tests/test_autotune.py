@@ -195,3 +195,40 @@ def test_ivfpq_chosen_config_is_cheapest_on_frontier(spark, pq_setup):
         if (probes, rer) == (out["probes"], out["rerank"]):
             break
         assert rec < target, (probes, rer, rec)
+
+
+def test_tune_ivfpq_residual_search_hook(spark, tmp_path_factory):
+    """The search= hook tunes the RESIDUAL IVF-PQ variant with the
+    same frontier machinery: monotone in rerank, exact at full
+    probes + corpus-deep rerank."""
+    from fenix_spark.operators.autotune import tune_ivfpq
+    from fenix_spark.operators.index import (
+        build_ivfpq_residual_index,
+        ivfpq_residual_search,
+        train_residual_coding,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    coarse = train_coding(
+        emb, "embedding",
+        CodingConfig(metric="l2", codebook_size=4, num_codebooks=1, seed=3),
+    )
+    fine = train_residual_coding(
+        emb, "embedding", coarse,
+        CodingConfig(metric="l2", codebook_size=16, num_codebooks=2, seed=5),
+    )
+    path = str(tmp_path_factory.mktemp("atres") / "idx")
+    build_ivfpq_residual_index(emb, "embedding", coarse, fine, path)
+    indexed = spark.read.parquet(path)
+    n = emb.count()
+    out = tune_ivfpq(
+        indexed, coarse, fine, "embedding",
+        target_recall=1.0, k=5, n_queries=6, max_rerank=n,
+        search=ivfpq_residual_search,
+    )
+    assert out["met"] is True and out["recall"] == 1.0
+    by_probes = {}
+    for probes, _rer, rec in out["frontier"]:
+        by_probes.setdefault(probes, []).append(rec)
+    for recs in by_probes.values():
+        assert all(b >= a - 1e-9 for a, b in zip(recs, recs[1:]))
