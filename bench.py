@@ -178,6 +178,25 @@ def _child_main() -> None:
     for _ in range(2000):
         hashlib.md5(_buf).digest()
     cpu_md5_sec = round(time.perf_counter() - _t0, 4)
+    # Multithreaded variant: hashlib releases the GIL on large buffers,
+    # so 16 threads measure AGGREGATE host throughput — the dimension
+    # the single-thread probe misses (r10 close observed the GEMM rows
+    # degrade ~3x on identical code/bytes while cpu_md5_sec held
+    # steady: host-level SMT/steal pressure only shows up under
+    # parallel load).
+    import threading
+
+    def _mt_work():
+        for _ in range(1000):
+            hashlib.md5(_buf).digest()
+
+    _threads = [threading.Thread(target=_mt_work) for _ in range(16)]
+    _t0 = time.perf_counter()
+    for th in _threads:
+        th.start()
+    for th in _threads:
+        th.join()
+    cpu_md5_mt_sec = round(time.perf_counter() - _t0, 4)
     for name in bench_queries:
         runs = []
         loads = []
@@ -235,6 +254,7 @@ def _child_main() -> None:
                 "load_1m": load_1m,
                 "ts_start": ts_start,
                 "cpu_md5_sec": cpu_md5_sec,
+                "cpu_md5_mt_sec": cpu_md5_mt_sec,
                 "loadavg_start": loadavg_start,
                 "loadavg_end": [round(v, 2) for v in os.getloadavg()],
                 "sf": sf,

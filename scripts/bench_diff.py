@@ -44,6 +44,9 @@ def main() -> None:
     print(f"wall: {old.get('value')}s -> {new.get('value')}s")
     print(f"cpu_md5_sec: {cpu(old)} -> {cpu(new)}  "
           f"(host speed ratio {round(cpu(new) / cpu(old), 2) if cpu(old) and cpu(new) else 'n/a'})")
+    mo, mn = old.get("cpu_md5_mt_sec"), new.get("cpu_md5_mt_sec")
+    print(f"cpu_md5_mt_sec: {mo} -> {mn}  (parallel-throughput ratio "
+          f"{round(mn / mo, 2) if mo and mn else 'n/a'} — GEMM/Arrow rows track THIS one)")
     print(f"loadavg_start: {old.get('loadavg_start')} -> {new.get('loadavg_start')}")
     print()
     common = sorted(set(old["queries"]) & set(new["queries"]))
