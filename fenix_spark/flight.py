@@ -65,9 +65,15 @@ def _require_flight():
 
 def _normalize_arrow(table):
     """Fixed-size-list columns → plain lists (Spark's Arrow ingest
-    speaks variable lists); chunked → combined."""
+    speaks variable lists); chunked → combined. Duplicate column
+    names raise (the dict-based rebuild would silently keep only the
+    last one)."""
     import pyarrow as pa
 
+    names = table.schema.names
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate column names in upload: {dupes}")
     cols = []
     fields = []
     for i, f in enumerate(table.schema):
