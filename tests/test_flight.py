@@ -276,3 +276,92 @@ def test_pickle_free_wire_contract(served):
         client._action("make-anything", payload="x")
     # tickets are JSON or bare names; JSON bodies parse as JSON
     assert json.loads(json.dumps({"source": "people"})) == {"source": "people"}
+
+
+def test_migrated_reference_store_served_over_the_wire(spark, tmp_path):
+    """The complete switching story through the NETWORK entry point: a
+    reference-layout store (arrow IPC + real torch-format coding +
+    positional index sidecar) migrates torch-free, a Flight server
+    mounts the migrated root, and a client searches it over gRPC —
+    indexed probe-all search equals the brute result, byte-for-byte
+    with the driver-API Store."""
+    import importlib.util
+    import os
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "ttp_fixture", os.path.join(os.path.dirname(__file__), "test_torchpickle.py")
+    )
+    ttp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ttp)
+
+    from fenix_spark.sources.migrate import migrate_reference_store
+
+    rng = np.random.default_rng(29)
+    n_rows, dim, k, nb = 120, 8, 4, 2
+    vecs = rng.normal(size=(n_rows, dim)).astype(np.float32)
+    cents = rng.normal(size=(nb, k, dim // nb)).astype(np.float32)
+
+    def joint_codes(v):
+        subs = v.reshape(len(v), nb, dim // nb)
+        codes = np.zeros(len(v), dtype=np.int64)
+        for j in range(nb):
+            d = ((subs[:, j, None, :] - cents[j][None, :, :]) ** 2).sum(-1)
+            codes = codes * k + d.argmin(1)
+        return codes
+
+    ref = str(tmp_path / "ref")
+    os.makedirs(os.path.join(ref, "sources"))
+    os.makedirs(os.path.join(ref, "codings"))
+    os.makedirs(os.path.join(ref, "indexes", "emb", "embedding"))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n_rows), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), pa.float32()), dim
+            ),
+        }
+    )
+    with pa.OSFile(os.path.join(ref, "sources", "emb.arrow"), "wb") as f:
+        with pa.ipc.new_stream(f, t.schema) as w:
+            w.write_table(t)
+    ttp.torch_save(
+        os.path.join(ref, "codings", "pq.torch"),
+        ttp._coding_obj(cents, metric="l2", column=pa.list_(pa.float32(), dim)),
+    )
+    side = pa.table({"__CODED_ID__": pa.array(joint_codes(vecs), pa.int64())})
+    with pa.OSFile(os.path.join(ref, "indexes", "emb", "embedding", "pq.arrow"), "wb") as f:
+        with pa.ipc.new_stream(f, side.schema) as w:
+            w.write_table(side)
+
+    out = str(tmp_path / "migrated")
+    migrate_reference_store(spark, ref, out)
+
+    server = Server(spark, out, port=0)
+    client = Client(port=server.port)
+    try:
+        assert client.list_tables() == ["emb"]
+        back = client.read_table("emb").read_all()
+        assert back.num_rows == n_rows
+
+        target = vecs[7].astype(float).tolist()
+        wire_brute = client.search(
+            target, "emb", "embedding", maxval=5, id_col="vec_id"
+        )
+        wire_probed = client.search(
+            target, "emb", "embedding", maxval=5, coding="pq",
+            probes=k**nb, id_col="vec_id",
+        )
+        ids_brute = wire_brute.column("vec_id").to_pylist()
+        ids_probe = wire_probed.column("vec_id").to_pylist()
+        assert ids_brute == ids_probe
+        assert ids_brute[0] == 7  # self first
+        # wire == driver-API Store, exactly
+        local = Store(spark, out).search(
+            "emb", "embedding", target, maxval=5, id_col="vec_id"
+        )
+        assert ids_brute == [r["vec_id"] for r in local.collect()]
+    finally:
+        client.close()
+        server.shutdown()
