@@ -71,6 +71,11 @@ BENCH_QUERIES = [
     # tpch_q3/q5 and decontamination).
     "bootstrap_ci",
     "quantile_normalize",
+    # r11 rotation: the full readability pipeline (guarded sentence
+    # split + higher-order syllable aggregate — the heaviest pure
+    # scalar-regex row; regex_extract_ids rotated out of the oracle,
+    # its surface subsumed here).
+    "readability_scores",
 ]
 
 
@@ -327,7 +332,28 @@ def main() -> None:
     if errs:
         payload["log_errors"] = errs
         payload["log_errors_detail"] = f"see {err_path}"
+    # The driver records only the LAST ~2000 bytes of stdout; the full
+    # payload (raw_runs/raw_bytes/load_1m per query) is ~6 KB, so a
+    # single full-payload line truncates at the head and fails to parse
+    # (BENCH_r9/r10 both recorded "parsed": null).  Write the full
+    # payload to a sidecar artifact, print it on a NON-final line for
+    # humans running bench.py directly, and make the final stdout line
+    # a compact summary that always fits the tail capture.
+    full_path = os.path.join(repo, "_artifacts", "bench_last_full.json")
+    with open(full_path, "w") as f:
+        json.dump(payload, f)
     print(json.dumps(payload))
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": payload["queries"],
+        "sf": payload["sf"],
+        "full": os.path.relpath(full_path, repo),
+    }
+    if errs:
+        compact["log_errors"] = errs
+    print(json.dumps(compact))
     sys.exit(proc.returncode)
 
 

@@ -16,11 +16,34 @@ physical partition pruning at any scale.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 from collections.abc import Iterator, Sequence
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Table/coder/index names become filesystem path segments, and on the
+# Flight wire they arrive from UNTRUSTED clients (descriptors, tickets,
+# action bodies).  Validating here — the single chokepoint every path
+# helper goes through — means no caller can be tricked into joining
+# '../../x' or '/etc' under the store root (read, write via
+# manifest.begin's makedirs, or rmtree via drop-table/remove).  One
+# path segment only: no separators, no '..', must not start with '.'
+# (dot-prefixed entries are reader-invisible by the manifest contract).
+_NAME_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9_.-]*\Z")
+
+
+def check_name(name: str) -> str:
+    """Validate a catalog name used as a single path segment; returns
+    the name so call sites can stay expressions. Raises ValueError on
+    anything that could escape the store root."""
+    if not isinstance(name, str) or not _NAME_RE.match(name) or ".." in name:
+        raise ValueError(
+            f"invalid catalog name {name!r}: must match [A-Za-z0-9][A-Za-z0-9_.-]* "
+            "with no '..' (names are single path segments under the store root)"
+        )
+    return name
 
 
 def _sources_dir(root: str) -> str:
@@ -28,15 +51,17 @@ def _sources_dir(root: str) -> str:
 
 
 def source_path(root: str, name: str) -> str:
-    return os.path.join(root, "sources", name)
+    return os.path.join(root, "sources", check_name(name))
 
 
 def coding_path(root: str, name: str) -> str:
-    return os.path.join(root, "codings", name)
+    return os.path.join(root, "codings", check_name(name))
 
 
 def index_path(root: str, source: str, column: str, coding: str) -> str:
-    return os.path.join(root, "indexes", source, column, coding)
+    return os.path.join(
+        root, "indexes", check_name(source), check_name(column), check_name(coding)
+    )
 
 
 def make(root: str, name: str, df: DataFrame, partition_by: Sequence[str] = ()) -> None:

@@ -32,22 +32,38 @@ wire protocol is a contract:
   the state is keyed by the gRPC peer; the ticket may also carry the
   whole spec as JSON (the stateless form ``Client.read_table`` uses).
 
-Scale shape: this is a SERVING surface (control plane + result
-delivery), not a bulk-transfer path — ``do_get`` materializes the
-result on the driver before streaming (Arrow batches of 64k rows).
-Bulk data belongs in parquet/Arrow-IPC files read by the engines
-directly; a search result or a dimension table fits the driver by
-definition of the use case. ``do_exchange`` runs the k-NN on the
-CLUSTER (partition-pruned probe search / batched cell equi-join) and
-only the top-k rows ever reach the driver.
+Scale shape: ``do_get`` STREAMS, it never materializes the result on
+the driver. A plain table read (no filter/select/coding) streams
+record batches straight from the table's own parquet files — zero
+Spark job, zero copy, any table size. A computed read (filter/select)
+is SPOOLED by a distributed parquet write (executors do the work,
+pushdown shrinks it) into a hidden dir, streamed batch-wise, then
+removed. In both paths the driver holds AT MOST ONE record batch,
+sized to ``Server.get_budget_bytes``; a single batch that exceeds the
+budget even at one row (a giant binary cell) raises loudly instead of
+OOMing. ``do_put`` flushes under ``put_flush_bytes``; ``do_exchange``
+runs the k-NN on the CLUSTER (partition-pruned probe search / batched
+cell equi-join) and only the top-k × ``exchange_max_targets`` rows
+ever reach the driver.
+
+Security boundary: table/coder names are validated as single path
+segments at the catalog chokepoint (``catalog.check_name``) so wire
+clients cannot escape the store root; wire filter strings are parsed
+by Spark's expression parser with JVM-reflection functions
+(``reflect``/``java_method``) rejected; ``launch()`` binds 127.0.0.1
+by default — pass an explicit host to expose the server, and treat
+anything non-loopback as trusted-network-only (the protocol is
+unauthenticated, like the reference's).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import re
 from collections.abc import Sequence
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
 from fenix_spark.store import Store
@@ -55,6 +71,26 @@ from fenix_spark.store import Store
 __all__ = ["Server", "Client", "launch"]
 
 _BATCH_ROWS = 1 << 16
+
+# Spark's expression parser exposes JVM static-method invocation as SQL
+# functions; a wire filter like "reflect('java.lang.Runtime', ...)"
+# would be remote code execution — exactly the hazard the JSON protocol
+# exists to remove. Matched case-insensitively, with optional backtick
+# quoting, in call position.
+_FORBIDDEN_FN = re.compile(r"(?i)(`?)\b(reflect|java_method)\b\1\s*\(")
+
+
+def _wire_filter(flt: str) -> Column:
+    """Parse a wire-supplied filter string, rejecting expressions that
+    reach JVM reflection. Everything else is an ordinary Spark SQL
+    expression — the same strings DuckDB can read."""
+    m = _FORBIDDEN_FN.search(flt)
+    if m:
+        raise ValueError(
+            f"filter rejected: function {m.group(2)!r} invokes arbitrary JVM "
+            "methods and is not allowed over the wire"
+        )
+    return F.expr(flt)
 
 
 def _require_flight():
@@ -132,9 +168,21 @@ class Server:
                 )
 
         import collections
+        import glob
+        import shutil
 
         self.spark = spark
         self.store = Store(spark, root)
+        # spool writes must come back as timestamp[us, tz=UTC] so the
+        # per-batch cast to the toArrow()-derived wire schema is exact
+        # (INT96 would read back as naive nanoseconds)
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        # spool dirs from a crashed previous server are garbage by
+        # construction (streams don't survive the process)
+        for stale in glob.glob(os.path.join(root, ".get-spool-*")):
+            shutil.rmtree(stale, ignore_errors=True)
         self._impl = _Impl(location=f"grpc://{host}:{port}")
         # per-peer session state, LRU-bounded: peers are ip:ephemeral-
         # port strings (unique per CONNECTION) and disconnects are
@@ -222,9 +270,91 @@ class Server:
             source,
             coding=spec.get("coding"),
             column=spec.get("column"),
-            filter=F.expr(flt) if flt else None,
+            filter=_wire_filter(flt) if flt else None,
             select=sel,
         )
+
+    # Per-materialized-batch driver budget for do_get. The verb accepts
+    # ANY table name — a read_table("lineitem") against a 100 TB store
+    # must stream, not collect — so results are served batch-wise and
+    # no single Arrow batch may exceed this on the driver (tests shrink
+    # it to force the multi-batch path and the loud-raise case). Same
+    # discipline as put_flush_bytes and similarity_join_brute's budget.
+    get_budget_bytes: int = 32 << 20
+
+    def _direct_dataset(self, spec: dict):
+        """A plain single-table read (no filter/select/coding) can be
+        served straight from the table's own parquet files — zero Spark
+        job, zero copy, any table size. Returns None when the spec
+        needs compute or the layout isn't flat parquet (partitioned
+        dirs fall back to the spool path for hive-partition handling)."""
+        if any(spec.get(k) for k in ("filter", "select", "coding", "column")):
+            return None
+        source = spec.get("source")
+        if not isinstance(source, str) or ":" in source:
+            return None
+        import os
+
+        import pyarrow.dataset as ds
+
+        from fenix_spark.catalog import source_path
+        from fenix_spark.manifest import resolve
+
+        d = resolve(source_path(self.store.root, source))
+        entries = sorted(os.listdir(d))
+        files = [
+            os.path.join(d, e)
+            for e in entries
+            if e.endswith(".parquet") and not e.startswith(("_", "."))
+        ]
+        if not files or any(
+            os.path.isdir(os.path.join(d, e))
+            for e in entries
+            if not e.startswith(("_", "."))
+        ):
+            return None
+        return ds.dataset(files, format="parquet")
+
+    def _stream_batches(self, data, schema, spool: str | None):
+        """Yield record batches from a pyarrow dataset, each cast to
+        the Spark-derived wire schema, each bounded by
+        ``get_budget_bytes`` on the driver. Rows-per-batch is sized
+        from the files' own uncompressed row width; a batch that still
+        exceeds the budget (even at one row) raises loudly."""
+        import shutil
+
+        budget = self.get_budget_bytes
+        stats = {"batches": 0, "max_batch_bytes": 0, "spooled": spool is not None}
+        self.last_get_stats = stats
+        try:
+            rows = bytes_ = 0
+            for frag in data.get_fragments():
+                md = frag.metadata
+                rows += md.num_rows
+                bytes_ += sum(
+                    md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+                )
+            avg_row = max(1, bytes_ // rows) if rows else 1
+            batch_rows = max(1, min(_BATCH_ROWS, budget // avg_row))
+            for batch in data.to_batches(batch_size=batch_rows):
+                if batch.num_rows == 0:
+                    continue
+                # parquet-read types → the exact schema toArrow() would
+                # produce (ns→us timestamps, etc.): the wire contract
+                # does not depend on which path served the bytes
+                batch = batch.cast(schema)
+                stats["batches"] += 1
+                stats["max_batch_bytes"] = max(stats["max_batch_bytes"], batch.nbytes)
+                if batch.nbytes > budget:
+                    raise ValueError(
+                        f"do_get: a single {batch.num_rows}-row batch is "
+                        f"{batch.nbytes} bytes, past get_budget_bytes={budget}; "
+                        "raise the budget or select narrower columns"
+                    )
+                yield batch
+        finally:
+            if spool is not None:
+                shutil.rmtree(spool, ignore_errors=True)
 
     def _do_get(self, ctx, ticket):
         fl = _require_flight()
@@ -232,10 +362,46 @@ class Server:
         spec = json.loads(raw) if raw.startswith("{") else {"source": raw}
         state = self._state.get(ctx.peer(), {})
         spec = {**state, **spec}
-        table = self._spec_df(spec).toArrow()
-        return fl.GeneratorStream(
-            table.schema, table.to_batches(max_chunksize=_BATCH_ROWS)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        df = self._spec_df(spec)
+        # same derivation DataFrame.toArrow uses — the wire schema is
+        # unchanged from the pre-streaming implementation
+        schema = to_arrow_schema(
+            df.schema, error_on_duplicated_field_names_in_struct=True
         )
+        data = self._direct_dataset(spec)
+        spool = None
+        if data is None:
+            # computed read: distributed parquet write into a hidden
+            # spool dir (executors do the work, pushdown shrinks it),
+            # then stream from the files and remove them
+            import os
+            import shutil
+            import tempfile
+
+            import pyarrow.dataset as ds
+
+            os.makedirs(self.store.root, exist_ok=True)
+            spool = tempfile.mkdtemp(prefix=".get-spool-", dir=self.store.root)
+            df.write.mode("overwrite").parquet(spool)
+            files = [
+                os.path.join(spool, e)
+                for e in sorted(os.listdir(spool))
+                if e.endswith(".parquet") and not e.startswith(("_", "."))
+            ]
+            if not files:
+                shutil.rmtree(spool, ignore_errors=True)
+                return fl.GeneratorStream(schema, iter(()))
+            data = ds.dataset(files, format="parquet")
+        return fl.GeneratorStream(schema, self._stream_batches(data, schema, spool))
+
+    # Batched-search knobs, overridable per server (previously the
+    # operators' constants): the loud bound on a do_exchange query set
+    # (driver holds N×k result rows + broadcasts the N×d query matrix)
+    # and the Arrow-batch chunking of the brute GEMM fast path.
+    exchange_max_targets: int = 1024
+    exchange_chunk_rows: int = 2048
 
     def _do_exchange(self, descriptor, reader, writer) -> None:
         spec = json.loads(descriptor.command.decode())
@@ -243,6 +409,12 @@ class Server:
         targets = body.column("target").to_pylist()
         if not targets:
             raise ValueError("do_exchange: empty target column")
+        if len(targets) > self.exchange_max_targets:
+            raise ValueError(
+                f"do_exchange serves at most {self.exchange_max_targets} targets "
+                f"per call (got {len(targets)}); page the query set or raise "
+                "Server.exchange_max_targets"
+            )
         k = int(spec.get("maxval") or 10)
         coding = spec.get("coding")
         flt = spec.get("filter")
@@ -250,7 +422,7 @@ class Server:
         metric = spec.get("metric", "l2")
         common = dict(
             metric=metric,
-            filter=F.expr(flt) if flt else None,
+            filter=_wire_filter(flt) if flt else None,
             select=spec.get("select"),
             maxval=k,
             id_col=spec.get("id_col"),
@@ -306,7 +478,9 @@ class Server:
                 corpus = corpus.where(common["filter"])
             rid = spec.get("id_col") or "vec_id"
             out = batch_knn_brute(
-                corpus, column, targets, metric=metric, k=k, right_id=rid
+                corpus, column, targets, metric=metric, k=k, right_id=rid,
+                max_targets=self.exchange_max_targets,
+                chunk_rows=self.exchange_chunk_rows,
             )
             sel = spec.get("select")
             if sel:
@@ -351,6 +525,11 @@ class Server:
             for source, column, coding in self.store.list_indexes():
                 if coding == cfg["name"]:
                     self.store.drop_index(source, column, coding)
+            self.store.drop_coder(cfg["name"])
+        elif kind == "drop-coder":
+            # extension verb: the reference conflates coder+index drop
+            # inside drop-index; this drops ONLY the coder (indexes
+            # built from it keep serving — they carry their own codes)
             self.store.drop_coder(cfg["name"])
         elif kind == "remove":
             self.store.remove()
@@ -467,6 +646,12 @@ class Client:
         self._action("drop-index", name=name)
         return self
 
+    def drop_coder(self, name: str) -> "Client":
+        """Drop only the coder (extension verb; the reference's
+        drop-index also sweeps every index built from it)."""
+        self._action("drop-coder", name=name)
+        return self
+
     def search(
         self,
         target,
@@ -508,9 +693,14 @@ class Client:
         return self
 
 
-def launch(root: str, host: str = "0.0.0.0", port: int = 9001) -> None:
+def launch(root: str, host: str = "127.0.0.1", port: int = 9001) -> None:
     """ref: launch.py:12-17 — build a session, serve forever.
-    ``python -m fenix_spark.flight <root> [host] [port]``."""
+    ``python -m fenix_spark.flight <root> [host] [port]``.
+
+    Deliberate deviation from the reference (which binds 0.0.0.0): the
+    protocol is UNAUTHENTICATED, so the default bind is loopback. Pass
+    ``host="0.0.0.0"`` explicitly to expose the server, and only on a
+    trusted network."""
     from fenix_spark.session import get_session
 
     server = Server(get_session("fenix_spark_flight"), root, host, port)

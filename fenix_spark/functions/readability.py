@@ -126,3 +126,70 @@ def readability_stats(df: DataFrame, text_col: str) -> DataFrame:
             "cli": F.round(coleman_liau_index(t), 3),
         }
     )
+
+
+def duckdb_oracle_sql(table: str = "documents") -> str:
+    """Full DuckDB mirror of ``readability_stats`` — the oracle for the
+    ``readability_scores`` suite row (and tests/test_readability.py's
+    row-by-row corpus check; ONE definition so suite and test cannot
+    drift). RE2 has no lookbehind, so the sentence rule is re-expressed
+    in two lookaround-free passes: (1) NEUTRALIZE guarded terminals —
+    an abbreviation-dot or single-initial-dot immediately before
+    whitespace becomes '#' (exactly the positions where the Spark
+    regex's bounded lookbehinds suppress the split; neutralizing
+    without consuming the following word keeps ADJACENT guards
+    countable — 'J. R. Hartley' needs both); then (2) count candidate
+    boundaries (terminal [+closers] + space + opener) on the cleaned
+    text. Closers between dot and space disable the guard in both
+    formulations. Score arithmetic renders the SAME literal doubles in
+    the SAME order as the Spark expressions, so the 3dp rounding sees
+    bit-identical IEEE inputs on both engines."""
+    from fenix_spark.functions.sentences import _ABBREV
+
+    closers = "[\"'”’)\\]]{0,2}"
+    opener = "[\"'“‘(\\[]*[A-Z0-9À-Þ]"
+    abbrevs = "|".join(a.replace(".", "\\.") for a in _ABBREV)
+
+    def q(pat: str) -> str:  # SQL string literal: '' escapes '
+        return pat.replace("'", "''")
+
+    candidate = q(f"[.!?…]{closers}\\s+(?:{opener})")
+    abbrev_neut = q(f"\\b({abbrevs})\\.(\\s)")
+    initial_neut = q("\\b([A-Z])\\.(\\s)")
+    cleaned = (
+        "regexp_replace(regexp_replace(text, "
+        f"'{abbrev_neut}', '\\1#\\2', 'g'), "
+        f"'{initial_neut}', '\\1#\\2', 'g')"
+    )
+    wordpred = "[\\p{L}\\p{N}]"
+    syl = (
+        "list_sum(list_transform("
+        "  list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+        f"              t -> regexp_matches(t, '{wordpred}')),"
+        "  t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))"
+        "                 - len(regexp_extract_all(t, '[b-df-hj-np-tv-z]e\\b')))"
+        "))"
+    )
+    return f"""
+    WITH counts AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               t -> regexp_matches(t, '{wordpred}'))) AS w,
+               1 + len(regexp_extract_all({cleaned}, '{candidate}')) AS s,
+               CAST(coalesce({syl}, 0) AS BIGINT) AS syl,  -- list_sum yields HUGEINT
+               len(regexp_extract_all(text, '\\S')) AS chars,
+               len(regexp_extract_all(lower(text), '[a-z]')) AS letters
+        FROM {table}
+    )
+    SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,
+           round(206.835 - 1.015 * (w / CAST(s AS DOUBLE))
+                         - 84.6 * (syl / CAST(w AS DOUBLE)), 3) AS fre,
+           round(0.39 * (w / CAST(s AS DOUBLE))
+                 + 11.8 * (syl / CAST(w AS DOUBLE)) - 15.59, 3) AS fk_grade,
+           round(4.71 * (chars / CAST(w AS DOUBLE))
+                 + 0.5 * (w / CAST(s AS DOUBLE)) - 21.43, 3) AS ari,
+           round(0.0588 * (letters / CAST(w AS DOUBLE) * 100)
+                 - 0.296 * (s / CAST(w AS DOUBLE) * 100) - 15.8, 3) AS cli
+    FROM counts WHERE w > 0 AND s > 0
+    ORDER BY doc_id
+    """

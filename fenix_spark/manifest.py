@@ -77,13 +77,25 @@ def list_gens(path: str) -> list[int]:
     return sorted(out)
 
 
-def current_gen(path: str) -> int | None:
-    """The committed generation id, or None for legacy flat layout."""
+def _read_pointer(path: str) -> tuple[int | None, int | None]:
+    """(committed gen, superseded predecessor) from the pointer file.
+    The second line records what the commit REPLACED — ``0`` means the
+    flat legacy layout — and is what vacuum's retention window keeps.
+    Single-line pointers (pre-retention stores) have no recorded
+    predecessor."""
     p = os.path.join(path, CURRENT_POINTER)
     if not os.path.exists(p):
-        return None
+        return None, None
     with open(p) as f:
-        return int(f.read().strip())
+        lines = f.read().split()
+    cur = int(lines[0])
+    prev = int(lines[1]) if len(lines) > 1 else None
+    return cur, prev
+
+
+def current_gen(path: str) -> int | None:
+    """The committed generation id, or None for legacy flat layout."""
+    return _read_pointer(path)[0]
 
 
 def resolve(path: str) -> str:
@@ -120,14 +132,22 @@ def begin(path: str) -> tuple[int, str]:
 def commit(path: str, gen: int) -> None:
     """Atomically flip the pointer to ``gen`` — one single-file write
     (``os.replace`` locally; one object PUT on an object store). The
-    generation directory must be fully written before this call."""
+    generation directory must be fully written before this call.
+
+    The pointer's second line records what this commit superseded (the
+    previous committed generation, or ``0`` for the flat legacy
+    layout): that is the ONE prior layout vacuum's retention window
+    keeps for readers that resolved it just before the flip. Orphans —
+    generation dirs never named by a pointer — carry no such claim and
+    are swept immediately."""
     d = _gen_dir(path, gen)
     if not os.path.isdir(d):
         raise FileNotFoundError(f"cannot commit {path} gen {gen}: {d} not written")
+    prev = current_gen(path) or 0
     fd, tmp = tempfile.mkstemp(dir=path, prefix="._current_")
     try:
         with os.fdopen(fd, "w") as f:
-            f.write(str(gen))
+            f.write(f"{gen}\n{prev}")
         os.replace(tmp, os.path.join(path, CURRENT_POINTER))
     finally:
         if os.path.exists(tmp):
@@ -135,33 +155,48 @@ def commit(path: str, gen: int) -> None:
 
 
 def vacuum(path: str) -> list[str]:
-    """Garbage-collect everything the committed generation superseded:
-    older/orphaned generation dirs, stray pointer temps, and — once a
-    manifest exists — the pre-manifest flat data files. Never touches
-    the committed generation or unrelated underscore/dot entries
-    (``_bloom`` indexes, ``_SUCCESS`` markers). Safe to re-run; a
-    crash mid-vacuum leaves only extra garbage for the next run."""
-    cur = current_gen(path)
+    """Garbage-collect what the committed generation superseded:
+    orphaned generation dirs (never named by a pointer), stray pointer
+    temps, and — beyond the RETENTION WINDOW — the previously-committed
+    layout. Never touches the committed generation or unrelated
+    underscore/dot entries (``_bloom`` indexes, ``_SUCCESS`` markers).
+    Safe to re-run; a crash mid-vacuum leaves only extra garbage for
+    the next run.
+
+    The window is the ONE layout the pointer records as superseded
+    (the previous committed generation, or the flat legacy files): it
+    exists because commit and expiry are different events — a reader
+    that resolved the previous layout just before the pointer flipped
+    may still be mid-scan when the committing writer vacuums. A
+    superseded layout is therefore only deleted by the FOLLOWING
+    commit's vacuum, the same separation lakehouse formats draw
+    between commit and log expiry. A read must still not straddle TWO
+    maintenance rewrites of the same table."""
+    cur, prev = _read_pointer(path)
     if cur is None or not os.path.isdir(path):
         return []
     keep = f"{_GEN_PREFIX}{cur:06d}"
+    retained = {f"{_GEN_PREFIX}{prev:06d}"} if prev else set()
+    flat_retained = prev == 0
     removed: list[str] = []
     for e in sorted(os.listdir(path)):
         full = os.path.join(path, e)
-        if e.startswith(_GEN_PREFIX) and e != keep:
+        if e.startswith(_GEN_PREFIX) and e != keep and e not in retained:
+            # orphans (any id) and beyond-window older generations
             shutil.rmtree(full)
             removed.append(e)
         elif e.startswith("._current_"):
             os.remove(full)
             removed.append(e)
-        elif e == "_spark_metadata":
+        elif e == "_spark_metadata" and not flat_retained:
             # a pre-compaction file-sink transaction log: superseded by
             # the manifest (stream_ingest refuses manifest-managed
             # tables, so no live sink owns it) and misleading to any
-            # log-trusting reader of the flat path — sweep it
+            # log-trusting reader of the flat path — swept with the
+            # flat layout it describes
             shutil.rmtree(full)
             removed.append(e)
-        elif not e.startswith(("_", ".")):
+        elif not e.startswith(("_", ".")) and not flat_retained:
             # legacy flat layout superseded by the manifest
             if os.path.isfile(full):
                 os.remove(full)

@@ -176,12 +176,25 @@ def ensure_package_shipped(spark: SparkSession) -> None:
         default=0.0,
     )
     if not os.path.exists(out) or os.path.getmtime(out) < newest:
-        tmp = out + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as z:
-            for d, _, fs in os.walk(pkg_dir):
-                for f in sorted(fs):
-                    if f.endswith(".py"):
-                        full = os.path.join(d, f)
-                        z.write(full, os.path.relpath(full, parent))
-        os.replace(tmp, out)
+        # unique temp name per writer: two concurrent driver processes
+        # under one uid must not interleave into the same .tmp sibling
+        # and os.replace a corrupted zip into place
+        fd, tmp = tempfile.mkstemp(
+            prefix="fenix_spark_pkg-", suffix=".zip.tmp",
+            dir=os.path.dirname(out),
+        )
+        try:
+            with os.fdopen(fd, "wb") as fh, zipfile.ZipFile(fh, "w") as z:
+                for d, _, fs in os.walk(pkg_dir):
+                    for f in sorted(fs):
+                        if f.endswith(".py"):
+                            full = os.path.join(d, f)
+                            z.write(full, os.path.relpath(full, parent))
+            os.replace(tmp, out)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
     sc.addPyFile(out)

@@ -367,10 +367,18 @@ class _ShardDone(WriterCommitMessage):
 
 class TFRecordWriter(DataSourceArrowWriter):
     def __init__(self, options, schema, overwrite: bool):
+        import uuid
+
         self.path = options.get("path")
         self.suffix = options.get("suffix", ".tfrecord")
         self.schema = schema
         self.overwrite = overwrite
+        # Per-JOB token (minted once on the driver, shipped to every
+        # task in the pickled writer): temp and final shard names carry
+        # it, so abort sweeps only THIS job's files — a concurrent
+        # append to the same directory keeps its in-progress temps and
+        # its committed shards.
+        self.job_token = uuid.uuid4().hex[:12]
         if self.path is None:
             raise ValueError("tfrecord writer requires a path")
         if overwrite and os.path.isdir(self.path):
@@ -390,7 +398,7 @@ class TFRecordWriter(DataSourceArrowWriter):
         # the task's iterator is exhausted. A task that dies mid-write —
         # even exactly at a record boundary — leaves no readable shard,
         # in overwrite AND append mode; rename is atomic on posix.
-        base = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{self.suffix}"
+        base = f"part-{pid:05d}-{self.job_token}-{uuid.uuid4().hex[:8]}{self.suffix}"
         out = os.path.join(self.path, base)
         tmp = os.path.join(self.path, "_tmp-" + base)
         n = 0
@@ -423,13 +431,14 @@ class TFRecordWriter(DataSourceArrowWriter):
             fh.write("")
 
     def abort(self, messages):
-        # Committed shards were renamed into place by tasks that
-        # FINISHED; failed tasks left only '_tmp-'-prefixed files,
-        # which readers already skip — sweep them so an aborted append
-        # leaves the directory byte-identical to before the write.
+        # Sweep ONLY this job's files — matched by the per-job token —
+        # so an aborted append leaves the directory byte-identical to
+        # before the write (finished tasks' renamed-in shards included)
+        # while a concurrent job's '_tmp-' files and shards survive.
+        mark = f"-{self.job_token}-"
         try:
             for name in os.listdir(self.path):
-                if name.startswith("_tmp-") and name.endswith(self.suffix):
+                if mark in name and name.endswith(self.suffix):
                     os.remove(os.path.join(self.path, name))
         except OSError:
             pass  # directory never created: nothing to clean

@@ -2178,28 +2178,30 @@ FROM documents
 """
 
 
-def _regex_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String-function surface: regexp_extract / substring / casts —
-    parse the numeric id out of 'Supplier#000000123' names and verify
-    against the key; all whole-stage-codegen scalar exprs."""
-    supp = table(spark, sf_dir, "supplier")
-    return supp.select(
-        "s_suppkey",
-        F.regexp_extract("s_name", r"#(\d+)$", 1).cast("bigint").alias("parsed_id"),
-        (F.regexp_extract("s_name", r"#(\d+)$", 1).cast("bigint") == F.col("s_suppkey")).alias(
-            "name_consistent"
-        ),
-        F.length("s_name").alias("name_len"),
+def _readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full readability pipeline over documents — tokenize,
+    abbreviation-guarded sentence split, per-word syllable floor, all
+    four published formulas (FRE, FK grade, ARI, CLI) — as ONE
+    projection of higher-order JVM expressions (functions/
+    readability.py), no shuffle at all until the driver's own sort.
+    Oracle: the lookbehind-free RE2 reformulation proven row-by-row on
+    the corpus in tests/test_readability.py (same builder). Scale
+    shape: per-row scalar work inside whole-stage codegen — linear
+    scan, embarrassingly parallel at any SF."""
+    from fenix_spark.functions.readability import readability_stats
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = readability_stats(docs, "text")
+    return out.where((F.col("n_words") > 0) & (F.col("n_sentences") > 0)).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        "fre", "fk_grade", "ari", "cli",
     )
 
 
-_REGEX_EXTRACT_SQL = """
-SELECT s_suppkey,
-       CAST(regexp_extract(s_name, '#(\\d+)$', 1) AS BIGINT) AS parsed_id,
-       CAST(regexp_extract(s_name, '#(\\d+)$', 1) AS BIGINT) = s_suppkey AS name_consistent,
-       length(s_name) AS name_len
-FROM supplier
-"""
+def _readability_sql() -> str:
+    from fenix_spark.functions.readability import duckdb_oracle_sql
+
+    return duckdb_oracle_sql("documents")
 
 
 def _decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3259,7 +3261,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_scores": _dsir_scores,
     "bootstrap_ci": _bootstrap_ci_docs,
     "quantile_normalize": _quantile_normalize_docs,
-    "regex_extract_ids": _regex_extract_ids,
+    # (regex_extract_ids retired for readability_scores under the
+    #  50-row cap, r11 — its scalar-regex/cast surface is exercised far
+    #  more deeply by readability_scores' guarded sentence split +
+    #  higher-order syllable aggregate, and regexp_extract itself stays
+    #  oracle-covered in events_json + text_metrics.)
+    "readability_scores": _readability_scores,
     "decontamination": _decontamination,
     "nested_access": _nested_access,
     # -- events / time-series --
@@ -3325,7 +3332,7 @@ ORACLE_SQL: dict[str, str] = {
     "dsir_scores": _dsir_scores_sql(),
     "bootstrap_ci": _bootstrap_ci_sql(),
     "quantile_normalize": _QUANTILE_NORMALIZE_SQL,
-    "regex_extract_ids": _REGEX_EXTRACT_SQL,
+    "readability_scores": _readability_sql(),
     "decontamination": _decontamination_sql(),
     "nested_access": _NESTED_ACCESS_SQL,
     "events_json": _EVENTS_JSON_SQL,

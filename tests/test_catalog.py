@@ -275,7 +275,8 @@ def test_catalog_bloom_index_lifecycle(spark, tmp_path):
     )
     assert got == [5, 10_050]
     # manifest commit leaves a clean state: geometry lives IN the
-    # committed generation, and a clean refresh vacuums the old one
+    # committed generation; the superseded one is retained one more
+    # commit (vacuum's retention window for in-flight readers)
     import os as _os
 
     from fenix_spark import manifest
@@ -283,9 +284,32 @@ def test_catalog_bloom_index_lifecycle(spark, tmp_path):
     p = catalog.bloom_index_path(root, "t", "k")
     live = manifest.resolve(p)
     assert _os.path.exists(_os.path.join(live, "_geometry.json"))
-    assert manifest.list_gens(p) == [manifest.current_gen(p)]
+    cur = manifest.current_gen(p)
+    assert manifest.list_gens(p) == [cur - 1, cur]
     # wrong column is loud
     import pytest as _pytest
 
     with _pytest.raises((ValueError, FileNotFoundError)):
         catalog.bloom_point_lookup(spark, root, "t", "v", [1])
+
+
+def test_catalog_names_are_validated_as_path_segments():
+    """check_name is the single chokepoint (source/coding/index paths
+    all pass through it): traversal and separator names raise before
+    any path is built."""
+    import pytest as _pytest
+
+    from fenix_spark.catalog import check_name, coding_path, index_path, source_path
+
+    for ok in ("lineitem", "t1", "a.b-c_d", "X9"):
+        assert check_name(ok) == ok
+    for bad in ("../x", "/abs", "a/b", "a\\b",
+                "..", ".", ".hidden", "", "a..b", "_gen-000001"):
+        with _pytest.raises(ValueError, match="invalid catalog name"):
+            check_name(bad)
+    with _pytest.raises(ValueError):
+        source_path("/root/store", "../../etc")
+    with _pytest.raises(ValueError):
+        coding_path("/root/store", "/etc")
+    with _pytest.raises(ValueError):
+        index_path("/root/store", "t", "col", "../c")

@@ -365,3 +365,162 @@ def test_migrated_reference_store_served_over_the_wire(spark, tmp_path):
     finally:
         client.close()
         server.shutdown()
+
+
+# ---------------------------------------------------------------- r11:
+# streaming do_get (the S8 scale contract), wire-name validation, and
+# filter hardening
+
+
+def test_do_get_streams_batchwise_under_budget(served, monkeypatch):
+    """do_get accepts ANY table name, so it must stream: with a small
+    budget a large table is served across MANY batches, no single
+    materialized batch exceeds the budget on the driver, and the
+    stream is row-complete. A plain read streams straight from the
+    table's parquet files (no spool)."""
+    server, client, _ = served
+    n = 20_000
+    t = pa.table(
+        {"id": list(range(n)), "payload": [f"x{i:05d}" * 4 for i in range(n)]}
+    )
+    client.make_table("bigget", t)
+    monkeypatch.setattr(server, "get_budget_bytes", 64 << 10)  # 64 KB
+    back = client.read_table("bigget").read_all()
+    assert back.num_rows == n
+    assert sorted(back.column("id").to_pylist()) == list(range(n))
+    stats = server.last_get_stats
+    assert stats["spooled"] is False  # zero-copy direct path
+    assert stats["batches"] > 5
+    assert 0 < stats["max_batch_bytes"] <= 64 << 10
+
+
+def test_do_get_computed_read_spools_and_cleans_up(served, monkeypatch):
+    """A filtered/projected read is computed by a distributed spark
+    write into a hidden spool, streamed under the same budget, and the
+    spool dir is removed once the stream drains."""
+    import os
+
+    server, client, root = served
+    monkeypatch.setattr(server, "get_budget_bytes", 64 << 10)
+    back = client.read_table(
+        "bigget", select=["id"], filter="id % 2 = 0"
+    ).read_all()
+    assert sorted(back.column("id").to_pylist()) == list(range(0, 20_000, 2))
+    stats = server.last_get_stats
+    assert stats["spooled"] is True
+    assert stats["batches"] >= 1
+    assert stats["max_batch_bytes"] <= 64 << 10
+    assert not [e for e in os.listdir(root) if e.startswith(".get-spool-")]
+
+
+def test_do_get_budget_overrun_is_loud(served, monkeypatch):
+    """A budget smaller than a single row cannot be met even at
+    batch_size=1: the server raises with the knob's name instead of
+    OOMing silently."""
+    server, client, _ = served
+    monkeypatch.setattr(server, "get_budget_bytes", 8)  # < one row
+    with pytest.raises(
+        (fl.FlightServerError, pa.lib.ArrowInvalid), match="get_budget_bytes"
+    ):
+        client.read_table("bigget").read_all()
+
+
+def test_do_get_wire_schema_matches_toarrow_on_both_paths(spark, served):
+    """The wire schema contract is toArrow()-exact whichever path
+    served the bytes (direct files vs spark spool) — including
+    timestamp columns, where parquet's physical type differs from
+    Arrow's."""
+    import datetime
+
+    _, client, root = served
+    t = pa.table(
+        {
+            "id": [1, 2, 3],
+            "ts": pa.array(
+                [datetime.datetime(2026, 1, 1, h) for h in (1, 2, 3)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    client.make_table("tstable", t)
+    want = Store(spark, root).read_table("tstable").toArrow().schema
+    direct = client.read_table("tstable").read_all()
+    spooled = client.read_table("tstable", filter="id >= 1").read_all()
+    assert direct.schema == want
+    assert spooled.schema == want
+    assert sorted(direct.column("id").to_pylist()) == [1, 2, 3]
+    assert sorted(spooled.column("id").to_pylist()) == [1, 2, 3]
+    assert sorted(direct.column("ts").to_pylist()) == sorted(
+        spooled.column("ts").to_pylist()
+    )
+
+
+def test_wire_table_names_cannot_escape_the_store_root(served):
+    """Table names from descriptors/tickets/actions become path
+    segments under the store root; traversal attempts are rejected at
+    the catalog chokepoint before any filesystem access."""
+    import os
+
+    _, client, root = served
+    evil = pa.table({"x": [1]})
+    for name in ("../escape", "/etc/passwd", "a/b", "..", ".hidden"):
+        with pytest.raises(
+            (fl.FlightServerError, pa.lib.ArrowInvalid), match="invalid catalog name"
+        ):
+            client.make_table(name, evil)
+        with pytest.raises(
+            (fl.FlightServerError, pa.lib.ArrowInvalid), match="invalid catalog name"
+        ):
+            client.read_table(name).read_all()
+    with pytest.raises(
+        (fl.FlightServerError, pa.lib.ArrowInvalid), match="invalid catalog name"
+    ):
+        client.drop_table("../../x")
+    parent = os.path.dirname(root)
+    assert not os.path.exists(os.path.join(parent, "escape"))
+
+
+def test_wire_filters_cannot_reach_jvm_reflection(served):
+    """F.expr exposes reflect()/java_method() (arbitrary JVM static
+    calls); wire filters naming them — any case, backtick-quoted or
+    not — are rejected before parsing. Ordinary SQL keeps working."""
+    _, client, _ = served
+    for flt in (
+        "reflect('java.lang.System', 'getProperty', 'user.dir') IS NOT NULL",
+        "REFLECT('a','b') = 'c'",
+        "`java_method`('java.lang.Runtime','getRuntime') IS NOT NULL",
+    ):
+        with pytest.raises(
+            (fl.FlightServerError, pa.lib.ArrowInvalid), match="not allowed"
+        ):
+            client.read_table("people", filter=flt).read_all()
+    ok = client.read_table("people", filter="val > 4").read_all()
+    assert ok.num_rows > 0
+
+
+def test_drop_coder_verb_drops_only_the_coder(spark, served):
+    """Extension verb: unlike the reference's drop-index (which sweeps
+    coder + every index built from it), drop-coder removes ONLY the
+    coder — indexes keep serving from their co-written codes."""
+    server, client, root = served
+    st = Store(spark, root)
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(64, 8)).astype(float)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(64), pa.int64()),
+            "emb": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    client.make_table("dc_vecs", t)
+    client.make_index(
+        "dc_code", source="dc_vecs", column="emb",
+        config={"codebook_size": 4, "num_codebooks": 2, "seed": 7, "max_iter": 4},
+    )
+    assert "dc_code" in st.list_coders()
+    assert ("dc_vecs", "emb", "dc_code") in st.list_indexes()
+    client.drop_coder("dc_code")
+    assert "dc_code" not in st.list_coders()
+    assert ("dc_vecs", "emb", "dc_code") in st.list_indexes()

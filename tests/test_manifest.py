@@ -48,14 +48,21 @@ def test_compact_commits_manifest_and_vacuums_flat(spark, root):
     live = manifest.resolve(path)
     assert os.path.basename(live).startswith("_gen-")
     assert _ids(spark, root) == list(range(n))
-    # flat part files vacuumed; a plain recursive read of the table
-    # path sees NOTHING (generations are hidden dirs) — all repo
-    # readers resolve through the manifest
-    assert not [f for f in os.listdir(path) if f.endswith(".parquet")]
-    # second compact bumps the generation and vacuums the first
+    # RETENTION WINDOW: the flat part files this commit superseded stay
+    # one more commit (a reader that resolved them just before the flip
+    # may still be mid-scan); repo readers already resolve through the
+    # manifest and see only the generation
+    assert [f for f in os.listdir(path) if f.endswith(".parquet")]
+    # second compact bumps the generation; ITS vacuum expires the flat
+    # files (now two commits stale) and retains generation 1
     catalog.compact(spark, root, "t", target_file_bytes=1 << 30)
     assert manifest.current_gen(path) == 2
-    assert manifest.list_gens(path) == [2]
+    assert manifest.list_gens(path) == [1, 2]
+    assert not [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert _ids(spark, root) == list(range(n))
+    # third compact expires generation 1
+    catalog.compact(spark, root, "t", target_file_bytes=1 << 30)
+    assert manifest.list_gens(path) == [2, 3]
     assert _ids(spark, root) == list(range(n))
 
 
@@ -106,10 +113,16 @@ def test_crash_after_commit_before_vacuum_serves_new_table(spark, root, monkeypa
     # superseded flat files still on disk (cleanup never ran) ...
     assert [f for f in os.listdir(path) if f.endswith(".parquet")]
     monkeypatch.undo()
-    # ... and vacuum alone finishes the job without touching the data
+    # ... vacuum alone completes cleanup — but the flat files are the
+    # layout THIS commit superseded, so the retention window keeps them
+    # until the following commit expires them
     manifest.vacuum(path)
-    assert not [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert manifest.list_gens(path) == [1]
+    assert _ids(spark, root) == before
+    catalog.compact(spark, root, "t", target_file_bytes=1 << 30)
+    assert not [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert manifest.list_gens(path) == [1, 2]
     assert _ids(spark, root) == before
 
 
@@ -134,7 +147,9 @@ def test_make_after_compact_resets_to_flat_layout(spark, root):
 def test_package_aliases_run_the_full_protocol(tmp_path):
     """The package-level names (manifest_begin/commit/resolve/vacuum —
     aliased to avoid colliding with versions.vacuum) drive one full
-    begin→write→commit→vacuum cycle."""
+    begin→write→commit→vacuum cycle, including the retention window:
+    the generation a commit superseded survives until the FOLLOWING
+    commit's vacuum."""
     import fenix_spark as fx
 
     path = str(tmp_path / "t")
@@ -147,8 +162,18 @@ def test_package_aliases_run_the_full_protocol(tmp_path):
     os.makedirs(d2)
     open(os.path.join(d2, "data.parquet"), "wb").write(b"y")
     fx.manifest_commit(path, gen2)
-    assert fx.manifest_vacuum(path) == [os.path.basename(d)]
+    # gen1 is what THIS commit superseded — retained for in-flight reads
+    assert fx.manifest_vacuum(path) == []
+    assert os.path.isdir(d)
     assert fx.manifest_resolve(path) == d2
+    gen3, d3 = fx.manifest_begin(path)
+    os.makedirs(d3)
+    open(os.path.join(d3, "data.parquet"), "wb").write(b"z")
+    fx.manifest_commit(path, gen3)
+    # the following commit's vacuum expires gen1, retains gen2
+    assert fx.manifest_vacuum(path) == [os.path.basename(d)]
+    assert os.path.isdir(d2)
+    assert fx.manifest_resolve(path) == d3
 
 
 def test_begin_never_reuses_orphans_and_commit_is_guarded(tmp_path):
@@ -204,7 +229,9 @@ def test_bloom_refresh_crash_injection(spark, root, monkeypatch):
     monkeypatch.setattr(manifest, "commit", real_commit)
     catalog.refresh_bloom_index(spark, root, "t", "k")
     assert manifest.current_gen(p) == 3  # gen 2 was the orphan
-    assert manifest.list_gens(p) == [3]
+    # orphan 2 swept immediately (never committed); gen 1 is the
+    # superseded COMMITTED index, retained one more commit
+    assert manifest.list_gens(p) == [1, 3]
     got = sorted(
         r.k
         for r in catalog.bloom_point_lookup(
@@ -247,9 +274,11 @@ def test_stream_ingest_refuses_compacted_table_and_delta_pattern_works(
 
 def test_vacuum_sweeps_stale_sink_log(spark, root, tmp_path):
     """Compacting a previously stream-ingested table: the compact reads
-    the sink's exactly-once view, and the vacuum sweeps the superseded
-    _spark_metadata log so nothing on the flat path misleads a
-    log-trusting reader."""
+    the sink's exactly-once view; the superseded _spark_metadata log is
+    swept WITH the flat layout it describes when the retention window
+    expires it (the following commit), so during the window the flat
+    path stays self-consistent for a log-trusting reader and after it
+    nothing misleading remains."""
     from fenix_spark.streaming import stream_ingest, stream_source
 
     src_dir = str(tmp_path / "incoming")
@@ -261,6 +290,11 @@ def test_vacuum_sweeps_stale_sink_log(spark, root, tmp_path):
     path = catalog.source_path(root, "s")
     assert os.path.isdir(os.path.join(path, "_spark_metadata"))
 
+    catalog.compact(spark, root, "s", target_file_bytes=1 << 30)
+    # retention window: log + flat files survive the commit that
+    # superseded them (still a complete, consistent sink directory)
+    assert os.path.isdir(os.path.join(path, "_spark_metadata"))
+    assert _ids(spark, root, "s") == list(range(300))
     catalog.compact(spark, root, "s", target_file_bytes=1 << 30)
     assert not os.path.exists(os.path.join(path, "_spark_metadata"))
     assert _ids(spark, root, "s") == list(range(300))

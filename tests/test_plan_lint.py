@@ -121,6 +121,9 @@ _SUITE_ALLOW = {
     # text): structurally unpushable, filter-at-scan is the right plan
     "lsh_ann_search": ("filter-not-pushed",),
     "substring_dedup": ("filter-not-pushed",),
+    # n_words/n_sentences are regex-counted from text in the same
+    # projection — the w>0, s>0 validity gate cannot reach parquet
+    "readability_scores": ("filter-not-pushed",),
 }
 
 

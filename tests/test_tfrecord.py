@@ -198,3 +198,28 @@ def test_unsupported_type_raises_by_column(spark, tmp_path):
     df = spark.createDataFrame([(1, True)], "id bigint, flag boolean")
     with pytest.raises(Exception, match="flag"):
         df.write.format("tfrecord").mode("overwrite").save(str(tmp_path / "nope"))
+
+
+def test_abort_sweeps_only_its_own_jobs_files(tmp_path):
+    """abort() matches files by the writer's per-job token: another
+    concurrent job's in-progress temps and committed shards in the
+    same directory survive an abort (previously every '_tmp-*' file
+    was swept, breaking the other job's end-of-task rename)."""
+    from fenix_spark.sources.tfrecord import TFRecordWriter
+
+    out = tmp_path / "shards"
+    out.mkdir()
+    w1 = TFRecordWriter({"path": str(out)}, None, overwrite=False)
+    w2 = TFRecordWriter({"path": str(out)}, None, overwrite=False)
+    assert w1.job_token != w2.job_token
+    # simulate each job's on-disk state mid-write
+    mine_tmp = out / f"_tmp-part-00000-{w1.job_token}-aaaa.tfrecord"
+    mine_done = out / f"part-00001-{w1.job_token}-bbbb.tfrecord"
+    other_tmp = out / f"_tmp-part-00000-{w2.job_token}-cccc.tfrecord"
+    other_done = out / f"part-00001-{w2.job_token}-dddd.tfrecord"
+    for f in (mine_tmp, mine_done, other_tmp, other_done):
+        f.write_bytes(b"x")
+    w1.abort([])
+    # job 1's temps AND its renamed-in shards are gone; job 2 untouched
+    assert not mine_tmp.exists() and not mine_done.exists()
+    assert other_tmp.exists() and other_done.exists()
