@@ -180,28 +180,35 @@ def write_shards(
 
 
 def temperature_rates(
-    counts: Sequence[int], temperature: float, budget: int
+    counts: Sequence[int], temperature: float, budget: int, cap: float = 1.0
 ) -> list[float]:
     """Per-source keep rates implementing temperature-scaled corpus
     mixing (the mT5 / XLM-R recipe): source s receives a share of the
     ``budget`` ∝ count_s^T. T=1 is natural proportions; T→0 flattens
     toward uniform across sources (up-weighting low-resource sources).
 
-    Rates are capped at 1 (a scan filter cannot repeat rows) and the
-    overflow of saturated sources is WATER-FILLED back into the
-    unsaturated ones, renormalizing their shares each pass — so the
-    realized total stays as close to ``budget`` as availability
-    allows. Pure driver arithmetic over one int per source; the data
-    itself is never touched."""
+    Rates are capped at ``cap`` and the overflow of saturated sources
+    is WATER-FILLED back into the unsaturated ones, renormalizing
+    their shares each pass — so the realized total stays as close to
+    ``budget`` as availability allows. The default cap of 1 is the
+    scan-filter regime (:func:`mixture` — a filter cannot repeat
+    rows); a cap > 1 is the UPSAMPLING regime (:func:`epoch_mixture`
+    — rate 3.4 means 3 full epochs + a 0.4 fractional pass), bounded
+    because repeating a tiny source dozens of times degrades training
+    more than it balances (the data-recipe 'max epochs' knob). Pure
+    driver arithmetic over one int per source; the data itself is
+    never touched."""
     if not 0.0 < temperature <= 1.0:
         raise ValueError(f"temperature {temperature} not in (0, 1]")
     if budget <= 0:
         raise ValueError(f"budget {budget} must be positive")
+    if cap < 1.0:
+        raise ValueError(f"cap {cap} must be >= 1 (rates below 1 are the norm)")
     n = len(counts)
     rates = [0.0] * n
     free = list(range(n))
     remaining = float(budget)
-    # each pass fixes newly-saturated sources at rate 1; shares of the
+    # each pass fixes newly-saturated sources at the cap; shares of the
     # still-free sources renormalize over the remaining budget
     while free and remaining > 0:
         shares = [counts[i] ** temperature for i in free]
@@ -211,14 +218,14 @@ def temperature_rates(
         saturated = []
         for i, sh in zip(free, shares):
             want = remaining * sh / tot
-            if want >= counts[i]:
-                rates[i] = 1.0
+            if want >= counts[i] * cap:
+                rates[i] = cap
                 saturated.append(i)
         if not saturated:
             for i, sh in zip(free, shares):
                 rates[i] = (remaining * sh / tot) / counts[i] if counts[i] else 0.0
             break
-        remaining -= sum(counts[i] for i in saturated)
+        remaining -= sum(counts[i] * cap for i in saturated)
         free = [i for i in free if i not in saturated]
     return rates
 
@@ -245,6 +252,85 @@ def temperature_mixture(
         )
     rates = temperature_rates(list(counts), temperature, budget)
     return mixture(list(zip(sources, rates)), id_col, salt=salt)
+
+
+def epoch_repeat(
+    df: DataFrame, id_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Repeat a source ``rate`` times deterministically: ⌊rate⌋ FULL
+    epochs (every row, tagged ``__epoch`` 0..⌊rate⌋−1) plus one
+    fractional epoch keeping the usual hash-decided subset, salted by
+    the epoch index so the partial epoch is decorrelated from the id
+    order. Replication is ``explode(sequence(...))`` — row-local
+    within the scan, NO shuffle, no driver loop — so a 10 TB source at
+    rate 3.4 costs one scan emitting 3.4× rows, exactly the cost of
+    the data produced. rate ≤ 1 degrades to ``deterministic_sample``
+    with ``__epoch`` = 0."""
+    if rate < 0:
+        raise ValueError(f"epoch_repeat rate {rate} must be >= 0")
+    full = int(rate)
+    frac = rate - full
+    parts = []
+    if full >= 1:
+        parts.append(
+            df.withColumn("__epoch", F.explode(F.sequence(F.lit(0), F.lit(full - 1))))
+        )
+    if frac > 0:
+        parts.append(
+            deterministic_sample(df, id_col, frac, salt=f"{salt}/ep{full}")
+            .withColumn("__epoch", F.lit(full))
+        )
+    if not parts:
+        return df.withColumn("__epoch", F.lit(0)).where(F.lit(False))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def epoch_mixture(
+    sources: Sequence[DataFrame],
+    id_col: str,
+    temperature: float,
+    budget: int,
+    counts: Sequence[int] | None = None,
+    max_epochs: float = 4.0,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-mixed corpus WITH UPSAMPLING — the full LLM
+    data-recipe mixing law. :func:`temperature_mixture` can only
+    down-sample (a scan filter caps every rate at 1), which silently
+    under-delivers the low-resource shares the temperature exists to
+    protect: at T→0 a tiny source's equal share may exceed its size.
+    Here rates may reach ``max_epochs`` (the standard 'repeat cap' —
+    data quality work shows a few epochs of a small high-quality
+    source beat one epoch padded with filler, but dozens degrade), and
+    each source is materialized by :func:`epoch_repeat`: full epochs
+    via row-local explode + one hash-filtered fractional epoch — every
+    source remains a pure scan, ZERO corpus shuffles, reproducible
+    under retries and repartitioning.
+
+    Provenance: ``__source`` (position in ``sources``) and ``__epoch``
+    columns — dedup-style downstream ops can key on (source, epoch,
+    id). Like :func:`temperature_mixture`, pass ``counts`` from table
+    statistics at scale rather than re-counting."""
+    if counts is None:
+        counts = [df.count() for df in sources]
+    elif len(counts) != len(sources):
+        raise ValueError(
+            f"counts has {len(counts)} entries for {len(sources)} sources"
+        )
+    rates = temperature_rates(list(counts), temperature, budget, cap=max_epochs)
+    parts = [
+        epoch_repeat(df, id_col, r, salt=f"{salt}/mix{i}").withColumn(
+            "__source", F.lit(i)
+        )
+        for i, (df, r) in enumerate(zip(sources, rates))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def cluster_balanced_sample(

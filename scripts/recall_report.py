@@ -240,6 +240,14 @@ def main() -> None:
         raw_idx, coarse, fine_raw, "embedding",
         target_recall=0.99, k=K, n_queries=16, max_rerank=80,
     )
+    # r11 (VERDICT r10 #5): the same joint frontier over the RESIDUAL
+    # index via the tested search= hook — one table, directly
+    # comparable to the plain-PQ frontier above it.
+    joint_res = tune_ivfpq(
+        res_idx, coarse, fine_res, "embedding",
+        target_recall=0.99, k=K, n_queries=16, max_rerank=80,
+        search=ivfpq_residual_search,
+    )
 
     def _first_meeting(points, t):
         for row in points:
@@ -473,6 +481,30 @@ def main() -> None:
         "number. The suite's fixed `_ADC_RERANK = 40` sits on this",
         "frontier; `tune_ivfpq` makes the choice measured per-index",
         "instead of constant.",
+        "",
+        "### Joint frontier — RESIDUAL IVF-PQ (search= hook, r11)",
+        "",
+        "Identical protocol and code bits over the residual index",
+        "(`ivfpq_residual_search` via the `search=` hook): residuals",
+        "shrink the vectors each fine codebook must explain, so the",
+        "same 16^4 coding buys more recall per (probes, rerank):",
+        "",
+        "| probes | rerank | recall@10 |",
+        "|---|---|---|",
+    ]
+    for probes, rer, rec in joint_res["frontier"]:
+        lines.append(f"| {probes} | {rer if rer else 'off'} | {rec:.3f} |")
+
+    def _joint_res_pick(t):
+        p, rr, rec = _first_meeting(joint_res["frontier"], t)
+        if rec >= t:
+            return f"{t:.2f} → (probes={p}, rerank={rr})"
+        return f"{t:.2f} → UNMET (ceiling {rec:.3f} at probes={p}, rerank={rr})"
+
+    lines += [
+        "",
+        "    cheapest configs: "
+        + " ; ".join(_joint_res_pick(t) for t in (0.3, 0.4, 0.5)),
         "",
         "### OPQ vs plain PQ (operators/opq.py — 16^4 codes, ADC scan)",
         "",

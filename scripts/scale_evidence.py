@@ -49,6 +49,11 @@ QUERIES = [
     "heavy_hitters",
     "drift_psi",
     "tfidf_top_terms",
+    # r11 (VERDICT r10 #6): the r10/r11 oracle-rotation rows — all
+    # one-scan + summary-shuffle designs whose shape must hold at 10×.
+    "bootstrap_ci",
+    "quantile_normalize",
+    "readability_scores",
 ]
 
 

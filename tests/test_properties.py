@@ -436,6 +436,26 @@ def test_temperature_rates_laws(counts, t, budget):
 
 
 @given(
+    counts=st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=8),
+    t=st.floats(min_value=0.05, max_value=1.0),
+    budget=st.integers(min_value=1, max_value=50_000),
+    cap=st.floats(min_value=1.0, max_value=8.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_temperature_rates_cap_laws(counts, t, budget, cap):
+    """The upsampling generalization (epoch_mixture's law): rates in
+    [0, cap]; realized total = min(budget, cap × available) up to
+    float slack; cap=1 degenerates to the scan-filter law above."""
+    from fenix_spark.operators.sampling import temperature_rates
+
+    rates = temperature_rates(counts, t, budget, cap=cap)
+    assert all(0.0 <= r <= cap for r in rates)
+    realized = sum(r * c for r, c in zip(rates, counts))
+    want = min(budget, cap * sum(counts))
+    assert abs(realized - want) < 1e-6 * max(want, 1)
+
+
+@given(
     counts=st.lists(st.integers(min_value=10, max_value=10_000), min_size=2, max_size=6),
     budget=st.integers(min_value=5, max_value=1_000),
 )

@@ -261,3 +261,92 @@ def test_cluster_balanced_gate_high_cardinality(spark):
         coarse, "cluster", "doc_id", budget=100, max_clusters=100
     )
     assert out.count() > 0
+
+
+# --------------------------------------------- epoch (upsampling) mixing
+
+
+def test_temperature_rates_cap_backcompat_and_upsampling():
+    from fenix_spark.operators.sampling import temperature_rates
+
+    counts = [10_000, 100]
+    # cap=1 (default) is byte-for-byte the old behavior
+    assert temperature_rates(counts, 1e-9, 5000) == temperature_rates(
+        counts, 1e-9, 5000, cap=1.0
+    )
+    # cap=4: the tiny source can now repeat — uniform shares want 2500
+    # each; source 1 saturates at 4 epochs (400 rows), the remainder
+    # water-fills source 0
+    r = temperature_rates(counts, 1e-9, 5000, cap=4.0)
+    assert r[1] == 4.0
+    assert abs(r[0] * counts[0] - 4600) < 1.0
+    # realized budget is conserved when feasible
+    assert abs(sum(r_ * c for r_, c in zip(r, counts)) - 5000) < 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cap"):
+        temperature_rates(counts, 1.0, 100, cap=0.5)
+
+
+def test_epoch_repeat_full_epochs_are_complete_and_tagged(spark):
+    from fenix_spark.operators.sampling import epoch_repeat
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    out = epoch_repeat(df, "doc_id", 2.3, salt="e").collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["__epoch"], set()).add(r["doc_id"])
+    # epochs 0 and 1 contain EVERY row exactly once
+    assert by_epoch[0] == set(range(1000))
+    assert by_epoch[1] == set(range(1000))
+    # the fractional epoch holds ~30% of rows, a strict hash-subset
+    assert 200 <= len(by_epoch[2]) <= 400
+    assert by_epoch[2] < set(range(1000))
+    assert set(by_epoch) == {0, 1, 2}
+    # per-(epoch, id) uniqueness — the downstream dedup key
+    assert len(out) == 2000 + len(by_epoch[2])
+
+
+def test_epoch_repeat_is_deterministic_and_rate_le_1_degrades(spark):
+    from fenix_spark.operators.sampling import deterministic_sample, epoch_repeat
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = sorted((r["doc_id"], r["__epoch"]) for r in epoch_repeat(df, "doc_id", 1.7, salt="s").collect())
+    b = sorted((r["doc_id"], r["__epoch"]) for r in epoch_repeat(df, "doc_id", 1.7, salt="s").collect())
+    assert a == b
+    # rate <= 1: one fractional epoch, same subset law as
+    # deterministic_sample under the epoch salt
+    got = {r["doc_id"] for r in epoch_repeat(df, "doc_id", 0.4, salt="s").collect()}
+    want = {r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.4, salt="s/ep0").collect()}
+    assert got == want
+
+
+def test_epoch_mixture_realizes_budget_with_upsampling(spark):
+    from fenix_spark.operators.sampling import epoch_mixture
+
+    a = spark.range(8000).select(F.col("id").alias("doc_id"))
+    b = spark.range(300).select((F.col("id") + 100_000).alias("doc_id"))
+    out = epoch_mixture([a, b], "doc_id", 1e-9, 4000, max_epochs=4.0, salt="m")
+    rows = out.collect()
+    per_source = {}
+    for r in rows:
+        per_source[r["__source"]] = per_source.get(r["__source"], 0) + 1
+    # T→0 wants 2000 from each; source 1 (300 rows) upsamples — capped
+    # at 4 epochs = 1200 rows, overflow water-fills source 0 to 2800
+    assert abs(per_source[1] - 1200) < 2
+    assert abs(per_source[0] - 2800) < 60  # hash-grid quantization
+    # provenance columns present; (source, epoch, id) unique
+    keys = {(r["__source"], r["__epoch"], r["doc_id"]) for r in rows}
+    assert len(keys) == len(rows)
+
+
+def test_epoch_mixture_is_shuffle_free(spark):
+    """The whole mixing law — rates, epochs, fractional passes, the
+    union — is scans only: zero exchanges at any scale."""
+    from fenix_spark.operators.sampling import epoch_mixture
+    from fenix_spark.plans import shuffle_count
+
+    a = spark.range(1000).select(F.col("id").alias("doc_id"))
+    b = spark.range(100).select((F.col("id") + 5000).alias("doc_id"))
+    out = epoch_mixture([a, b], "doc_id", 0.5, 1500, counts=[1000, 100], max_epochs=3.0)
+    assert shuffle_count(out) == 0
