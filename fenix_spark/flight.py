@@ -713,6 +713,6 @@ if __name__ == "__main__":
 
     launch(
         sys.argv[1],
-        sys.argv[2] if len(sys.argv) > 2 else "0.0.0.0",
+        sys.argv[2] if len(sys.argv) > 2 else "127.0.0.1",
         int(sys.argv[3]) if len(sys.argv) > 3 else 9001,
     )

@@ -330,3 +330,23 @@ def test_compact_invalidates_stale_bloom_sidecar(spark, root):
         r.k for r in catalog.bloom_point_lookup(spark, root, "t", "k", [5]).collect()
     )
     assert got == [5]
+
+
+def test_reader_resolved_before_commit_survives_the_committers_vacuum(spark, root):
+    """The retention window's reason to exist (ADVICE r10): a reader
+    that resolved generation N just before a maintenance commit flips
+    the pointer to N+1 is still mid-scan when the committer vacuums —
+    its files must survive until the FOLLOWING commit."""
+    n = _mk(spark, root, n=500, files=4)
+    path = catalog.source_path(root, "t")
+    catalog.compact(spark, root, "t", target_file_bytes=1 << 30)  # gen 1
+    live1 = manifest.resolve(path)
+    reader = spark.read.parquet(live1)  # lazy: resolved, not yet scanned
+    catalog.compact(spark, root, "t", target_file_bytes=1 << 30)  # gen 2 + vacuum
+    # the overlapping reader completes against the retained generation
+    assert reader.count() == n
+    assert sorted(r.k for r in reader.collect()) == list(range(n))
+    # ... and the FOLLOWING commit expires it
+    catalog.compact(spark, root, "t", target_file_bytes=1 << 30)  # gen 3
+    assert not os.path.isdir(live1)
+    assert _ids(spark, root) == list(range(n))
