@@ -156,15 +156,17 @@ class Server:
 
             def get_flight_info(self, ctx, descriptor):
                 # the reference raises NotImplementedError here
-                # (flight.py:24-28); serving the schema + endpoint is
-                # strictly more useful and costs one limit(0) plan
+                # (flight.py:24-28); serving the schema + PER-FILE
+                # endpoints is strictly more useful — see
+                # _flight_info_endpoints for the parallel-read contract
                 name = descriptor.path[0].decode()
+                endpoints, rows, nbytes = outer._flight_info_endpoints(name)
                 return fl.FlightInfo(
                     outer._table_schema(name),
                     descriptor,
-                    [fl.FlightEndpoint(name, [outer.grpc])],
-                    -1,
-                    -1,
+                    endpoints,
+                    rows,
+                    nbytes,
                 )
 
         import collections
@@ -282,30 +284,21 @@ class Server:
     # discipline as put_flush_bytes and similarity_join_brute's budget.
     get_budget_bytes: int = 32 << 20
 
-    def _direct_dataset(self, spec: dict):
-        """A plain single-table read (no filter/select/coding) can be
-        served straight from the table's own parquet files — zero Spark
-        job, zero copy, any table size. Returns None when the spec
-        needs compute or the layout isn't flat parquet (partitioned
-        dirs fall back to the spool path for hive-partition handling)."""
-        if any(spec.get(k) for k in ("filter", "select", "coding", "column")):
-            return None
-        source = spec.get("source")
-        if not isinstance(source, str) or ":" in source:
-            return None
-        import os
-
-        import pyarrow.dataset as ds
-
+    def _direct_files(self, source: str) -> tuple[str, int | None, list[str]] | None:
+        """(resolved dir, committed gen or None, file basenames) for a
+        table servable straight from its parquet files, else None
+        (partitioned layouts fall back to the spool path for
+        hive-partition handling)."""
         from fenix_spark.catalog import source_path
-        from fenix_spark.manifest import resolve
+        from fenix_spark.manifest import current_gen, resolve
 
-        d = resolve(source_path(self.store.root, source))
+        path = source_path(self.store.root, source)
+        d = resolve(path)
+        if not os.path.isdir(d):
+            return None
         entries = sorted(os.listdir(d))
         files = [
-            os.path.join(d, e)
-            for e in entries
-            if e.endswith(".parquet") and not e.startswith(("_", "."))
+            e for e in entries if e.endswith(".parquet") and not e.startswith(("_", "."))
         ]
         if not files or any(
             os.path.isdir(os.path.join(d, e))
@@ -313,7 +306,91 @@ class Server:
             if not e.startswith(("_", "."))
         ):
             return None
-        return ds.dataset(files, format="parquet")
+        return d, current_gen(path), files
+
+    def _direct_dataset(self, spec: dict):
+        """A plain single-table read (no filter/select/coding) can be
+        served straight from the table's own parquet files — zero Spark
+        job, zero copy, any table size. Returns None when the spec
+        needs compute or the layout isn't flat parquet.
+
+        A ticket may carry ``gen`` + ``files`` (minted by
+        get_flight_info's per-file endpoints): the read is then PINNED
+        to that manifest generation, so N parallel shard fetches stay
+        consistent across a concurrent compact — the retention window
+        keeps the superseded generation alive for exactly one follow-on
+        commit, and an expired pin fails loudly telling the client to
+        re-plan rather than silently mixing generations."""
+        import pyarrow.dataset as ds
+
+        from fenix_spark.catalog import source_path
+        from fenix_spark.manifest import _gen_dir
+
+        source = spec.get("source")
+        if not isinstance(source, str) or ":" in source:
+            return None
+        pinned = spec.get("files")
+        if pinned is not None:
+            if any(spec.get(k) for k in ("filter", "select", "coding", "column")):
+                raise ValueError(
+                    "do_get: a files-pinned ticket is a plain shard read; "
+                    "filter/select/coding do not apply — fetch the computed "
+                    "read through a plain ticket instead"
+                )
+            path = source_path(self.store.root, source)
+            gen = spec.get("gen")
+            d = path if gen is None else _gen_dir(path, int(gen))
+            if not os.path.isdir(d):
+                raise ValueError(
+                    f"do_get: pinned generation {gen} of {source!r} has been "
+                    "vacuumed (reads spanning more than one maintenance "
+                    "rewrite exceed the retention window) — re-plan via "
+                    "get_flight_info"
+                )
+            live = {
+                e
+                for e in os.listdir(d)
+                if e.endswith(".parquet") and not e.startswith(("_", "."))
+            }
+            bad = [f for f in pinned if f not in live]  # also rejects paths
+            if bad:
+                raise ValueError(
+                    f"do_get: ticket names files not in {source!r} gen {gen}: "
+                    f"{bad[:3]} — stale plan, re-plan via get_flight_info"
+                )
+            return ds.dataset([os.path.join(d, f) for f in pinned], format="parquet")
+        if any(spec.get(k) for k in ("filter", "select", "coding", "column")):
+            return None
+        direct = self._direct_files(source)
+        if direct is None:
+            return None
+        d, _, files = direct
+        return ds.dataset([os.path.join(d, f) for f in files], format="parquet")
+
+    def _flight_info_endpoints(self, name: str):
+        """Endpoints for get_flight_info: one PER PARQUET FILE for a
+        direct-servable table — each ticket pins (gen, file), so a
+        client fetches shards in parallel (Client.read_table_parallel)
+        with generation consistency — plus exact row/byte totals from
+        the same footer reads. Non-direct layouts (partitioned dirs)
+        fall back to one whole-table ticket."""
+        fl = _require_flight()
+        direct = self._direct_files(name)
+        if direct is None:
+            return [fl.FlightEndpoint(name, [self.grpc])], -1, -1
+        d, gen, files = direct
+        import pyarrow.parquet as pq
+
+        endpoints, rows, nbytes = [], 0, 0
+        for f in files:
+            md = pq.read_metadata(os.path.join(d, f))
+            rows += md.num_rows
+            nbytes += sum(
+                md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+            )
+            ticket = json.dumps({"source": name, "gen": gen, "files": [f]})
+            endpoints.append(fl.FlightEndpoint(ticket, [self.grpc]))
+        return endpoints, rows, nbytes
 
     def _stream_batches(self, data, schema, spool: str | None):
         """Yield record batches from a pyarrow dataset, each cast to
@@ -361,7 +438,10 @@ class Server:
         raw = ticket.ticket.decode()
         spec = json.loads(raw) if raw.startswith("{") else {"source": raw}
         state = self._state.get(ctx.peer(), {})
-        spec = {**state, **spec}
+        # a files-pinned ticket (minted by get_flight_info) is complete
+        # by construction — per-peer set-* state must not graft a
+        # filter onto a shard fetch
+        spec = spec if "files" in spec else {**state, **spec}
         from pyspark.sql.pandas.types import to_arrow_schema
 
         df = self._spec_df(spec)
@@ -626,6 +706,34 @@ class Client:
         }
         spec = {k: v for k, v in spec.items() if v is not None}
         return self.conn.do_get(fl.Ticket(json.dumps(spec).encode())).to_reader()
+
+    def read_table_parallel(self, name: str, max_workers: int = 8):
+        """Whole-table fetch over PARALLEL shard streams: plan once via
+        get_flight_info (one endpoint per parquet file, each ticket
+        pinned to the table's committed generation), fetch endpoints
+        concurrently, concatenate. Generation pinning + the server's
+        manifest retention window make the combined result a CONSISTENT
+        snapshot even if a compact commits mid-fetch; a fetch that
+        outlives the window fails loudly with a re-plan message instead
+        of mixing generations. Returns a pyarrow Table."""
+        import concurrent.futures
+
+        import pyarrow as pa
+
+        fl = _require_flight()
+        info = self.conn.get_flight_info(fl.FlightDescriptor.for_path(name))
+        tickets = [ep.ticket for ep in info.endpoints]
+
+        def fetch(t):
+            return self.conn.do_get(t).read_all()
+
+        if len(tickets) == 1:
+            return fetch(tickets[0])
+        with concurrent.futures.ThreadPoolExecutor(
+            max_workers=min(max_workers, len(tickets))
+        ) as pool:
+            parts = list(pool.map(fetch, tickets))
+        return pa.concat_tables(parts)
 
     def drop_table(self, name: str) -> "Client":
         self._action("drop-table", name=name)

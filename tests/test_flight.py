@@ -13,6 +13,7 @@ import pyarrow as pa
 import pytest
 
 import pyarrow.flight as fl
+from pyspark.sql import functions as F
 
 from fenix_spark.flight import Client, Server
 from fenix_spark.store import Store
@@ -524,3 +525,72 @@ def test_drop_coder_verb_drops_only_the_coder(spark, served):
     client.drop_coder("dc_code")
     assert "dc_code" not in st.list_coders()
     assert ("dc_vecs", "emb", "dc_code") in st.list_indexes()
+
+
+def test_flight_info_serves_per_file_endpoints_with_totals(spark, served):
+    """get_flight_info returns one endpoint per parquet file with
+    exact row/byte totals from the same footer reads — the parallel
+    fetch plan."""
+    from fenix_spark import catalog
+
+    _, client, root = served
+    df = spark.range(3000).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+    )
+    df.repartition(6).write.mode("overwrite").parquet(
+        catalog.source_path(root, "sharded")
+    )
+    info = client.conn.get_flight_info(fl.FlightDescriptor.for_path("sharded"))
+    assert len(info.endpoints) == 6
+    assert info.total_records == 3000
+    assert info.total_bytes > 0
+    specs = [json.loads(ep.ticket.ticket.decode()) for ep in info.endpoints]
+    assert all(s["source"] == "sharded" and len(s["files"]) == 1 for s in specs)
+
+
+def test_parallel_shard_read_equals_single_stream(spark, served):
+    _, client, _ = served
+    whole = client.read_table("sharded").read_all()
+    par = client.read_table_parallel("sharded", max_workers=4)
+    assert par.num_rows == whole.num_rows == 3000
+    assert sorted(par.column("k").to_pylist()) == sorted(
+        whole.column("k").to_pylist()
+    )
+
+
+def test_pinned_tickets_survive_one_compact_then_fail_loud(spark, served):
+    """Generation pinning + the retention window: shard tickets minted
+    before a compact still serve afterwards (consistent snapshot); a
+    ticket older than the window fails with a re-plan message instead
+    of silently mixing generations."""
+    from fenix_spark import catalog
+
+    _, client, root = served
+    info = client.conn.get_flight_info(fl.FlightDescriptor.for_path("sharded"))
+    tickets = [ep.ticket for ep in info.endpoints]
+    catalog.compact(spark, root, "sharded", target_file_bytes=1 << 30)
+    got = sum(client.conn.do_get(t).read_all().num_rows for t in tickets)
+    assert got == 3000  # old plan completes against the retained layout
+    catalog.compact(spark, root, "sharded", target_file_bytes=1 << 30)
+    with pytest.raises(
+        (fl.FlightServerError, pa.lib.ArrowInvalid), match="re-plan"
+    ):
+        client.conn.do_get(tickets[0]).read_all()
+
+
+def test_pinned_tickets_reject_foreign_files_and_filters(served):
+    _, client, _ = served
+    evil = json.dumps(
+        {"source": "sharded", "gen": None, "files": ["../../etc/passwd"]}
+    )
+    with pytest.raises(
+        (fl.FlightServerError, pa.lib.ArrowInvalid), match="re-plan|not in"
+    ):
+        client.conn.do_get(fl.Ticket(evil.encode())).read_all()
+    info = client.conn.get_flight_info(fl.FlightDescriptor.for_path("sharded"))
+    spec = json.loads(info.endpoints[0].ticket.ticket.decode())
+    spec["filter"] = "k > 5"
+    with pytest.raises(
+        (fl.FlightServerError, pa.lib.ArrowInvalid), match="plain shard read"
+    ):
+        client.conn.do_get(fl.Ticket(json.dumps(spec).encode())).read_all()
