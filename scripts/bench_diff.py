@@ -19,6 +19,8 @@ import sys
 
 
 def _load(path: str) -> dict:
+    import os
+
     d = json.load(open(path))
     if "parsed" in d and isinstance(d.get("parsed"), dict):
         d = d["parsed"]
@@ -27,6 +29,19 @@ def _load(path: str) -> dict:
             f"{path}: no parsed queries section (truncated driver tail?) — "
             "diff the builder-side artifact instead"
         )
+    # r11+: the driver-visible line is a compact summary pointing at
+    # the full sidecar (raw_bytes/raw_runs/load stamps live there).
+    # Adopt the sidecar ONLY if its timings match — bench overwrites
+    # it every run, so a stale pointer must not smuggle in another
+    # run's byte volumes.
+    if "raw_bytes" not in d and d.get("full"):
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        side = d["full"] if os.path.isabs(d["full"]) else os.path.join(repo, d["full"])
+        if os.path.isfile(side):
+            full = json.load(open(side))
+            if full.get("queries") == d["queries"]:
+                return full
+            print(f"note: {side} is from a different run; bytes unavailable")
     return d
 
 

@@ -350,3 +350,32 @@ def test_epoch_mixture_is_shuffle_free(spark):
     b = spark.range(100).select((F.col("id") + 5000).alias("doc_id"))
     out = epoch_mixture([a, b], "doc_id", 0.5, 1500, counts=[1000, 100], max_epochs=3.0)
     assert shuffle_count(out) == 0
+
+
+def test_epoch_repeat_duckdb_mirror(spark):
+    """The module's oracle-checkability claim extended to upsampling:
+    full epochs are generate_series in SQL, the fractional epoch is
+    the same md5-bucket law as deterministic_sample — row-identical
+    on both engines."""
+    import duckdb
+
+    from fenix_spark.functions.texthash import duck_hash60
+    from fenix_spark.operators.sampling import _BUCKETS, epoch_repeat
+
+    df = spark.range(800).select(F.col("id").alias("doc_id"))
+    rate, salt = 2.3, "mir"
+    got = sorted(
+        (r["doc_id"], r["__epoch"])
+        for r in epoch_repeat(df, "doc_id", rate, salt=salt).collect()
+    )
+    full, thresh = int(rate), int(round((rate - int(rate)) * _BUCKETS))
+    h = duck_hash60(f"doc_id::VARCHAR || '{salt}/ep{full}'")
+    want = duckdb.connect().execute(f"""
+        WITH ids AS (SELECT range AS doc_id FROM range(800))
+        SELECT doc_id, e.generate_series AS epoch
+        FROM ids, generate_series(0, {full - 1}) e
+        UNION ALL
+        SELECT doc_id, {full} FROM ids WHERE ({h} % {_BUCKETS}) < {thresh}
+        ORDER BY doc_id, epoch
+    """).fetchall()
+    assert got == [(d, e) for d, e in want]
