@@ -615,6 +615,12 @@ class Server:
             self.store.remove()
         elif kind == "list-tables":
             yield fl.Result(json.dumps(self.store.list_tables()).encode())
+        elif kind == "validate":
+            # extension verb: remote fsck — footer reads only, no Spark
+            # job (validate.py); the report JSON comes back to the client
+            from fenix_spark.validate import validate_store
+
+            yield fl.Result(json.dumps(validate_store(self.store.root)).encode())
         elif kind == "list-coders":
             yield fl.Result(json.dumps(self.store.list_coders()).encode())
         elif kind == "list-indexes":
@@ -759,6 +765,11 @@ class Client:
         drop-index also sweeps every index built from it)."""
         self._action("drop-coder", name=name)
         return self
+
+    def validate(self) -> dict:
+        """Remote fsck (extension verb): the server-side
+        ``validate_store`` report — footer reads only, no Spark job."""
+        return json.loads(self._action("validate")[0].body.to_pybytes().decode())
 
     def search(
         self,

@@ -145,6 +145,7 @@ def validate_store(root: str) -> dict[str, Any]:
     report: dict[str, Any] = {"root": root, "findings": [], "tables": {}}
     if not os.path.isdir(root):
         _finding(report, "ERROR", root, "store root does not exist")
+        report["errors"] = 1
         return report
 
     # ------------------------------------------------------- sources

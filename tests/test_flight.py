@@ -594,3 +594,14 @@ def test_pinned_tickets_reject_foreign_files_and_filters(served):
         (fl.FlightServerError, pa.lib.ArrowInvalid), match="plain shard read"
     ):
         client.conn.do_get(fl.Ticket(json.dumps(spec).encode())).read_all()
+
+
+def test_validate_verb_serves_the_fsck_report(served):
+    """Extension verb: remote store fsck — the validate_store report
+    over the wire, zero Spark jobs server-side."""
+    _, client, root = served
+    client.make_table("fscked", pa.table({"id": [1, 2, 3]}))
+    report = client.validate()
+    assert report["root"] == root
+    assert report["errors"] == 0
+    assert report["tables"]["fscked"] == 3
