@@ -202,6 +202,27 @@ def _child_main() -> None:
     for th in _threads:
         th.join()
     cpu_md5_mt_sec = round(time.perf_counter() - _t0, 4)
+    # BLAS fingerprint: the r11 mid-session degradation hit ONLY the
+    # GEMM/Arrow rows (similarity_join_topk 0.9s -> 5.1s, identical
+    # bytes) while BOTH md5 probes held steady — integer hashing does
+    # not exercise the FPU/SIMD/memory-bandwidth path numpy's BLAS
+    # lives on. Fixed-work f64 matmul, single call (BLAS threads as
+    # configured = what the pandas-UDF workers actually get).
+    import numpy as _np
+
+    _a = _np.ones((1024, 1024)); _b = _np.ones((1024, 1024))
+    _a @ _b  # warm the BLAS thread pool out of the timing
+    _gemm = []
+    for _ in range(3):
+        _t0 = time.perf_counter()
+        for _ in range(8):
+            _a @ _b
+        _gemm.append(time.perf_counter() - _t0)
+    # min = the host's current peak; max alongside it because the
+    # observed failure mode is a 3x swing on FIXED work within seconds
+    # (r11) — a wide (min, max) pair IS the degradation signature.
+    cpu_gemm_sec = round(min(_gemm), 4)
+    cpu_gemm_max_sec = round(max(_gemm), 4)
     for name in bench_queries:
         runs = []
         loads = []
@@ -260,6 +281,8 @@ def _child_main() -> None:
                 "ts_start": ts_start,
                 "cpu_md5_sec": cpu_md5_sec,
                 "cpu_md5_mt_sec": cpu_md5_mt_sec,
+                "cpu_gemm_sec": cpu_gemm_sec,
+                "cpu_gemm_max_sec": cpu_gemm_max_sec,
                 "loadavg_start": loadavg_start,
                 "loadavg_end": [round(v, 2) for v in os.getloadavg()],
                 "sf": sf,

@@ -61,7 +61,15 @@ def main() -> None:
           f"(host speed ratio {round(cpu(new) / cpu(old), 2) if cpu(old) and cpu(new) else 'n/a'})")
     mo, mn = old.get("cpu_md5_mt_sec"), new.get("cpu_md5_mt_sec")
     print(f"cpu_md5_mt_sec: {mo} -> {mn}  (parallel-throughput ratio "
-          f"{round(mn / mo, 2) if mo and mn else 'n/a'} — GEMM/Arrow rows track THIS one)")
+          f"{round(mn / mo, 2) if mo and mn else 'n/a'})")
+    go, gn = old.get("cpu_gemm_sec"), new.get("cpu_gemm_sec")
+    print(f"cpu_gemm_sec: {go} -> {gn}  (BLAS-throughput ratio "
+          f"{round(gn / go, 2) if go and gn else 'n/a'} — GEMM/Arrow rows track THIS one; "
+          "md5 probes miss FPU/bandwidth degradation, r11 lesson)")
+    gxo, gxn = old.get("cpu_gemm_max_sec"), new.get("cpu_gemm_max_sec")
+    if gxo or gxn:
+        print(f"cpu_gemm_max_sec: {gxo} -> {gxn}  (a wide min/max gap within one "
+              "artifact = the host was swinging DURING the sweep)")
     print(f"loadavg_start: {old.get('loadavg_start')} -> {new.get('loadavg_start')}")
     print()
     common = sorted(set(old["queries"]) & set(new["queries"]))
