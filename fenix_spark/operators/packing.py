@@ -68,7 +68,7 @@ def pack_sequences(
             bad = pdf[pdf["length"] > budget]
             if len(bad):
                 raise ValueError(
-                    f"doc {int(bad['id'].iloc[0])} has {int(bad['length'].iloc[0])} "
+                    f"doc {bad['id'].iloc[0]!r} has {int(bad['length'].iloc[0])} "
                     f"tokens > budget {budget}"
                 )
         # Best-fit-decreasing via a bisected sorted list of
@@ -104,11 +104,16 @@ def pack_sequences(
         F.col(len_col).cast("long").alias("length"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets)).alias("bucket"),
     )
+    # id keeps the caller's type — string/UUID/composite ids are as
+    # common as integers in document corpora (sorted tie-break and
+    # xxhash64 bucketing are type-agnostic)
+    id_type = df.schema[id_col].dataType.simpleString()
     return (
         src.groupBy("bucket")
         .applyInPandas(
             pack_bucket,
-            "id bigint, length bigint, pack_id bigint, pack_len bigint, pack_docs bigint",
+            f"id {id_type}, length bigint, pack_id bigint, "
+            "pack_len bigint, pack_docs bigint",
         )
         .withColumnRenamed("id", id_col)
     )

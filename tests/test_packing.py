@@ -75,3 +75,28 @@ def test_only_ids_and_lengths_shuffle(spark):
     )
     ex = plan.split("Exchange")[1]
     assert "text" not in ex.split("\n")[0]
+
+
+def test_pack_sequences_keeps_string_id_type(spark):
+    """Document ids are as often strings (URLs, UUIDs, composite
+    provenance keys) as integers — the pack output keeps the caller's
+    id type and the deterministic tie-break works on strings."""
+    from fenix_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(f"doc-{i:03d}#{i % 3}", 100 + i) for i in range(40)],
+        "uid string, n_tok long",
+    )
+    out = pack_sequences(df, "n_tok", id_col="uid", budget=256)
+    assert dict(out.dtypes)["uid"] == "string"
+    rows = out.collect()
+    assert len(rows) == 40
+    assert {r["uid"] for r in rows} == {f"doc-{i:03d}#{i % 3}" for i in range(40)}
+    assert all(
+        r["pack_len"] <= 256 or r["pack_docs"] == 1 for r in rows
+    )
+    # determinism across runs
+    again = {(r["uid"], r["pack_id"]) for r in pack_sequences(
+        df, "n_tok", id_col="uid", budget=256
+    ).collect()}
+    assert again == {(r["uid"], r["pack_id"]) for r in rows}
