@@ -1,4 +1,4 @@
-"""Baseline JFIF/JPEG codec — pure numpy + stdlib ``struct``.
+"""JFIF/JPEG codec — pure numpy + stdlib ``struct``.
 
 Retires the last *image* stub in ``media.decode_payload`` (jpeg was a
 documented NotImplementedError swap-in; bmp/png/wav were already real).
@@ -6,12 +6,20 @@ Scope — honest boundaries, raised loudly:
 
 - ENCODE: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
   4:4:4 / 4:2:0, Annex-K quantization tables scaled by libjpeg's
-  quality convention, Annex-K standard Huffman tables, JFIF APP0.
+  quality convention, Annex-K standard Huffman tables, JFIF APP0;
+  plus PROGRESSIVE (SOF2, r11): spectral selection + successive
+  approximation per ITU-T T.81 G.1.2 (``encode_jpeg_progressive``,
+  EOB runs capped at EOB0 so the Annex-K tables suffice — longer EOBn
+  codes need per-scan optimized tables, which real encoders generate;
+  the DECODER handles full EOBn).
 - DECODE: any *baseline* (SOF0/SOF1) stream: arbitrary 1-4 components,
   integer sampling factors (covers 4:4:4 / 4:2:2 / 4:2:0), multiple
-  DQT/DHT segments, 16-bit quant tables, restart markers (DRI/RSTn).
-  Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-  NotImplementedError by name.
+  DQT/DHT segments, 16-bit quant tables, restart markers (DRI/RSTn);
+  plus PROGRESSIVE (SOF2, r11): interleaved/non-interleaved DC scans,
+  per-component AC scans, successive-approximation refinement
+  (T.81 G.1.2 / the libjpeg correction-bit procedure), EOBn runs,
+  inter-scan DHT redefinition, restarts inside any scan. Arithmetic
+  coding and 12-bit precision still raise NotImplementedError by name.
 
 The DCT is the exact orthonormal 8-point DCT-II as two batched 8x8
 matmuls (numpy), not a fast approximate kernel: encode(decode(x))
@@ -293,19 +301,10 @@ def _encode_block(
     return v0
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 90,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to baseline JFIF.
-
-    ``subsample=True`` writes 4:2:0 (Y 2x2, chroma 1x1, 2x2-mean
-    downsampled chroma); default is 4:4:4. ``restart_interval`` > 0
-    emits DRI + RSTn markers every that many MCUs (the real-world
-    error-resilience layout; decoders must reset DC predictors).
-    """
+def _prepare_coefs(img: np.ndarray, quality: int, subsample: bool):
+    """Shared encode front half: color transform, subsampling, DCT,
+    quantization. Returns (h, w, coefs, samp, qids, qy_zz, qc_zz,
+    mcus_x, mcus_y); ``coefs[ci]`` is (by, bx, 64) zigzag-order ints."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg needs uint8")
@@ -357,6 +356,27 @@ def encode_jpeg(
         if ph or pw:
             plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
         coefs.append(_plane_to_coefs(plane, qy_zz if qids[len(coefs)] == 0 else qc_zz))
+    return h, w, coefs, samp, qids, qy_zz, qc_zz, mcus_x, mcus_y
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to baseline JFIF.
+
+    ``subsample=True`` writes 4:2:0 (Y 2x2, chroma 1x1, 2x2-mean
+    downsampled chroma); default is 4:4:4. ``restart_interval`` > 0
+    emits DRI + RSTn markers every that many MCUs (the real-world
+    error-resilience layout; decoders must reset DC predictors).
+    """
+    h, w, coefs, samp, qids, qy_zz, qc_zz, mcus_x, mcus_y = _prepare_coefs(
+        img, quality, subsample
+    )
+    planes = coefs
+    gray = len(coefs) == 1
 
     dc_tabs = [_build_codes(*_DC_LUMA)] + [_build_codes(*_DC_CHROMA)] * (len(planes) - 1)
     ac_tabs = [_build_codes(*_AC_LUMA)] + [_build_codes(*_AC_CHROMA)] * (len(planes) - 1)
@@ -436,8 +456,9 @@ def _split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to (h, w) uint8 (1 component) or
-    (h, w, 3) uint8 RGB (3 components, JFIF YCbCr)."""
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to
+    (h, w) uint8 (1 component) or (h, w, 3) uint8 RGB (3 components,
+    JFIF YCbCr)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -445,6 +466,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     ac_tabs: dict[int, dict[tuple[int, int], int]] = {}
     restart = 0
     frame = None  # (h, w, comps) with comps = [(id, sh, sv, tq)]
+    progressive = False
+    prog: "_ProgressiveState | None" = None
     i = 2
     n = len(data)
     while i < n:
@@ -480,7 +503,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[j + 17 : j + 17 + nv])
                 (ac_tabs if tc else dc_tabs)[th] = _build_decode(bits, vals)
                 j += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             prec, fh, fw, nc = body[0], struct.unpack(">H", body[1:3])[0], struct.unpack(">H", body[3:5])[0], body[5]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} (only 8-bit)")
@@ -489,8 +512,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (fh, fw, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            if marker == 0xC2:
+                progressive = True
+                prog = _ProgressiveState(frame)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG frame type SOF marker 0x{marker:02x}")
         elif marker == 0xDD:  # DRI
@@ -503,9 +527,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 15))
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             segs, i = _split_entropy(data, i + 2 + seglen)
-            return _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, restart, segs)
+            if not progressive:
+                return _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, restart, segs)
+            prog.decode_scan(
+                scan, ss, se, ahal >> 4, ahal & 15, dc_tabs, ac_tabs, restart, segs
+            )
+            continue  # i already points at the next marker
         i += 2 + seglen
+    if progressive:
+        if not prog.saw_scan:
+            raise ValueError("corrupt JPEG: no SOS marker")
+        return _reconstruct(frame, prog.stores, qt)
     raise ValueError("corrupt JPEG: no SOS marker")
 
 
@@ -562,9 +596,22 @@ def _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, restart, segs) -> np.ndarray
                     coefs[ci][my * sv + by, mx * sh + bx] = zz
         mcu_index += 1
 
+    # map scan order back to frame order for the shared reconstruction
+    pos_in_scan = {cs: idx for idx, (cs, _, _) in enumerate(scan)}
+    stores = [coefs[pos_in_scan[cid]] for cid, _, _, _ in comps]
+    return _reconstruct(frame, stores, qt)
+
+
+def _reconstruct(frame, stores, qt) -> np.ndarray:
+    """Dequantize + IDCT + upsample + color-convert per-component
+    coefficient grids (zigzag order) — shared by the baseline and
+    progressive paths."""
+    fh, fw, comps = frame
+    hmax = max(sh for _, sh, _, _ in comps)
+    vmax = max(sv for _, _, sv, _ in comps)
     planes = []
-    for ci, (sh, sv, tq, _, _) in enumerate(order):
-        zz = coefs[ci] * qt[tq][None, None]  # dequantize in zigzag order
+    for (cid, sh, sv, tq), store in zip(comps, stores):
+        zz = store.astype(np.float64) * qt[tq][None, None]  # zigzag dequant
         nat = np.zeros_like(zz)
         nat[:, :, ZIGZAG] = zz
         by, bx = nat.shape[0], nat.shape[1]
@@ -585,3 +632,370 @@ def _decode_scan(frame, scan, qt, dc_tabs, ac_tabs, restart, segs) -> np.ndarray
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------ progressive
+
+
+class _ProgressiveState:
+    """Coefficient accumulator across a progressive JPEG's scans
+    (ITU-T T.81 G.1.2; the refinement walk is the libjpeg
+    correction-bit procedure). Coefficients live in ZIGZAG order as
+    int64 — successive approximation is bit surgery, floats would
+    corrupt it."""
+
+    def __init__(self, frame):
+        fh, fw, comps = frame
+        self.frame = frame
+        self.hmax = max(sh for _, sh, _, _ in comps)
+        self.vmax = max(sv for _, _, sv, _ in comps)
+        self.mcus_x = -(-fw // (8 * self.hmax))
+        self.mcus_y = -(-fh // (8 * self.vmax))
+        self.stores = [
+            np.zeros((self.mcus_y * sv, self.mcus_x * sh, 64), dtype=np.int64)
+            for _, sh, sv, _ in comps
+        ]
+        self.pos = {cid: idx for idx, (cid, _, _, _) in enumerate(comps)}
+        self.saw_scan = False
+
+    def _blocks_dims(self, ci: int) -> tuple[int, int]:
+        """Non-interleaved block-grid dims for one component (ceil of
+        the component's own sample dims / 8 — NOT the MCU-padded grid)."""
+        fh, fw, comps = self.frame
+        _, sh, sv, _ = comps[ci]
+        cw = -(-fw * sh // self.hmax)
+        ch = -(-fh * sv // self.vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    def decode_scan(self, scan, ss, se, ah, al, dc_tabs, ac_tabs, restart, segs):
+        self.saw_scan = True
+        fh, fw, comps = self.frame
+        seg_iter = iter(segs)
+        br = _BitReader(next(seg_iter))
+        if ss == 0:
+            if se != 0:
+                raise ValueError("corrupt JPEG: DC scan with Se != 0")
+            order = []
+            for cs, td, _ta in scan:
+                ci = self.pos[cs]
+                order.append((ci, comps[ci][1], comps[ci][2], dc_tabs.get(td)))
+            prev = [0] * len(order)
+            if len(order) > 1:  # interleaved DC scan: MCU walk
+                total = self.mcus_y * self.mcus_x
+                for mcu in range(total):
+                    if restart and mcu and mcu % restart == 0:
+                        br = _BitReader(next(seg_iter))
+                        prev = [0] * len(order)
+                    my, mx = divmod(mcu, self.mcus_x)
+                    for oi, (ci, sh, sv, dct) in enumerate(order):
+                        for by in range(sv):
+                            for bx in range(sh):
+                                blk = self.stores[ci][my * sv + by, mx * sh + bx]
+                                prev[oi] = self._dc_block(br, dct, blk, ah, al, prev[oi])
+            else:  # single-component DC scan: block-raster walk
+                ci, _, _, dct = order[0]
+                bh, bw_ = self._blocks_dims(ci)
+                for idx in range(bh * bw_):
+                    if restart and idx and idx % restart == 0:
+                        br = _BitReader(next(seg_iter))
+                        prev = [0]
+                    by, bx = divmod(idx, bw_)
+                    blk = self.stores[ci][by, bx]
+                    prev[0] = self._dc_block(br, dct, blk, ah, al, prev[0])
+            return
+        # AC scan: always non-interleaved (T.81 B.2.3)
+        if len(scan) != 1:
+            raise ValueError("corrupt JPEG: interleaved AC scan in progressive")
+        cs, _td, ta = scan[0]
+        ci = self.pos[cs]
+        act = ac_tabs.get(ta)
+        bh, bw_ = self._blocks_dims(ci)
+        eobrun = 0
+        for idx in range(bh * bw_):
+            if restart and idx and idx % restart == 0:
+                br = _BitReader(next(seg_iter))
+                eobrun = 0
+            by, bx = divmod(idx, bw_)
+            blk = self.stores[ci][by, bx]
+            if ah == 0:
+                eobrun = self._ac_first(br, act, blk, ss, se, al, eobrun)
+            else:
+                eobrun = self._ac_refine(br, act, blk, ss, se, al, eobrun)
+
+    @staticmethod
+    def _dc_block(br, dct, blk, ah, al, prev):
+        if ah == 0:  # first scan: baseline diff coding, point-transformed
+            size = br.decode(dct)
+            prev += _extend(br.read(size), size)
+            blk[0] = prev << al
+        else:  # refinement: one raw bit at position al
+            if br.read(1):
+                blk[0] |= 1 << al
+        return prev
+
+    @staticmethod
+    def _ac_first(br, act, blk, ss, se, al, eobrun):
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            sym = br.decode(act)
+            run, sz = sym >> 4, sym & 15
+            if sz == 0:
+                if run < 15:  # EOBn: run of (1<<run)+bits end-of-bands
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += br.read(run)
+                    break
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > se:
+                raise ValueError("corrupt JPEG: AC index overflow")
+            blk[k] = _extend(br.read(sz), sz) << al
+            k += 1
+        return eobrun
+
+    @staticmethod
+    def _ac_refine(br, act, blk, ss, se, al, eobrun):
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = br.decode(act)
+                run, sz = sym >> 4, sym & 15
+                val = 0
+                if sz == 0:
+                    if run < 15:  # EOBn
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += br.read(run)
+                        break
+                    # run == 15 (ZRL): pass over 16 zero-history coeffs
+                else:  # sz is 1 by construction in refinement scans
+                    val = p1 if br.read(1) else m1
+                # advance: zero-history positions consume the run;
+                # nonzero-history positions read a correction bit
+                while k <= se:
+                    if blk[k]:
+                        if br.read(1) and not (blk[k] & p1):
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if sz:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # end-of-band: correction bits only
+                if blk[k]:
+                    if br.read(1) and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+
+# ------------------------------------------------- progressive encoder
+
+
+def _emit_ac_first(bw, act, zz, ss, se, al) -> None:
+    """AC first scan for one block (T.81 G.1.2.2). EOB runs are capped
+    at EOB0 (always flushed per block) so the Annex-K tables — which
+    define no EOBn>0 codes — suffice."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        m = abs(v) >> al
+        if m == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(*act[0xF0])
+            run -= 16
+        s = m.bit_length()
+        bw.write(*act[(run << 4) | s])
+        x = m if v > 0 else -m
+        bw.write(x if x > 0 else x + (1 << s) - 1, s)
+        run = 0
+    if run:
+        bw.write(*act[0x00])  # EOB0
+
+
+def _emit_ac_refine(bw, act, zz, ss, se, al) -> None:
+    """AC refinement scan for one block — the libjpeg correction-bit
+    procedure: newly-nonzero coefficients emit (run<<4)|1 + sign,
+    already-nonzero coefficients crossed since the last symbol emit
+    one buffered magnitude bit each, flushed after every symbol. ZRLs
+    past the last newly-nonzero position fold into the EOB."""
+    mags = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = -1  # index (relative) of the LAST newly-nonzero coefficient
+    for i, m in enumerate(mags):
+        if m == 1:
+            eob = i
+    run = 0
+    pending: list[int] = []
+    for i, m in enumerate(mags):
+        if m == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            bw.write(*act[0xF0])
+            run -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if m > 1:  # history-nonzero: one correction bit, run unbroken
+            pending.append(m & 1)
+            continue
+        bw.write(*act[(run << 4) | 1])
+        bw.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        run = 0
+    if run or pending:
+        bw.write(*act[0x00])  # EOB0
+        for b in pending:
+            bw.write(b, 1)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode to PROGRESSIVE JFIF (SOF2) with the classic scan script:
+    point-transformed DC first (interleaved), per-component AC bands
+    1-5 then 6-63 at Al=2, two AC refinement passes (Al=1, Al=0), and
+    a DC refinement pass — spectral selection AND two levels of
+    successive approximation, so every decoder code path is exercised.
+    Same quantization/tables as :func:`encode_jpeg`: the final
+    coefficients are identical, so a progressive round-trip must
+    decode pixel-identical to the baseline stream."""
+    h, w, coefs, samp, qids, qy_zz, qc_zz, mcus_x, mcus_y = _prepare_coefs(
+        img, quality, subsample
+    )
+    ncomp = len(coefs)
+    gray = ncomp == 1
+    dc_tabs = [_build_codes(*_DC_LUMA)] + [_build_codes(*_DC_CHROMA)] * (ncomp - 1)
+    ac_tabs = [_build_codes(*_AC_LUMA)] + [_build_codes(*_AC_CHROMA)] * (ncomp - 1)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    def comp_blocks(ci: int) -> tuple[int, int]:
+        sh, sv = samp[ci]
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in ((0, qy_zz), (1, qc_zz)) if not gray else ((0, qy_zz),):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(int(x) for x in q)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
+    huffs = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if ncomp > 1:
+        huffs += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tc, (bits, vals) in huffs:
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals)) + bytes([tc]) + bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    def sos_header(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        ns = len(comp_ids)
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comp_ids:
+            td = 0 if ci == 0 else 1
+            ta = 0 if ci == 0 else 1
+            hdr += bytes([ci + 1, (td << 4) | ta])
+        return hdr + bytes([ss, se, (ah << 4) | al])
+
+    def emit_entropy(walk) -> bytes:
+        """Run ``walk(bw, reset, idx)`` per unit; handle restarts."""
+        bw = _BitWriter()
+        parts = bytearray()
+        rst = 0
+
+        def boundary():
+            nonlocal rst
+            bw.flush()
+            parts.extend(bw.buf)
+            bw.buf.clear()
+            parts.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+            rst += 1
+
+        walk(bw, boundary)
+        bw.flush()
+        parts.extend(bw.buf)
+        return bytes(parts)
+
+    # ---- scan 1: DC first, interleaved over all components, Al=1
+    def dc_first(bw, boundary):
+        prev = [0] * ncomp
+        for mcu in range(mcus_y * mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                boundary()
+                prev = [0] * ncomp
+            my, mx = divmod(mcu, mcus_x)
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        v = int(coefs[ci][my * sv + by, mx * sh + bx][0]) >> 1
+                        diff = v - prev[ci]
+                        size = _category(diff)
+                        bw.write(*dc_tabs[ci][size])
+                        if size:
+                            bw.write(diff if diff > 0 else diff + (1 << size) - 1, size)
+                        prev[ci] = v
+
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
+    out += emit_entropy(dc_first)
+
+    # ---- per component: AC bands first at Al=2, then refinements
+    def ac_scan(ci: int, ss: int, se: int, ah: int, al: int):
+        def walk(bw, boundary):
+            bh, bw_n = comp_blocks(ci)
+            for idx in range(bh * bw_n):
+                if restart_interval and idx and idx % restart_interval == 0:
+                    boundary()
+                by, bx = divmod(idx, bw_n)
+                blk = coefs[ci][by, bx]
+                if ah == 0:
+                    _emit_ac_first(bw, ac_tabs[ci], blk, ss, se, al)
+                else:
+                    _emit_ac_refine(bw, ac_tabs[ci], blk, ss, se, al)
+
+        return sos_header([ci], ss, se, ah, al) + emit_entropy(walk)
+
+    for ci in range(ncomp):
+        out += ac_scan(ci, 1, 5, 0, 2)
+        out += ac_scan(ci, 6, 63, 0, 2)
+    for ci in range(ncomp):
+        out += ac_scan(ci, 1, 63, 2, 1)
+    for ci in range(ncomp):
+        out += ac_scan(ci, 1, 63, 1, 0)
+
+    # ---- final scan: DC refinement, Al=0 (raw bits, no table)
+    def dc_refine(bw, boundary):
+        for mcu in range(mcus_y * mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                boundary()
+            my, mx = divmod(mcu, mcus_x)
+            for ci in range(ncomp):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        bw.write(int(coefs[ci][my * sv + by, mx * sh + bx][0]) & 1, 1)
+
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
+    out += emit_entropy(dc_refine)
+    out += b"\xff\xd9"
+    return bytes(out)

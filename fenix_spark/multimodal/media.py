@@ -259,8 +259,8 @@ def _decode_webp(data: bytes) -> np.ndarray:
 
 def decode_payload(data: bytes, fmt: str, shape: tuple[int, ...]) -> np.ndarray:
     """Pixel-payload decoder. REAL for ``bmp``, ``png`` (stdlib codecs
-    above), ``jpeg``/``jpg`` (baseline numpy codec, multimodal/
-    jpeg.py), ``webp`` (lossless VP8L pure-Python decoder in
+    above), ``jpeg``/``jpg`` (baseline AND progressive/SOF2 numpy
+    codec, multimodal/jpeg.py), ``webp`` (lossless VP8L pure-Python decoder in
     multimodal/vp8l.py, system-libwebp fast path when loadable),
     ``gif`` (palette+LZW incl. interlace/transparency, multimodal/
     gif.py) and ``tiff``/``tif`` (baseline uncompressed, multimodal/

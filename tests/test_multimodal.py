@@ -341,12 +341,18 @@ def test_jpeg_unsupported_variants_raise():
 
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"JUNKJUNK")
-    # splice a progressive SOF2 into a valid stream's header area
     good = encode_jpeg(_smooth_rgb(16, 16))
     sof0 = good.find(b"\xff\xc0")
+    # SOF2 is SUPPORTED since r11 — splicing it onto a stream whose
+    # scan header is baseline-shaped (Ss=0, Se=63) must now fail as a
+    # CORRUPT progressive stream, not as unimplemented
     bad = good[:sof0] + b"\xff\xc2" + good[sof0 + 2 :]
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="DC scan"):
         decode_jpeg(bad)
+    # lossless SOF3 stays an honest NotImplementedError by name
+    bad3 = good[:sof0] + b"\xff\xc3" + good[sof0 + 2 :]
+    with pytest.raises(NotImplementedError, match="0xc3"):
+        decode_jpeg(bad3)
     with pytest.raises(ValueError, match="uint8"):
         encode_jpeg(np.zeros((8, 8), np.float64))
 
