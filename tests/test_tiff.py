@@ -51,16 +51,19 @@ def test_third_party_fixture_matches_independent_ppm():
     assert np.array_equal(t[..., :3], ppm)
 
 
-def test_compressed_variants_raise_not_implemented():
+def test_ccitt_still_raises_and_reports_metadata():
+    """LZW/Deflate/PackBits/JPEG graduated to real decodes in r11; the
+    remaining honest boundary is the CCITT fax family (tabulated code
+    books) — raises by name, metadata tier still reports."""
     img = np.zeros((4, 4, 3), np.uint8)
     blob = bytearray(encode_tiff(img))
-    # flip the Compression tag value (type SHORT at its IFD slot) to 5
+    # flip the Compression tag value (type SHORT at its IFD slot) to 4
     i = blob.find((259).to_bytes(2, "little"))
-    blob[i + 8] = 5  # lzw
-    with pytest.raises(NotImplementedError, match="lzw"):
+    blob[i + 8] = 4  # CCITT G4
+    with pytest.raises(NotImplementedError, match="ccitt"):
         decode_tiff(bytes(blob))
     m = parse_tiff_metadata(bytes(blob))
-    assert m["ok"] and m["compression"] == "lzw"  # metadata tier still reports
+    assert m["ok"] and m["compression"] == "ccitt_g4"
 
 
 def test_parser_never_raises_on_garbage():
@@ -81,3 +84,83 @@ def test_decode_payload_integration():
     img = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
     got = decode_payload(encode_tiff(img), "tiff", (4, 5, 3))
     assert np.array_equal(got, img)
+
+
+# ------------------------------------------------------------- r11:
+# compression/layout variants, all library-free
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"compression": "packbits"},
+        {"compression": "deflate"},
+        {"compression": "lzw"},
+        {"compression": "lzw", "predictor": True},
+        {"compression": "deflate", "predictor": True},
+        {"planar": True},
+        {"planar": True, "compression": "lzw", "predictor": True},
+        {"rows_per_strip": 5},
+        {"rows_per_strip": 7, "compression": "packbits"},
+        {"tile": 16},
+        {"tile": 16, "compression": "deflate", "predictor": True},
+        {"tile": 8, "planar": True, "compression": "lzw"},
+    ],
+)
+def test_variant_roundtrips_exact(kw):
+    rng = np.random.default_rng(11)
+    for shape in ((37, 53, 3), (20, 31)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        data = encode_tiff(img, **kw)
+        assert np.array_equal(decode_tiff(data), img), kw
+        md = parse_tiff_metadata(data)
+        assert md["ok"] and md["width"] == shape[1] and md["height"] == shape[0]
+
+
+def test_lzw_codec_primitives():
+    """TIFF-flavor LZW (MSB-first, early change) round-trips arbitrary
+    bytes, including runs that force table growth through every code
+    width and a mid-stream Clear."""
+    from fenix_spark.multimodal.tiff import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(5)
+    for payload in (
+        b"",
+        b"A" * 10_000,                                   # max-run table growth
+        bytes(rng.integers(0, 256, 50_000, dtype=np.uint8)),  # forces Clear
+        bytes(range(256)) * 40,
+    ):
+        assert _lzw_decode(_lzw_encode(payload)) == payload
+
+
+def test_packbits_primitives():
+    from fenix_spark.multimodal.tiff import _packbits_decode, _packbits_encode
+
+    rng = np.random.default_rng(6)
+    for payload in (
+        b"",
+        b"\x00" * 300,
+        bytes(rng.integers(0, 3, 1000, dtype=np.uint8)),  # mixed runs/literals
+        bytes(rng.integers(0, 256, 1000, dtype=np.uint8)),
+    ):
+        assert _packbits_decode(_packbits_encode(payload)) == payload
+
+
+def test_jpeg_in_tiff_strips():
+    """Compression 7: each strip is a JFIF stream decoded by the
+    in-repo JPEG codec — single- and multi-strip layouts equal the
+    direct jpeg decode of the same rows."""
+    from fenix_spark.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.normal(128, 40, (32, 48, 3)).clip(0, 255).astype(np.uint8)
+    one = decode_tiff(encode_tiff(img, compression="jpeg"))
+    assert np.array_equal(one, decode_jpeg(encode_jpeg(img, quality=90)))
+    multi = decode_tiff(encode_tiff(img, compression="jpeg", rows_per_strip=16))
+    want = np.concatenate(
+        [decode_jpeg(encode_jpeg(img[i : i + 16], quality=90)) for i in (0, 16)],
+        axis=0,
+    )
+    assert np.array_equal(multi, want)
+    with pytest.raises(ValueError, match="jpeg-in-tiff"):
+        encode_tiff(img, compression="jpeg", predictor=True)
