@@ -276,6 +276,10 @@ class Server:
             select=sel,
         )
 
+    # Instrumentation from the most recent do_get stream (tests assert
+    # bounded driver materialization through it).
+    last_get_stats: dict | None = None
+
     # Per-materialized-batch driver budget for do_get. The verb accepts
     # ANY table name — a read_table("lineitem") against a 100 TB store
     # must stream, not collect — so results are served batch-wise and
@@ -456,7 +460,6 @@ class Server:
             # computed read: distributed parquet write into a hidden
             # spool dir (executors do the work, pushdown shrinks it),
             # then stream from the files and remove them
-            import os
             import shutil
             import tempfile
 

@@ -527,19 +527,29 @@ def test_drop_coder_verb_drops_only_the_coder(spark, served):
     assert ("dc_vecs", "emb", "dc_code") in st.list_indexes()
 
 
-def test_flight_info_serves_per_file_endpoints_with_totals(spark, served):
+@pytest.fixture()
+def sharded(spark, served):
+    """A 6-file table in the served store (idempotent per module)."""
+    from fenix_spark import catalog
+
+    _, _, root = served
+    import os
+
+    if not os.path.isdir(catalog.source_path(root, "sharded")):
+        df = spark.range(3000).select(
+            F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+        )
+        df.repartition(6).write.mode("overwrite").parquet(
+            catalog.source_path(root, "sharded")
+        )
+    return "sharded"
+
+
+def test_flight_info_serves_per_file_endpoints_with_totals(spark, served, sharded):
     """get_flight_info returns one endpoint per parquet file with
     exact row/byte totals from the same footer reads — the parallel
     fetch plan."""
-    from fenix_spark import catalog
-
     _, client, root = served
-    df = spark.range(3000).select(
-        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
-    )
-    df.repartition(6).write.mode("overwrite").parquet(
-        catalog.source_path(root, "sharded")
-    )
     info = client.conn.get_flight_info(fl.FlightDescriptor.for_path("sharded"))
     assert len(info.endpoints) == 6
     assert info.total_records == 3000
@@ -548,7 +558,7 @@ def test_flight_info_serves_per_file_endpoints_with_totals(spark, served):
     assert all(s["source"] == "sharded" and len(s["files"]) == 1 for s in specs)
 
 
-def test_parallel_shard_read_equals_single_stream(spark, served):
+def test_parallel_shard_read_equals_single_stream(spark, served, sharded):
     _, client, _ = served
     whole = client.read_table("sharded").read_all()
     par = client.read_table_parallel("sharded", max_workers=4)
@@ -558,7 +568,7 @@ def test_parallel_shard_read_equals_single_stream(spark, served):
     )
 
 
-def test_pinned_tickets_survive_one_compact_then_fail_loud(spark, served):
+def test_pinned_tickets_survive_one_compact_then_fail_loud(spark, served, sharded):
     """Generation pinning + the retention window: shard tickets minted
     before a compact still serve afterwards (consistent snapshot); a
     ticket older than the window fails with a re-plan message instead
@@ -578,7 +588,7 @@ def test_pinned_tickets_survive_one_compact_then_fail_loud(spark, served):
         client.conn.do_get(tickets[0]).read_all()
 
 
-def test_pinned_tickets_reject_foreign_files_and_filters(served):
+def test_pinned_tickets_reject_foreign_files_and_filters(served, sharded):
     _, client, _ = served
     evil = json.dumps(
         {"source": "sharded", "gen": None, "files": ["../../etc/passwd"]}
