@@ -164,3 +164,24 @@ def test_jpeg_in_tiff_strips():
     assert np.array_equal(multi, want)
     with pytest.raises(ValueError, match="jpeg-in-tiff"):
         encode_tiff(img, compression="jpeg", predictor=True)
+
+
+def test_lzw_bit_layout_matches_spec_hand_derivation():
+    """Interop pin for the MSB-first packing: LZW-coding the string
+    07×5 per TIFF 6.0 section 13 produces codes
+    [Clear=256, 7, 258, 258, EOI=257] at 9 bits each — packed MSB-first
+    by hand here with plain integer math, independent of the encoder's
+    own bit packer."""
+    from fenix_spark.multimodal.tiff import _lzw_decode, _lzw_encode
+
+    codes = [256, 7, 258, 258, 257]
+    acc = 0
+    for c in codes:
+        acc = (acc << 9) | c
+    nbits = 9 * len(codes)
+    pad = (-nbits) % 8
+    acc <<= pad
+    expected = acc.to_bytes((nbits + pad) // 8, "big")
+    got = _lzw_encode(b"\x07" * 5)
+    assert got == expected, (got.hex(), expected.hex())
+    assert _lzw_decode(expected) == b"\x07" * 5
