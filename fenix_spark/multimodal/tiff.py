@@ -48,6 +48,7 @@ _TAG_TILE_WIDTH = 322
 _TAG_TILE_LENGTH = 323
 _TAG_TILE_OFFSETS = 324
 _TAG_TILE_COUNTS = 325
+_TAG_SAMPLE_FORMAT = 339
 _TAG_JPEG_TABLES = 347
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -314,16 +315,18 @@ def _decompress(chunk: bytes, comp: int, jpeg_tables: bytes | None) -> bytes:
 
 def _undo_predictor(rows: np.ndarray) -> np.ndarray:
     """Horizontal differencing predictor (tag 317 = 2): cumulative sum
-    along the row per sample channel, modulo 256. ``rows`` is
-    (n_rows, width, channels) uint8."""
-    return np.cumsum(rows.astype(np.uint32), axis=1).astype(np.uint8)
+    along the row per sample channel, modulo 2^bits. ``rows`` is
+    (n_rows, width, channels) of an unsigned integer dtype."""
+    return np.cumsum(rows.astype(np.uint64), axis=1).astype(rows.dtype)
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
-    """TIFF → (h, w) gray or (h, w, c) uint8. Decodes uncompressed,
-    LZW, Deflate, PackBits and JPEG-in-TIFF chunks, strip or tile
-    layout, chunky or planar organization, with the horizontal
-    predictor. CCITT codings and non-8-bit samples raise by name;
+    """TIFF → (h, w) gray or (h, w, c), native-endian. Sample types:
+    uint8/uint16/int16/uint32 and float32 (SampleFormat=3). Decodes
+    uncompressed, LZW, Deflate, PackBits and JPEG-in-TIFF chunks,
+    strip or tile layout, chunky or planar organization, with the
+    horizontal predictor (unsigned samples). CCITT codings, the
+    floating-point predictor, and other sample types raise by name;
     shape still reports through parse_tiff_metadata."""
     if len(data) < 8 or data[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF (bad byte-order mark)")
@@ -342,10 +345,35 @@ def decode_tiff(data: bytes) -> np.ndarray:
     comp = (entries.get(_TAG_COMPRESSION) or [1])[0]
     planar = (entries.get(_TAG_PLANAR) or [1])[0]
     predictor = (entries.get(_TAG_PREDICTOR) or [1])[0]
-    if any(b != 8 for b in bits):
-        raise NotImplementedError(f"tiff bits-per-sample {bits} unsupported (8 only)")
+    sfmt = (entries.get(_TAG_SAMPLE_FORMAT) or [1])[0]
+    if len(set(bits)) != 1:
+        raise NotImplementedError(f"tiff mixed bits-per-sample {bits}")
+    b0 = bits[0]
+    if (b0, sfmt) == (8, 1):
+        dtype = np.dtype("u1")
+    elif (b0, sfmt) == (16, 1):
+        dtype = np.dtype(fmt + "u2")
+    elif (b0, sfmt) == (16, 2):
+        dtype = np.dtype(fmt + "i2")
+    elif (b0, sfmt) == (32, 1):
+        dtype = np.dtype(fmt + "u4")
+    elif (b0, sfmt) == (32, 3):
+        dtype = np.dtype(fmt + "f4")
+    else:
+        raise NotImplementedError(
+            f"tiff bits-per-sample {bits} / sample-format {sfmt} unsupported "
+            "(u8/u16/i16/u32/f32 only)"
+        )
+    itemsize = dtype.itemsize
     if predictor not in (1, 2):
         raise NotImplementedError(f"tiff predictor {predictor} (1/2 only)")
+    if predictor == 2 and dtype.kind != "u":
+        raise NotImplementedError(
+            "tiff horizontal predictor is defined for unsigned integer "
+            "samples (predictor 3 — floating point — is not implemented)"
+        )
+    if comp == 7 and b0 != 8:
+        raise NotImplementedError("jpeg-in-tiff is 8-bit only")
     if not (0 < w <= 65535 and 0 < h <= 65535 and 1 <= c <= 8):
         raise ValueError(f"tiff: implausible dims {w}x{h}x{c}")
     jpeg_tables = None
@@ -376,14 +404,14 @@ def decode_tiff(data: bytes) -> np.ndarray:
         if len(offs) != per_plane * n_planes:
             raise ValueError("tiff: tile count mismatch")
         for p in range(n_planes):
-            plane = np.zeros((tiles_y * tl, tiles_x * tw, spp), np.uint8)
+            plane = np.zeros((tiles_y * tl, tiles_x * tw, spp), dtype)
             for t in range(per_plane):
                 raw = _decompress(
                     chunk_bytes(offs[p * per_plane + t], cnts[p * per_plane + t]),
                     comp, jpeg_tables,
                 )
-                need = tl * tw * spp
-                tile = np.frombuffer(raw[:need].ljust(need, b"\0"), np.uint8)
+                need = tl * tw * spp * itemsize
+                tile = np.frombuffer(raw[:need].ljust(need, b"\0"), dtype)
                 tile = tile.reshape(tl, tw, spp)
                 if predictor == 2:
                     tile = _undo_predictor(tile)
@@ -405,12 +433,12 @@ def decode_tiff(data: bytes) -> np.ndarray:
                 idx = p * strips_per_plane + s if planar == 2 else s
                 raw = _decompress(chunk_bytes(offs[idx], cnts[idx]), comp, jpeg_tables)
                 n_rows = min(rps, h - s * rps)
-                need = n_rows * w * spp
+                need = n_rows * w * spp * itemsize
                 if len(raw) < need:
                     raise ValueError(
                         f"tiff: strip holds {len(raw)} bytes, need {need}"
                     )
-                rows = np.frombuffer(raw[:need], np.uint8).reshape(n_rows, w, spp)
+                rows = np.frombuffer(raw[:need], dtype).reshape(n_rows, w, spp)
                 if predictor == 2:
                     rows = _undo_predictor(rows)
                 rows_out.append(rows)
@@ -419,6 +447,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
         img = np.concatenate(planes, axis=2)
     else:
         img = planes[0]
+    img = np.ascontiguousarray(img.astype(dtype.newbyteorder("="), copy=False))
     return img[..., 0] if c == 1 else img
 
 
@@ -426,9 +455,9 @@ _COMPRESSION_CODES = {"none": 1, "lzw": 5, "jpeg": 7, "deflate": 8, "packbits": 
 
 
 def _apply_predictor(rows: np.ndarray) -> np.ndarray:
-    """Horizontal differencing (mod 256) along the row per channel —
+    """Horizontal differencing (mod 2^bits) along the row per channel —
     the encoder inverse of :func:`_undo_predictor`."""
-    diffs = (rows[:, 1:].astype(np.int16) - rows[:, :-1].astype(np.int16)).astype(np.uint8)
+    diffs = (rows[:, 1:].astype(np.int64) - rows[:, :-1].astype(np.int64)).astype(rows.dtype)
     return np.concatenate([rows[:, :1], diffs], axis=1)
 
 
@@ -446,8 +475,14 @@ def encode_tiff(
     ``compression`` in none/lzw/deflate/packbits, optional horizontal
     ``predictor``. The round-trip partner for tests and planted
     corpora."""
-    if img.dtype != np.uint8 or img.ndim not in (2, 3):
-        raise ValueError("encode_tiff needs (h, w[, c]) uint8")
+    _SFMT = {"u": 1, "i": 2, "f": 3}
+    if img.ndim not in (2, 3) or img.dtype not in (
+        np.uint8, np.uint16, np.int16, np.uint32, np.float32,
+    ):
+        raise ValueError(
+            "encode_tiff needs (h, w[, c]) of u8/u16/i16/u32/f32"
+        )
+    img = np.ascontiguousarray(img, dtype=img.dtype.newbyteorder("<"))
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
@@ -456,8 +491,12 @@ def encode_tiff(
     comp = _COMPRESSION_CODES.get(compression)
     if comp is None:
         raise ValueError(f"compression {compression!r} not in {sorted(_COMPRESSION_CODES)}")
-    if comp == 7 and (predictor or planar or c == 2):
-        raise ValueError("jpeg-in-tiff chunks are chunky 1/3-channel, no predictor")
+    if comp == 7 and (predictor or planar or c == 2 or img.dtype != np.uint8):
+        raise ValueError(
+            "jpeg-in-tiff chunks are chunky 1/3-channel uint8, no predictor"
+        )
+    if predictor and img.dtype.kind != "u":
+        raise ValueError("the horizontal predictor needs unsigned samples")
 
     def pack(chunk_rows: np.ndarray) -> bytes:
         if comp == 7:  # each chunk is its own JFIF stream (lossy)
@@ -482,7 +521,7 @@ def encode_tiff(
     if tile:
         tiles_x, tiles_y = -(-w // tile), -(-h // tile)
         for plane in planes:
-            padded = np.zeros((tiles_y * tile, tiles_x * tile, plane.shape[2]), np.uint8)
+            padded = np.zeros((tiles_y * tile, tiles_x * tile, plane.shape[2]), plane.dtype)
             padded[:h, :w] = plane
             for t in range(tiles_y * tiles_x):
                 ty, tx = divmod(t, tiles_x)
@@ -529,15 +568,20 @@ def encode_tiff(
         external.extend(struct.pack(f"<{len(values)}{'H' if typ == 3 else 'I'}", *values))
         return off
 
+    nbits = img.dtype.itemsize * 8
     tags: list[tuple[int, int, int, int]] = [
         (_TAG_WIDTH, 4, 1, w),
         (_TAG_HEIGHT, 4, 1, h),
-        (_TAG_BITS, 3, c, arr_value([8] * c, 3)),
+        (_TAG_BITS, 3, c, arr_value([nbits] * c, 3)),
         (_TAG_COMPRESSION, 3, 1, comp),
         (_TAG_PHOTOMETRIC, 3, 1, 1 if c == 1 else 2),
         (_TAG_SAMPLES, 3, 1, c),
         (_TAG_PLANAR, 3, 1, 2 if planar else 1),
     ]
+    if img.dtype.kind != "u":
+        tags.append(
+            (_TAG_SAMPLE_FORMAT, 3, c, arr_value([_SFMT[img.dtype.kind]] * c, 3))
+        )
     if predictor:
         tags.append((_TAG_PREDICTOR, 3, 1, 2))
     for tag, typ, count, val in tags_extra:

@@ -185,3 +185,68 @@ def test_lzw_bit_layout_matches_spec_hand_derivation():
     got = _lzw_encode(b"\x07" * 5)
     assert got == expected, (got.hex(), expected.hex())
     assert _lzw_decode(expected) == b"\x07" * 5
+
+
+def test_wide_sample_types_roundtrip():
+    """16-bit, signed-16, 32-bit and float32 (SampleFormat=3) samples
+    round-trip exactly through every layout knob, returned
+    native-endian in the source dtype. Predictor + float raises (the
+    TIFF floating-point predictor is a different algorithm)."""
+    rng = np.random.default_rng(17)
+    cases = [
+        (rng.integers(0, 1 << 16, (23, 31, 3)).astype(np.uint16), {}),
+        (
+            rng.integers(0, 1 << 16, (23, 31)).astype(np.uint16),
+            {"compression": "deflate", "predictor": True},
+        ),
+        (
+            rng.integers(0, 1 << 16, (20, 20, 3)).astype(np.uint16),
+            {"tile": 8, "compression": "lzw", "predictor": True, "planar": True},
+        ),
+        (
+            rng.integers(-32768, 32767, (15, 9)).astype(np.int16),
+            {"compression": "packbits"},
+        ),
+        (rng.integers(0, 1 << 32, (12, 13)).astype(np.uint32), {"compression": "deflate"}),
+        (rng.normal(size=(18, 7, 2)).astype(np.float32), {"compression": "deflate"}),
+        (rng.normal(size=(18, 7)).astype(np.float32), {"rows_per_strip": 5}),
+    ]
+    for img, kw in cases:
+        back = decode_tiff(encode_tiff(img, **kw))
+        assert back.dtype == img.dtype and np.array_equal(back, img), (img.dtype, kw)
+    with pytest.raises(ValueError, match="unsigned"):
+        encode_tiff(rng.normal(size=(4, 4)).astype(np.float32), predictor=True)
+
+
+def test_big_endian_16bit_decodes_native():
+    """A hand-assembled big-endian (MM) 16-bit file decodes to the same
+    native-endian values — byte order is a property of the FILE, not
+    of the result."""
+    import struct
+
+    img = np.array([[1, 258], [515, 65535]], dtype=np.uint16)
+    pixels = img.astype(">u2").tobytes()
+    out = bytearray()
+    out += b"MM" + struct.pack(">HI", 42, 8 + len(pixels))
+    strip_off = 8
+    out2 = bytearray()
+    tags = [
+        (256, 3, 1, 2 << 16),      # width=2 (SHORT packed big-endian inline)
+        (257, 3, 1, 2 << 16),      # height=2
+        (258, 3, 1, 16 << 16),     # bits=16
+        (259, 3, 1, 1 << 16),      # compression=none
+        (262, 3, 1, 1 << 16),      # photometric
+        (273, 4, 1, strip_off),    # strip offset
+        (277, 3, 1, 1 << 16),      # samples=1
+        (278, 4, 1, 2),            # rows per strip
+        (279, 4, 1, len(pixels)),  # strip byte count
+    ]
+    out2 += struct.pack(">H", len(tags))
+    for tag, typ, count, val in tags:
+        out2 += struct.pack(">HHII", tag, typ, count, val)
+    out2 += struct.pack(">I", 0)
+    data = bytes(out) + pixels + bytes(out2)
+    got = decode_tiff(data)
+    assert got.dtype == np.uint16
+    assert got.dtype.byteorder in ("=", "<")  # native on this box
+    assert np.array_equal(got, img)
