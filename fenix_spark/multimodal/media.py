@@ -15,10 +15,11 @@ executor memory), and (c) project early so scans of feature outputs
 never re-read payload bytes (parquet column pruning).
 
 DECODERS: ``wav`` (8/16-bit PCM, stdlib ``wave``), ``bmp`` (24-bit
-uncompressed, stdlib ``struct``), ``png`` (8-bit RGB/RGBA,
-non-interlaced, all five scanline filters — stdlib ``zlib`` +
-``struct``) and ``jpeg`` (baseline sequential DCT, 4:4:4/4:2:2/4:2:0,
-restart markers — numpy codec in ``multimodal/jpeg.py``) are REAL
+uncompressed, stdlib ``struct``), ``png`` (gray/gray+alpha/RGB/RGBA/
+palette, depths 1-16, plain AND Adam7 interlaced, all five scanline
+filters — stdlib ``zlib`` + ``struct``) and ``jpeg`` (baseline
+sequential DCT, 4:4:4/4:2:2/4:2:0, restart markers, AND progressive
+SOF2 — numpy codec in ``multimodal/jpeg.py``) are REAL
 codecs — bytes in, samples/pixels out, round-trip tested against
 their encoders. Formats that need external libs (mp3/mp4/webp) raise
 NotImplementedError at the single swap-in point (``decode_payload`` /
@@ -102,25 +103,76 @@ def _png_chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """8-bit PNG (grayscale/truecolor/RGBA = color type 0/2/6,
-    non-interlaced, filter 0
-    per scanline, one zlib IDAT) from an (h, w, 3|4) uint8 array —
-    pure stdlib (struct + zlib), the PNG spec's minimal writer."""
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """PNG writer (filter 0 per scanline, one zlib IDAT) — pure stdlib.
+    (h, w, c) with c = 1 (gray) / 2 (gray+alpha) / 3 (RGB) / 4 (RGBA);
+    uint8 → depth 8, uint16 → depth 16 (big-endian samples, per spec).
+    ``interlace=True`` writes Adam7 (seven independently-filtered
+    sub-images)."""
     import zlib as _z
 
     h, w, c = img.shape
-    if c not in (1, 3, 4):
-        raise ValueError("encode_png needs (h, w, 1|3|4)")
-    color_type = {1: 0, 3: 2, 4: 6}[c]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    if c not in (1, 2, 3, 4):
+        raise ValueError("encode_png needs (h, w, 1|2|3|4)")
+    if img.dtype == np.uint8:
+        depth = 8
+    elif img.dtype == np.uint16:
+        depth = 16
+        img = img.astype(">u2")
+    else:
+        raise ValueError("encode_png needs uint8 or uint16")
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(
+                    b"".join(b"\x00" + sub[r].tobytes() for r in range(sub.shape[0]))
+                )
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", _z.compress(raw, 9))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png_palette(img: np.ndarray, alpha: np.ndarray | None = None) -> bytes:
+    """Palette PNG (color type 3) from an (h, w, 3) uint8 image with
+    ≤ 256 distinct colors; bit depth auto-selected (1/2/4/8 — the
+    smallest that fits), MSB-first packed indices, optional per-color
+    ``alpha`` (tRNS)."""
+    import zlib as _z
+
+    h, w, c = img.shape
+    if c != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_png_palette needs (h, w, 3) uint8")
+    flat = img.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"palette PNG holds <= 256 colors, image has {len(colors)}")
+    depth = next(d for d in (1, 2, 4, 8) if (1 << d) >= len(colors))
+    idx = idx.reshape(h, w).astype(np.uint8)
+    lines = []
+    for r in range(h):
+        if depth == 8:
+            lines.append(b"\x00" + idx[r].tobytes())
+        else:
+            bits = np.unpackbits(idx[r][:, None], axis=1)[:, 8 - depth :]
+            packed = np.packbits(bits.reshape(-1))
+            lines.append(b"\x00" + packed.tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"PLTE", colors.tobytes())
+    if alpha is not None:
+        if len(alpha) != len(colors):
+            raise ValueError("alpha must have one entry per palette color")
+        out += _png_chunk(b"tRNS", np.asarray(alpha, np.uint8).tobytes())
+    return out + _png_chunk(b"IDAT", _z.compress(b"".join(lines), 9)) + _png_chunk(b"IEND", b"")
 
 
 def _png_unfilter(kind: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
@@ -152,16 +204,61 @@ def _png_unfilter(kind: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.
     return res.astype(np.uint8)
 
 
+# Adam7 interlace passes: (x0, y0, dx, dy) per PNG spec §8.2 — the
+# 8x8 tile reads  1 6 4 6 2 6 4 6 / 7... row-wise.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_read_subimage(raw: bytes, off: int, pw: int, ph: int, c: int, d: int):
+    """Unfilter one (sub)image of ``ph`` scanlines: returns the
+    unfiltered byte matrix (ph, stride) and the bytes consumed. PNG
+    filters operate on BYTES whatever the bit depth (spec §6)."""
+    stride = -(-pw * c * d // 8)
+    bpp = max(1, c * d // 8)
+    out = np.empty((ph, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for r in range(ph):
+        base = off + r * (stride + 1)
+        kind = raw[base]
+        line = np.frombuffer(raw, np.uint8, stride, base + 1)
+        prev = _png_unfilter(kind, line, prev, bpp)
+        out[r] = prev
+    return out, ph * (stride + 1)
+
+
+def _png_bytes_to_samples(rows: np.ndarray, pw: int, c: int, d: int) -> np.ndarray:
+    """(ph, stride) unfiltered bytes → (ph, pw, c) samples (uint8, or
+    uint16 for depth 16). Sub-byte depths unpack MSB-first."""
+    ph = rows.shape[0]
+    if d == 8:
+        return rows[:, : pw * c].reshape(ph, pw, c)
+    if d == 16:
+        be = rows[:, : pw * c * 2].reshape(ph, pw * c, 2).astype(np.uint16)
+        return (be[:, :, 0] * 256 + be[:, :, 1]).reshape(ph, pw, c)
+    # d in (1, 2, 4): single-channel (gray or palette index), grouped
+    # d bits at a time MSB-first within each byte
+    bits = np.unpackbits(rows, axis=1)
+    grouped = bits.reshape(ph, -1, d)
+    weights = (1 << np.arange(d - 1, -1, -1)).astype(np.uint8)
+    vals = (grouped * weights[None, None, :]).sum(axis=2).astype(np.uint8)
+    return vals[:, :pw].reshape(ph, pw, 1)
+
+
 def _decode_png(data: bytes) -> np.ndarray:
-    """Real PNG decode — 8-bit color type 0 (gray) / 2 (RGB) / 6
-    (RGBA), non-interlaced, all five scanline filters: chunk walk, zlib
-    inflate, per-line unfilter. Palette/16-bit/interlaced variants
-    raise NotImplementedError (the documented swap-in boundary)."""
+    """Real PNG decode — color types 0 (gray, depth 1/2/4/8/16),
+    2 (RGB, 8/16), 3 (palette, 1/2/4/8, with tRNS alpha), 4
+    (gray+alpha, 8/16), 6 (RGBA, 8/16); non-interlaced AND Adam7;
+    all five scanline filters. Returns uint8 (uint16 for depth-16
+    files); sub-byte gray scales to full range like every viewer."""
     import zlib as _z
 
     if data[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos, idat, meta = len(_PNG_SIG), b"", None
+    plte = trns = None
     while pos < len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
@@ -169,6 +266,10 @@ def _decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             meta = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -176,21 +277,49 @@ def _decode_png(data: bytes) -> np.ndarray:
     if meta is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = meta
-    if depth != 8 or color_type not in (0, 2, 6) or comp or filt or interlace:
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    ok_depths = {
+        0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+        4: (8, 16), 6: (8, 16),
+    }.get(color_type, ())
+    if channels is None or depth not in ok_depths or comp or filt or interlace > 1:
         raise NotImplementedError(
             f"PNG variant depth={depth} color={color_type} interlace={interlace}"
         )
-    c = {0: 1, 2: 3, 6: 4}[color_type]
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
     raw = _z.decompress(idat)
-    stride = w * c
-    img = np.empty((h, stride), np.uint8)
-    prev = np.zeros(stride, np.uint8)
-    for r in range(h):
-        kind = raw[r * (stride + 1)]
-        line = np.frombuffer(raw, np.uint8, stride, r * (stride + 1) + 1)
-        prev = _png_unfilter(kind, line, prev, c)
-        img[r] = prev
-    return img.reshape(h, w, c)
+    sdtype = np.uint16 if depth == 16 else np.uint8
+
+    if interlace:  # Adam7: seven independently-filtered sub-images
+        img = np.zeros((h, w, channels), sdtype)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, used = _png_read_subimage(raw, off, pw, ph, channels, depth)
+            off += used
+            img[y0::dy, x0::dx] = _png_bytes_to_samples(rows, pw, channels, depth)
+    else:
+        rows, _ = _png_read_subimage(raw, 0, w, h, channels, depth)
+        img = _png_bytes_to_samples(rows, w, channels, depth)
+
+    if color_type == 3:
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette PNG: index beyond PLTE")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[: len(trns)] = trns
+            return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        return rgb
+    if color_type == 0 and depth < 8:
+        # scale sub-byte gray to full range (0..2^d-1 → 0..255)
+        img = (img.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+    return img
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int, sampwidth: int = 2) -> bytes:

@@ -239,10 +239,20 @@ def test_png_unsupported_variants_raise():
         encode_png,
     )
 
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)  # palette
+    # palette PNGs are SUPPORTED since r11 — one without PLTE is
+    # corrupt, not unimplemented
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
     bad = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="PNG variant"):
+    with pytest.raises(ValueError, match="missing PLTE"):
         _decode_png(bad)
+    # interlace method 2 does not exist; depth-4 RGB is illegal
+    for ihdr_bad in (
+        struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 2),
+        struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0),
+    ):
+        blob = _PNG_SIG + _png_chunk(b"IHDR", ihdr_bad) + _png_chunk(b"IEND", b"")
+        with pytest.raises(NotImplementedError, match="PNG variant"):
+            _decode_png(blob)
     with pytest.raises(ValueError, match="not a PNG"):
         _decode_png(b"JUNK")
     # decode_payload dispatch
@@ -371,3 +381,80 @@ def test_jpeg_decode_payload_dispatch_and_features():
 
     with pytest.raises(ValueError, match="decodes to"):
         decode_payload(data, "jpeg", (32, 24, 3))
+
+
+# ------------------------------------------------------------- r11:
+# PNG variants — palette, gray+alpha, 16-bit, sub-byte gray, Adam7
+
+
+def test_png_full_variant_matrix_roundtrips():
+    """8/16-bit x 1/2/3/4 channels x plain/Adam7 all round-trip exact;
+    the Adam7 table is verified to PARTITION the plane (each pixel in
+    exactly one pass — the classic bug is a wrong offset table that
+    still self-round-trips if shared, so partition-ness is the real
+    spec check)."""
+    from fenix_spark.multimodal.media import _ADAM7, _decode_png, encode_png
+
+    cover = np.zeros((16, 16), int)
+    for x0, y0, dx, dy in _ADAM7:
+        cover[y0::dy, x0::dx] += 1
+    assert (cover == 1).all()
+    rng = np.random.default_rng(23)
+    for dt, hi in ((np.uint8, 256), (np.uint16, 1 << 16)):
+        for c in (1, 2, 3, 4):
+            img = rng.integers(0, hi, (21, 13, c)).astype(dt)
+            for il in (False, True):
+                back = _decode_png(encode_png(img, interlace=il))
+                assert back.dtype == dt and np.array_equal(back, img), (dt, c, il)
+
+
+def test_png_palette_depths_and_trns():
+    from fenix_spark.multimodal.media import _decode_png, encode_png_palette
+
+    rng = np.random.default_rng(24)
+    for ncol in (2, 4, 13, 200):
+        pal = np.unique(
+            rng.integers(0, 256, (ncol * 3, 3)).astype(np.uint8), axis=0
+        )[:ncol]
+        idx = rng.integers(0, len(pal), (17, 29))
+        img = pal[idx]
+        back = _decode_png(encode_png_palette(img))
+        assert np.array_equal(back, img), ncol
+        # tRNS: alpha is per UNIQUE color in the written palette
+        colors = np.unique(img.reshape(-1, 3), axis=0)
+        alpha = rng.integers(0, 256, len(colors)).astype(np.uint8)
+        back_a = _decode_png(encode_png_palette(img, alpha=alpha))
+        assert back_a.shape == img.shape[:2] + (4,)
+        assert np.array_equal(back_a[:, :, :3], img)
+        lut = {tuple(c): a for c, a in zip(colors, alpha)}
+        want_a = np.array(
+            [[lut[tuple(px)] for px in row] for row in img], np.uint8
+        )
+        assert np.array_equal(back_a[:, :, 3], want_a)
+
+
+def test_png_subbyte_gray_hand_fixture():
+    """Depth-2 grayscale, hand-assembled (no encoder path for sub-byte
+    gray): 4 pixels/byte MSB-first, scaled to full range on decode
+    like every viewer renders it."""
+    import struct as _s
+    import zlib as _z
+
+    from fenix_spark.multimodal.media import _PNG_SIG, _decode_png, _png_chunk
+
+    # 2x5 image, values 0..3 -> bytes: row0 = 0b00_01_10_11, 0b11_000000
+    raw = b"\x00" + bytes([0b00011011, 0b11000000]) + b"\x00" + bytes([0b10101010, 0b01000000])
+    ihdr = _s.pack(">IIBBBBB", 5, 2, 2, 0, 0, 0, 0)
+    data = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    got = _decode_png(data)
+    scale = [0, 85, 170, 255]  # v * 255 // 3
+    want = np.array(
+        [[scale[v] for v in (0, 1, 2, 3, 3)], [scale[v] for v in (2, 2, 2, 2, 1)]],
+        np.uint8,
+    )[:, :, None]
+    assert np.array_equal(got, want)
