@@ -49,8 +49,10 @@ ever reach the driver.
 Security boundary: table/coder names are validated as single path
 segments at the catalog chokepoint (``catalog.check_name``) so wire
 clients cannot escape the store root; wire filter strings are parsed
-by Spark's expression parser with JVM-reflection functions
-(``reflect``/``java_method``) rejected; ``launch()`` binds 127.0.0.1
+by Spark's expression parser with JVM-reflection function names
+(``reflect``/``try_reflect``/``java_method``) rejected ANYWHERE in the
+string — not just in call position, which SQL comments (``/**/``,
+``--``) can hide; ``launch()`` binds 127.0.0.1
 by default — pass an explicit host to expose the server, and treat
 anything non-loopback as trusted-network-only (the protocol is
 unauthenticated, like the reference's).
@@ -75,9 +77,17 @@ _BATCH_ROWS = 1 << 16
 # Spark's expression parser exposes JVM static-method invocation as SQL
 # functions; a wire filter like "reflect('java.lang.Runtime', ...)"
 # would be remote code execution — exactly the hazard the JSON protocol
-# exists to remove. Matched case-insensitively, with optional backtick
-# quoting, in call position.
-_FORBIDDEN_FN = re.compile(r"(?i)(`?)\b(reflect|java_method)\b\1\s*\(")
+# exists to remove. The names are rejected ANYWHERE in the string, not
+# just in call position: Spark's lexer routes `/**/` and `--` comments
+# to a hidden channel, so "reflect/**/(...)" parses as a reflect() call
+# while never showing `reflect(` to a call-anchored regex. A function
+# can only be invoked by naming it literally (SQL cannot compute
+# function names at parse time, and backtick quoting still contains the
+# name), so an identifier match with no anchor is airtight — at the
+# documented cost of also rejecting filters whose string LITERALS
+# mention the words. `try_reflect` is the 3.5+ error-tolerant alias;
+# `\breflect\b` does not match inside it (underscore is a word char).
+_FORBIDDEN_FN = re.compile(r"(?i)\b(reflect|try_reflect|java_method)\b")
 
 
 def _wire_filter(flt: str) -> Column:
@@ -87,8 +97,10 @@ def _wire_filter(flt: str) -> Column:
     m = _FORBIDDEN_FN.search(flt)
     if m:
         raise ValueError(
-            f"filter rejected: function {m.group(2)!r} invokes arbitrary JVM "
-            "methods and is not allowed over the wire"
+            f"filter rejected: {m.group(1)!r} invokes arbitrary JVM "
+            "methods and is not allowed over the wire (rejected anywhere "
+            "in the string — comment tricks like reflect/**/(…) defeat "
+            "call-position matching)"
         )
     return F.expr(flt)
 
@@ -97,6 +109,45 @@ def _require_flight():
     import pyarrow.flight as fl
 
     return fl
+
+
+def _hive_walk(d: str) -> tuple[list[str], bool] | None:
+    """Walk a table directory: (sorted relative parquet paths,
+    partitioned?) when the layout is direct-servable — flat parquet,
+    or a hive tree where EVERY visible subdirectory is a ``col=value``
+    segment (``__CODED_ID__=3`` counts: the '=' is what marks a
+    partition dir, not the prefix). Returns None for any other layout
+    (unknown subdirectory, or files and partition dirs mixed at one
+    level — Spark never writes that) so the caller falls back to the
+    spool path. Dot/underscore-prefixed non-partition entries
+    (_SUCCESS, _temporary, manifest pointers) are reader-invisible,
+    same as Spark's own listing."""
+    files: list[str] = []
+    partitioned = False
+    stack = [""]
+    while stack:
+        rel = stack.pop()
+        cur = os.path.join(d, rel) if rel else d
+        subdirs: list[str] = []
+        leaves: list[str] = []
+        for e in os.listdir(cur):
+            p = os.path.join(cur, e)
+            if os.path.isdir(p):
+                if e.startswith("."):
+                    continue
+                if "=" in e[1:]:
+                    subdirs.append(e)
+                elif not e.startswith("_"):
+                    return None
+            elif e.endswith(".parquet") and not e.startswith(("_", ".")):
+                leaves.append(e)
+        if subdirs and leaves:
+            return None
+        if subdirs:
+            partitioned = True
+        stack.extend(os.path.join(rel, e) for e in subdirs)
+        files.extend(os.path.join(rel, e) for e in leaves)
+    return sorted(files), partitioned
 
 
 def _normalize_arrow(table):
@@ -160,7 +211,9 @@ class Server:
                 # endpoints is strictly more useful — see
                 # _flight_info_endpoints for the parallel-read contract
                 name = descriptor.path[0].decode()
-                endpoints, rows, nbytes = outer._flight_info_endpoints(name)
+                endpoints, rows, nbytes = outer._flight_info_endpoints(
+                    name, stateful=bool(outer._state.get(ctx.peer()))
+                )
                 return fl.FlightInfo(
                     outer._table_schema(name),
                     descriptor,
@@ -175,12 +228,6 @@ class Server:
 
         self.spark = spark
         self.store = Store(spark, root)
-        # spool writes must come back as timestamp[us, tz=UTC] so the
-        # per-batch cast to the toArrow()-derived wire schema is exact
-        # (INT96 would read back as naive nanoseconds)
-        spark.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
         # spool dirs from a crashed previous server are garbage by
         # construction (streams don't survive the process)
         for stale in glob.glob(os.path.join(root, ".get-spool-*")):
@@ -213,7 +260,16 @@ class Server:
         for entry in sorted(os.listdir(d)):
             if entry.endswith(".parquet") and not entry.startswith(("_", ".")):
                 return pq.read_schema(os.path.join(d, entry))
-        return self.store.read_table(name).limit(0).toArrow().schema
+        # partitioned layout: the leaf footers lack the partition
+        # column, so derive from the Spark read schema — same
+        # derivation _do_get uses for the wire schema, and a metadata
+        # op, not a job (the old limit(0).toArrow() ran one)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(
+            self.store.read_table(name).schema,
+            error_on_duplicated_field_names_in_struct=True,
+        )
 
     # flush threshold for streamed puts: bounds driver memory to one
     # buffer regardless of upload size (tests lower it to force the
@@ -288,35 +344,72 @@ class Server:
     # discipline as put_flush_bytes and similarity_join_brute's budget.
     get_budget_bytes: int = 32 << 20
 
-    def _direct_files(self, source: str) -> tuple[str, int | None, list[str]] | None:
-        """(resolved dir, committed gen or None, file basenames) for a
-        table servable straight from its parquet files, else None
-        (partitioned layouts fall back to the spool path for
-        hive-partition handling)."""
-        from fenix_spark.catalog import source_path
+    def _direct_files(
+        self, source: str, coding: str | None = None, column: str | None = None
+    ) -> tuple[str, int | None, list[str], bool] | None:
+        """(resolved dir, committed gen or None, RELATIVE parquet
+        paths, partitioned?) for a layout servable straight from its
+        parquet files, else None. Flat dirs and hive-partitioned trees
+        (every subdirectory a ``col=value`` segment — the engine's
+        flagship ``__CODED_ID__``-partitioned index layout,
+        operators/index.py:67) both qualify; anything else falls back
+        to the spool path. ``coding``+``column`` resolves the
+        co-written index table instead of the source (the reference's
+        indexed read, ref flight.py:46-60 + io/index/index.py:19-34) —
+        index layouts are rewritten in place, so they carry no
+        manifest generation (gen None)."""
+        from fenix_spark.catalog import index_path, source_path
         from fenix_spark.manifest import current_gen, resolve
 
-        path = source_path(self.store.root, source)
-        d = resolve(path)
+        if coding is not None:
+            if column is None or not isinstance(source, str):
+                return None
+            d = index_path(self.store.root, source, column, coding)
+            gen = None
+        else:
+            path = source_path(self.store.root, source)
+            d = resolve(path)
+            gen = current_gen(path)
         if not os.path.isdir(d):
             return None
-        entries = sorted(os.listdir(d))
-        files = [
-            e for e in entries if e.endswith(".parquet") and not e.startswith(("_", "."))
-        ]
-        if not files or any(
-            os.path.isdir(os.path.join(d, e))
-            for e in entries
-            if not e.startswith(("_", "."))
-        ):
+        walk = _hive_walk(d)
+        if walk is None or not walk[0]:
             return None
-        return d, current_gen(path), files
+        files, partitioned = walk
+        return d, gen, files, partitioned
+
+    def _make_dataset(self, d: str, files: Sequence[str], partitioned: bool):
+        """pyarrow dataset over explicit files under ``d``. Partitioned
+        layouts need the low-level factory: ``ds.dataset(dir)`` walks
+        with ignore_prefixes ('.', '_') and would silently SKIP every
+        ``__CODED_ID__=…`` partition dir, and the high-level API cannot
+        attach hive partition columns to an explicit file list — the
+        factory's partition_base_dir can (verified: yields the
+        partition column back, typed by discovery)."""
+        import pyarrow.dataset as ds
+
+        paths = [os.path.join(d, f) for f in files]
+        if not partitioned:
+            return ds.dataset(paths, format="parquet")
+        import pyarrow.fs as pafs
+
+        opts = ds.FileSystemFactoryOptions(partition_base_dir=d)
+        opts.partitioning_factory = ds.HivePartitioning.discover()
+        return ds.FileSystemDatasetFactory(
+            pafs.LocalFileSystem(), paths, ds.ParquetFileFormat(), opts
+        ).finish()
 
     def _direct_dataset(self, spec: dict):
-        """A plain single-table read (no filter/select/coding) can be
-        served straight from the table's own parquet files — zero Spark
-        job, zero copy, any table size. Returns None when the spec
-        needs compute or the layout isn't flat parquet.
+        """A plain single-table read (no filter/select) can be served
+        straight from the layout's own parquet files — zero Spark job,
+        zero copy, any table size. That includes the INDEXED read
+        (``coding``+``column``): the co-written index table is plain
+        hive-partitioned parquet, so ``read_table(name, coding=…)``
+        over the wire streams directly instead of rewriting the whole
+        table into a spool (the r11 ``weak``: 100 TB of write
+        amplification per indexed wire read). Returns None when the
+        spec needs compute (filter/select) or the layout isn't
+        servable.
 
         A ticket may carry ``gen`` + ``files`` (minted by
         get_flight_info's per-file endpoints): the read is then PINNED
@@ -325,8 +418,6 @@ class Server:
         keeps the superseded generation alive for exactly one follow-on
         commit, and an expired pin fails loudly telling the client to
         re-plan rather than silently mixing generations."""
-        import pyarrow.dataset as ds
-
         from fenix_spark.catalog import source_path
         from fenix_spark.manifest import _gen_dir
 
@@ -344,45 +435,50 @@ class Server:
             path = source_path(self.store.root, source)
             gen = spec.get("gen")
             d = path if gen is None else _gen_dir(path, int(gen))
-            if not os.path.isdir(d):
+            walk = _hive_walk(d) if os.path.isdir(d) else None
+            if walk is None:
                 raise ValueError(
                     f"do_get: pinned generation {gen} of {source!r} has been "
                     "vacuumed (reads spanning more than one maintenance "
                     "rewrite exceed the retention window) — re-plan via "
                     "get_flight_info"
                 )
-            live = {
-                e
-                for e in os.listdir(d)
-                if e.endswith(".parquet") and not e.startswith(("_", "."))
-            }
+            live, partitioned = set(walk[0]), walk[1]
             bad = [f for f in pinned if f not in live]  # also rejects paths
             if bad:
                 raise ValueError(
                     f"do_get: ticket names files not in {source!r} gen {gen}: "
                     f"{bad[:3]} — stale plan, re-plan via get_flight_info"
                 )
-            return ds.dataset([os.path.join(d, f) for f in pinned], format="parquet")
-        if any(spec.get(k) for k in ("filter", "select", "coding", "column")):
+            return self._make_dataset(d, pinned, partitioned)
+        if any(spec.get(k) for k in ("filter", "select")):
             return None
-        direct = self._direct_files(source)
+        direct = self._direct_files(
+            source, coding=spec.get("coding"), column=spec.get("column")
+        )
         if direct is None:
             return None
-        d, _, files = direct
-        return ds.dataset([os.path.join(d, f) for f in files], format="parquet")
+        d, _, files, partitioned = direct
+        return self._make_dataset(d, files, partitioned)
 
-    def _flight_info_endpoints(self, name: str):
+    def _flight_info_endpoints(self, name: str, stateful: bool = False):
         """Endpoints for get_flight_info: one PER PARQUET FILE for a
-        direct-servable table — each ticket pins (gen, file), so a
-        client fetches shards in parallel (Client.read_table_parallel)
-        with generation consistency — plus exact row/byte totals from
-        the same footer reads. Non-direct layouts (partitioned dirs)
-        fall back to one whole-table ticket."""
+        direct-servable table — each ticket pins (gen, relative file
+        path), so a client fetches shards in parallel
+        (Client.read_table_parallel) with generation consistency —
+        plus exact row/byte totals from the same footer reads.
+        Partitioned (hive) trees mint one endpoint per leaf file across
+        the partition dirs; truly non-direct layouts fall back to one
+        whole-table ticket. A peer with active set-* session state also
+        gets the single whole-table ticket: pinned shard tickets are
+        complete by construction and would silently IGNORE the peer's
+        set-filter/set-select — planning around the state keeps the
+        stateful protocol's results layout-independent (ADVICE r11)."""
         fl = _require_flight()
-        direct = self._direct_files(name)
+        direct = None if stateful else self._direct_files(name)
         if direct is None:
             return [fl.FlightEndpoint(name, [self.grpc])], -1, -1
-        d, gen, files = direct
+        d, gen, files, _ = direct
         import pyarrow.parquet as pq
 
         endpoints, rows, nbytes = [], 0, 0
@@ -421,8 +517,13 @@ class Server:
                 if batch.num_rows == 0:
                     continue
                 # parquet-read types → the exact schema toArrow() would
-                # produce (ns→us timestamps, etc.): the wire contract
-                # does not depend on which path served the bytes
+                # produce (ns→us timestamps, hive-discovered partition
+                # column types, etc.): the wire contract does not
+                # depend on which path served the bytes. Reorder by
+                # name first — pyarrow appends partition columns after
+                # the file columns, which may not be Spark's order
+                if batch.schema.names != schema.names:
+                    batch = batch.select(schema.names)
                 batch = batch.cast(schema)
                 stats["batches"] += 1
                 stats["max_batch_bytes"] = max(stats["max_batch_bytes"], batch.nbytes)
@@ -444,7 +545,19 @@ class Server:
         state = self._state.get(ctx.peer(), {})
         # a files-pinned ticket (minted by get_flight_info) is complete
         # by construction — per-peer set-* state must not graft a
-        # filter onto a shard fetch
+        # filter onto a shard fetch. A stateful peer presenting one is
+        # a protocol conflict: serving the shard would silently return
+        # UNFILTERED rows the peer's set-filter promised to remove
+        # (get_flight_info already plans a whole-table ticket for
+        # stateful peers; this guard covers tickets minted BEFORE the
+        # state was set). Fail loud, never layout-dependent results.
+        if "files" in spec and state:
+            raise ValueError(
+                "do_get: a files-pinned shard ticket ignores set-filter/"
+                "set-select/set-coding session state, which this peer has "
+                "active — clear the session state (del-* verbs) or re-plan "
+                "via get_flight_info, which honors it"
+            )
         spec = spec if "files" in spec else {**state, **spec}
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -467,7 +580,23 @@ class Server:
 
             os.makedirs(self.store.root, exist_ok=True)
             spool = tempfile.mkdtemp(prefix=".get-spool-", dir=self.store.root)
-            df.write.mode("overwrite").parquet(spool)
+            # the spool must read back as timestamp[us, tz=UTC] so the
+            # per-batch cast to the toArrow()-derived wire schema is
+            # exact (INT96 would come back as naive nanoseconds) — but
+            # the conf is scoped to THIS write and restored, not left
+            # mutating every other parquet write on the shared session
+            # (ADVICE r11: a server must not silently change the
+            # timestamp encoding of user jobs)
+            conf_key = "spark.sql.parquet.outputTimestampType"
+            prev = self.spark.conf.get(conf_key, None)
+            self.spark.conf.set(conf_key, "TIMESTAMP_MICROS")
+            try:
+                df.write.mode("overwrite").parquet(spool)
+            finally:
+                if prev is None:
+                    self.spark.conf.unset(conf_key)
+                else:
+                    self.spark.conf.set(conf_key, prev)
             files = [
                 os.path.join(spool, e)
                 for e in sorted(os.listdir(spool))

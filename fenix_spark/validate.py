@@ -178,10 +178,29 @@ def validate_store(root: str) -> dict[str, Any]:
     import pyarrow.parquet as pq
 
     idx_base = os.path.join(root, "indexes")
+
+    def _subdirs(base: str, where: str) -> list[str]:
+        # fsck must SURVIVE damage, not crash on it: a stray file where
+        # the layout promises a directory level is itself a finding,
+        # not a NotADirectoryError aborting the whole walk (ADVICE r11)
+        out = []
+        for e in sorted(os.listdir(base)):
+            if os.path.isdir(os.path.join(base, e)):
+                out.append(e)
+            else:
+                _finding(
+                    report, "WARN", f"{where}/{e}",
+                    "stray file where the index tree expects a directory "
+                    "level (indexes/<source>/<column>/<coding>)",
+                )
+        return out
+
     if os.path.isdir(idx_base):
-        for src in sorted(os.listdir(idx_base)):
-            for col in sorted(os.listdir(os.path.join(idx_base, src))):
-                for cod in sorted(os.listdir(os.path.join(idx_base, src, col))):
+        for src in _subdirs(idx_base, "indexes"):
+            for col in _subdirs(os.path.join(idx_base, src), f"indexes/{src}"):
+                for cod in _subdirs(
+                    os.path.join(idx_base, src, col), f"indexes/{src}/{col}"
+                ):
                     where = f"indexes/{src}/{col}/{cod}"
                     d = os.path.join(idx_base, src, col, cod)
                     for seg in (src, col, cod):

@@ -141,3 +141,22 @@ def test_cli_exit_codes(spark, root, tmp_path):
         capture_output=True, text=True, cwd="/root/repo",
     )
     assert bad.returncode == 1
+
+
+def test_stray_file_in_index_tree_is_warn_not_crash(spark, root):
+    """fsck must survive damage, not crash on it (ADVICE r11): a stray
+    FILE where the indexes/<src>/<col>/<coding> layout promises a
+    directory used to raise NotADirectoryError and abort the whole
+    walk — the one tool meant for damaged stores. Now: WARN finding,
+    walk completes, healthy siblings still checked."""
+    _mk(spark, root, "t")
+    base = os.path.join(root, "indexes")
+    os.makedirs(os.path.join(base, "t", "v"))
+    # stray files at every level of the tree
+    open(os.path.join(base, "README.txt"), "w").write("junk")
+    open(os.path.join(base, "t", "junk.bin"), "w").write("junk")
+    open(os.path.join(base, "t", "v", "stray"), "w").write("junk")
+    report = validate_store(root)  # must not raise
+    warns = [m["message"] for m in _sev(report, "WARN")]
+    assert sum("stray file" in m for m in warns) == 3
+    assert report["tables"]["t"] == 200  # the rest of the fsck ran
