@@ -2028,48 +2028,36 @@ GROUP BY n_name
 """
 
 
-def _priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted bounded sampling with unbiased subset-sum estimates
-    (operators/sampling.priority_sample — Duffield-Lund-Thorup JACM'07):
-    per source, the 20 highest-priority docs by n_chars weight, each
-    carrying its threshold estimate ``sample_est`` (SUM(sample_est)
-    over any predicate unbiasedly estimates the true weighted sum).
-    Deterministic md5-derived priorities make the whole pipeline
-    engine-portable — the DuckDB mirror reproduces ids AND estimates."""
-    from fenix_spark.operators.sampling import priority_sample, priority_take
+def _epoch_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic upsampling to a fractional epoch count
+    (operators/sampling.epoch_repeat — the materialization step of the
+    LLM data-mixing law, epoch_mixture): every document repeated
+    ⌊2.3⌋ = 2 full epochs via row-local explode (zero shuffles at any
+    scale) plus one md5-bucket-decided fractional epoch salted by the
+    epoch index. Integers only — engine-portable to the row: full
+    epochs are ``generate_series`` in SQL, the fractional pass is the
+    same hash60-threshold law as deterministic_sample."""
+    from fenix_spark.operators.sampling import epoch_repeat
 
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "n_chars"
-    )
-    k = 20
-    state = priority_sample(docs, ["source"], "doc_id", "n_chars", k)
-    taken = priority_take(state, ["source"], "doc_id", "n_chars", k)
-    return taken.select(
-        "source",
-        "doc_id",
-        (F.round(F.col("sample_est"), 6) + F.lit(0.0)).alias("sample_est"),
-    )
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    out = epoch_repeat(docs, "doc_id", 2.3, salt="r12")
+    return out.select("doc_id", F.col("__epoch").cast("int").alias("epoch"))
 
 
-_PRIORITY_SAMPLE_SQL = """
-WITH pri AS (
-    SELECT source, doc_id, n_chars,
-           n_chars / ((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
-                      / 1152921504606846976.0) AS sample_pri
-    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
-), ranked AS (
-    SELECT *, row_number() OVER (
-        PARTITION BY source ORDER BY sample_pri DESC, doc_id
-    ) AS rn FROM pri
-), tau AS (
-    SELECT source, doc_id, n_chars, rn,
-           max(CASE WHEN rn = 21 THEN sample_pri END)
-               OVER (PARTITION BY source) AS tau
-    FROM ranked WHERE rn <= 21
-)
-SELECT source, doc_id,
-       round(greatest(n_chars::DOUBLE, coalesce(tau, 0.0)), 6) + 0.0 AS sample_est
-FROM tau WHERE rn <= 20
+def _epoch_sample_sql() -> str:
+    from fenix_spark.functions.texthash import duck_hash60
+    from fenix_spark.operators.sampling import _BUCKETS
+
+    rate, salt = 2.3, "r12"
+    full = int(rate)
+    thresh = int(round((rate - full) * _BUCKETS))
+    h = duck_hash60(f"doc_id::VARCHAR || '{salt}/ep{full}'")
+    return f"""
+WITH ids AS (SELECT doc_id FROM documents)
+SELECT doc_id, CAST(e.generate_series AS INTEGER) AS epoch
+FROM ids, generate_series(0, {full - 1}) e
+UNION ALL
+SELECT doc_id, {full} AS epoch FROM ids WHERE ({h} % {_BUCKETS}) < {thresh}
 """
 
 
@@ -3240,13 +3228,15 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": _heavy_hitters_q,
     "drift_psi": _drift_psi,
     # (argmax_per_group retired for priority_sample under the 50-row
-    #  cap, r8 session 2 — argmax-per-group IS group_topn at n=1 (the
-    #  window form) and its agg+join-back shape survives inside
-    #  curation_stats/dedup_keep_list; priority sampling is a whole
-    #  new estimation family — weighted bounded samples with unbiased
-    #  subset sums — whose md5-deterministic state makes a full
-    #  engine-portable mirror possible, so it belongs under the oracle.)
-    "priority_sample": _priority_sample_docs,
+    #  cap, r8 session 2; priority_sample retired for epoch_sample,
+    #  r12 — both laws hinge on the SAME md5-threshold construction
+    #  (texthash.hash60 → bucket/priority), but the epoch form
+    #  exercises it more deeply: full-epoch replication via row-local
+    #  explode PLUS the salted fractional pass, zero shuffles where
+    #  priority_sample needed a per-group window. The DLT threshold-
+    #  estimate law keeps its row-identical DuckDB mirror in
+    #  tests/test_priority_sample.py::test_duckdb_mirror_state_and_take.)
+    "epoch_sample": _epoch_sample_docs,
     # (moving_avg retired for gapfill_timeseries, r8 — its sliding
     #  ROWS frame stays covered by time_rollup's buckets + sessionize's
     #  ordered windows; gapfill is a whole operator family (dense-grid
@@ -3325,7 +3315,7 @@ ORACLE_SQL: dict[str, str] = {
     "hist_quantiles": _HIST_QUANTILES_SQL,
     "heavy_hitters": _heavy_hitters_sql(),
     "drift_psi": _DRIFT_PSI_SQL,
-    "priority_sample": _PRIORITY_SAMPLE_SQL,
+    "epoch_sample": _epoch_sample_sql(),
     "group_topn": _GROUP_TOPN_SQL,
     "substring_dedup": _SUBSTRING_DEDUP_SQL,
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
