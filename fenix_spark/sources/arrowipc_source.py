@@ -86,6 +86,16 @@ def _normalize_type(t):
         t = t.value_type
     if pa.types.is_fixed_size_list(t) or pa.types.is_list(t):
         return pa.list_(_normalize_type(t.value_type))
+    if pa.types.is_struct(t):
+        # NestedTensor storage is struct<fixed_size_list | struct …>:
+        # normalize recursively so the fsl-inside-struct becomes the
+        # variable lists Spark's Arrow bridge ingests
+        return pa.struct(
+            [
+                pa.field(f.name, _normalize_type(f.type), f.nullable)
+                for f in t
+            ]
+        )
     signed = _signed_for_unsigned(t)
     return signed if signed is not None else t
 
@@ -233,6 +243,11 @@ def register(spark) -> None:
 #                                           column metadata
 #   QUInt8TensorType(shape,scale,shift) <-> array<smallint> + quant +
 #                                           tensor_shape metadata
+#   NestedTensorType(struct, shapetree) <-> struct<...array<T>...> +
+#                                           nested_tensor_shape (JSON
+#                                           shape tree) metadata
+#                                           (ref ex/arrow/nested/
+#                                           nested.py:18-31)
 #
 # On EXPORT, columns carrying that metadata are re-wrapped into the
 # reference's exact wire form: fixed_size_list storage + the standard
@@ -288,6 +303,13 @@ def _spark_meta_for_extension(name: str, payload: bytes) -> dict | None:
                 {"scale": float(p["scale"]), "shift": int(p["shift"])}
             ),
         }
+    if name == "NestedTensor":
+        # ref ex/arrow/nested/nested.py:18-31 — the payload is a
+        # msgpack SHAPE TREE: {field: [dims...] | nested tree}. Kept as
+        # JSON column metadata; the storage struct itself arrives
+        # through the normal struct normalization (F7 path access
+        # works either way — this preserves the tensor SHAPES)
+        return {"nested_tensor_shape": json.dumps(unpackb(payload))}
     return None
 
 
@@ -321,6 +343,43 @@ def read_arrow_ipc(spark, path: str, suffix: str = ".arrow"):
     return df
 
 
+def _nested_shape_of(df, name: str):
+    """The JSON shape tree from ``nested_tensor_shape`` column
+    metadata, or None."""
+    import json
+
+    if name not in df.columns:
+        return None
+    meta = df.schema[name].metadata or {}
+    raw = meta.get("nested_tensor_shape")
+    return json.loads(raw) if raw else None
+
+
+def _nest_storage(arr, tree):
+    """Rebuild a struct array as the reference's NestedTensor STORAGE:
+    every leaf named in the shape tree becomes a fixed_size_list of
+    prod(shape) (the reference flattens each tensor to its row-major
+    vector, nested.py:50-61); nested dicts recurse through sub-structs.
+    Leaves absent from the tree pass through unchanged."""
+    import math
+
+    import pyarrow as pa
+
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    children, fields = [], []
+    for i, f in enumerate(arr.type):
+        child = arr.field(i)
+        sub = tree.get(f.name)
+        if isinstance(sub, dict) and pa.types.is_struct(f.type):
+            child = _nest_storage(child, sub)
+        elif isinstance(sub, (list, tuple)) and pa.types.is_list(f.type):
+            n = int(math.prod(sub)) if sub else 1
+            child = child.cast(pa.list_(f.type.value_type, n))
+        children.append(child)
+        fields.append(pa.field(f.name, child.type, f.nullable))
+    return pa.StructArray.from_arrays(children, fields=fields)
+
+
 def _wrap_extension_columns(df, table):
     """Rewrap plain-array columns of an exported Arrow table into the
     reference's extension wire form wherever the Spark schema carries
@@ -336,6 +395,21 @@ def _wrap_extension_columns(df, table):
     changed = False
     for i, field in enumerate(table.schema):
         arr = table.column(i)
+        tree = _nested_shape_of(df, field.name)
+        if tree and pa.types.is_struct(field.type):
+            storage = _nest_storage(arr, tree)
+            meta = dict(field.metadata or {})
+            meta[_EXT_NAME] = b"NestedTensor"
+            # msgpack_mini emits the same bytes msgspec does for
+            # {str: [int...]|tree} — the reference's
+            # __arrow_ext_deserialize__ reconstructs NestedTensorType
+            meta[_EXT_META] = packb(tree)
+            cols.append(storage)
+            fields.append(
+                pa.field(field.name, storage.type, field.nullable, meta)
+            )
+            changed = True
+            continue
         shape = (
             shape_of(df, field.name) if field.name in df.columns else None
         )

