@@ -53,9 +53,11 @@ by Spark's expression parser with JVM-reflection function names
 (``reflect``/``try_reflect``/``java_method``) rejected ANYWHERE in the
 string — not just in call position, which SQL comments (``/**/``,
 ``--``) can hide; ``launch()`` binds 127.0.0.1
-by default — pass an explicit host to expose the server, and treat
-anything non-loopback as trusted-network-only (the protocol is
-unauthenticated, like the reference's).
+by default — pass an explicit host to expose the server, and set
+``token=`` (``Server``/``Client``/``launch``; CLI env
+``FENIX_SPARK_FLIGHT_TOKEN``) so every call must carry the shared
+secret — without a token the protocol is unauthenticated like the
+reference's and belongs on loopback or a trusted network only.
 """
 
 from __future__ import annotations
@@ -173,14 +175,47 @@ def _normalize_arrow(table):
     return pa.table(dict(zip([f.name for f in fields], cols)))
 
 
+def _token_middleware(fl, token: str):
+    """Server middleware enforcing a shared-secret bearer token on
+    EVERY call (get/put/exchange/action/info/list alike — gRPC runs
+    start_call before any handler). Constant-time compare; the
+    reject is a clean UNAUTHENTICATED status, not a handler error."""
+    import hmac
+
+    class _Gate(fl.ServerMiddlewareFactory):
+        def start_call(self, info, headers):
+            want = f"Bearer {token}"
+            got = headers.get("authorization") or headers.get(
+                "Authorization"
+            ) or []
+            if not any(hmac.compare_digest(h, want) for h in got):
+                raise fl.FlightUnauthenticatedError(
+                    "missing or invalid token (pass token=... to Client)"
+                )
+
+    return _Gate()
+
+
 class Server:
     """Flight server over a catalog store. ``port=0`` binds an
     ephemeral port (read it back from ``server.port``); call
     ``serve()`` to block, or drive it from a background thread in
-    tests — pyarrow starts the gRPC listener at construction."""
+    tests — pyarrow starts the gRPC listener at construction.
+
+    ``token``: optional shared secret; when set, every call must carry
+    ``authorization: Bearer <token>`` (``Client(token=...)`` does) or
+    is rejected UNAUTHENTICATED. The reference protocol is fully
+    unauthenticated; this retires the trusted-network-only caveat for
+    non-loopback binds. Headers travel plaintext on grpc:// — treat
+    the token as network-visible unless the deployment adds TLS."""
 
     def __init__(
-        self, spark: SparkSession, root: str, host: str = "127.0.0.1", port: int = 0
+        self,
+        spark: SparkSession,
+        root: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        token: str | None = None,
     ):
         fl = _require_flight()
         outer = self
@@ -232,7 +267,12 @@ class Server:
         # construction (streams don't survive the process)
         for stale in glob.glob(os.path.join(root, ".get-spool-*")):
             shutil.rmtree(stale, ignore_errors=True)
-        self._impl = _Impl(location=f"grpc://{host}:{port}")
+        middleware = (
+            {"auth": _token_middleware(fl, token)} if token else None
+        )
+        self._impl = _Impl(
+            location=f"grpc://{host}:{port}", middleware=middleware
+        )
         # per-peer session state, LRU-bounded: peers are ip:ephemeral-
         # port strings (unique per CONNECTION) and disconnects are
         # invisible to the server, so an unbounded dict grows with
@@ -794,9 +834,23 @@ class Client:
     (flight.py:149-292) over the JSON protocol. Results come back as
     pyarrow objects, like the reference's."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 9001):
+    def __init__(
+        self, host: str = "127.0.0.1", port: int = 9001, token: str | None = None
+    ):
         fl = _require_flight()
-        self.conn = fl.connect(f"grpc://{host}:{port}")
+        middleware = []
+        if token:
+
+            class _Attach(fl.ClientMiddlewareFactory):
+                def start_call(self, info):
+                    return _AttachOne()
+
+            class _AttachOne(fl.ClientMiddleware):
+                def sending_headers(self):
+                    return {"authorization": f"Bearer {token}"}
+
+            middleware.append(_Attach())
+        self.conn = fl.connect(f"grpc://{host}:{port}", middleware=middleware)
 
     def close(self) -> None:
         self.conn.close()
@@ -944,18 +998,25 @@ class Client:
         return self
 
 
-def launch(root: str, host: str = "127.0.0.1", port: int = 9001) -> None:
+def launch(
+    root: str,
+    host: str = "127.0.0.1",
+    port: int = 9001,
+    token: str | None = None,
+) -> None:
     """ref: launch.py:12-17 — build a session, serve forever.
     ``python -m fenix_spark.flight <root> [host] [port]``.
 
     Deliberate deviation from the reference (which binds 0.0.0.0): the
-    protocol is UNAUTHENTICATED, so the default bind is loopback. Pass
-    ``host="0.0.0.0"`` explicitly to expose the server, and only on a
-    trusted network."""
+    protocol defaults to loopback, and a non-loopback bind should set
+    ``token`` (the CLI reads ``FENIX_SPARK_FLIGHT_TOKEN`` from the
+    ENVIRONMENT, never argv — ``ps`` shows argv to every local user)
+    so every call must present the shared secret."""
     from fenix_spark.session import get_session
 
-    server = Server(get_session("fenix_spark_flight"), root, host, port)
-    print(f"fenix_spark flight server at {server.grpc} over {root}")
+    server = Server(get_session("fenix_spark_flight"), root, host, port, token=token)
+    auth = "token-gated" if token else "UNAUTHENTICATED"
+    print(f"fenix_spark flight server at {server.grpc} over {root} ({auth})")
     server.serve()
 
 
@@ -966,4 +1027,5 @@ if __name__ == "__main__":
         sys.argv[1],
         sys.argv[2] if len(sys.argv) > 2 else "127.0.0.1",
         int(sys.argv[3]) if len(sys.argv) > 3 else 9001,
+        token=os.environ.get("FENIX_SPARK_FLIGHT_TOKEN") or None,
     )

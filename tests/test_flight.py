@@ -788,3 +788,47 @@ def test_spool_write_restores_session_timestamp_conf(spark, served):
     out = client.read_table("tsconf", filter="id > 1").read_all()
     assert out.num_rows == 3
     assert spark.conf.get(key, None) == prev
+
+
+def test_token_gate_rejects_and_admits(spark, tmp_path_factory):
+    """Shared-secret auth (extension over the reference's naked
+    protocol): with token set, a tokenless or wrong-token client is
+    UNAUTHENTICATED on every verb — get, action, put — before any
+    handler runs; the right token works end-to-end."""
+    root = str(tmp_path_factory.mktemp("authstore") / "store")
+    server = Server(spark, root, port=0, token="s3cret")
+    try:
+        naked = Client(port=server.port)
+        try:
+            with pytest.raises(fl.FlightUnauthenticatedError, match="token"):
+                naked.list_tables()
+            with pytest.raises(fl.FlightUnauthenticatedError, match="token"):
+                naked.read_table("people").read_all()
+            with pytest.raises(fl.FlightUnauthenticatedError, match="token"):
+                naked.make_table("x", pa.table({"id": [1]}))
+        finally:
+            naked.close()
+        wrong = Client(port=server.port, token="guess")
+        try:
+            with pytest.raises(fl.FlightUnauthenticatedError, match="token"):
+                wrong.list_tables()
+        finally:
+            wrong.close()
+        ok = Client(port=server.port, token="s3cret")
+        try:
+            ok.make_table("authed", pa.table({"id": [1, 2, 3]}))
+            assert ok.list_tables() == ["authed"]
+            back = ok.read_table("authed").read_all()
+            assert sorted(back.column("id").to_pylist()) == [1, 2, 3]
+        finally:
+            ok.close()
+    finally:
+        server.shutdown()
+
+
+def test_tokenless_server_stays_open(spark, served):
+    """No token configured = the reference-parity open protocol (the
+    module-scope served fixture would fail everywhere otherwise —
+    asserted here explicitly so the default is pinned)."""
+    _, client, _ = served
+    assert isinstance(client.list_tables(), list)
