@@ -12,10 +12,17 @@ library-free decodes:
 - layout: strips AND tiles (TileWidth/TileLength/TileOffsets),
   chunky AND planar (PlanarConfiguration=2) sample organization;
 - horizontal predictor (317 = 2), the default companion of LZW and
-  Deflate files.
+  Deflate files, and (r12) the FLOATING-POINT predictor (317 = 3,
+  TIFF Technical Note 3): MSB-first byte-plane split + stride byte
+  differencing per scanline, byte-stream pinned against an
+  independent loop-written reference encoder in tests;
+- sample types u8/u16/i16/u32/f32 (SampleFormat honored), any layout
+  × compression combination, native-endian results from II or MM.
 
-Still raising by name: CCITT fax codings (tabulated code books) and
-bits-per-sample other than 8 — the honest swap-in boundary.
+Still raising by name: CCITT fax codings (their Huffman code BOOKS
+are tabulated constants from T.4/T.6 with no independent
+implementation in the image to verify against) — the honest swap-in
+boundary.
 
 - ``parse_tiff_metadata``: endianness, IFD chain walk (page count),
   first-page width/height/channels/bits/compression/strip layout.
@@ -320,6 +327,36 @@ def _undo_predictor(rows: np.ndarray) -> np.ndarray:
     return np.cumsum(rows.astype(np.uint64), axis=1).astype(rows.dtype)
 
 
+def _undo_float_predictor(
+    raw: bytes, n_rows: int, width: int, spp: int, dtype: np.dtype
+) -> np.ndarray:
+    """Floating-point predictor (tag 317 = 3, TIFF Technical Note 3):
+    per scanline the encoder (a) splits every sample into bytes and
+    regroups them into byte PLANES, most-significant plane first —
+    regardless of the file's byte order — then (b) applies byte-wise
+    horizontal differencing with stride = samples-per-pixel as ONE
+    continuous run over the whole reordered row (plane boundaries are
+    crossed, same as predictor 2's per-channel stride walk). Decode
+    inverts: stride cumulative sum mod 256, then byte-plane transpose
+    back into big-endian floats. Returns (n_rows, width, spp)."""
+    k = dtype.itemsize
+    rowbytes = width * spp * k
+    need = n_rows * rowbytes
+    b = np.frombuffer(raw[:need].ljust(need, b"\0"), np.uint8).reshape(
+        n_rows, rowbytes
+    )
+    # stride accumulation: column j of the (rowbytes/spp, spp) view is
+    # one stride-walk; cumsum in uint64 then cast back = mod 256
+    acc = np.cumsum(
+        b.reshape(n_rows, rowbytes // spp, spp), axis=1, dtype=np.uint64
+    ).astype(np.uint8)
+    planes = acc.reshape(n_rows, k, width * spp)
+    be = np.ascontiguousarray(np.transpose(planes, (0, 2, 1)))
+    return np.frombuffer(be.tobytes(), dtype.newbyteorder(">")).reshape(
+        n_rows, width, spp
+    )
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
     """TIFF → (h, w) gray or (h, w, c), native-endian. Sample types:
     uint8/uint16/int16/uint32 and float32 (SampleFormat=3). Decodes
@@ -365,12 +402,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
             "(u8/u16/i16/u32/f32 only)"
         )
     itemsize = dtype.itemsize
-    if predictor not in (1, 2):
-        raise NotImplementedError(f"tiff predictor {predictor} (1/2 only)")
+    if predictor not in (1, 2, 3):
+        raise NotImplementedError(f"tiff predictor {predictor} (1/2/3 only)")
     if predictor == 2 and dtype.kind != "u":
         raise NotImplementedError(
-            "tiff horizontal predictor is defined for unsigned integer "
-            "samples (predictor 3 — floating point — is not implemented)"
+            "tiff horizontal predictor (2) is defined for unsigned integer "
+            "samples; floating-point data uses predictor 3"
+        )
+    if predictor == 3 and dtype.kind != "f":
+        raise NotImplementedError(
+            "tiff floating-point predictor (3) on non-float samples"
         )
     if comp == 7 and b0 != 8:
         raise NotImplementedError("jpeg-in-tiff is 8-bit only")
@@ -410,11 +451,14 @@ def decode_tiff(data: bytes) -> np.ndarray:
                     chunk_bytes(offs[p * per_plane + t], cnts[p * per_plane + t]),
                     comp, jpeg_tables,
                 )
-                need = tl * tw * spp * itemsize
-                tile = np.frombuffer(raw[:need].ljust(need, b"\0"), dtype)
-                tile = tile.reshape(tl, tw, spp)
-                if predictor == 2:
-                    tile = _undo_predictor(tile)
+                if predictor == 3:
+                    tile = _undo_float_predictor(raw, tl, tw, spp, dtype)
+                else:
+                    need = tl * tw * spp * itemsize
+                    tile = np.frombuffer(raw[:need].ljust(need, b"\0"), dtype)
+                    tile = tile.reshape(tl, tw, spp)
+                    if predictor == 2:
+                        tile = _undo_predictor(tile)
                 ty, tx = divmod(t, tiles_x)
                 plane[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = tile
             planes.append(plane[:h, :w])
@@ -438,9 +482,12 @@ def decode_tiff(data: bytes) -> np.ndarray:
                     raise ValueError(
                         f"tiff: strip holds {len(raw)} bytes, need {need}"
                     )
-                rows = np.frombuffer(raw[:need], dtype).reshape(n_rows, w, spp)
-                if predictor == 2:
-                    rows = _undo_predictor(rows)
+                if predictor == 3:
+                    rows = _undo_float_predictor(raw, n_rows, w, spp, dtype)
+                else:
+                    rows = np.frombuffer(raw[:need], dtype).reshape(n_rows, w, spp)
+                    if predictor == 2:
+                        rows = _undo_predictor(rows)
                 rows_out.append(rows)
             planes.append(np.concatenate(rows_out, axis=0)[:h])
     if planar == 2:
@@ -459,6 +506,20 @@ def _apply_predictor(rows: np.ndarray) -> np.ndarray:
     the encoder inverse of :func:`_undo_predictor`."""
     diffs = (rows[:, 1:].astype(np.int64) - rows[:, :-1].astype(np.int64)).astype(rows.dtype)
     return np.concatenate([rows[:, :1], diffs], axis=1)
+
+
+def _apply_float_predictor(rows: np.ndarray) -> bytes:
+    """Encoder inverse of :func:`_undo_float_predictor`: big-endian
+    byte-plane split (MSB plane first) then stride byte differencing,
+    per scanline. ``rows`` is (n_rows, width, spp) float."""
+    n_rows, width, spp = rows.shape
+    k = rows.dtype.itemsize
+    be = np.ascontiguousarray(rows.astype(rows.dtype.newbyteorder(">")))
+    b = np.frombuffer(be.tobytes(), np.uint8).reshape(n_rows, width * spp, k)
+    planes = np.transpose(b, (0, 2, 1)).reshape(n_rows, width * spp * k)
+    m = planes.reshape(n_rows, (width * spp * k) // spp, spp).astype(np.int16)
+    d = np.concatenate([m[:, :1], m[:, 1:] - m[:, :-1]], axis=1).astype(np.uint8)
+    return np.ascontiguousarray(d).tobytes()
 
 
 def encode_tiff(
@@ -495,8 +556,11 @@ def encode_tiff(
         raise ValueError(
             "jpeg-in-tiff chunks are chunky 1/3-channel uint8, no predictor"
         )
-    if predictor and img.dtype.kind != "u":
-        raise ValueError("the horizontal predictor needs unsigned samples")
+    if predictor and img.dtype.kind not in ("u", "f"):
+        raise ValueError(
+            "the horizontal predictor needs unsigned samples (float "
+            "samples take the floating-point predictor, tag value 3)"
+        )
 
     def pack(chunk_rows: np.ndarray) -> bytes:
         if comp == 7:  # each chunk is its own JFIF stream (lossy)
@@ -504,9 +568,12 @@ def encode_tiff(
 
             arr = chunk_rows[..., 0] if chunk_rows.shape[2] == 1 else chunk_rows
             return encode_jpeg(arr, quality=90)
-        if predictor:
-            chunk_rows = _apply_predictor(chunk_rows)
-        raw = np.ascontiguousarray(chunk_rows).tobytes()
+        if predictor and chunk_rows.dtype.kind == "f":
+            raw = _apply_float_predictor(chunk_rows)
+        else:
+            if predictor:
+                chunk_rows = _apply_predictor(chunk_rows)
+            raw = np.ascontiguousarray(chunk_rows).tobytes()
         if comp == 1:
             return raw
         if comp == 5:
@@ -583,7 +650,7 @@ def encode_tiff(
             (_TAG_SAMPLE_FORMAT, 3, c, arr_value([_SFMT[img.dtype.kind]] * c, 3))
         )
     if predictor:
-        tags.append((_TAG_PREDICTOR, 3, 1, 2))
+        tags.append((_TAG_PREDICTOR, 3, 1, 3 if img.dtype.kind == "f" else 2))
     for tag, typ, count, val in tags_extra:
         if val is None:
             vals = offsets if tag in (_TAG_TILE_OFFSETS, _TAG_STRIP_OFFSETS) else counts

@@ -190,8 +190,9 @@ def test_lzw_bit_layout_matches_spec_hand_derivation():
 def test_wide_sample_types_roundtrip():
     """16-bit, signed-16, 32-bit and float32 (SampleFormat=3) samples
     round-trip exactly through every layout knob, returned
-    native-endian in the source dtype. Predictor + float raises (the
-    TIFF floating-point predictor is a different algorithm)."""
+    native-endian in the source dtype. predictor=True on float data
+    emits the FLOATING-POINT predictor (tag value 3, r12) — the
+    signed-int case is the one that still refuses a predictor."""
     rng = np.random.default_rng(17)
     cases = [
         (rng.integers(0, 1 << 16, (23, 31, 3)).astype(np.uint16), {}),
@@ -215,7 +216,73 @@ def test_wide_sample_types_roundtrip():
         back = decode_tiff(encode_tiff(img, **kw))
         assert back.dtype == img.dtype and np.array_equal(back, img), (img.dtype, kw)
     with pytest.raises(ValueError, match="unsigned"):
-        encode_tiff(rng.normal(size=(4, 4)).astype(np.float32), predictor=True)
+        encode_tiff(
+            rng.integers(-9, 9, (4, 4)).astype(np.int16), predictor=True
+        )
+
+
+def _fp_predict_reference(rows, spp, k):
+    """Independent pure-python TechNote-3 encoder (explicit loops, no
+    numpy vectorization shared with the implementation): per scanline,
+    byte-split into MSB-first planes, then stride byte differencing as
+    one continuous run."""
+    out = bytearray()
+    for row in rows:  # row: flat list of big-endian per-sample bytes
+        n = len(row)  # samples in the row (width*spp entries of k bytes)
+        buf = bytearray(n * k)
+        for i, sample in enumerate(row):
+            for b in range(k):
+                buf[b * n + i] = sample[b]
+        for i in range(len(buf) - 1, spp - 1, -1):
+            buf[i] = (buf[i] - buf[i - spp]) & 0xFF
+        out += buf
+    return bytes(out)
+
+
+def test_float_predictor_matches_independent_reference():
+    """The predictor-3 byte stream is pinned against a loop-written
+    TechNote-3 reference (and a worked single-row example): a wrong
+    shuffle or stride would self-round-trip, so round-tripping alone
+    proves nothing — the wire BYTES are the spec check."""
+    import struct
+
+    # worked example: row [1.0, 2.0] → BE bytes 3f800000 / 40000000 →
+    # planes 3f 40 | 80 00 | 00 00 | 00 00 → diffs 3f 01 40 80 00 00 00 00
+    img = np.array([[1.0, 2.0]], dtype=np.float32)
+    data = encode_tiff(img, predictor=True)
+    assert data[8:16] == bytes.fromhex("3f01408000000000")
+    assert np.array_equal(decode_tiff(data), img)
+
+    # multi-channel stride (spp=3) + several rows, against the
+    # independent loop encoder
+    rng = np.random.default_rng(5)
+    img = rng.normal(size=(4, 5, 3)).astype(np.float32)
+    data = encode_tiff(img, predictor=True)
+    rows = [
+        [struct.pack(">f", float(v)) for v in img[y].reshape(-1)]
+        for y in range(img.shape[0])
+    ]
+    want = _fp_predict_reference(rows, spp=3, k=4)
+    assert data[8 : 8 + len(want)] == want
+    assert np.array_equal(decode_tiff(data), img)
+
+
+def test_float_predictor_roundtrips_every_layout():
+    """Predictor 3 through strips/tiles, chunky/planar (planar = spp 1
+    per chunk → stride 1), and every lossless compression."""
+    rng = np.random.default_rng(23)
+    img3 = rng.normal(size=(13, 11, 3)).astype(np.float32)
+    img1 = rng.normal(size=(9, 14)).astype(np.float32)
+    for img, kw in [
+        (img3, {"compression": "lzw"}),
+        (img3, {"compression": "deflate", "rows_per_strip": 4}),
+        (img3, {"compression": "packbits", "tile": 8}),
+        (img3, {"compression": "lzw", "planar": True}),
+        (img1, {"compression": "deflate", "tile": 8}),
+        (img1, {}),
+    ]:
+        back = decode_tiff(encode_tiff(img, predictor=True, **kw))
+        assert back.dtype == img.dtype and np.array_equal(back, img), kw
 
 
 def test_big_endian_16bit_decodes_native():
