@@ -244,13 +244,22 @@ class Server:
                 # the reference raises NotImplementedError here
                 # (flight.py:24-28); serving the schema + PER-FILE
                 # endpoints is strictly more useful — see
-                # _flight_info_endpoints for the parallel-read contract
-                name = descriptor.path[0].decode()
+                # _flight_info_endpoints for the parallel-read
+                # contract. A 3-segment path (name, column, coding)
+                # plans the INDEXED read's shards (S9-over-wire
+                # parallel, the reference's "a:b:c" ticket triple).
+                segs = [p.decode() for p in descriptor.path]
+                name = segs[0]
+                column = segs[1] if len(segs) == 3 else None
+                coding = segs[2] if len(segs) == 3 else None
                 endpoints, rows, nbytes = outer._flight_info_endpoints(
-                    name, stateful=bool(outer._state.get(ctx.peer()))
+                    name,
+                    stateful=bool(outer._state.get(ctx.peer())),
+                    coding=coding,
+                    column=column,
                 )
                 return fl.FlightInfo(
-                    outer._table_schema(name),
+                    outer._table_schema(name, coding=coding, column=column),
                     descriptor,
                     endpoints,
                     rows,
@@ -286,16 +295,23 @@ class Server:
 
     # ---------------------------------------------------------- verbs
 
-    def _table_schema(self, name: str):
+    def _table_schema(self, name: str, coding: str | None = None, column: str | None = None):
         # footer read, not a Spark plan: list_flights over a 50-table
         # store must not run 50 plan-compile/execute round-trips
         import os
 
         import pyarrow.parquet as pq
 
-        from fenix_spark.catalog import source_path
+        from fenix_spark.catalog import index_path, source_path
         from fenix_spark.manifest import resolve
 
+        if coding is not None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            return to_arrow_schema(
+                self.store.read_table(name, coding=coding, column=column).schema,
+                error_on_duplicated_field_names_in_struct=True,
+            )
         d = resolve(source_path(self.store.root, name))
         for entry in sorted(os.listdir(d)):
             if entry.endswith(".parquet") and not entry.startswith(("_", ".")):
@@ -466,15 +482,28 @@ class Server:
             return None
         pinned = spec.get("files")
         if pinned is not None:
-            if any(spec.get(k) for k in ("filter", "select", "coding", "column")):
+            if any(spec.get(k) for k in ("filter", "select")):
                 raise ValueError(
                     "do_get: a files-pinned ticket is a plain shard read; "
-                    "filter/select/coding do not apply — fetch the computed "
+                    "filter/select do not apply — fetch the computed "
                     "read through a plain ticket instead"
                 )
-            path = source_path(self.store.root, source)
-            gen = spec.get("gen")
-            d = path if gen is None else _gen_dir(path, int(gen))
+            coding, column = spec.get("coding"), spec.get("column")
+            if coding is not None:
+                # pinned INDEX shard (S9-over-wire parallel): the index
+                # layout is rewritten in place (no generations), but
+                # parquet part names are unique per write — a ticket
+                # spanning a concurrent re-make fails the membership
+                # check below instead of mixing file sets
+                if column is None:
+                    raise ValueError("do_get: pinned index ticket needs column")
+                from fenix_spark.catalog import index_path
+
+                d, gen = index_path(self.store.root, source, column, coding), None
+            else:
+                path = source_path(self.store.root, source)
+                gen = spec.get("gen")
+                d = path if gen is None else _gen_dir(path, int(gen))
             walk = _hive_walk(d) if os.path.isdir(d) else None
             if walk is None:
                 raise ValueError(
@@ -501,7 +530,13 @@ class Server:
         d, _, files, partitioned = direct
         return self._make_dataset(d, files, partitioned)
 
-    def _flight_info_endpoints(self, name: str, stateful: bool = False):
+    def _flight_info_endpoints(
+        self,
+        name: str,
+        stateful: bool = False,
+        coding: str | None = None,
+        column: str | None = None,
+    ):
         """Endpoints for get_flight_info: one PER PARQUET FILE for a
         direct-servable table — each ticket pins (gen, relative file
         path), so a client fetches shards in parallel
@@ -515,9 +550,17 @@ class Server:
         set-filter/set-select — planning around the state keeps the
         stateful protocol's results layout-independent (ADVICE r11)."""
         fl = _require_flight()
-        direct = None if stateful else self._direct_files(name)
+        direct = (
+            None
+            if stateful
+            else self._direct_files(name, coding=coding, column=column)
+        )
         if direct is None:
-            return [fl.FlightEndpoint(name, [self.grpc])], -1, -1
+            whole: dict = {"source": name}
+            if coding is not None:
+                whole.update(coding=coding, column=column)
+            ticket = json.dumps(whole) if coding is not None else name
+            return [fl.FlightEndpoint(ticket, [self.grpc])], -1, -1
         d, gen, files, _ = direct
         import pyarrow.parquet as pq
 
@@ -528,8 +571,10 @@ class Server:
             nbytes += sum(
                 md.row_group(i).total_byte_size for i in range(md.num_row_groups)
             )
-            ticket = json.dumps({"source": name, "gen": gen, "files": [f]})
-            endpoints.append(fl.FlightEndpoint(ticket, [self.grpc]))
+            spec: dict = {"source": name, "gen": gen, "files": [f]}
+            if coding is not None:
+                spec.update(coding=coding, column=column)
+            endpoints.append(fl.FlightEndpoint(json.dumps(spec), [self.grpc]))
         return endpoints, rows, nbytes
 
     def _stream_batches(self, data, schema, spool: str | None):
@@ -899,7 +944,13 @@ class Client:
         spec = {k: v for k, v in spec.items() if v is not None}
         return self.conn.do_get(fl.Ticket(json.dumps(spec).encode())).to_reader()
 
-    def read_table_parallel(self, name: str, max_workers: int = 8):
+    def read_table_parallel(
+        self,
+        name: str,
+        max_workers: int = 8,
+        coding: str | None = None,
+        column: str | None = None,
+    ):
         """Whole-table fetch over PARALLEL shard streams: plan once via
         get_flight_info (one endpoint per parquet file, each ticket
         pinned to the table's committed generation), fetch endpoints
@@ -907,13 +958,17 @@ class Client:
         manifest retention window make the combined result a CONSISTENT
         snapshot even if a compact commits mid-fetch; a fetch that
         outlives the window fails loudly with a re-plan message instead
-        of mixing generations. Returns a pyarrow Table."""
+        of mixing generations. ``coding``+``column`` plans the INDEXED
+        layout's shards (one endpoint per partition-tree leaf file; an
+        index rewritten mid-fetch fails loud on file membership).
+        Returns a pyarrow Table."""
         import concurrent.futures
 
         import pyarrow as pa
 
         fl = _require_flight()
-        info = self.conn.get_flight_info(fl.FlightDescriptor.for_path(name))
+        segs = (name,) if coding is None else (name, column, coding)
+        info = self.conn.get_flight_info(fl.FlightDescriptor.for_path(*segs))
         tickets = [ep.ticket for ep in info.endpoints]
 
         def fetch(t):

@@ -832,3 +832,49 @@ def test_tokenless_server_stays_open(spark, served):
     asserted here explicitly so the default is pinned)."""
     _, client, _ = served
     assert isinstance(client.list_tables(), list)
+
+
+def test_indexed_parallel_read_spans_partition_tree(spark, served):
+    """S9-over-wire, parallel: get_flight_info with the (name, column,
+    coding) triple mints one endpoint per leaf file of the
+    __CODED_ID__ partition tree; read_table_parallel reassembles the
+    indexed layout equal to the Store read; a ticket from BEFORE an
+    index re-make fails loud on file membership instead of mixing
+    file sets."""
+    import numpy as np
+
+    server, client, root = served
+    rng = np.random.default_rng(13)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(80), pa.int64()),
+            "emb": pa.array(
+                [list(map(float, v)) for v in rng.normal(size=(80, 8))]
+            ),
+        }
+    )
+    client.make_table("pvecs", t)
+    client.make_index(
+        "pcode", source="pvecs", column="emb",
+        config={"metric": "l2", "codebook_size": 4, "num_codebooks": 2, "seed": 3},
+    )
+    info = client.conn.get_flight_info(
+        fl.FlightDescriptor.for_path("pvecs", "emb", "pcode")
+    )
+    assert info.total_records == 80
+    specs = [json.loads(ep.ticket.ticket.decode()) for ep in info.endpoints]
+    assert all(s["coding"] == "pcode" and "/" in s["files"][0] for s in specs)
+    par = client.read_table_parallel("pvecs", coding="pcode", column="emb")
+    st = Store(spark, root)
+    local = st.read_table("pvecs", coding="pcode", column="emb").toArrow()
+    assert par.num_rows == local.num_rows == 80
+    w = {r["vec_id"]: r["__CODED_ID__"] for r in par.to_pylist()}
+    l = {r["vec_id"]: r["__CODED_ID__"] for r in local.to_pylist()}
+    assert w == l
+    # stale ticket across an index re-make: part names change, fail loud
+    stale = info.endpoints[0].ticket
+    client.sync_index("pcode", "pvecs", "emb")  # rewrite in place
+    with pytest.raises(
+        (fl.FlightServerError, pa.lib.ArrowInvalid), match="not in|re-plan"
+    ):
+        client.conn.do_get(stale).read_all()
