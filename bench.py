@@ -76,6 +76,11 @@ BENCH_QUERIES = [
     # scalar-regex row; regex_extract_ids rotated out of the oracle,
     # its surface subsumed here).
     "readability_scores",
+    # r12 rotation: epoch_repeat materialization (row-local explode +
+    # hash-filtered fractional epoch — bench rows track the live
+    # suite; priority_sample rotated out of the oracle, its
+    # md5-threshold law exercised more deeply here).
+    "epoch_sample",
 ]
 
 
