@@ -562,15 +562,28 @@ class Server:
             ticket = json.dumps(whole) if coding is not None else name
             return [fl.FlightEndpoint(ticket, [self.grpc])], -1, -1
         d, gen, files, _ = direct
+        import concurrent.futures
+
         import pyarrow.parquet as pq
 
-        endpoints, rows, nbytes = [], 0, 0
-        for f in files:
+        def totals(f: str) -> tuple[int, int]:
             md = pq.read_metadata(os.path.join(d, f))
-            rows += md.num_rows
-            nbytes += sum(
+            return md.num_rows, sum(
                 md.row_group(i).total_byte_size for i in range(md.num_row_groups)
             )
+
+        # footer reads are I/O-bound and independent: a sequential walk
+        # makes planning O(files) driver round-trips — at 100k files
+        # that is minutes per get_flight_info. Thread the reads.
+        if len(files) > 4:
+            with concurrent.futures.ThreadPoolExecutor(max_workers=16) as pool:
+                stats = list(pool.map(totals, files))
+        else:
+            stats = [totals(f) for f in files]
+        endpoints, rows, nbytes = [], 0, 0
+        for f, (r, b) in zip(files, stats):
+            rows += r
+            nbytes += b
             spec: dict = {"source": name, "gen": gen, "files": [f]}
             if coding is not None:
                 spec.update(coding=coding, column=column)

@@ -878,3 +878,41 @@ def test_indexed_parallel_read_spans_partition_tree(spark, served):
         (fl.FlightServerError, pa.lib.ArrowInvalid), match="not in|re-plan"
     ):
         client.conn.do_get(stale).read_all()
+
+
+def test_hive_walk_edge_layouts():
+    """_hive_walk's servability contract: hive trees (incl.
+    _-prefixed partition names) walk; unknown subdirs or mixed
+    file+partition levels return None (spool fallback); dot-dirs and
+    Spark markers are invisible."""
+    import os
+    import tempfile
+
+    from fenix_spark.flight import _hive_walk
+
+    d = tempfile.mkdtemp()
+
+    def mk(*parts):
+        p = os.path.join(d, *parts)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").write("x")
+
+    mk("__CODED_ID__=0", "a.parquet")
+    mk("__CODED_ID__=1", "b.parquet")
+    mk("__CODED_ID__=1", "_SUCCESS")
+    mk("_SUCCESS")
+    os.makedirs(os.path.join(d, ".hidden", "x=1"), exist_ok=True)
+    files, partitioned = _hive_walk(d)
+    assert partitioned and files == [
+        os.path.join("__CODED_ID__=0", "a.parquet"),
+        os.path.join("__CODED_ID__=1", "b.parquet"),
+    ]
+    # nested two-level hive
+    mk("__CODED_ID__=0", "lang=en", "c.parquet")
+    assert _hive_walk(d) is None  # mixed file+dir at one level -> spool
+    os.remove(os.path.join(d, "__CODED_ID__=0", "a.parquet"))
+    files, partitioned = _hive_walk(d)
+    assert partitioned and len(files) == 2
+    # an unknown (non-hive, non-marker) subdir anywhere -> None
+    os.makedirs(os.path.join(d, "__CODED_ID__=1", "rogue"), exist_ok=True)
+    assert _hive_walk(d) is None
