@@ -152,6 +152,25 @@ def _hive_walk(d: str) -> tuple[list[str], bool] | None:
     return sorted(files), partitioned
 
 
+def _pinned_shard_ok(d: str, f: str) -> bool:
+    """Validate ONE relative shard path against the layout contract
+    (the per-file form of _hive_walk's rules — O(1), not O(files)):
+    no traversal tokens, every directory component a hive ``col=value``
+    segment, the leaf a visible ``.parquet`` file that exists."""
+    if not isinstance(f, str) or "\\" in f:
+        return False
+    parts = f.split("/")
+    if any(p in ("", ".", "..") for p in parts):
+        return False
+    for p in parts[:-1]:
+        if p.startswith(".") or "=" not in p[1:]:
+            return False
+    leaf = parts[-1]
+    if leaf.startswith(("_", ".")) or not leaf.endswith(".parquet"):
+        return False
+    return os.path.isfile(os.path.join(d, *parts))
+
+
 def _normalize_arrow(table):
     """Fixed-size-list columns → plain lists (Spark's Arrow ingest
     speaks variable lists); chunked → combined. Duplicate column
@@ -504,21 +523,26 @@ class Server:
                 path = source_path(self.store.root, source)
                 gen = spec.get("gen")
                 d = path if gen is None else _gen_dir(path, int(gen))
-            walk = _hive_walk(d) if os.path.isdir(d) else None
-            if walk is None:
+            if not os.path.isdir(d):
                 raise ValueError(
                     f"do_get: pinned generation {gen} of {source!r} has been "
                     "vacuumed (reads spanning more than one maintenance "
                     "rewrite exceed the retention window) — re-plan via "
                     "get_flight_info"
                 )
-            live, partitioned = set(walk[0]), walk[1]
-            bad = [f for f in pinned if f not in live]  # also rejects paths
+            # per-FILE validation, not a whole-layout walk: a parallel
+            # fetch issues one do_get per shard, so an O(files) walk
+            # here is O(files²) across the read at 100k-file tables.
+            # The same invariants _hive_walk enforces hold per path:
+            # every directory component a hive segment, the leaf a
+            # visible parquet file, and no traversal tokens.
+            bad = [f for f in pinned if not _pinned_shard_ok(d, f)]
             if bad:
                 raise ValueError(
                     f"do_get: ticket names files not in {source!r} gen {gen}: "
                     f"{bad[:3]} — stale plan, re-plan via get_flight_info"
                 )
+            partitioned = any("/" in f for f in pinned)
             return self._make_dataset(d, pinned, partitioned)
         if any(spec.get(k) for k in ("filter", "select")):
             return None
@@ -603,7 +627,14 @@ class Server:
         self.last_get_stats = stats
         try:
             rows = bytes_ = 0
-            for frag in data.get_fragments():
+            # row-width SAMPLE, not a full metadata pass: the width
+            # estimate only sizes batches (the budget is still enforced
+            # on every actual batch below), so reading every footer of
+            # a 100k-file table before the first byte ships would be
+            # pure planning latency. 32 fragments pin the width.
+            for i, frag in enumerate(data.get_fragments()):
+                if i >= 32:
+                    break
                 md = frag.metadata
                 rows += md.num_rows
                 bytes_ += sum(
