@@ -113,6 +113,30 @@ def _require_flight():
     return fl
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _micros_parquet_writes(spark):
+    """Scope ``spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS``
+    to the enclosed write and restore the previous value. Flight-owned
+    writes (do_put ingest, do_get spools) need timestamps to read back
+    as timestamp[us] so footer-derived schemas and the toArrow-exact
+    wire cast agree (Spark's default INT96 reads back as naive
+    nanoseconds); user jobs on the shared session keep their own
+    setting (ADVICE r11)."""
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def _hive_walk(d: str) -> tuple[list[str], bool] | None:
     """Walk a table directory: (sorted relative parquet paths,
     partitioned?) when the layout is direct-servable — flat parquet,
@@ -268,21 +292,41 @@ class Server:
                 # plans the INDEXED read's shards (S9-over-wire
                 # parallel, the reference's "a:b:c" ticket triple).
                 segs = [p.decode() for p in descriptor.path]
+                if len(segs) not in (1, 3):
+                    raise ValueError(
+                        "get_flight_info: descriptor path is (name) or "
+                        f"(name, column, coding), got {len(segs)} segments"
+                    )
                 name = segs[0]
                 column = segs[1] if len(segs) == 3 else None
                 coding = segs[2] if len(segs) == 3 else None
+                state = outer._state.get(ctx.peer()) or {}
+                if state:
+                    # the whole-table ticket a stateful peer gets will
+                    # merge set-filter/select/coding at do_get time —
+                    # the ADVERTISED schema must be the schema of THAT
+                    # stream, not of the bare table
+                    spec = {**state, "source": name}
+                    if coding is not None:
+                        spec.update(coding=coding, column=column)
+                    from pyspark.sql.pandas.types import to_arrow_schema
+
+                    schema = to_arrow_schema(
+                        outer._spec_df(spec).schema,
+                        error_on_duplicated_field_names_in_struct=True,
+                    )
+                else:
+                    schema = outer._table_schema(
+                        name, coding=coding, column=column
+                    )
                 endpoints, rows, nbytes = outer._flight_info_endpoints(
                     name,
-                    stateful=bool(outer._state.get(ctx.peer())),
+                    stateful=bool(state),
                     coding=coding,
                     column=column,
                 )
                 return fl.FlightInfo(
-                    outer._table_schema(name, coding=coding, column=column),
-                    descriptor,
-                    endpoints,
-                    rows,
-                    nbytes,
+                    schema, descriptor, endpoints, rows, nbytes
                 )
 
         import collections
@@ -308,6 +352,10 @@ class Server:
         # beyond any real concurrency; older ones age out.
         self._state: "collections.OrderedDict[str, dict]" = collections.OrderedDict()
         self._state_cap = 1024
+        # wire-schema cache for pinned shard fetches (_pinned_schema)
+        self._schema_cache: "collections.OrderedDict[tuple, object]" = (
+            collections.OrderedDict()
+        )
         self.host = host
         self.port = self._impl.port
         self.grpc = f"grpc://{host}:{self.port}"
@@ -377,7 +425,10 @@ class Server:
             if not buf:
                 return
             tbl = _normalize_arrow(pa.Table.from_batches(buf))
-            self.spark.createDataFrame(tbl).write.mode("append").parquet(staging)
+            with _micros_parquet_writes(self.spark):
+                self.spark.createDataFrame(tbl).write.mode("append").parquet(
+                    staging
+                )
             buf, nbytes, wrote = [], 0, True
 
         for batch in rb:
@@ -389,7 +440,10 @@ class Server:
         if not wrote:
             # empty stream: still create the (empty) table with schema
             tbl = _normalize_arrow(rb.schema.empty_table())
-            self.spark.createDataFrame(tbl).write.mode("append").parquet(staging)
+            with _micros_parquet_writes(self.spark):
+                self.spark.createDataFrame(tbl).write.mode("append").parquet(
+                    staging
+                )
         manifest.commit(path, gen)
         manifest.vacuum(path)
 
@@ -622,50 +676,103 @@ class Server:
         exceeds the budget (even at one row) raises loudly."""
         import shutil
 
+        import pyarrow.dataset as ds
+
         budget = self.get_budget_bytes
         stats = {"batches": 0, "max_batch_bytes": 0, "spooled": spool is not None}
+        if spool is not None:
+            # the write amplification a spooled read paid (parquet
+            # bytes rewritten before the first wire byte) — the number
+            # SCALE.md's direct-vs-spool ledger reports
+            stats["spool_bytes"] = sum(
+                os.path.getsize(os.path.join(cur, f))
+                for cur, _, fs in os.walk(spool)
+                for f in fs
+            )
         self.last_get_stats = stats
         try:
-            rows = bytes_ = 0
-            # row-width SAMPLE, not a full metadata pass: the width
-            # estimate only sizes batches (the budget is still enforced
-            # on every actual batch below), so reading every footer of
-            # a 100k-file table before the first byte ships would be
-            # pure planning latency. 32 fragments pin the width.
-            for i, frag in enumerate(data.get_fragments()):
-                if i >= 32:
-                    break
+            # batch size is derived PER FRAGMENT from that fragment's
+            # own footer, read right before streaming it: no upfront
+            # O(files) metadata pass before the first byte ships, and
+            # a layout whose later files carry much wider rows (one
+            # partition holding big binary cells) sizes those files'
+            # batches from their OWN width instead of a global average
+            # that would blow the budget mid-stream
+            for frag in data.get_fragments():
                 md = frag.metadata
-                rows += md.num_rows
-                bytes_ += sum(
-                    md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+                rows = md.num_rows
+                bytes_ = sum(
+                    md.row_group(i).total_byte_size
+                    for i in range(md.num_row_groups)
                 )
-            avg_row = max(1, bytes_ // rows) if rows else 1
-            batch_rows = max(1, min(_BATCH_ROWS, budget // avg_row))
-            for batch in data.to_batches(batch_size=batch_rows):
-                if batch.num_rows == 0:
-                    continue
-                # parquet-read types → the exact schema toArrow() would
-                # produce (ns→us timestamps, hive-discovered partition
-                # column types, etc.): the wire contract does not
-                # depend on which path served the bytes. Reorder by
-                # name first — pyarrow appends partition columns after
-                # the file columns, which may not be Spark's order
-                if batch.schema.names != schema.names:
-                    batch = batch.select(schema.names)
-                batch = batch.cast(schema)
-                stats["batches"] += 1
-                stats["max_batch_bytes"] = max(stats["max_batch_bytes"], batch.nbytes)
-                if batch.nbytes > budget:
-                    raise ValueError(
-                        f"do_get: a single {batch.num_rows}-row batch is "
-                        f"{batch.nbytes} bytes, past get_budget_bytes={budget}; "
-                        "raise the budget or select narrower columns"
+                avg_row = max(1, bytes_ // rows) if rows else 1
+                batch_rows = max(1, min(_BATCH_ROWS, budget // avg_row))
+                scanner = ds.Scanner.from_fragment(
+                    frag, schema=data.schema, batch_size=batch_rows
+                )
+                for batch in scanner.to_batches():
+                    if batch.num_rows == 0:
+                        continue
+                    # parquet-read types → the exact schema toArrow()
+                    # would produce (ns→us timestamps, hive-discovered
+                    # partition column types, etc.): the wire contract
+                    # does not depend on which path served the bytes.
+                    # Reorder by name first — pyarrow appends partition
+                    # columns after the file columns, which may not be
+                    # Spark's order
+                    if batch.schema.names != schema.names:
+                        batch = batch.select(schema.names)
+                    batch = batch.cast(schema)
+                    stats["batches"] += 1
+                    stats["max_batch_bytes"] = max(
+                        stats["max_batch_bytes"], batch.nbytes
                     )
-                yield batch
+                    if batch.nbytes > budget:
+                        raise ValueError(
+                            f"do_get: a single {batch.num_rows}-row batch is "
+                            f"{batch.nbytes} bytes, past get_budget_bytes="
+                            f"{budget}; raise the budget or select narrower "
+                            "columns"
+                        )
+                    yield batch
         finally:
             if spool is not None:
                 shutil.rmtree(spool, ignore_errors=True)
+
+    def _pinned_schema(self, spec: dict):
+        """Wire schema for a pinned shard read, cached per layout
+        state — see the call site for why. The mtime of the layout dir
+        is in the key: in-place rewrites (index re-make, flat-table
+        overwrite) change it, generation dirs never do."""
+        from fenix_spark.catalog import index_path, source_path
+        from fenix_spark.manifest import _gen_dir
+
+        source = spec.get("source")
+        coding, column, gen = spec.get("coding"), spec.get("column"), spec.get("gen")
+        if coding is not None:
+            d = index_path(self.store.root, source, column, coding)
+        else:
+            path = source_path(self.store.root, source)
+            d = path if gen is None else _gen_dir(path, int(gen))
+        try:
+            stamp = os.stat(d).st_mtime_ns
+        except OSError:
+            stamp = None  # _direct_dataset raises the loud error later
+        key = (source, coding, column, gen, stamp)
+        hit = self._schema_cache.get(key)
+        if hit is not None:
+            self._schema_cache.move_to_end(key)
+            return hit
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        schema = to_arrow_schema(
+            self._spec_df(spec).schema,
+            error_on_duplicated_field_names_in_struct=True,
+        )
+        self._schema_cache[key] = schema
+        while len(self._schema_cache) > 128:
+            self._schema_cache.popitem(last=False)
+        return schema
 
     def _do_get(self, ctx, ticket):
         fl = _require_flight()
@@ -688,6 +795,19 @@ class Server:
                 "via get_flight_info, which honors it"
             )
         spec = spec if "files" in spec else {**state, **spec}
+        if "files" in spec:
+            # pinned shard: a parallel fetch issues one do_get PER
+            # FILE, and deriving the wire schema through
+            # spark.read.parquet runs a full partition-tree listing
+            # each time — O(files²) planning across the fetch. The
+            # schema is identical for every shard of one layout state,
+            # so it is cached per (source, coding, column, gen,
+            # dir-mtime); any rewrite bumps the mtime and misses.
+            schema = self._pinned_schema(spec)
+            return fl.GeneratorStream(
+                schema,
+                self._stream_batches(self._direct_dataset(spec), schema, None),
+            )
         from pyspark.sql.pandas.types import to_arrow_schema
 
         df = self._spec_df(spec)
@@ -709,23 +829,8 @@ class Server:
 
             os.makedirs(self.store.root, exist_ok=True)
             spool = tempfile.mkdtemp(prefix=".get-spool-", dir=self.store.root)
-            # the spool must read back as timestamp[us, tz=UTC] so the
-            # per-batch cast to the toArrow()-derived wire schema is
-            # exact (INT96 would come back as naive nanoseconds) — but
-            # the conf is scoped to THIS write and restored, not left
-            # mutating every other parquet write on the shared session
-            # (ADVICE r11: a server must not silently change the
-            # timestamp encoding of user jobs)
-            conf_key = "spark.sql.parquet.outputTimestampType"
-            prev = self.spark.conf.get(conf_key, None)
-            self.spark.conf.set(conf_key, "TIMESTAMP_MICROS")
-            try:
+            with _micros_parquet_writes(self.spark):
                 df.write.mode("overwrite").parquet(spool)
-            finally:
-                if prev is None:
-                    self.spark.conf.unset(conf_key)
-                else:
-                    self.spark.conf.set(conf_key, prev)
             files = [
                 os.path.join(spool, e)
                 for e in sorted(os.listdir(spool))
@@ -1011,6 +1116,11 @@ class Client:
         import pyarrow as pa
 
         fl = _require_flight()
+        if (coding is None) != (column is None):
+            raise ValueError(
+                "read_table_parallel: coding= and column= come together "
+                "(the indexed read names both)"
+            )
         segs = (name,) if coding is None else (name, column, coding)
         info = self.conn.get_flight_info(fl.FlightDescriptor.for_path(*segs))
         tickets = [ep.ticket for ep in info.endpoints]

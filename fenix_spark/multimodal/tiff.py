@@ -362,9 +362,10 @@ def decode_tiff(data: bytes) -> np.ndarray:
     uint8/uint16/int16/uint32 and float32 (SampleFormat=3). Decodes
     uncompressed, LZW, Deflate, PackBits and JPEG-in-TIFF chunks,
     strip or tile layout, chunky or planar organization, with the
-    horizontal predictor (unsigned samples). CCITT codings, the
-    floating-point predictor, and other sample types raise by name;
-    shape still reports through parse_tiff_metadata."""
+    horizontal predictor (2, unsigned samples) and the floating-point
+    predictor (3, float samples — TechNote 3). CCITT codings and other
+    sample types raise by name; shape still reports through
+    parse_tiff_metadata."""
     if len(data) < 8 or data[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF (bad byte-order mark)")
     fmt = "<" if data[:2] == b"II" else ">"

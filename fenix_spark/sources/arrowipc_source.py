@@ -377,7 +377,11 @@ def _nest_storage(arr, tree):
             child = child.cast(pa.list_(f.type.value_type, n))
         children.append(child)
         fields.append(pa.field(f.name, child.type, f.nullable))
-    return pa.StructArray.from_arrays(children, fields=fields)
+    # from_arrays drops the struct-level validity unless told: a null
+    # tensor ROW must stay null on the wire, not resurface as a struct
+    # of whatever sat under the null slot
+    mask = arr.is_null() if arr.null_count else None
+    return pa.StructArray.from_arrays(children, fields=fields, mask=mask)
 
 
 def _wrap_extension_columns(df, table):

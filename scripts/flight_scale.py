@@ -18,7 +18,7 @@ spool = the amplification). Usage:
 
 from __future__ import annotations
 
-import glob
+
 import os
 import sys
 import time
@@ -48,18 +48,6 @@ def _build_store(spark, sf_dir: str, root: str) -> None:
     )
     with open(done, "w") as fh:
         fh.write("ok")
-
-
-def _spool_bytes_probe(root: str) -> list[int]:
-    """Sizes of spool dirs observed during a read (sampled after)."""
-    return [
-        sum(
-            os.path.getsize(os.path.join(cur, f))
-            for cur, _, fs in os.walk(d)
-            for f in fs
-        )
-        for d in glob.glob(os.path.join(root, ".get-spool-*"))
-    ]
 
 
 def _timed(fn, n=2):
@@ -113,7 +101,8 @@ def main() -> None:
             s = server.last_get_stats
             print(
                 f"| {label} | spooled computed | {w:.2f}s | {t.nbytes / 1e6:.0f} "
-                f"| {s['batches']} | {s['spooled']} | full-table rewrite |"
+                f"| {s['batches']} | {s['spooled']} "
+                f"| rewrote {s['spool_bytes'] / 1e6:.0f} MB parquet |"
             )
             # partitioned layout, plain read (r12: direct, was spool)
             w, t = _timed(lambda: client.read_table("li_part").read_all())

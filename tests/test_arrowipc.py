@@ -672,3 +672,54 @@ def test_nested_tensor_ingest_and_export_round_trip(spark, tmp_path):
         pa.unregister_extension_type("NestedTensor")
     except (pa.ArrowKeyError, KeyError):
         pass
+
+
+def test_nested_tensor_null_rows_survive_export(spark, tmp_path):
+    """A null NestedTensor ROW must stay null on the wire —
+    StructArray.from_arrays drops the struct validity unless masked
+    (r12 review finding): without the mask the reference reads a
+    non-null struct of garbage under the old null slot."""
+    import json
+
+    import pyarrow.ipc as ipc
+
+    from fenix_spark.sources.arrowipc_source import (
+        read_arrow_ipc,
+        write_arrow_ipc,
+    )
+    from fenix_spark.sources.msgpack_mini import packb
+
+    try:
+        pa.unregister_extension_type("NestedTensor")
+    except (pa.ArrowKeyError, KeyError):
+        pass
+    tree = {"a": [2]}
+    a = pa.array([[1.0, 2.0], None, [5.0, 6.0]], pa.list_(pa.float64(), 2))
+    storage = pa.StructArray.from_arrays(
+        [a], names=["a"], mask=pa.array([False, True, False])
+    )
+    f = pa.field(
+        "nt", storage.type, nullable=True,
+        metadata={
+            b"ARROW:extension:name": b"NestedTensor",
+            b"ARROW:extension:metadata": packb(tree),
+        },
+    )
+    t = pa.table(
+        {"id": pa.array([0, 1, 2], pa.int64()), "nt": storage},
+        schema=pa.schema([pa.field("id", pa.int64()), f]),
+    )
+    p = str(tmp_path / "nulls.arrow")
+    with ipc.new_stream(p, t.schema) as w:
+        w.write_table(t)
+    df = read_arrow_ipc(spark, p)
+    out = str(tmp_path / "nulls_out.arrow")
+    write_arrow_ipc(df, out)
+    with pa.ipc.open_stream(out) as r:
+        back = r.read_all()
+    col = back.column("nt").combine_chunks()
+    sto = col.storage if hasattr(col, "storage") else col
+    assert sto.is_null().to_pylist() == [False, True, False]
+    assert json.loads(
+        (df.schema["nt"].metadata or {})["nested_tensor_shape"]
+    ) == tree

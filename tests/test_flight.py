@@ -916,3 +916,72 @@ def test_hive_walk_edge_layouts():
     # an unknown (non-hive, non-marker) subdir anywhere -> None
     os.makedirs(os.path.join(d, "__CODED_ID__=1", "rogue"), exist_ok=True)
     assert _hive_walk(d) is None
+
+
+def test_heterogeneous_file_widths_size_batches_per_fragment(
+    spark, served, monkeypatch
+):
+    """Batch sizing is PER FRAGMENT from that fragment's own footer
+    (r12 review finding): a layout whose later files carry much wider
+    rows must not blow the budget because the first files' narrow
+    average set a huge batch size."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from fenix_spark import catalog
+
+    server, client, root = served
+    d = catalog.source_path(root, "hetero")
+    os.makedirs(d, exist_ok=True)
+    narrow = pa.table({"id": list(range(4000)), "payload": [""] * 4000})
+    wide = pa.table(
+        {
+            "id": list(range(4000, 4200)),
+            # distinct values: dictionary encoding must not collapse
+            # the footer byte size the width estimate reads
+            "payload": [f"{i:08d}" * 512 for i in range(200)],
+        }
+    )
+    pq.write_table(narrow, os.path.join(d, "part-0-aaa.parquet"))
+    pq.write_table(wide, os.path.join(d, "part-1-bbb.parquet"))
+    monkeypatch.setattr(server, "get_budget_bytes", 128 << 10)  # 128 KB
+    back = client.read_table("hetero").read_all()
+    assert back.num_rows == 4200
+    stats = server.last_get_stats
+    assert stats["spooled"] is False
+    assert stats["max_batch_bytes"] <= 128 << 10
+
+
+def test_spool_stats_report_rewrite_bytes(served, monkeypatch):
+    """A spooled computed read reports its write amplification
+    (spool_bytes) — the number the SCALE.md ledger records."""
+    server, client, _ = served
+    out = client.read_table("people", filter="id >= 0").read_all()
+    assert out.num_rows == 20
+    stats = server.last_get_stats
+    assert stats["spooled"] is True and stats["spool_bytes"] > 0
+
+
+def test_stateful_flight_info_schema_matches_stream(spark, served):
+    """FlightInfo.schema for a stateful peer is the schema of the
+    stream its ticket will actually produce (set-select narrows it),
+    not the bare table schema (r12 review finding)."""
+    server, _, _ = served
+    client = Client(port=server.port)
+    try:
+        client._action("set-select", select=["id"])
+        info = client.conn.get_flight_info(
+            fl.FlightDescriptor.for_path("people")
+        )
+        assert info.schema.names == ["id"]
+        back = client.conn.do_get(info.endpoints[0].ticket).read_all()
+        assert back.schema.names == ["id"] and back.num_rows == 20
+    finally:
+        client.close()
+
+
+def test_parallel_read_coding_without_column_is_loud(served):
+    _, client, _ = served
+    with pytest.raises(ValueError, match="come together"):
+        client.read_table_parallel("people", coding="c")

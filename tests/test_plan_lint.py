@@ -116,6 +116,7 @@ _SUITE_ALLOW = {
     "curation_stats": ("filter-not-pushed",),
     "decontamination": ("filter-not-pushed",),  # doc_id % 29 sample
     "drift_psi": ("filter-not-pushed",),  # doc_id % 2 ref/cur split
+    "epoch_sample": ("filter-not-pushed",),  # fractional-epoch md5 bucket
     # computed-column predicates evaluated over the scanned column
     # (LSH band hash over the embedding array; token-count gates over
     # text): structurally unpushable, filter-at-scan is the right plan
