@@ -985,3 +985,33 @@ def test_parallel_read_coding_without_column_is_loud(served):
     _, client, _ = served
     with pytest.raises(ValueError, match="come together"):
         client.read_table_parallel("people", coding="c")
+
+
+def test_put_timestamp_table_info_schema_matches_stream(spark, served):
+    """FlightInfo schema (footer-derived) == actual stream schema for a
+    do_put-ingested TIMESTAMP table: flight-owned writes are scoped to
+    TIMESTAMP_MICROS, so the footer says timestamp[us] like the wire
+    cast does — regardless of the session's own outputTimestampType
+    (INT96 default would advertise ns-naive, r12 review finding)."""
+    import datetime
+
+    _, client, _ = served
+    t = pa.table(
+        {
+            "id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [
+                    datetime.datetime(2021, 3, 4, 5, 6, 7, 123456),
+                    datetime.datetime(2022, 8, 9, 10, 11, 12, 654321),
+                ],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    client.make_table("tstab", t)
+    info = client.conn.get_flight_info(fl.FlightDescriptor.for_path("tstab"))
+    back = client.read_table("tstab").read_all()
+    assert info.schema.field("ts").type == back.schema.field("ts").type
+    assert back.schema.field("ts").type == pa.timestamp("us", tz="UTC")
+    got = sorted(v.as_py().replace(tzinfo=None) for v in back.column("ts"))
+    assert got[0] == datetime.datetime(2021, 3, 4, 5, 6, 7, 123456)
