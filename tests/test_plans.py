@@ -262,14 +262,26 @@ def test_gapfill_keyed_join_grid_sized_windows(spark, q):
     assert_plan(df, scan_columns_subset_of={"event_type", "ts", "value"})
 
 
-def test_priority_sample_bounded_phases_no_cartesian(spark, q):
-    """Priority sample (r8 s2 oracle rotation): the scan reads only
+def test_priority_sample_bounded_phases_no_cartesian(spark):
+    """Priority sample (oracle row r8–r11; rotated out for epoch_sample
+    in r12 — the OPERATOR keeps its plan contract): the scan reads only
     (doc_id, source, n_chars); the heavy lifting is the two bounded
     sketch phases (Arrow partials + per-group re-selection — the only
     stages that see data-sized input emit ≤ k+1 rows per group per
     batch); the take is native windows over the summary. Never a
     cartesian or nested-loop join."""
-    df = q("priority_sample")
+    from pyspark.sql import functions as F
+
+    from fenix_spark.operators.sampling import priority_sample, priority_take
+
+    docs = (
+        spark.read.parquet(f"{SF01}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+    )
+    state = priority_sample(docs, ["source"], "doc_id", "n_chars", 20)
+    df = priority_take(state, ["source"], "doc_id", "n_chars", 20).select(
+        "source", "doc_id", F.round(F.col("sample_est"), 6).alias("sample_est")
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -336,3 +348,15 @@ def test_drift_psi_summary_sized_native(spark, q):
     assert "mapInPandas" not in plan and "MapInPandas" not in plan
     assert_clean_plan(df, allow=("filter-not-pushed",))
     assert_plan(df, scan_columns_subset_of={"doc_id", "source", "lang"})
+
+
+def test_epoch_sample_zero_shuffles(spark, q):
+    """epoch_sample (r12 oracle rotation): full epochs are a row-local
+    explode, the fractional epoch an md5-bucket filter — ZERO
+    exchanges at any scale, scan reads only doc_id."""
+    df = q("epoch_sample")
+    assert shuffle_count(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "InPandas" not in plan and "mapInPandas" not in plan
+    assert_plan(df, scan_columns_subset_of={"doc_id"})
