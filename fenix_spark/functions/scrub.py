@@ -155,3 +155,52 @@ def compression_ratios(
         F.col(id_col).alias("id"), comp(F.col(text_col)).alias("c")
     )
     return out.select("id", "c.raw_len", "c.zlib_len", "c.ratio")
+
+
+def duckdb_repetition_sql(table: str = "documents", ngram: int = 2) -> str:
+    """Full DuckDB mirror of ``repetition_flags``'s two metrics —
+    built HERE so a future oracle-suite row and the corpus parity test
+    (tests/test_scrub.py::test_repetition_metrics_duckdb_mirror) share
+    ONE definition, the same discipline as readability's mirror.
+
+    Re-expression notes: Spark's longest-equal-run fold over sorted
+    shingles computes the MODAL shingle count — in SQL that is the
+    plain relational form (unnest → count → max), identical by
+    definition. Line split is on the literal newline both sides; the
+    token law is ``texthash.duck_tokens`` (the shared mirror). Both
+    metrics are single divisions of small integers, so the doubles are
+    correctly-rounded identically on both engines and 6dp rounding
+    agrees (Spark round = HALF_UP, DuckDB = half-away; they differ
+    only at exact half-ulp boundaries no small-int ratio can hit)."""
+    from fenix_spark.functions.texthash import duck_tokens
+
+    t = duck_tokens("text")
+    return f"""
+WITH base AS (
+    SELECT doc_id, {t} AS t,
+           list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lines
+    FROM {table}
+), stats AS (
+    SELECT doc_id, t, len(t) AS n_tok,
+           CASE WHEN len(lines) > 1
+                THEN (len(lines) - len(list_distinct(lines)))
+                     / CAST(len(lines) AS DOUBLE)
+                ELSE 0.0 END AS dlf
+    FROM base
+), grams AS (
+    SELECT doc_id,
+           unnest([{" || ' ' || ".join(f"t[i + {j}]" for j in range(ngram))}
+                   for i in range(1, len(t) - {ngram - 2})]) AS g
+    FROM stats WHERE n_tok >= {ngram}
+), modal AS (
+    SELECT doc_id, max(c) AS top
+    FROM (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+    GROUP BY doc_id
+)
+SELECT s.doc_id,
+       round(s.dlf, 6) + 0.0 AS dup_line_frac,
+       round(CASE WHEN s.n_tok >= {ngram}
+                  THEN least(1.0, m.top * {ngram} / CAST(s.n_tok AS DOUBLE))
+                  ELSE 0.0 END, 6) + 0.0 AS top_ngram_frac
+FROM stats s LEFT JOIN modal m USING (doc_id)
+"""

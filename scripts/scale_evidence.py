@@ -54,6 +54,9 @@ QUERIES = [
     "bootstrap_ci",
     "quantile_normalize",
     "readability_scores",
+    # r12 rotation row: zero shuffles at both SFs by construction
+    # (row-local explode + md5-bucket filter) — the ledger pins it.
+    "epoch_sample",
 ]
 
 

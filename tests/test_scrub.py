@@ -113,3 +113,45 @@ def test_top_ngram_frac_matches_brute_force(spark):
         grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
         top = max(collections.Counter(grams).values())
         assert abs(g - min(1.0, top * 2 / len(toks))) < 1e-9
+
+
+def test_repetition_metrics_duckdb_mirror(spark):
+    """Row-identical DuckDB mirror of the Gopher repetition metrics
+    over the REAL documents corpus — the staging bar for a future
+    oracle-suite row (the epoch_sample precedent: the mirror goes
+    green in the operator's own test file BEFORE promotion). One
+    definition (scrub.duckdb_repetition_sql) would be shared by both."""
+    import duckdb
+
+    from fenix_spark.functions.scrub import (
+        dup_line_frac,
+        duckdb_repetition_sql,
+        top_ngram_frac,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["dup_line_frac"], r["top_ngram_frac"])
+        for r in docs.select(
+            "doc_id",
+            F.round(dup_line_frac(F.col("text")), 6).alias("dup_line_frac"),
+            F.round(top_ngram_frac(F.col("text"), 2), 6).alias("top_ngram_frac"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = {
+        d: (dlf, tnf)
+        for d, dlf, tnf in con.execute(duckdb_repetition_sql("documents")).fetchall()
+    }
+    assert len(got) == len(want) == 500
+    mismatches = {
+        d: (got[d], want[d]) for d in got if got[d] != want[d]
+    }
+    assert not mismatches, dict(list(mismatches.items())[:5])
+    # the metrics carry real signal on this corpus (not a trivial
+    # all-zeros mirror)
+    assert any(v[1] > 0 for v in got.values())
