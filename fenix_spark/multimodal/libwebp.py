@@ -46,6 +46,15 @@ def _load():
                 ctypes.c_int,
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
             ]
+            lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+            lib.WebPEncodeRGBA.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_float,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ]
             lib.WebPFree.restype = None
             lib.WebPFree.argtypes = [ctypes.c_void_p]
             _LIB = lib
@@ -89,6 +98,30 @@ def encode_lossless_rgba(img: np.ndarray) -> bytes:
     buf = np.ascontiguousarray(img).tobytes()
     out = ctypes.POINTER(ctypes.c_uint8)()
     size = lib.WebPEncodeLosslessRGBA(buf, w, h, w * 4, ctypes.byref(out))
+    if size == 0 or not out:
+        raise ValueError("libwebp failed to encode")
+    try:
+        return bytes(bytearray(np.ctypeslib.as_array(out, shape=(size,))))
+    finally:
+        lib.WebPFree(ctypes.cast(out, ctypes.c_void_p))
+
+
+def encode_lossy_rgba(img: np.ndarray, quality: float = 80.0) -> bytes:
+    """(h, w, 4) uint8 RGBA → LOSSY WebP bytes (RIFF container, VP8
+    inside) — the payload kind the pure-Python tier cannot decode, so
+    this exists to exercise the ctypes lossy-decode path end-to-end on
+    images where the system lib is present."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("system libwebp not available")
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 4:
+        raise ValueError("encode_lossy_rgba needs (h, w, 4) uint8")
+    h, w, _ = img.shape
+    buf = np.ascontiguousarray(img).tobytes()
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    size = lib.WebPEncodeRGBA(
+        buf, w, h, w * 4, ctypes.c_float(float(quality)), ctypes.byref(out)
+    )
     if size == 0 or not out:
         raise ValueError("libwebp failed to encode")
     try:

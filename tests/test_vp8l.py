@@ -319,3 +319,35 @@ def test_encoder_handles_skewed_histograms_depth_limit():
     assert np.array_equal(decode_webp_lossless(blob), img)
     if HAVE_LIBWEBP:
         assert np.array_equal(libwebp.decode_rgba(blob), img)
+
+
+@needs_libwebp
+def test_lossy_vp8_decodes_through_payload_dispatch():
+    """A REAL lossy (VP8) WebP — encoded by the system lib — decodes
+    through decode_payload's webp branch when libwebp is present: the
+    boundary raise in vp8l.py is only for libwebp-less environments
+    (test_codec_boundaries pins that side). Lossy means approximate:
+    the check is dimensional + per-pixel tolerance on a smooth image,
+    and the container metadata tier agrees it is 'lossy'."""
+    import numpy as np
+
+    from fenix_spark.multimodal.media import decode_payload
+    from fenix_spark.multimodal.webp import parse_webp_metadata
+
+    h, w = 32, 48
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (x * 255 // (w - 1)).astype(np.uint8),
+            (y * 255 // (h - 1)).astype(np.uint8),
+            np.full((h, w), 128, np.uint8),
+            np.full((h, w), 255, np.uint8),
+        ],
+        axis=2,
+    )
+    data = libwebp.encode_lossy_rgba(img, quality=90)
+    meta = parse_webp_metadata(data)
+    assert meta["format"] == "lossy" and (meta["width"], meta["height"]) == (w, h)
+    out = decode_payload(data, "webp", ())
+    assert out.shape == (h, w, 4)
+    assert np.abs(out[..., :3].astype(int) - img[..., :3].astype(int)).mean() < 8
