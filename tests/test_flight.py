@@ -1015,3 +1015,57 @@ def test_put_timestamp_table_info_schema_matches_stream(spark, served):
     assert back.schema.field("ts").type == pa.timestamp("us", tz="UTC")
     got = sorted(v.as_py().replace(tzinfo=None) for v in back.column("ts"))
     assert got[0] == datetime.datetime(2021, 3, 4, 5, 6, 7, 123456)
+
+
+def test_hive_walk_and_pinned_shard_agree(tmp_path):
+    """_hive_walk (layout walk) and _pinned_shard_ok (per-file check)
+    are two implementations of ONE contract — every path the walk
+    returns must validate, and paths it rejects/omits must not. Drift
+    between them would let a ticket name a file the planner would
+    never mint (or vice versa). Exercised over generated layouts."""
+    import os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fenix_spark.flight import _hive_walk, _pinned_shard_ok
+
+    seg = st.sampled_from(
+        ["__CODED_ID__=0", "lang=en", "k=", "_tmp", ".hid", "plain", "a=b"]
+    )
+    leaf = st.sampled_from(
+        ["a.parquet", "b.parquet", "_SUCCESS", ".crc", "x.txt", "c.parquet"]
+    )
+    entry = st.tuples(st.lists(seg, max_size=2), leaf)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(entry, min_size=1, max_size=6), st.integers(0, 5))
+    def check(entries, probe_idx):
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(dir=str(tmp_path))
+        try:
+            made = []
+            for dirs, name in entries:
+                p = os.path.join(d, *dirs)
+                os.makedirs(p, exist_ok=True)
+                fp = os.path.join(p, name)
+                open(fp, "w").write("x")
+                made.append(os.path.join(*dirs, name) if dirs else name)
+            walk = _hive_walk(d)
+            if walk is None:
+                return  # non-servable layout: planner never mints tickets
+            files, _ = walk
+            for f in files:
+                assert _pinned_shard_ok(d, f), f
+            for m in made:
+                if m not in files:
+                    assert not _pinned_shard_ok(d, m), m
+            # traversal probes never validate
+            for evil in ("../x.parquet", "a=b/../c.parquet", "/etc/passwd"):
+                assert not _pinned_shard_ok(d, evil)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    check()
