@@ -55,7 +55,10 @@ BENCH_QUERIES = [
     "simhash_neardup",
     "fingerprints",
     "embedding_neardup",
-    "text_metrics",
+    # r12 rotation #8 (done ahead of the r13 schedule): the Gopher
+    # repetition rules replace text_metrics — same scan-local per-doc
+    # counting cost shape, harder fold (sorted-shingle modal run).
+    "repetition_metrics",
     "quantized_knn",
     "ivfpq_search",
     "tfidf_top_terms",

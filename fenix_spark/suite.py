@@ -3090,6 +3090,35 @@ def _multimodal_features_sql(sf_dir: str) -> str:
 # --------------------------------------------------------------------------
 
 
+def _repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules per document (Rae et al. 2021 Table A1;
+    functions/scrub.py): fraction of duplicate non-blank lines and the
+    token share of the modal word 2-gram — the standard
+    boilerplate/degenerate-page cut. All scalar expressions in ONE
+    scan (the modal count is a longest-equal-run fold over SORTED
+    shingles — O(g log g) per row, no shuffle anywhere); the DuckDB
+    mirror (scrub.duckdb_repetition_sql — one definition shared with
+    tests/test_scrub.py) expresses the same modal count relationally.
+    Both metrics are single divisions of small integers: the doubles
+    are correctly-rounded identically on both engines."""
+    from fenix_spark.functions.scrub import dup_line_frac, top_ngram_frac
+    from fenix_spark.operators.dedup import spread
+
+    docs = spread(table(spark, sf_dir, "documents"))
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        (F.round(dup_line_frac(c), 6) + F.lit(0.0)).alias("dup_line_frac"),
+        (F.round(top_ngram_frac(c, 2), 6) + F.lit(0.0)).alias("top_ngram_frac"),
+    )
+
+
+def _repetition_metrics_sql() -> str:
+    from fenix_spark.functions.scrub import duckdb_repetition_sql
+
+    return duckdb_repetition_sql("documents")
+
+
 def _text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analysis in ONE scan: whitespace + BPE-ish
     token counts, quality score (length/punct/stopword ratios), and
@@ -3176,8 +3205,16 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_list": _dedup_keep_list,
     # -- text analysis / curation --
     # (text_stats retired for dedup_keep_list, VERDICT r05 #3 — its
-    #  aggregate patterns are subsumed by text_metrics.)
-    "text_metrics": _text_metrics,
+    #  aggregate patterns are subsumed by text_metrics; text_metrics
+    #  retired for repetition_metrics, r12 (rotation #8, done ahead of
+    #  the r13 schedule since the staged mirror was already
+    #  row-identical on the driver corpus) — its scan-local per-doc
+    #  counting shape is EXACTLY what the repetition row exercises,
+    #  harder: token/line counts plus a sorted-shingle modal fold vs
+    #  plain ratio arithmetic, and the Gopher repetition family gains
+    #  its first oracle row. text_metrics' quality/langid surfaces
+    #  stay covered by tests/test_textstats.py and the curation rows.)
+    "repetition_metrics": _repetition_metrics,
     "tfidf_top_terms": _tfidf_top_terms,
     "bm25_search": _bm25_search,
     "curation_stats": _curation_stats,
@@ -3300,7 +3337,7 @@ ORACLE_SQL: dict[str, str] = {
     "fingerprints": _fingerprints_sql(),
     "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
     "dedup_keep_list": _dedup_keep_list_sql(),
-    "text_metrics": _text_metrics_sql(),
+    "repetition_metrics": _repetition_metrics_sql(),
     "tfidf_top_terms": _tfidf_top_terms_sql(),
     "bm25_search": _bm25_search_sql(),
     "curation_stats": _CURATION_STATS_SQL,
