@@ -3213,7 +3213,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #  harder: token/line counts plus a sorted-shingle modal fold vs
     #  plain ratio arithmetic, and the Gopher repetition family gains
     #  its first oracle row. text_metrics' quality/langid surfaces
-    #  stay covered by tests/test_textstats.py and the curation rows.)
+    #  stay covered by tests/test_pipeline_e2e.py + test_recipe_e2e.py and the curation rows.)
     "repetition_metrics": _repetition_metrics,
     "tfidf_top_terms": _tfidf_top_terms,
     "bm25_search": _bm25_search,
