@@ -62,9 +62,11 @@ reference's and belongs on loopback or a trusted network only.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
+import threading
 from collections.abc import Sequence
 
 from pyspark.sql import Column, SparkSession
@@ -113,7 +115,14 @@ def _require_flight():
     return fl
 
 
-import contextlib
+# set/restore refcount for _micros_parquet_writes, keyed per session:
+# pyarrow Flight dispatches handlers on concurrent gRPC threads, so two
+# overlapping do_put / do_get-spool writes share the session conf — an
+# unguarded set/restore pair could restore the default (INT96) while the
+# other write is still running, breaking the timestamp[us] wire contract
+# (ADVICE r12). First enter sets, last exit restores.
+_micros_lock = threading.Lock()
+_micros_state: dict[int, list] = {}  # id(session) -> [depth, prev-value]
 
 
 @contextlib.contextmanager
@@ -124,17 +133,29 @@ def _micros_parquet_writes(spark):
     as timestamp[us] so footer-derived schemas and the toArrow-exact
     wire cast agree (Spark's default INT96 reads back as naive
     nanoseconds); user jobs on the shared session keep their own
-    setting (ADVICE r11)."""
+    setting (ADVICE r11). Concurrency-safe: refcounted per session, so
+    overlapping flight writes never see a mid-write restore (ADVICE
+    r12)."""
     key = "spark.sql.parquet.outputTimestampType"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
+    sid = id(spark)
+    with _micros_lock:
+        st = _micros_state.get(sid)
+        if st is None:
+            st = _micros_state[sid] = [0, spark.conf.get(key, None)]
+            spark.conf.set(key, "TIMESTAMP_MICROS")
+        st[0] += 1
     try:
         yield
     finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+        with _micros_lock:
+            st[0] -= 1
+            if st[0] == 0:
+                prev = st[1]
+                del _micros_state[sid]
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
 
 
 def _hive_walk(d: str) -> tuple[list[str], bool] | None:
@@ -356,6 +377,18 @@ class Server:
         self._schema_cache: "collections.OrderedDict[tuple, object]" = (
             collections.OrderedDict()
         )
+        # footer row/byte totals per (file path, mtime, size): a
+        # re-plan of an UNCHANGED generation costs O(files) stat calls
+        # instead of O(files) parquet footer reads (VERDICT r12 watch
+        # item #1 — at 100k-file tables repeated planning was felt).
+        # Generation dirs are immutable; in-place rewrites (index
+        # re-make) change mtime/size and miss. footer_reads counts
+        # actual footer I/O so tests can pin the second plan at zero.
+        self._totals_cache: "collections.OrderedDict[tuple, tuple[int, int]]" = (
+            collections.OrderedDict()
+        )
+        self._totals_lock = threading.Lock()
+        self.footer_reads = 0
         self.host = host
         self.port = self._impl.port
         self.grpc = f"grpc://{host}:{self.port}"
@@ -369,7 +402,7 @@ class Server:
 
         import pyarrow.parquet as pq
 
-        from fenix_spark.catalog import index_path, source_path
+        from fenix_spark.catalog import source_path
         from fenix_spark.manifest import resolve
 
         if coding is not None:
@@ -645,10 +678,27 @@ class Server:
         import pyarrow.parquet as pq
 
         def totals(f: str) -> tuple[int, int]:
-            md = pq.read_metadata(os.path.join(d, f))
-            return md.num_rows, sum(
-                md.row_group(i).total_byte_size for i in range(md.num_row_groups)
+            p = os.path.join(d, f)
+            st = os.stat(p)
+            key = (p, st.st_mtime_ns, st.st_size)
+            with self._totals_lock:
+                hit = self._totals_cache.get(key)
+                if hit is not None:
+                    return hit
+                self.footer_reads += 1
+            md = pq.read_metadata(p)
+            out = (
+                md.num_rows,
+                sum(
+                    md.row_group(i).total_byte_size
+                    for i in range(md.num_row_groups)
+                ),
             )
+            with self._totals_lock:
+                self._totals_cache[key] = out
+                while len(self._totals_cache) > 65536:
+                    self._totals_cache.popitem(last=False)
+            return out
 
         # footer reads are I/O-bound and independent: a sequential walk
         # makes planning O(files) driver round-trips — at 100k files
@@ -742,8 +792,14 @@ class Server:
     def _pinned_schema(self, spec: dict):
         """Wire schema for a pinned shard read, cached per layout
         state — see the call site for why. The mtime of the layout dir
-        is in the key: in-place rewrites (index re-make, flat-table
-        overwrite) change it, generation dirs never do."""
+        is in the key; for GEN-LESS layouts (index trees, flat-table
+        dirs — rewritten in place) the max mtime of the first-level
+        partition subdirs is folded in too: a partition-scoped in-place
+        rewrite (dynamic-partition overwrite touching only col=value
+        subdirs) does not bump the parent dir's mtime, and a stale
+        cached schema would surface as a confusing cast error instead
+        of a re-plan message (ADVICE r12). Generation dirs are
+        immutable, so the parent stamp alone suffices there."""
         from fenix_spark.catalog import index_path, source_path
         from fenix_spark.manifest import _gen_dir
 
@@ -756,6 +812,13 @@ class Server:
             d = path if gen is None else _gen_dir(path, int(gen))
         try:
             stamp = os.stat(d).st_mtime_ns
+            if gen is None:
+                for e in os.listdir(d):
+                    if e.startswith("."):
+                        continue
+                    p = os.path.join(d, e)
+                    if os.path.isdir(p):
+                        stamp = max(stamp, os.stat(p).st_mtime_ns)
         except OSError:
             stamp = None  # _direct_dataset raises the loud error later
         key = (source, coding, column, gen, stamp)
@@ -803,10 +866,14 @@ class Server:
             # schema is identical for every shard of one layout state,
             # so it is cached per (source, coding, column, gen,
             # dir-mtime); any rewrite bumps the mtime and misses.
+            # _direct_dataset runs FIRST: it owns the loud "pinned
+            # generation vacuumed — re-plan" error, which must be the
+            # one clients see when the layout is gone (not a raw Spark
+            # path-not-found from the schema derivation, ADVICE r12)
+            data = self._direct_dataset(spec)
             schema = self._pinned_schema(spec)
             return fl.GeneratorStream(
-                schema,
-                self._stream_batches(self._direct_dataset(spec), schema, None),
+                schema, self._stream_batches(data, schema, None)
             )
         from pyspark.sql.pandas.types import to_arrow_schema
 

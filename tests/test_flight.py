@@ -1069,3 +1069,106 @@ def test_hive_walk_and_pinned_shard_agree(tmp_path):
             shutil.rmtree(d, ignore_errors=True)
 
     check()
+
+
+# ---------------------------------------------------------------- r13:
+# ADVICE fixes (micros-conf refcount, pinned-schema staleness + loud
+# re-plan ordering) and the get_flight_info footer-totals cache
+
+
+def test_micros_conf_refcount_survives_overlapping_writes(spark):
+    """Flight handlers run on concurrent gRPC threads; two overlapping
+    _micros_parquet_writes scopes on the shared session must not
+    restore the conf while the other write is still in flight (ADVICE
+    r12). First enter sets, LAST exit restores."""
+    from fenix_spark.flight import _micros_parquet_writes
+
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key, None)
+    a = _micros_parquet_writes(spark)
+    b = _micros_parquet_writes(spark)
+    a.__enter__()
+    b.__enter__()
+    a.__exit__(None, None, None)
+    # the earlier scope exited, but b's write is conceptually mid-flight
+    assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+    b.__exit__(None, None, None)
+    assert spark.conf.get(key, None) == prev
+
+
+def test_flight_info_replan_of_unchanged_gen_reads_zero_footers(spark, served):
+    """Planning cost contract (VERDICT r12 watch item #1): the first
+    get_flight_info of a layout reads one footer per file for exact
+    totals; a RE-PLAN of the unchanged layout reads ZERO footers (stat
+    calls only) and serves identical totals. An in-place rewrite
+    changes (mtime, size) and misses, so totals track the new data."""
+    from fenix_spark import catalog
+
+    server, client, root = served
+    spark.range(600).select(F.col("id").alias("k")).repartition(3).write.mode(
+        "overwrite"
+    ).parquet(catalog.source_path(root, "totcache"))
+    before = server.footer_reads
+    d = fl.FlightDescriptor.for_path("totcache")
+    info1 = client.conn.get_flight_info(d)
+    cold = server.footer_reads - before
+    assert cold == len(info1.endpoints) == 3
+    assert info1.total_records == 600
+    info2 = client.conn.get_flight_info(d)
+    assert server.footer_reads - before == cold  # warm re-plan: zero footer I/O
+    assert info2.total_records == info1.total_records
+    assert info2.total_bytes == info1.total_bytes
+    spark.range(200).select(F.col("id").alias("k")).repartition(3).write.mode(
+        "overwrite"
+    ).parquet(catalog.source_path(root, "totcache"))
+    info3 = client.conn.get_flight_info(d)
+    assert server.footer_reads - before > cold  # rewrite missed the cache
+    assert info3.total_records == 200
+
+
+def test_pinned_ticket_after_table_drop_says_replan(spark, served):
+    """A pinned shard ticket whose layout is GONE (dropped table) must
+    surface the documented loud re-plan message, not a raw Spark
+    path-not-found from the schema derivation (ADVICE r12 —
+    _direct_dataset now runs before _pinned_schema)."""
+    from fenix_spark import catalog
+
+    server, client, root = served
+    spark.range(50).select(F.col("id").alias("k")).write.mode(
+        "overwrite"
+    ).parquet(catalog.source_path(root, "dropme"))
+    info = client.conn.get_flight_info(fl.FlightDescriptor.for_path("dropme"))
+    ticket = info.endpoints[0].ticket
+    client.drop_table("dropme")
+    with pytest.raises(
+        (fl.FlightServerError, pa.lib.ArrowInvalid), match="re-plan"
+    ):
+        client.conn.do_get(ticket).read_all()
+
+
+def test_pinned_schema_key_tracks_partition_subdir_rewrites(served, coded):
+    """A partition-scoped in-place rewrite (dynamic-partition
+    overwrite) bumps only the col=value SUBDIR's mtime, not the
+    parent's; the pinned-schema cache key must fold the subdir stamps
+    in so a schema-changing rewrite can never serve a stale cached
+    wire schema (ADVICE r12)."""
+    import os
+    import time
+
+    from fenix_spark import catalog
+
+    server, _, root = served
+    spec = {"source": "coded", "gen": None}
+    server._schema_cache.clear()
+    server._pinned_schema(spec)
+    assert len(server._schema_cache) == 1
+    server._pinned_schema(spec)
+    assert len(server._schema_cache) == 1  # unchanged layout: cache hit
+    d = catalog.source_path(root, "coded")
+    sub = next(e for e in os.listdir(d) if e.startswith("__CODED_ID__="))
+    parent = os.stat(d)
+    future = time.time() + 10
+    os.utime(os.path.join(d, sub), (future, future))
+    os.utime(d, (parent.st_atime, parent.st_mtime))  # parent mtime unchanged
+    server._pinned_schema(spec)
+    assert len(server._schema_cache) == 2  # subdir rewrite missed the cache
