@@ -33,12 +33,18 @@ wire protocol is a contract:
   whole spec as JSON (the stateless form ``Client.read_table`` uses).
 
 Scale shape: ``do_get`` STREAMS, it never materializes the result on
-the driver. A plain table read (no filter/select/coding) streams
-record batches straight from the table's own parquet files — zero
-Spark job, zero copy, any table size. A computed read (filter/select)
-is SPOOLED by a distributed parquet write (executors do the work,
-pushdown shrinks it) into a hidden dir, streamed batch-wise, then
-removed. In both paths the driver holds AT MOST ONE record batch,
+the driver. A plain table read streams record batches straight from
+the table's own parquet files — zero Spark job, zero copy, any table
+size — and so does a filtered/projected read whose filter sits inside
+the vetted pushdown subset (flight_pushdown.translate: comparisons,
+AND/OR/NOT, isin, IS NULL on int/string/bool columns) and whose
+select names plain columns: the Arrow dataset scanner evaluates them
+with partition pruning, exactly as the reference applies its filter
+server-side before streaming (ref flight.py:54-58). Only a read the
+scanner cannot express (other functions, float-column comparisons —
+NaN semantics differ, multi-source unions) is SPOOLED by a
+distributed parquet write (executors do the work, pushdown shrinks
+it) into a hidden dir, streamed batch-wise, then removed. In both paths the driver holds AT MOST ONE record batch,
 sized to ``Server.get_budget_bytes``; a single batch that exceeds the
 budget even at one row (a giant binary cell) raises loudly instead of
 OOMing. ``do_put`` flushes under ``put_flush_bytes``; ``do_exchange``
@@ -561,6 +567,48 @@ class Server:
             pafs.LocalFileSystem(), paths, ds.ParquetFileFormat(), opts
         ).finish()
 
+    def _direct_plan(self, spec: dict):
+        """(dataset, pushed filter Expression or None, pushed column
+        list or None) for a spec the Arrow dataset scanner can serve
+        WITHOUT a Spark job, else None (→ spool). Extends the r12
+        direct path to filtered/projected reads: a wire filter inside
+        the vetted subset (flight_pushdown.translate — comparisons,
+        AND/OR/NOT, isin, IS NULL on int/string/bool columns) is
+        evaluated by the scanner with PARTITION PRUNING, and a select
+        of plain columns becomes a scanner projection — the result-
+        sized parquet rewrite the spool paid is gone for these reads
+        (VERDICT r12 #1; the reference applies its filter server-side
+        before streaming the same way, ref flight.py:54-58). Filter
+        strings outside the subset and selects naming non-plain
+        columns return None, and the spool path evaluates them with
+        full Spark semantics — fallback is never wrong, only slower."""
+        from fenix_spark import flight_pushdown
+
+        source = spec.get("source")
+        if not isinstance(source, str) or ":" in source:
+            return None
+        direct = self._direct_files(
+            source, coding=spec.get("coding"), column=spec.get("column")
+        )
+        if direct is None:
+            return None
+        d, _, files, partitioned = direct
+        data = self._make_dataset(d, files, partitioned)
+        expr = cols = None
+        flt, sel = spec.get("filter"), spec.get("select")
+        if flt:
+            expr = flight_pushdown.translate(flt, data.schema)
+            if expr is None:
+                return None
+        if sel:
+            if not (
+                isinstance(sel, (list, tuple))
+                and all(isinstance(c, str) and c in data.schema.names for c in sel)
+            ):
+                return None
+            cols = list(sel)
+        return data, expr, cols
+
     def _direct_dataset(self, spec: dict):
         """A plain single-table read (no filter/select) can be served
         straight from the layout's own parquet files — zero Spark job,
@@ -631,15 +679,13 @@ class Server:
                 )
             partitioned = any("/" in f for f in pinned)
             return self._make_dataset(d, pinned, partitioned)
-        if any(spec.get(k) for k in ("filter", "select")):
+        # non-pinned specs plan through _direct_plan (which also
+        # handles filter/select pushdown); this method serves only the
+        # files-pinned shard tickets get_flight_info mints
+        plan = self._direct_plan(spec)
+        if plan is None or plan[1] is not None or plan[2] is not None:
             return None
-        direct = self._direct_files(
-            source, coding=spec.get("coding"), column=spec.get("column")
-        )
-        if direct is None:
-            return None
-        d, _, files, partitioned = direct
-        return self._make_dataset(d, files, partitioned)
+        return plan[0]
 
     def _flight_info_endpoints(
         self,
@@ -718,18 +764,38 @@ class Server:
             endpoints.append(fl.FlightEndpoint(json.dumps(spec), [self.grpc]))
         return endpoints, rows, nbytes
 
-    def _stream_batches(self, data, schema, spool: str | None):
+    def _stream_batches(
+        self,
+        data,
+        schema,
+        spool: str | None,
+        flt=None,
+        columns: Sequence[str] | None = None,
+    ):
         """Yield record batches from a pyarrow dataset, each cast to
         the Spark-derived wire schema, each bounded by
         ``get_budget_bytes`` on the driver. Rows-per-batch is sized
         from the files' own uncompressed row width; a batch that still
-        exceeds the budget (even at one row) raises loudly."""
+        exceeds the budget (even at one row) raises loudly.
+
+        ``flt``/``columns`` are a PUSHED filter expression / column
+        projection (_direct_plan): the filter prunes fragments first —
+        a predicate on a partition column never opens the other
+        partitions' files — then evaluates row-level inside the
+        scanner; the projection reaches the parquet column reader."""
         import shutil
 
         import pyarrow.dataset as ds
 
         budget = self.get_budget_bytes
-        stats = {"batches": 0, "max_batch_bytes": 0, "spooled": spool is not None}
+        stats = {
+            "batches": 0,
+            "max_batch_bytes": 0,
+            "spooled": spool is not None,
+            "pushed_filter": flt is not None,
+            "pushed_columns": list(columns) if columns else None,
+            "fragments": 0,
+        }
         if spool is not None:
             # the write amplification a spooled read paid (parquet
             # bytes rewritten before the first wire byte) — the number
@@ -748,7 +814,13 @@ class Server:
             # partition holding big binary cells) sizes those files'
             # batches from their OWN width instead of a global average
             # that would blow the budget mid-stream
-            for frag in data.get_fragments():
+            frags = (
+                data.get_fragments(filter=flt)
+                if flt is not None
+                else data.get_fragments()
+            )
+            for frag in frags:
+                stats["fragments"] += 1
                 md = frag.metadata
                 rows = md.num_rows
                 bytes_ = sum(
@@ -758,7 +830,11 @@ class Server:
                 avg_row = max(1, bytes_ // rows) if rows else 1
                 batch_rows = max(1, min(_BATCH_ROWS, budget // avg_row))
                 scanner = ds.Scanner.from_fragment(
-                    frag, schema=data.schema, batch_size=batch_rows
+                    frag,
+                    schema=data.schema,
+                    batch_size=batch_rows,
+                    filter=flt,
+                    columns=list(columns) if columns else None,
                 )
                 for batch in scanner.to_batches():
                     if batch.num_rows == 0:
@@ -879,11 +955,16 @@ class Server:
 
         df = self._spec_df(spec)
         # same derivation DataFrame.toArrow uses — the wire schema is
-        # unchanged from the pre-streaming implementation
+        # unchanged from the pre-streaming implementation. _spec_df
+        # also runs _wire_filter, so reflection names are rejected
+        # BEFORE any pushdown translation is attempted.
         schema = to_arrow_schema(
             df.schema, error_on_duplicated_field_names_in_struct=True
         )
-        data = self._direct_dataset(spec)
+        data = flt = cols = None
+        plan = self._direct_plan(spec)
+        if plan is not None:
+            data, flt, cols = plan
         spool = None
         if data is None:
             # computed read: distributed parquet write into a hidden
@@ -907,7 +988,10 @@ class Server:
                 shutil.rmtree(spool, ignore_errors=True)
                 return fl.GeneratorStream(schema, iter(()))
             data = ds.dataset(files, format="parquet")
-        return fl.GeneratorStream(schema, self._stream_batches(data, schema, spool))
+        return fl.GeneratorStream(
+            schema,
+            self._stream_batches(data, schema, spool, flt=flt, columns=cols),
+        )
 
     # Batched-search knobs, overridable per server (previously the
     # operators' constants): the loud bound on a do_exchange query set

@@ -955,9 +955,12 @@ def test_heterogeneous_file_widths_size_batches_per_fragment(
 
 def test_spool_stats_report_rewrite_bytes(served, monkeypatch):
     """A spooled computed read reports its write amplification
-    (spool_bytes) — the number the SCALE.md ledger records."""
+    (spool_bytes) — the number the SCALE.md ledger records. The filter
+    uses a function call so it stays OUTSIDE the r13 pushdown subset
+    (a plain comparison like ``id >= 0`` now streams direct and never
+    spools)."""
     server, client, _ = served
-    out = client.read_table("people", filter="id >= 0").read_all()
+    out = client.read_table("people", filter="abs(id) >= 0").read_all()
     assert out.num_rows == 20
     stats = server.last_get_stats
     assert stats["spooled"] is True and stats["spool_bytes"] > 0
@@ -1172,3 +1175,154 @@ def test_pinned_schema_key_tracks_partition_subdir_rewrites(served, coded):
     os.utime(d, (parent.st_atime, parent.st_mtime))  # parent mtime unchanged
     server._pinned_schema(spec)
     assert len(server._schema_cache) == 2  # subdir rewrite missed the cache
+
+
+# ---------------------------------------------------------------- r13:
+# wire filter/select pushdown — filtered/projected do_get streams
+# DIRECT from the table's parquet files (VERDICT r12 #1: the last
+# structural spool). translate()'s semantics are proven in
+# test_flight_pushdown.py; these tests pin the SERVER contract: when
+# the filter is pushable the stream is spool-free and partition-pruned,
+# when it is not the spool path still serves it with full Spark
+# semantics, and both return byte-identical results to the Store.
+
+
+def test_pushed_filter_streams_flat_layout_spool_free(spark, served):
+    """The verdict's done-criterion, flat layout: a filtered wire read
+    streams with spooled=False, no spool_bytes, and equals the Store
+    result."""
+    server, client, root = served
+    st = Store(spark, root)
+    back = client.read_table("people", filter="val > 2 AND id < 18").read_all()
+    stats = server.last_get_stats
+    assert stats["spooled"] is False and stats["pushed_filter"] is True
+    assert "spool_bytes" not in stats
+    local = st.read_table(
+        "people", filter=F.expr("val > 2 AND id < 18")
+    ).orderBy("id").toArrow()
+    assert back.sort_by("id").equals(local)
+
+
+def test_pushed_filter_prunes_partitions_over_the_wire(spark, served, coded):
+    """Partitioned layout: a pushed filter on the partition column
+    opens ONLY that partition's fragments — wire-side partition
+    pruning, the property that makes a selective read of a 100 TB
+    __CODED_ID__ layout touch one cell's files."""
+    server, client, root = served
+    st = Store(spark, root)
+    back = client.read_table("coded", filter="__CODED_ID__ = 2").read_all()
+    stats = server.last_get_stats
+    assert stats["spooled"] is False and stats["pushed_filter"] is True
+    total_leaves = len(
+        client.conn.get_flight_info(
+            fl.FlightDescriptor.for_path("coded")
+        ).endpoints
+    )
+    assert 0 < stats["fragments"] < total_leaves  # pruned, not scanned
+    local = st.read_table(
+        "coded", filter=F.expr("__CODED_ID__ = 2")
+    ).orderBy("k").toArrow()
+    assert back.sort_by("k").equals(local)
+    assert back.num_rows == 400
+
+
+def test_select_only_read_streams_direct_with_projection(spark, served, coded):
+    """A select-only read is pure column projection — served direct
+    unconditionally, with the projection reaching the scanner (the
+    r12 spool rewrote the whole table for this)."""
+    server, client, root = served
+    st = Store(spark, root)
+    back = client.read_table("coded", select=["v", "k"]).read_all()
+    stats = server.last_get_stats
+    assert stats["spooled"] is False
+    assert stats["pushed_columns"] == ["v", "k"]
+    assert back.schema.names == ["v", "k"]  # requested order, like Spark
+    local = st.read_table("coded", select=["v", "k"]).orderBy("k").toArrow()
+    assert back.sort_by("k").equals(local)
+
+
+def test_filter_may_reference_columns_outside_select(spark, served):
+    """Store semantics: filter applies BEFORE select, so a pushed read
+    must honor a predicate on a column the projection drops."""
+    server, client, root = served
+    back = client.read_table(
+        "people", select=["id"], filter="val > 4"
+    ).read_all()
+    assert server.last_get_stats["spooled"] is False
+    assert back.schema.names == ["id"]
+    st = Store(spark, root)
+    want = sorted(
+        r["id"]
+        for r in st.read_table(
+            "people", filter=F.expr("val > 4"), select=["id"]
+        ).collect()
+    )
+    assert sorted(back.column("id").to_pylist()) == want
+
+
+def test_unsupported_predicate_still_spools_correctly(spark, served):
+    """A filter outside the pushed subset (a function call) falls back
+    to the spool path — full Spark semantics, spool_bytes instrumented,
+    result identical to the Store."""
+    server, client, root = served
+    back = client.read_table("people", filter="length(name) = 2").read_all()
+    stats = server.last_get_stats
+    assert stats["spooled"] is True and stats["pushed_filter"] is False
+    assert stats["spool_bytes"] > 0
+    st = Store(spark, root)
+    want = sorted(
+        r["id"]
+        for r in st.read_table(
+            "people", filter=F.expr("length(name) = 2")
+        ).collect()
+    )
+    assert sorted(back.column("id").to_pylist()) == want
+
+
+def test_stateful_peer_filter_is_pushed_too(served):
+    """Per-peer set-filter state merges into the spec before planning,
+    so a stateful peer's bare-ticket read ALSO rides the direct path
+    when its filter is pushable."""
+    server, client, _ = served
+    client._action("set-filter", filter="id >= 18")
+    try:
+        back = client.conn.do_get(fl.Ticket(b"people")).read_all()
+        assert sorted(back.column("id").to_pylist()) == [18, 19]
+        assert server.last_get_stats["spooled"] is False
+        assert server.last_get_stats["pushed_filter"] is True
+    finally:
+        client._action("del-filter")
+
+
+def test_indexed_read_with_pushed_cell_filter(spark, served):
+    """The reference's indexed read (coding+column) combined with a
+    partition-column filter: streams direct AND prunes to the named
+    cells — the wire-side equivalent of probe search's physical
+    partition pruning."""
+    import numpy as np
+
+    _, client, root = served
+    st = Store(spark, root)
+    if "vecs" not in st.list_tables():
+        pytest.skip("vecs fixture table not present")
+    if not any(c == "wirecoder" for c in st.list_coders()):
+        from fenix_spark.operators.coder import CodingConfig
+
+        st.make_coder(
+            "wirecoder", "vecs", "embedding",
+            CodingConfig(num_codebooks=1, codebook_size=4, seed=7),
+        )
+        st.make_index("vecs", "embedding", "wirecoder")
+    server = served[0]
+    back = client.read_table(
+        "vecs", coding="wirecoder", column="embedding",
+        filter="__CODED_ID__ IN (0, 2)",
+    ).read_all()
+    stats = server.last_get_stats
+    assert stats["spooled"] is False and stats["pushed_filter"] is True
+    local = st.read_table(
+        "vecs", coding="wirecoder", column="embedding",
+        filter=F.expr("__CODED_ID__ IN (0, 2)"),
+    )
+    assert back.num_rows == local.count() > 0
+    assert set(back.column("__CODED_ID__").to_pylist()) <= {0, 2}

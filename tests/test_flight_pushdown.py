@@ -1,0 +1,230 @@
+"""flight_pushdown.translate: the wire-filter → pyarrow.dataset
+expression translator behind the direct Flight read of
+filtered/projected tables (VERDICT r12 #1). Two properties carry the
+module: (1) every string the translator ACCEPTS filters bit-identically
+to Spark evaluating the same SQL — proven by a hypothesis generator
+over the full supported grammar against a null-heavy table — and
+(2) every construct whose Spark/Arrow semantics could diverge (NaN
+ordering on floats, NOT IN over nulls, timestamp coercion, escaped
+strings) is REJECTED, which routes it to the spool path where Spark
+evaluates it with full semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.dataset as ds
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fenix_spark.flight_pushdown import translate
+
+SCHEMA = pa.schema(
+    [
+        ("rid", pa.int64()),
+        ("i", pa.int64()),
+        ("s", pa.string()),
+        ("b", pa.bool_()),
+        ("f", pa.float64()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def _corpus() -> pa.Table:
+    """Null-heavy, duplicate-heavy: the rows where Spark/Arrow
+    three-valued logic could diverge are the ones that matter."""
+    n = 64
+    return pa.table(
+        {
+            "rid": pa.array(range(n), pa.int64()),
+            "i": pa.array(
+                [None if k % 7 == 3 else (k * 5) % 11 - 3 for k in range(n)],
+                pa.int64(),
+            ),
+            "s": pa.array(
+                [
+                    None
+                    if k % 5 == 2
+                    else ["", "aa", "ab", "b", "zz"][k % 5]
+                    for k in range(n)
+                ],
+                pa.string(),
+            ),
+            "b": pa.array(
+                [None if k % 6 == 1 else bool(k % 3) for k in range(n)],
+                pa.bool_(),
+            ),
+            "f": pa.array(
+                [
+                    float("nan") if k % 9 == 4 else k / 3.0 - 2
+                    for k in range(n)
+                ],
+                pa.float64(),
+            ),
+            "ts": pa.array([1_600_000_000_000_000 + k for k in range(n)],
+                           pa.timestamp("us")),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def arena(spark, tmp_path_factory):
+    """(dataset, spark DataFrame) over ONE parquet file of _corpus()."""
+    d = tmp_path_factory.mktemp("pushdown")
+    p = os.path.join(str(d), "t.parquet")
+    pq.write_table(_corpus(), p)
+    return ds.dataset([p], format="parquet"), spark.read.parquet(p)
+
+
+def _wire_rows(dataset, expr) -> list[int]:
+    return sorted(
+        dataset.scanner(filter=expr, columns=["rid"]).to_table()
+        .column("rid").to_pylist()
+    )
+
+
+def _spark_rows(df, sql: str) -> list[int]:
+    return sorted(
+        r["rid"] for r in df.where(F.expr(sql)).select("rid").collect()
+    )
+
+
+# --------------------------------------------------------------- the
+# acceptance property: translate(sql) ≡ Spark F.expr(sql), all nulls
+
+
+def _pred_strategy():
+    int_lit = st.sampled_from(["-3", "0", "2", "7", "2.5", "-0.5"])
+    str_lit = st.sampled_from(["''", "'aa'", "'ab'", "'b'", "'zz'", "'q'"])
+    op = st.sampled_from(["=", "==", "!=", "<>", "<", "<=", ">", ">="])
+
+    atom = st.one_of(
+        st.tuples(st.just("cmp_i"), op, int_lit).map(
+            lambda t: (f"i {t[1]} {t[2]}", False)
+        ),
+        st.tuples(st.just("flip"), op, int_lit).map(
+            lambda t: (f"{t[2]} {t[1]} i", False)
+        ),
+        st.tuples(st.just("cmp_s"), op, str_lit).map(
+            lambda t: (f"s {t[1]} {t[2]}", False)
+        ),
+        st.sampled_from(
+            [
+                ("b = TRUE", False),
+                ("b != FALSE", False),
+                ("b", False),
+                ("i IS NULL", False),
+                ("s IS NOT NULL", False),
+                ("b IS NULL", False),
+                ("f IS NULL", False),
+                ("`i` >= 0", False),
+                ("rid < 40", False),
+                ("i = rid", False),
+                ("i IN (0, 2, -3)", True),
+                ("s IN ('aa', 'zz', '')", True),
+                ("i IN (7)", True),
+            ]
+        ),
+    )
+
+    def compose(children):
+        return st.one_of(
+            st.tuples(children, children).map(
+                lambda t: (f"({t[0][0]} AND {t[1][0]})", t[0][1] or t[1][1])
+            ),
+            st.tuples(children, children).map(
+                lambda t: (f"({t[0][0]} OR {t[1][0]})", t[0][1] or t[1][1])
+            ),
+            # NOT only over IN-free subtrees (the translator rejects
+            # NOT-over-IN; the generator mirrors that so every sample
+            # must be ACCEPTED)
+            children.filter(lambda c: not c[1]).map(
+                lambda c: (f"NOT {c[0]}", False)
+            ),
+        )
+
+    return st.recursive(atom, compose, max_leaves=6).map(lambda t: t[0])
+
+
+@settings(max_examples=120, deadline=None)
+@given(_pred_strategy())
+def test_accepted_predicates_match_spark(arena_tuple, sql):
+    dataset, df = arena_tuple
+    expr = translate(sql, dataset.schema)
+    assert expr is not None, sql
+    assert _wire_rows(dataset, expr) == _spark_rows(df, sql), sql
+
+
+@pytest.fixture(scope="module")
+def arena_tuple(arena):
+    return arena
+
+
+# ------------------------------------------------------------ pinned
+# semantic corners (named, so a regression reads as the corner it is)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "NOT (s = 'aa')",              # invert over null → null → dropped
+        "NOT (i < 2 AND s = 'aa')",    # De Morgan over Kleene nulls
+        "i IN (0, 2) OR s IS NULL",    # isin false-vs-null under OR
+        "s = ''",                      # empty string is not null
+        "i != 2 OR b",                 # bare bool column w/ nulls
+        "NOT b",                       # invert(null)=null → dropped
+        "i = rid",                     # column-vs-column, one side null
+        "2.5 < i",                     # flipped fractional literal
+        "s > 'ab' AND s <= 'zz'",      # byte-wise string ordering
+    ],
+)
+def test_corner_predicates_match_spark(arena, sql):
+    dataset, df = arena
+    expr = translate(sql, dataset.schema)
+    assert expr is not None
+    assert _wire_rows(dataset, expr) == _spark_rows(df, sql)
+
+
+# ---------------------------------------------------------- rejected:
+# everything whose semantics Arrow cannot replicate must spool
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "f > 2.5",                     # float column: NaN ordering differs
+        "f = f",                       # NaN = NaN: Spark true, IEEE false
+        "ts > '2020-01-01'",           # timestamp coercion is session-tz
+        "i NOT IN (1, 2)",             # NULL NOT IN → dropped vs kept
+        "NOT (i IN (1, 2))",           # same divergence, spelled NOT(...)
+        "NOT (i = 1 OR s IN ('aa'))",  # IN anywhere under NOT
+        "length(s) > 1",               # functions: Spark-only
+        "i + 1 = 2",                   # arithmetic: not in the subset
+        "s = 'a\\'b'",                 # escaped literal: parser-config
+        "nosuch = 1",                  # unknown column
+        "1 = 1",                       # literal-literal
+        "i = '3'",                     # cross-family coercion
+        "s = 3",
+        "i > 9007199254740993.5",      # fractional cmp past 2^53
+        "i BETWEEN 1 AND 2",           # BETWEEN: not in the subset
+        "reflect('java.lang.Runtime','getRuntime') = 1",
+        "",
+    ],
+)
+def test_unsupported_strings_fall_back(arena, sql):
+    dataset, _ = arena
+    assert translate(sql, dataset.schema) is None
+
+
+def test_int_literal_cmp_is_exact_past_double_precision(arena):
+    """INTEGER literals are pushed at any magnitude (arrow compares
+    int64-vs-int64 exactly); only FRACTIONAL literals past 2^53 are
+    rejected, because those would compare via double."""
+    dataset, _ = arena
+    assert translate("i = 9007199254740993", dataset.schema) is not None
+    assert translate("i > -9007199254740993", dataset.schema) is not None
