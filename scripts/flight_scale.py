@@ -4,10 +4,20 @@ at sf0.1 vs the derived sf1 (10×) on the LARGEST testdata table
 
 - direct single-stream read (plain ticket, zero Spark job)
 - direct PARALLEL shard read (get_flight_info per-file endpoints)
-- spooled computed read (filter forces the distributed spool write)
+- spooled computed read (the float-column filter stays OUTSIDE the r13
+  pushdown subset, so this row keeps measuring the spool rewrite)
+- PUSHED scan-true filter (r13: an int-column predicate streams direct
+  through the Arrow scanner — the spool row's rewrite cost is gone)
+- PUSHED selective partition filter on the hive layout (r13: prunes
+  fragments before any file opens)
+- PUSHED projection (select two of sixteen columns — the wire carries
+  only the projected bytes)
 - direct read of a hive-PARTITIONED layout (the r12 fix: previously
   every partitioned wire read took the spool path — this ledger pins
   the measured write-amplification the fix removes)
+- do_exchange batched brute k-NN (VERDICT r12 #4: wall + wire bytes at
+  target counts 8/64/256 — the N×k result is the only driver-side
+  materialization, bounded by exchange_max_targets)
 
 For each: wall seconds, wire bytes (Arrow buffer bytes received), and
 for the spool path the rewrite bytes (parquet bytes written into the
@@ -36,6 +46,11 @@ def _build_store(spark, sf_dir: str, root: str) -> None:
 
     done = os.path.join(root, "_BUILT_OK")
     if os.path.isfile(done) and "--rebuild" not in sys.argv:
+        # the emb table arrived in r13 — add it to stores built earlier
+        emb_dir = catalog.source_path(root, "emb")
+        if not os.path.isdir(emb_dir):
+            emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            emb.repartition(8).write.mode("overwrite").parquet(emb_dir)
         return
     df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     # multi-file flat table: the parallel-endpoint unit is the file
@@ -45,6 +60,11 @@ def _build_store(spark, sf_dir: str, root: str) -> None:
     # hive-partitioned layout, same rows — l_returnflag has 3 values
     df.write.partitionBy("l_returnflag").mode("overwrite").parquet(
         catalog.source_path(root, "li_part")
+    )
+    # embeddings table for the do_exchange ledger
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb.repartition(8).write.mode("overwrite").parquet(
+        catalog.source_path(root, "emb")
     )
     with open(done, "w") as fh:
         fh.write("ok")
@@ -104,6 +124,43 @@ def main() -> None:
                 f"| {s['batches']} | {s['spooled']} "
                 f"| rewrote {s['spool_bytes'] / 1e6:.0f} MB parquet |"
             )
+            # r13: pushed scan-true filter on an int column — the same
+            # row volume the spool row serves, with the rewrite gone
+            w, t = _timed(
+                lambda: client.read_table(
+                    "li", filter="l_orderkey >= 0"
+                ).read_all()
+            )
+            s = server.last_get_stats
+            print(
+                f"| {label} | pushed filter (r13) | {w:.2f}s | {t.nbytes / 1e6:.0f} "
+                f"| {s['batches']} | {s['spooled']} "
+                f"| pushed={s['pushed_filter']}, rewrite gone |"
+            )
+            # r13: selective partition filter on the hive layout —
+            # fragments pruned before any file opens
+            w, t = _timed(
+                lambda: client.read_table(
+                    "li_part", filter="l_returnflag = 'A'"
+                ).read_all()
+            )
+            s = server.last_get_stats
+            print(
+                f"| {label} | pushed partition filter (r13) | {w:.2f}s "
+                f"| {t.nbytes / 1e6:.0f} | {s['batches']} | {s['spooled']} "
+                f"| {s['fragments']} fragments opened, rows={t.num_rows:,} |"
+            )
+            # r13: projection — two of sixteen columns on the wire
+            w, t = _timed(
+                lambda: client.read_table(
+                    "li", select=["l_orderkey", "l_quantity"]
+                ).read_all()
+            )
+            s = server.last_get_stats
+            print(
+                f"| {label} | pushed select (r13) | {w:.2f}s | {t.nbytes / 1e6:.0f} "
+                f"| {s['batches']} | {s['spooled']} | 2/16 columns |"
+            )
             # partitioned layout, plain read (r12: direct, was spool)
             w, t = _timed(lambda: client.read_table("li_part").read_all())
             s = server.last_get_stats
@@ -115,6 +172,28 @@ def main() -> None:
                 f"| {t.nbytes / 1e6:.0f} | {s['batches']} | {s['spooled']} "
                 f"| {len(info.endpoints)} eps across partition dirs |"
             )
+            # r12 #4: the do_exchange batched brute path — ONE corpus
+            # scan per call with the query matrix broadcast; the N×k
+            # result rows are the only driver-side materialization
+            import pyarrow.parquet as pq
+
+            emb = pq.read_table(
+                os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+            )
+            vecs = [list(v) for v in emb.column("embedding").to_pylist()[:256]]
+            for n_targets in (8, 64, 256):
+                w, t = _timed(
+                    lambda n=n_targets: client.search(
+                        vecs[:n], "emb", "embedding", maxval=10,
+                        id_col="vec_id",
+                    ),
+                    n=2,
+                )
+                print(
+                    f"| {label} | do_exchange brute N={n_targets} | {w:.2f}s "
+                    f"| {t.nbytes / 1e6:.2f} | {t.num_rows} rows "
+                    f"| n/a | k=10, result = N×k exactly |"
+                )
         finally:
             client.close()
             server.shutdown()
