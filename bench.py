@@ -53,7 +53,11 @@ BENCH_QUERIES = [
     "decontamination",
     "minhash_neardup",
     "simhash_neardup",
-    "fingerprints",
+    # r13 rotation #9: fingerprints rotated out of the oracle (its
+    # simhash expression stays benched via simhash_neardup's scan;
+    # the retired row runs verbatim as a pytest mirror) and the graph
+    # family gains its first bench+oracle row.
+    "triangle_counts",
     "embedding_neardup",
     # r12 rotation #8 (done ahead of the r13 schedule): the Gopher
     # repetition rules replace text_metrics — same scan-local per-doc

@@ -1727,6 +1727,68 @@ def _simhash_fingerprint_sql() -> str:
     """
 
 
+def _triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting over the part co-occurrence graph
+    (operators/graph.py:triangle_count — the Schank & Wagner
+    degree-ordered node iterator): parts co-listed in one order are
+    edges; return the 30 parts in the most triangles (ties broken by
+    part id). First oracle row for the GRAPH family (rotation #9,
+    r13). The operator orients every edge low→high under the
+    (degree, id) rank and closes wedges with one equi-join — O(m^{3/2})
+    wedge rows instead of Σ deg², the bound that keeps a power-law
+    graph feasible at 100 TB; the oracle re-derives per-node counts
+    from a rank-free three-way self-join, so any orientation, edge-
+    dedup, wedge-enumeration or corner-explosion error hash-mismatches
+    on exact integer counts."""
+    from fenix_spark.operators.graph import triangle_count
+
+    # the l_quantity cut thins the co-occurrence graph from avg degree
+    # ~120 to ~11 at sf0.1 (1.2M → 108k edges) — dense-graph triangle
+    # counting is inherently superlinear, and the suite row should
+    # measure the operator's join discipline, not brute wedge volume
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") <= 15)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "k").where(F.col("src") < F.col("dst")).select("src", "dst")
+    tri = triangle_count(edges)
+    return (
+        tri.where(F.col("triangles") > 0)
+        .orderBy(F.desc("triangles"), "node")
+        .limit(30)
+        .select(
+            F.col("node").alias("part"),
+            F.col("triangles").cast("bigint").alias("triangles"),
+        )
+    )
+
+
+_TRIANGLE_COUNTS_SQL = """
+WITH li AS (
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity <= 15
+), pairs AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+), tri AS (
+    SELECT e1.u AS x, e1.v AS y, e2.v AS z
+    FROM pairs e1
+    JOIN pairs e2 ON e2.u = e1.v
+    JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+), corners AS (
+    SELECT x AS part FROM tri
+    UNION ALL SELECT y AS part FROM tri
+    UNION ALL SELECT z AS part FROM tri
+)
+SELECT part, count(*) AS triangles
+FROM corners GROUP BY part
+ORDER BY triangles DESC, part LIMIT 30
+"""
+
+
 def _simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup, hamming ≤ 3: pigeonhole 4×8-bit band join has
     perfect recall at this radius — no |docs|² comparison, and the band
@@ -3194,7 +3256,19 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": _exact_dedup,
     "minhash_neardup": _minhash_neardup,
     "simhash_neardup": _simhash_neardup,
-    "fingerprints": _fingerprints,
+    # (fingerprints retired for triangle_counts, r13 — rotation #9,
+    #  mirror staged row-identical at sf0.001+sf0.01 BEFORE promotion
+    #  (tests/test_graph.py::test_triangle_counts_duckdb_mirror_staged).
+    #  fingerprints' two expressions keep full checks: the simhash
+    #  fingerprint is the SAME duck_simhash mirror simhash_neardup
+    #  hash-verifies every round, and the whole retired row runs
+    #  verbatim as a pytest mirror
+    #  (tests/test_dedup.py::test_fingerprints_retired_row_still_mirrors);
+    #  winnowing keeps its guarantee property test
+    #  (test_properties.py::test_winnowing_guarantee). triangle_counts
+    #  gives the GRAPH family its first oracle row — per-node triangle
+    #  counts over the part co-occurrence graph, exact integer compare.)
+    "triangle_counts": _triangle_counts,
     # (ngram_jaccard_topk retired for heavy_hitters under the 50-row
     #  cap, r9 — its exact-Jaccard-on-shingle-sets verify is the same
     #  expression minhash_neardup's verify stage hash-checks every
@@ -3334,7 +3408,7 @@ ORACLE_SQL: dict[str, str] = {
     "exact_dedup": _EXACT_DEDUP_SQL,
     "minhash_neardup": _minhash_neardup_sql(),
     "simhash_neardup": _simhash_neardup_sql(),
-    "fingerprints": _fingerprints_sql(),
+    "triangle_counts": _TRIANGLE_COUNTS_SQL,
     "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
     "dedup_keep_list": _dedup_keep_list_sql(),
     "repetition_metrics": _repetition_metrics_sql(),

@@ -248,6 +248,34 @@ def main() -> None:
         target_recall=0.99, k=K, n_queries=16, max_rerank=80,
         search=ivfpq_residual_search,
     )
+    # r13 (VERDICT r12 #6): the OPQ-COMPOSED IVF-PQ frontier on the
+    # same corpus — build_opq_ivfpq_index/opq_ivfpq_search existed
+    # with no frontier row, so the composed index had no measured
+    # reason to exist. OPQ's rotation is orthogonal (L2-preserving):
+    # rotated-space exact neighbors ARE original-space exact
+    # neighbors, so tune_ivfpq's internal ground truth stays valid
+    # and the three frontiers compare point-for-point at identical
+    # code bits (8-cell coarse, 16^4 fine).
+    from fenix_spark.operators.opq import (
+        build_opq_ivfpq_index,
+        fit_opq,
+        opq_transform,
+    )
+
+    opq_model = fit_opq(emb, "embedding", fine_cfg, iters=3)
+    rot_joint = opq_transform(
+        emb.select("vec_id", "embedding"), "embedding", opq_model, "__opq"
+    )
+    coarse_rot = train_coding(
+        rot_joint, "__opq",
+        CodingConfig(metric="l2", codebook_size=8, num_codebooks=1),
+    )
+    build_opq_ivfpq_index(emb, "embedding", opq_model, coarse_rot, f"{tmp}/opq")
+    opq_idx = spark.read.parquet(f"{tmp}/opq")
+    joint_opq = tune_ivfpq(
+        opq_idx, coarse_rot, opq_model.coding, "__opq",
+        target_recall=0.99, k=K, n_queries=16, max_rerank=80,
+    )
 
     def _first_meeting(points, t):
         for row in points:
@@ -262,7 +290,8 @@ def main() -> None:
     from fenix_spark.operators.opq import fit_opq, opq_transform, rotate_query
 
     opq_cfg = CodingConfig(metric="l2", codebook_size=16, num_codebooks=4)
-    opq_model = fit_opq(emb, "embedding", opq_cfg, iters=3)
+    # opq_model was fit above (identical cfg/data — fine_cfg == opq_cfg)
+    # for the joint frontier; reuse it here
     rot = opq_transform(emb.select("vec_id", "embedding"), "embedding", opq_model, "opq")
     rot = rot.withColumn(CODE_COL, _ace("opq", opq_model.coding, "l2")).localCheckpoint(
         eager=False
@@ -505,6 +534,51 @@ def main() -> None:
         "",
         "    cheapest configs: "
         + " ; ".join(_joint_res_pick(t) for t in (0.3, 0.4, 0.5)),
+        "",
+        "### Joint frontier — OPQ-composed IVF-PQ (r13, VERDICT r12 #6)",
+        "",
+        "The composed index (`build_opq_ivfpq_index`: learned rotation →",
+        "coarse IVF in rotated space → OPQ-trained 16^4 fine coding)",
+        "under the identical protocol. The rotation is orthogonal, so",
+        "exact neighbors are unchanged and all three frontiers compare",
+        "point-for-point:",
+        "",
+        "| probes | rerank | recall@10 |",
+        "|---|---|---|",
+    ]
+    for probes, rer, rec in joint_opq["frontier"]:
+        lines.append(f"| {probes} | {rer if rer else 'off'} | {rec:.3f} |")
+
+    def _joint_opq_pick(t):
+        p, rr, rec = _first_meeting(joint_opq["frontier"], t)
+        if rec >= t:
+            return f"{t:.2f} → (probes={p}, rerank={rr})"
+        return f"{t:.2f} → UNMET (ceiling {rec:.3f} at probes={p}, rerank={rr})"
+
+    c_opq = max(r[-1] for r in joint_opq["frontier"])
+    c_raw = max(r[-1] for r in joint["frontier"])
+    c_res = max(r[-1] for r in joint_res["frontier"])
+    lines += [
+        "",
+        "    cheapest configs: "
+        + " ; ".join(_joint_opq_pick(t) for t in (0.3, 0.4, 0.5)),
+        "",
+        f"Frontier ceilings (best point within probes ≤ 8, rerank ≤ 80): "
+        f"OPQ-composed {c_opq:.3f} vs plain {c_raw:.3f} vs residual "
+        f"{c_res:.3f}.",
+        (
+            "Reading: the OPQ-composed index beats BOTH baselines on "
+            "this corpus — the rotation pays for itself even before "
+            "residual encoding."
+            if c_opq > max(c_raw, c_res) + 0.02
+            else "Reading: on this near-isotropic corpus the rotation "
+            "does not move the joint frontier — residual encoding "
+            "remains the binding win at these code bits, and the "
+            "honest guidance for OPQ+IVFPQ is CORRELATED-DATA-ONLY "
+            "(the case it exists for is pinned deterministically in "
+            "tests/test_opq.py and measured in the correlated section "
+            "below)."
+        ),
         "",
         "### OPQ vs plain PQ (operators/opq.py — 16^4 codes, ADC scan)",
         "",

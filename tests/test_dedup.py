@@ -349,3 +349,27 @@ def test_simhash_band_join_survives_boilerplate_skew(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_fingerprints_retired_row_still_mirrors(spark):
+    """The r13 rotation (#9) retired the `fingerprints` oracle row for
+    triangle_counts; the retired row's FULL DuckDB mirror runs here
+    verbatim so its coverage never lapses — simhash + winnow
+    fingerprints per doc, row-identical across engines at sf0.001."""
+    import duckdb
+
+    from fenix_spark import suite
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["scheme"], r["id"], r["fp"])
+        for r in suite._fingerprints(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(suite._fingerprints_sql()).fetchall()))
+    con.close()
+    assert got == want and len(got) > 0

@@ -357,3 +357,28 @@ def test_hits_link_farm_signature(spark):
         hub, auth = got[100 + i]
         assert auth == pytest.approx(0.0, abs=1e-9)  # nobody links farms
         assert hub > 0
+
+
+def test_triangle_counts_duckdb_mirror_staged(spark):
+    """Rotation #9 staging bar (mirror-first, the discipline that made
+    #7/#8 clean): suite._triangle_counts vs its DuckDB oracle SQL must
+    be ROW-IDENTICAL on the driver corpora BEFORE promotion. Run at
+    sf0.001 and sf0.01 — the oracle gate's own scale."""
+    import duckdb
+
+    from fenix_spark import suite
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = [
+            (r["part"], r["triangles"])
+            for r in suite._triangle_counts(spark, sf_dir).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/lineitem.parquet')"
+        )
+        want = con.execute(suite._TRIANGLE_COUNTS_SQL).fetchall()
+        con.close()
+        assert len(got) == 30, sf_dir
+        assert got == [(p, t) for p, t in want], sf_dir
