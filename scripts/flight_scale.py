@@ -70,6 +70,24 @@ def _build_store(spark, sf_dir: str, root: str) -> None:
         fh.write("ok")
 
 
+def _proc_reader(args):
+    """One OS-process reader for the concurrency-envelope row: fetch a
+    strided slice of the table's shard endpoints over its OWN gRPC
+    connection. Top-level so multiprocessing spawn can import it."""
+    port, name, idx, stride = args
+    import pyarrow.flight as fl
+
+    conn = fl.connect(f"grpc://127.0.0.1:{port}")
+    info = conn.get_flight_info(fl.FlightDescriptor.for_path(name))
+    rows = nbytes = 0
+    for ep in info.endpoints[idx::stride]:
+        t = conn.do_get(ep.ticket).read_all()
+        rows += t.num_rows
+        nbytes += t.nbytes
+    conn.close()
+    return rows, nbytes
+
+
 def _timed(fn, n=2):
     walls, out = [], None
     for _ in range(n):
@@ -171,6 +189,30 @@ def main() -> None:
                 f"| {label} | partitioned direct (r12) | {w:.2f}s "
                 f"| {t.nbytes / 1e6:.0f} | {s['batches']} | {s['spooled']} "
                 f"| {len(info.endpoints)} eps across partition dirs |"
+            )
+            # r13 (r12 watch item #2): the concurrency ENVELOPE —
+            # 4 separate OS processes (4 gRPC connections, 4 peers)
+            # each stream a disjoint quarter of the shard endpoints
+            # concurrently; aggregate throughput vs the single stream
+            # proves concurrent readers don't serialize on the server
+            import multiprocessing as mp
+
+            ctx = mp.get_context("spawn")
+            with ctx.Pool(4) as pool:
+                # warm the pool (python + pyarrow import per process)
+                # so the row times the READS, not process startup
+                pool.map(int, range(4))
+                t0 = time.time()
+                res = pool.map(
+                    _proc_reader, [(server.port, "li", i, 4) for i in range(4)]
+                )
+                wall4 = time.time() - t0
+            rows4 = sum(r for r, _ in res)
+            mb4 = sum(b for _, b in res) / 1e6
+            print(
+                f"| {label} | 4-process concurrent readers | {wall4:.2f}s "
+                f"| {mb4:.0f} | 4 conns | False "
+                f"| rows={rows4:,}, disjoint shard quarters |"
             )
             # r12 #4: the do_exchange batched brute path — ONE corpus
             # scan per call with the query matrix broadcast; the N×k
