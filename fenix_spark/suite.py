@@ -1789,6 +1789,47 @@ ORDER BY triangles DESC, part LIMIT 30
 """
 
 
+def _markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED for rotation #10 (not yet in the oracle dicts — the
+    mirror-first bar: tests/test_sequences.py proves the DuckDB mirror
+    row-identical on the driver corpora BEFORE promotion, the
+    discipline that made rotations #7-#9 clean). First-order Markov
+    transition matrix over per-user event sequences
+    (operators/sequences.py:transition_counts, laplace=0): one lead
+    window over (user, ts_ms, type) — the shuffle carries ids and
+    short state strings — then a partial-aggregable (from, to) count;
+    the result is ≤|states|² rows, summary-sized at any corpus scale.
+    Ordering inside a user uses ts_ms (the encoding-robust helper) so
+    both engines pair identically under either physical ts encoding."""
+    from fenix_spark.operators.sequences import transition_counts
+
+    ev = events_table(spark, sf_dir).select("user_id", "ts_ms", "event_type")
+    out = transition_counts(ev, "user_id", "ts_ms", "event_type")
+    return out.select(
+        "from_state",
+        "to_state",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("prob", 6).alias("prob"),
+    ).orderBy("from_state", "to_state")
+
+
+_MARKOV_TRANSITIONS_SQL = """
+WITH ev AS (
+    SELECT user_id, epoch_ms(ts) AS ts_ms, event_type AS s FROM events
+), pairs AS (
+    SELECT s AS from_state,
+           lead(s) OVER (PARTITION BY user_id ORDER BY ts_ms, s) AS to_state
+    FROM ev
+), c AS (
+    SELECT from_state, to_state, count(*) AS n
+    FROM pairs WHERE to_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_state, to_state, n,
+       round(n / sum(n) OVER (PARTITION BY from_state), 6) AS prob
+FROM c ORDER BY from_state, to_state
+"""
+
+
 def _simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup, hamming ≤ 3: pigeonhole 4×8-bit band join has
     perfect recall at this radius — no |docs|² comparison, and the band

@@ -201,3 +201,29 @@ def test_top_paths_k_and_validation(spark):
         top_paths(df, "key", "ts", "s", n=1)
     with _pytest.raises(ValueError):
         top_paths(df, "key", "ts", "s", k=0)
+
+
+def test_markov_transitions_duckdb_mirror_staged(spark):
+    """Rotation #10 staging bar (mirror-first): suite._markov_transitions
+    vs its DuckDB oracle SQL must be ROW-IDENTICAL on the driver
+    corpora BEFORE promotion — run at sf0.001 and sf0.01, the oracle
+    gate's own scales. The sequences family (first-order Markov over
+    event streams) has no oracle row yet; this stages its first."""
+    import duckdb
+
+    from fenix_spark import suite
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = [
+            (r["from_state"], r["to_state"], r["n"], r["prob"])
+            for r in suite._markov_transitions(spark, sf_dir).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/events.parquet')"
+        )
+        want = [tuple(r) for r in con.execute(suite._MARKOV_TRANSITIONS_SQL).fetchall()]
+        con.close()
+        assert len(got) > 0, sf_dir
+        assert got == want, sf_dir
