@@ -18,6 +18,12 @@ fallback is never wrong, only slower). The subset:
   literals (either order, or column-vs-column of the same family);
 - ``AND`` / ``OR`` / ``NOT`` / parentheses — Arrow expressions use
   Kleene three-valued logic, same as SQL;
+- ``col [NOT] BETWEEN lit AND lit`` — expands to the two comparisons,
+  identical three-valued semantics on both engines;
+- ``col [NOT] LIKE 'pat'`` for edge-anchored patterns only (``'lit'``,
+  ``'lit%'``, ``'%lit'``, ``'%lit%'`` with no ``_``/``\\``/interior
+  ``%``) → equality / starts_with / ends_with / match_substring, all
+  null-propagating like SQL LIKE, so plain and NOT forms both push;
 - ``col IN (literals)`` — but never under ``NOT``: SQL ``NULL NOT IN
   (…)`` yields NULL (row dropped) while Arrow's ``invert(is_in)``
   yields true (row kept). At top level / under AND/OR the two agree:
@@ -64,7 +70,10 @@ _TOKEN = re.compile(
     re.X,
 )
 
-_KEYWORDS = {"and", "or", "not", "in", "is", "null", "true", "false"}
+_KEYWORDS = {
+    "and", "or", "not", "in", "is", "null", "true", "false",
+    "between", "like",
+}
 _MAX_EXACT_DOUBLE = float(1 << 53)
 
 
@@ -225,22 +234,86 @@ class _Parser:
             self.i += 1
             right = self._operand()
             return self._compare(left, t[1], right), False
-        if t and t[0] == "word" and t[1].lower() == "is":
-            self.i += 1
-            neg = self._kw("not")
-            if not self._kw("null"):
-                raise _Unsupported
-            if left[0] != "col":
-                raise _Unsupported
-            f = self._field(left[1])
-            return (f.is_valid() if neg else f.is_null()), False
-        if t and t[0] == "word" and t[1].lower() == "in":
-            self.i += 1
-            return self._isin(left), True
+        if t and t[0] == "word":
+            w = t[1].lower()
+            neg = False
+            if w == "not":
+                # postfix NOT binds to BETWEEN/LIKE only: both are
+                # null-propagating (invert(null)=null, same as SQL),
+                # while NOT IN's null semantics diverge — it stays
+                # rejected, spelled either way
+                self.i += 1
+                t2 = self._peek()
+                if not (
+                    t2
+                    and t2[0] == "word"
+                    and t2[1].lower() in ("between", "like")
+                ):
+                    raise _Unsupported
+                w, neg = t2[1].lower(), True
+            if w == "is":
+                self.i += 1
+                isnot = self._kw("not")
+                if not self._kw("null"):
+                    raise _Unsupported
+                if left[0] != "col":
+                    raise _Unsupported
+                f = self._field(left[1])
+                return (f.is_valid() if isnot else f.is_null()), False
+            if w == "in":
+                self.i += 1
+                return self._isin(left), True
+            if w == "between":
+                self.i += 1
+                lo = self._operand()
+                if not self._kw("and"):
+                    raise _Unsupported
+                hi = self._operand()
+                e = self._compare(left, ">=", lo) & self._compare(
+                    left, "<=", hi
+                )
+                return (~e if neg else e), False
+            if w == "like":
+                self.i += 1
+                pat = self._next()
+                if pat[0] != "str":
+                    raise _Unsupported
+                e = self._like(left, pat[1][1:-1])
+                return (~e if neg else e), False
         # bare boolean column as a predicate ("flag AND k = 1")
         if left[0] == "col" and pa.types.is_boolean(left[2]):
             return self._field(left[1]) == pa.scalar(True), False
         raise _Unsupported
+
+    def _like(self, left, pat: str):
+        """Edge-anchored LIKE only: 'lit', 'lit%', '%lit', '%lit%'.
+        ``_``, ``\\`` and interior ``%`` fall back to the spool
+        (general LIKE→regex translation is where escape-rule drift
+        between engines hides)."""
+        if left[0] != "col":
+            raise _Unsupported
+        t = left[2]
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+            raise _Unsupported
+        import pyarrow.compute as pc
+
+        body = pat
+        lead = body.startswith("%")
+        if lead:
+            body = body[1:]
+        trail = body.endswith("%")
+        if trail:
+            body = body[:-1]
+        if any(c in body for c in "%_\\"):
+            raise _Unsupported
+        f = self._field(left[1])
+        if lead and trail:
+            return pc.match_substring(f, pattern=body)
+        if lead:
+            return pc.ends_with(f, pattern=body)
+        if trail:
+            return pc.starts_with(f, pattern=body)
+        return f == pa.scalar(body)
 
     def _check_col_lit(self, coltype: pa.DataType, value, fam: str):
         """Gate a column-vs-literal comparison on type compatibility

@@ -128,6 +128,16 @@ def _pred_strategy():
                 ("i IN (0, 2, -3)", True),
                 ("s IN ('aa', 'zz', '')", True),
                 ("i IN (7)", True),
+                ("i BETWEEN 0 AND 2", False),
+                ("i NOT BETWEEN -1 AND 3", False),
+                ("s BETWEEN 'aa' AND 'b'", False),
+                ("s LIKE 'a%'", False),
+                ("s LIKE '%b'", False),
+                ("s LIKE '%a%'", False),
+                ("s LIKE 'aa'", False),
+                ("s NOT LIKE 'a%'", False),
+                ("s LIKE '%'", False),
+                ("s LIKE ''", False),
             ]
         ),
     )
@@ -176,6 +186,9 @@ def arena_tuple(arena):
         "NOT (i < 2 AND s = 'aa')",    # De Morgan over Kleene nulls
         "i IN (0, 2) OR s IS NULL",    # isin false-vs-null under OR
         "s = ''",                      # empty string is not null
+        "NOT (s LIKE 'a%')",           # LIKE null-propagates under NOT
+        "s NOT LIKE '%b' AND i BETWEEN -2 AND 4",
+        "NOT (i BETWEEN 0 AND 2)",     # range invert over null ints
         "i != 2 OR b",                 # bare bool column w/ nulls
         "NOT b",                       # invert(null)=null → dropped
         "i = rid",                     # column-vs-column, one side null
@@ -211,7 +224,11 @@ def test_corner_predicates_match_spark(arena, sql):
         "i = '3'",                     # cross-family coercion
         "s = 3",
         "i > 9007199254740993.5",      # fractional cmp past 2^53
-        "i BETWEEN 1 AND 2",           # BETWEEN: not in the subset
+        "f BETWEEN 1 AND 2",           # float column: stays excluded
+        "s LIKE 'a_b'",                # _ wildcard: not edge-anchored
+        "s LIKE 'a%b'",                # interior %: not edge-anchored
+        "i LIKE '1%'",                 # LIKE on non-string column
+        "s NOT IN ('aa')",             # NOT IN stays out, spelled postfix
         "reflect('java.lang.Runtime','getRuntime') = 1",
         "",
     ],
