@@ -627,7 +627,13 @@ class Server:
         consistent across a concurrent compact — the retention window
         keeps the superseded generation alive for exactly one follow-on
         commit, and an expired pin fails loudly telling the client to
-        re-plan rather than silently mixing generations."""
+        re-plan rather than silently mixing generations. Returns
+        ``(dataset, pushed filter, pushed columns)`` for pinned
+        tickets: a shard ticket may carry a PUSHABLE filter/select
+        (r13 — filters are row-local, so per-shard evaluation equals
+        the whole-table filter; the parallel filtered fetch), and one
+        outside the subset fails loud because a shard read has no
+        spool fallback."""
         from fenix_spark.catalog import source_path
         from fenix_spark.manifest import _gen_dir
 
@@ -636,12 +642,6 @@ class Server:
             return None
         pinned = spec.get("files")
         if pinned is not None:
-            if any(spec.get(k) for k in ("filter", "select")):
-                raise ValueError(
-                    "do_get: a files-pinned ticket is a plain shard read; "
-                    "filter/select do not apply — fetch the computed "
-                    "read through a plain ticket instead"
-                )
             coding, column = spec.get("coding"), spec.get("column")
             if coding is not None:
                 # pinned INDEX shard (S9-over-wire parallel): the index
@@ -678,14 +678,52 @@ class Server:
                     f"{bad[:3]} — stale plan, re-plan via get_flight_info"
                 )
             partitioned = any("/" in f for f in pinned)
-            return self._make_dataset(d, pinned, partitioned)
+            data = self._make_dataset(d, pinned, partitioned)
+            # r13: a shard ticket MAY carry filter/select — a pushable
+            # filter is row-local, so evaluating it per shard equals
+            # the whole-table filter exactly (the parallel filtered
+            # fetch, Client.read_table_parallel(filter=...)). A shard
+            # has no spool fallback (spooling one shard of a pinned
+            # read would break generation consistency), so an
+            # unsupported filter fails LOUD instead of silently
+            # degrading.
+            expr = cols = None
+            flt, sel = spec.get("filter"), spec.get("select")
+            if flt:
+                from fenix_spark import flight_pushdown
+
+                expr = flight_pushdown.translate(flt, data.schema)
+                if expr is None:
+                    raise ValueError(
+                        "do_get: a files-pinned shard ticket can only carry "
+                        "a filter inside the pushdown subset (comparisons, "
+                        "AND/OR/NOT, IN, BETWEEN, edge-anchored LIKE, IS "
+                        "NULL on int/string/bool columns) — shard reads "
+                        "have no spool fallback; fetch this filter through "
+                        "a plain ticket instead"
+                    )
+            if sel:
+                if not (
+                    isinstance(sel, (list, tuple))
+                    and all(
+                        isinstance(c, str) and c in data.schema.names
+                        for c in sel
+                    )
+                ):
+                    raise ValueError(
+                        "do_get: a files-pinned shard ticket can only "
+                        "select plain columns of the layout — fetch "
+                        "computed projections through a plain ticket"
+                    )
+                cols = list(sel)
+            return data, expr, cols
         # non-pinned specs plan through _direct_plan (which also
         # handles filter/select pushdown); this method serves only the
         # files-pinned shard tickets get_flight_info mints
         plan = self._direct_plan(spec)
         if plan is None or plan[1] is not None or plan[2] is not None:
             return None
-        return plan[0]
+        return plan[0], None, None
 
     def _flight_info_endpoints(
         self,
@@ -897,7 +935,11 @@ class Server:
                         stamp = max(stamp, os.stat(p).st_mtime_ns)
         except OSError:
             stamp = None  # _direct_dataset raises the loud error later
-        key = (source, coding, column, gen, stamp)
+        sel = spec.get("select")
+        key = (
+            source, coding, column, gen, stamp,
+            spec.get("filter"), tuple(sel) if sel else None,
+        )
         hit = self._schema_cache.get(key)
         if hit is not None:
             self._schema_cache.move_to_end(key)
@@ -946,10 +988,11 @@ class Server:
             # generation vacuumed — re-plan" error, which must be the
             # one clients see when the layout is gone (not a raw Spark
             # path-not-found from the schema derivation, ADVICE r12)
-            data = self._direct_dataset(spec)
+            data, flt, cols = self._direct_dataset(spec)
             schema = self._pinned_schema(spec)
             return fl.GeneratorStream(
-                schema, self._stream_batches(data, schema, None)
+                schema,
+                self._stream_batches(data, schema, None, flt=flt, columns=cols),
             )
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -1250,6 +1293,8 @@ class Client:
         max_workers: int = 8,
         coding: str | None = None,
         column: str | None = None,
+        select: Sequence[str] | None = None,
+        filter: str | None = None,  # noqa: A002 - reference kwarg
     ):
         """Whole-table fetch over PARALLEL shard streams: plan once via
         get_flight_info (one endpoint per parquet file, each ticket
@@ -1261,6 +1306,13 @@ class Client:
         of mixing generations. ``coding``+``column`` plans the INDEXED
         layout's shards (one endpoint per partition-tree leaf file; an
         index rewritten mid-fetch fails loud on file membership).
+
+        ``filter``/``select`` (r13): a filter inside the server's
+        pushdown subset rides EVERY shard ticket — filters are
+        row-local, so the per-shard union equals the whole-table
+        filter exactly, and each shard stream is scanner-evaluated
+        with no spool. A filter outside the subset fails loudly
+        (shard reads have no spool fallback) — use ``read_table``.
         Returns a pyarrow Table."""
         import concurrent.futures
 
@@ -1275,6 +1327,17 @@ class Client:
         segs = (name,) if coding is None else (name, column, coding)
         info = self.conn.get_flight_info(fl.FlightDescriptor.for_path(*segs))
         tickets = [ep.ticket for ep in info.endpoints]
+        if filter or select:
+            patched = []
+            for t in tickets:
+                raw = t.ticket.decode()
+                spec = json.loads(raw) if raw.startswith("{") else {"source": raw}
+                if filter:
+                    spec["filter"] = filter
+                if select:
+                    spec["select"] = list(select)
+                patched.append(fl.Ticket(json.dumps(spec).encode()))
+            tickets = patched
 
         def fetch(t):
             return self.conn.do_get(t).read_all()

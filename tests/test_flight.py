@@ -604,11 +604,18 @@ def test_pinned_tickets_reject_foreign_files_and_filters(served, sharded):
         (fl.FlightServerError, pa.lib.ArrowInvalid), match="re-plan|not in"
     ):
         client.conn.do_get(fl.Ticket(evil.encode())).read_all()
+    # r13: a PUSHABLE filter on a shard ticket serves (row-local, so
+    # per-shard evaluation equals the whole-table filter) …
     info = client.conn.get_flight_info(fl.FlightDescriptor.for_path("sharded"))
     spec = json.loads(info.endpoints[0].ticket.ticket.decode())
     spec["filter"] = "k > 5"
+    shard = client.conn.do_get(fl.Ticket(json.dumps(spec).encode())).read_all()
+    assert all(k > 5 for k in shard.column("k").to_pylist())
+    # … but one OUTSIDE the pushdown subset fails loud: a shard read
+    # has no spool fallback, so silent degradation is not an option
+    spec["filter"] = "abs(k) > 5"
     with pytest.raises(
-        (fl.FlightServerError, pa.lib.ArrowInvalid), match="plain shard read"
+        (fl.FlightServerError, pa.lib.ArrowInvalid), match="pushdown subset"
     ):
         client.conn.do_get(fl.Ticket(json.dumps(spec).encode())).read_all()
 
@@ -1411,3 +1418,33 @@ def test_concurrent_peers_isolated_under_compaction(spark, served):
         assert fresh.read_table(name).read_all().num_rows == n
     finally:
         fresh.close()
+
+
+def test_parallel_filtered_fetch_equals_store_filter(spark, served, coded):
+    """r13 parallel filtered fetch: read_table_parallel(filter=,
+    select=) rides the filter on EVERY shard ticket — per-shard
+    scanner evaluation unions to exactly the whole-table filter, with
+    generation consistency and zero spools. Partition-column filters
+    prune shards server-side."""
+    server, client, root = served
+    st = Store(spark, root)
+    par = client.read_table_parallel(
+        "coded", max_workers=4,
+        filter="__CODED_ID__ IN (1, 3) AND k < 1200", select=["k", "v"],
+    )
+    assert par.schema.names == ["k", "v"]
+    local = st.read_table(
+        "coded",
+        filter=F.expr("__CODED_ID__ IN (1, 3) AND k < 1200"),
+        select=["k", "v"],
+    ).orderBy("k").toArrow()
+    assert par.sort_by("k").equals(local)
+    assert par.num_rows == local.num_rows > 0
+    # every shard stream was scanner-evaluated, never spooled
+    assert server.last_get_stats["spooled"] is False
+    assert server.last_get_stats["pushed_filter"] is True
+    # a filter outside the subset fails loud through the parallel path
+    with pytest.raises(
+        (fl.FlightServerError, pa.lib.ArrowInvalid), match="pushdown subset"
+    ):
+        client.read_table_parallel("coded", filter="abs(k) > 5")
