@@ -360,3 +360,55 @@ def test_epoch_sample_zero_shuffles(spark, q):
     assert "CartesianProduct" not in plan
     assert "InPandas" not in plan and "mapInPandas" not in plan
     assert_plan(df, scan_columns_subset_of={"doc_id"})
+
+
+def test_triangle_counts_id_keyed_equijoins_only(spark, q):
+    """triangle_counts (r13 oracle rotation #9, fingerprints out): the
+    degree-ordered wedge enumeration must stay a cascade of id-keyed
+    EQUI-joins — no cartesian, no broadcast-nested-loop, no Python in
+    the plan — and the lineitem scan reads only the three columns the
+    edge derivation needs, with the l_quantity cut pushed to the scan.
+    Shuffle rows are ids + one degree long, never payloads; the count
+    is bounded so a wider rewrite fails CI even if results stay
+    correct."""
+    df = q("triangle_counts")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InPandas" not in plan
+    assert shuffle_count(df) <= 7
+    assert_plan(
+        df,
+        scan_columns_subset_of={"l_orderkey", "l_partkey", "l_quantity"},
+    )
+    # the thinning predicate reaches the parquet scan — asserted on
+    # the edge-derivation subtree, because the operator's
+    # localCheckpoint truncates lineage and hides the scan from the
+    # final plan string
+    from pyspark.sql import functions as F
+
+    from fenix_spark import suite
+
+    li = (
+        suite.table(spark, SF01, "lineitem")
+        .where(F.col("l_quantity") <= 15)
+        .select("l_orderkey", "l_partkey")
+    )
+    assert any("l_quantity" in f for f in pushed_filters(li))
+
+
+def test_markov_transitions_single_window_summary_sized(spark):
+    """markov_transitions (STAGED for rotation #10): one lead window
+    per user (the only row-volume shuffle) into a partial-aggregable
+    (from, to) count — the output is ≤ |states|² rows; no cartesian,
+    no Python, scan reads only (user_id, ts, event_type)."""
+    from fenix_spark.suite import _markov_transitions
+
+    df = _markov_transitions(spark, SF01)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InPandas" not in plan
+    assert shuffle_count(df) <= 4
+    assert_plan(df, scan_columns_subset_of={"user_id", "ts", "event_type"})
