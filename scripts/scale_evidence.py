@@ -57,6 +57,10 @@ QUERIES = [
     # r12 rotation row: zero shuffles at both SFs by construction
     # (row-local explode + md5-bucket filter) — the ledger pins it.
     "epoch_sample",
+    # r13 rotation row: degree-ordered wedge enumeration — shape-stable
+    # id-keyed equi-joins; wall superlinearity is bounded by the
+    # thinned graph's wedge growth, not raw row count.
+    "triangle_counts",
 ]
 
 
