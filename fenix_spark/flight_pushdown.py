@@ -40,6 +40,12 @@ hive-discovered partition columns):
   false) — a pushed predicate could silently disagree on NaN rows;
 - DATE/TIMESTAMP columns do NOT: Spark coerces string literals with
   session-timezone rules the scanner does not replicate;
+- DECIMAL columns do NOT (probed r13, pyarrow 16): integer-scalar
+  comparisons fail with precision-promotion errors, and decimal-scalar
+  equality is SCALE-SENSITIVE (``decimal128(12,2) == Decimal('1.5')``
+  matches nothing even though 1.50 == 1.5 numerically) — Spark
+  compares decimals numerically, so pushing them would silently drop
+  rows;
 - a fractional literal against an integer column is pushed only while
   |v| < 2^53: Spark compares via DECIMAL (exact), Arrow via double.
 

@@ -190,6 +190,19 @@ def main() -> None:
                 f"| {t.nbytes / 1e6:.0f} | {s['batches']} | {s['spooled']} "
                 f"| {len(info.endpoints)} eps across partition dirs |"
             )
+            # r13: parallel FILTERED fetch — the pushable filter rides
+            # every shard ticket (row-local ⇒ per-shard union equals
+            # the whole-table filter), shards stream concurrently
+            w, t = _timed(
+                lambda: client.read_table_parallel(
+                    "li_part", max_workers=8, filter="l_returnflag = 'A'"
+                )
+            )
+            print(
+                f"| {label} | parallel filtered fetch (r13) | {w:.2f}s "
+                f"| {t.nbytes / 1e6:.0f} | 8 workers | False "
+                f"| rows={t.num_rows:,}, filter on every shard ticket |"
+            )
             # r13 (r12 watch item #2): the concurrency ENVELOPE —
             # 4 separate OS processes (4 gRPC connections, 4 peers)
             # each stream a disjoint quarter of the shard endpoints
