@@ -1448,3 +1448,39 @@ def test_parallel_filtered_fetch_equals_store_filter(spark, served, coded):
         (fl.FlightServerError, pa.lib.ArrowInvalid), match="pushdown subset"
     ):
         client.read_table_parallel("coded", filter="abs(k) > 5")
+
+
+def test_concurrent_planning_shares_the_totals_cache(spark, served):
+    """Four threads plan the same fresh table simultaneously: every
+    plan returns identical exact totals, and the footer-totals cache
+    (r13, lock-guarded) bounds total footer I/O — at worst each file
+    is read once per racing thread before the entry lands, never more
+    (no unbounded re-reads, no torn cache entries)."""
+    import concurrent.futures
+
+    from fenix_spark import catalog
+
+    server, client, root = served
+    spark.range(900).select(F.col("id").alias("k")).repartition(3).write.mode(
+        "overwrite"
+    ).parquet(catalog.source_path(root, "planrace"))
+    before = server.footer_reads
+    d = fl.FlightDescriptor.for_path("planrace")
+
+    def plan():
+        c = Client(port=server.port)
+        try:
+            info = c.conn.get_flight_info(d)
+            return info.total_records, info.total_bytes, len(info.endpoints)
+        finally:
+            c.close()
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(lambda _: plan(), range(4)))
+    assert len(set(results)) == 1  # identical exact totals across racers
+    assert results[0][0] == 900 and results[0][2] == 3
+    reads = server.footer_reads - before
+    assert 3 <= reads <= 12  # ≥ once per file, ≤ once per file per racer
+    # a fifth, post-race plan is fully warm: zero new footer reads
+    plan()
+    assert server.footer_reads - before == reads
