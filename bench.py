@@ -45,7 +45,12 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
-    "group_topn",
+    # r13 rotation #10: group_topn rotated out of the oracle (its
+    # window top-n cost shape stays benched via bm25_search and
+    # ivf_batch_search's per-query top-k windows; the retired row runs
+    # verbatim as a pytest mirror) and the sequences family gains its
+    # first bench+oracle row.
+    "markov_transitions",
     "sessionize",
     "asof_join_events",
     "range_join_events",

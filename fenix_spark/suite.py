@@ -1790,9 +1790,8 @@ ORDER BY triangles DESC, part LIMIT 30
 
 
 def _markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STAGED for rotation #10 (not yet in the oracle dicts — the
-    mirror-first bar: tests/test_sequences.py proves the DuckDB mirror
-    row-identical on the driver corpora BEFORE promotion, the
+    """Rotation #10 (promoted r13; mirror staged row-identical at
+    sf0.001+sf0.01 BEFORE promotion in tests/test_sequences.py, the
     discipline that made rotations #7-#9 clean). First-order Markov
     transition matrix over per-user event sequences
     (operators/sequences.py:transition_counts, laplace=0): one lead
@@ -1827,6 +1826,41 @@ WITH ev AS (
 SELECT from_state, to_state, n,
        round(n / sum(n) OVER (PARTITION BY from_state), 6) AS prob
 FROM c ORDER BY from_state, to_state
+"""
+
+
+def _doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED for rotation #11 (not yet in the oracle dicts — the
+    mirror-first bar: tests/test_chunking.py proves the DuckDB mirror
+    row-identical on the driver corpora BEFORE promotion, the
+    discipline that made rotations #7-#10 clean). RAG-style document
+    chunking (functions/chunking.py:chunk_docs): fixed 512-char
+    windows with 64 chars of carried overlap, built entirely from
+    sequence → transform → substring — the explode happens where the
+    text lives, so at 100 TB this is scan-speed map work with ZERO
+    shuffles, and every output value (chunk text included) is an
+    exact string both engines must reproduce byte-for-byte."""
+    from fenix_spark.functions.chunking import chunk_docs
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_docs(docs, "text", "doc_id", size=512, overlap=64).orderBy(
+        "doc_id", "chunk_no"
+    )
+
+
+_DOC_CHUNKS_SQL = """
+WITH c AS (
+    SELECT doc_id, text,
+           unnest(range(1, greatest(length(text) - 64, 1) + 1, 448)) AS s
+    FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) // 448 AS INTEGER) AS chunk_no,
+       CAST(s AS INTEGER) AS start,
+       substring(text, CAST(s AS INTEGER), 512) AS chunk,
+       CAST(length(substring(text, CAST(s AS INTEGER), 512)) AS INTEGER)
+           AS n_chars
+FROM c ORDER BY doc_id, chunk_no
 """
 
 
@@ -3393,7 +3427,20 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #  ROWS frame stays covered by time_rollup's buckets + sessionize's
     #  ordered windows; gapfill is a whole operator family (dense-grid
     #  materialization + locf) that deserved an oracle row.)
-    "group_topn": _group_topn,
+    # (group_topn retired for markov_transitions, r13 — rotation #10,
+    #  mirror staged row-identical at sf0.001+sf0.01 BEFORE promotion
+    #  (tests/test_sequences.py::test_markov_transitions_duckdb_mirror_staged).
+    #  group_topn's partitioned row_number top-n shape stays
+    #  hash-checked every round by bm25_search and ivf_batch_search
+    #  (per-query top-k windows) and tpch_q18's TakeOrderedAndProject;
+    #  the whole retired row runs verbatim as a pytest mirror
+    #  (tests/test_sequences.py::test_group_topn_retired_row_still_mirrors)
+    #  and its 1-shuffle plan contract stays pinned in test_plans.py.
+    #  markov_transitions gives the SEQUENCES family its first oracle
+    #  row — the first-order transition matrix over per-user event
+    #  streams, lead-window pairing + window-normalized conditional
+    #  probabilities, summary-sized output at any corpus scale.)
+    "markov_transitions": _markov_transitions,
     # (distinct_users retired for substring_dedup under the 50-row
     #  cap, r6 — its two-phase exact-distinct pattern stays covered by
     #  curation_stats' split counting and exact_dedup's hash groupBy;
@@ -3468,7 +3515,7 @@ ORACLE_SQL: dict[str, str] = {
     "heavy_hitters": _heavy_hitters_sql(),
     "drift_psi": _DRIFT_PSI_SQL,
     "epoch_sample": _epoch_sample_sql(),
-    "group_topn": _GROUP_TOPN_SQL,
+    "markov_transitions": _MARKOV_TRANSITIONS_SQL,
     "substring_dedup": _SUBSTRING_DEDUP_SQL,
     "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
     "dsir_scores": _dsir_scores_sql(),

@@ -68,3 +68,33 @@ def test_chunks_reconstruct_text(spark, text, size, overlap):
         r["chunk"] if r["chunk_no"] == 0 else r["chunk"][overlap:] for r in rows
     )
     assert rebuilt == text
+
+
+def test_doc_chunks_duckdb_mirror_staged(spark):
+    """Rotation #11 staging bar (mirror-first): suite._doc_chunks vs
+    its DuckDB oracle SQL must be ROW-IDENTICAL on the driver corpora
+    BEFORE promotion — run at sf0.001 and sf0.01, the oracle gate's
+    own scales. The chunking family (RAG fixed-window split with
+    overlap) has no oracle row yet; this stages its first. Every
+    value — including the full chunk text — is an exact string, so a
+    single off-by-one in either engine's window arithmetic or any
+    substring-semantics divergence (code points vs bytes) fails the
+    comparison outright."""
+    import duckdb
+
+    from fenix_spark import suite
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = [
+            (r["doc_id"], r["chunk_no"], r["start"], r["chunk"], r["n_chars"])
+            for r in suite._doc_chunks(spark, sf_dir).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        want = [tuple(r) for r in con.execute(suite._DOC_CHUNKS_SQL).fetchall()]
+        con.close()
+        assert len(got) > 0, sf_dir
+        assert got == want, sf_dir

@@ -98,7 +98,7 @@ def test_suite_flagship_queries_lint_clean(spark, sf_dir):
     be free of warn+ findings."""
     from fenix_spark.suite import SPARK_QUERIES
 
-    for name in ("tpch_q1", "group_topn", "exact_dedup", "sessionize"):
+    for name in ("tpch_q1", "markov_transitions", "exact_dedup", "sessionize"):
         df = SPARK_QUERIES[name](spark, sf_dir)
         assert_clean_plan(df)
 

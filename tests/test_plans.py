@@ -85,9 +85,12 @@ def test_tpch_q5_broadcasts_all_dims_single_shuffle(spark, q):
 
 
 def test_window_queries_single_shuffle(spark, q):
-    """group_topn and sessionize each partition once and reuse that
-    partitioning for every window pass + the final groupBy."""
-    assert shuffle_count(q("group_topn")) == 1
+    """group_topn (retired from the oracle in rotation #10 but its
+    plan contract stays pinned) and sessionize each partition once and
+    reuse that partitioning for every window pass + the final groupBy."""
+    from fenix_spark.suite import _group_topn
+
+    assert shuffle_count(_group_topn(spark, SF01)) == 1
     assert shuffle_count(q("sessionize")) == 1
 
 
@@ -399,7 +402,7 @@ def test_triangle_counts_id_keyed_equijoins_only(spark, q):
 
 
 def test_markov_transitions_single_window_summary_sized(spark):
-    """markov_transitions (STAGED for rotation #10): one lead window
+    """markov_transitions (rotation #10, promoted r13): one lead window
     per user (the only row-volume shuffle) into a partial-aggregable
     (from, to) count — the output is ≤ |states|² rows; no cartesian,
     no Python, scan reads only (user_id, ts, event_type)."""

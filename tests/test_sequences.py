@@ -204,11 +204,11 @@ def test_top_paths_k_and_validation(spark):
 
 
 def test_markov_transitions_duckdb_mirror_staged(spark):
-    """Rotation #10 staging bar (mirror-first): suite._markov_transitions
-    vs its DuckDB oracle SQL must be ROW-IDENTICAL on the driver
-    corpora BEFORE promotion — run at sf0.001 and sf0.01, the oracle
-    gate's own scales. The sequences family (first-order Markov over
-    event streams) has no oracle row yet; this stages its first."""
+    """Rotation #10 staging bar (mirror-first; PROMOTED r13):
+    suite._markov_transitions vs its DuckDB oracle SQL must be
+    ROW-IDENTICAL on the driver corpora — run at sf0.001 and sf0.01,
+    the oracle gate's own scales. Staged and proven before promotion,
+    now the sequences family's first live oracle row."""
     import duckdb
 
     from fenix_spark import suite
@@ -227,3 +227,26 @@ def test_markov_transitions_duckdb_mirror_staged(spark):
         con.close()
         assert len(got) > 0, sf_dir
         assert got == want, sf_dir
+
+
+def test_group_topn_retired_row_still_mirrors(spark):
+    """Rotation #10 retired the `group_topn` oracle row for
+    markov_transitions; the retired row's FULL DuckDB mirror runs here
+    verbatim so its coverage never lapses — row_number top-3 by
+    totalprice within each priority class, row-identical across
+    engines at sf0.001."""
+    from fenix_spark import suite
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = sorted(
+        (r["o_orderpriority"], r["o_orderkey"], r["totalprice"], r["rn"])
+        for r in suite._group_topn(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/orders.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(suite._GROUP_TOPN_SQL).fetchall()))
+    con.close()
+    assert got == want and len(got) > 0
