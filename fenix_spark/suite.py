@@ -1864,6 +1864,64 @@ FROM c ORDER BY doc_id, chunk_no
 """
 
 
+def _oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED for rotation #12 (not yet in the oracle dicts — the
+    mirror-first bar: tests/test_vocab.py proves the DuckDB mirror
+    row-identical on the driver corpora BEFORE promotion). Vocabulary
+    coverage audit (operators/vocab.py:oov_report) against a
+    self-derived vocab: the corpus's top-1000 terms by (count desc,
+    term) — deterministic ties — then per-document OOV token counts
+    and rate. Two-phase plan: a token-count aggregate whose top-1000
+    is a TakeOrderedAndProject (summary-sized, broadcast back), then
+    one explode + broadcast left join + per-doc count — text never
+    shuffles at any corpus size. oov_rate is a single IEEE division
+    (deterministic cross-engine; both engines round half-away at 6dp)."""
+    from fenix_spark.functions.texthash import tokens
+    from fenix_spark.operators.vocab import oov_report
+
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+    vocab = (
+        terms.groupBy("t")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("t"))
+        .limit(1000)
+        .select("t")
+    )
+    out = oov_report(docs, "text", "doc_id", vocab)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round("oov_rate", 6).alias("oov_rate"),
+    ).orderBy("doc_id")
+
+
+def _oov_coverage_sql() -> str:
+    from fenix_spark.functions.texthash import duck_tokens
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({duck_tokens("text")}) AS t FROM documents
+    ), vocab AS (
+        SELECT t FROM toks GROUP BY t ORDER BY count(*) DESC, t LIMIT 1000
+    ), per AS (
+        SELECT k.doc_id, count(*) AS n_tokens,
+               sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS n_oov
+        FROM toks k LEFT JOIN vocab v ON k.t = v.t
+        GROUP BY k.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per.n_tokens, 0) AS n_tokens,
+           COALESCE(per.n_oov, 0) AS n_oov,
+           round(CASE WHEN COALESCE(per.n_tokens, 0) > 0
+                 THEN per.n_oov / CAST(per.n_tokens AS DOUBLE)
+                 ELSE 0.0 END, 6) AS oov_rate
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    ORDER BY d.doc_id
+    """
+
+
 def _simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup, hamming ≤ 3: pigeonhole 4×8-bit band join has
     perfect recall at this radius — no |docs|² comparison, and the band

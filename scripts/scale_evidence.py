@@ -61,6 +61,11 @@ QUERIES = [
     # id-keyed equi-joins; wall superlinearity is bounded by the
     # thinned graph's wedge growth, not raw row count.
     "triangle_counts",
+    # r13 rotation #10 row: one lead window over (user, ts, state) into
+    # a partial-aggregable (from, to) count — 10× users shuffle 10× the
+    # id/state rows but the OUTPUT is the same ≤|states|² matrix (n
+    # scales 10×, probs identical because replicas repeat sequences).
+    "markov_transitions",
 ]
 
 
@@ -108,8 +113,13 @@ def _build_sf1(spark) -> None:
     replicate("embeddings", ["vec_id"], "vec_id")
     replicate("lineitem", ["l_orderkey"], "l_orderkey")
     replicate("orders", ["o_orderkey"], "o_orderkey")
+    # events: 10× users, each replica repeating the same sequences
+    # (event_id stride keeps both ids unique; ts untouched) — the
+    # markov row's transition matrix must come back identical with
+    # every n exactly 10×
+    replicate("events", ["event_id", "user_id"], "event_id")
     # dims referenced by tpch_q5 pass through unchanged
-    for name in ("customer", "supplier", "nation", "region", "part", "events"):
+    for name in ("customer", "supplier", "nation", "region", "part"):
         src = f"{SF01}/{name}.parquet"
         if os.path.exists(src):
             shutil.copyfile(src, f"{SF1}/{name}.parquet")

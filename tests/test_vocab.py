@@ -117,3 +117,31 @@ def test_vocab_validation(spark):
         oov_report(df, "text", "doc_id", [])
     with pytest.raises(ValueError):
         oov_top_missing(df, "text", VOCAB, k=0)
+
+
+def test_oov_coverage_duckdb_mirror_staged(spark):
+    """Rotation #12 staging bar (mirror-first): suite._oov_coverage vs
+    its DuckDB oracle SQL must be ROW-IDENTICAL on the driver corpora
+    BEFORE promotion — run at sf0.001 and sf0.01, the oracle gate's
+    own scales. The vocab family (per-document OOV coverage against a
+    deterministically self-derived top-1000 vocab) has no oracle row
+    yet; this stages its first. A tie-break divergence in either
+    engine's top-1000 vocab selection changes n_oov corpus-wide, so
+    the row gates both the tokenizer mirror and the vocab-derivation
+    determinism."""
+    from fenix_spark import suite
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = [
+            (r["doc_id"], r["n_tokens"], r["n_oov"], r["oov_rate"])
+            for r in suite._oov_coverage(spark, sf_dir).collect()
+        ]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')"
+        )
+        want = [tuple(r) for r in con.execute(suite._oov_coverage_sql()).fetchall()]
+        con.close()
+        assert len(got) > 0, sf_dir
+        assert got == want, sf_dir
