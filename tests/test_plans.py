@@ -415,3 +415,38 @@ def test_markov_transitions_single_window_summary_sized(spark):
     assert "InPandas" not in plan
     assert shuffle_count(df) <= 4
     assert_plan(df, scan_columns_subset_of={"user_id", "ts", "event_type"})
+
+
+def test_doc_chunks_scan_local_no_python(spark):
+    """doc_chunks (STAGED for rotation #11): sequence → transform →
+    substring explode where the text lives — scan-speed map work. The
+    only exchange allowed is the oracle-stability orderBy; no Python,
+    no cartesian, scan reads only (doc_id, text)."""
+    from fenix_spark.suite import _doc_chunks
+
+    df = _doc_chunks(spark, SF01)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InPandas" not in plan
+    assert shuffle_count(df) <= 1
+    assert_plan(df, scan_columns_subset_of={"doc_id", "text"})
+
+
+def test_oov_coverage_broadcast_vocab_no_python(spark):
+    """oov_coverage (STAGED for rotation #12): the derived top-1000
+    vocab is summary-sized (TakeOrderedAndProject) and ships back as a
+    BROADCAST join — document text never shuffles; per-doc counting is
+    partial-aggregable. No Python, no cartesian, bounded exchanges,
+    scan reads only (doc_id, text)."""
+    from fenix_spark.suite import _oov_coverage
+
+    df = _oov_coverage(spark, SF01)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InPandas" not in plan
+    assert broadcast_join_count(df) >= 1
+    assert "SortMergeJoin" not in plan or shuffle_count(df) <= 8
+    assert shuffle_count(df) <= 8
+    assert_plan(df, scan_columns_subset_of={"doc_id", "text"})
