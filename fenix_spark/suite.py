@@ -2372,10 +2372,21 @@ def _readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: per-row scalar work inside whole-stage codegen — linear
     scan, embarrassingly parallel at any SF."""
     from fenix_spark.functions.readability import readability_stats
+    from fenix_spark.operators.dedup import spread
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Validity gate, re-expressed as the equivalent cheap scan filter
+    # (proven row-identical in tests/test_readability.py): n_words > 0
+    # ⟺ some whitespace token carries a letter/digit ⟺ text contains a
+    # [\p{L}\p{N}] char; and any such char is a non-ws char, so
+    # n_sentences > 0 (sentences are the non-empty trimmed splits and
+    # the split regex consumes only whitespace) is implied. Filtering
+    # at the scan costs ONE cheap regex instead of pushing the full
+    # word+sentence counting expressions below the spread exchange,
+    # where they would run single-threaded on a one-file input.
+    docs = spread(docs.where(F.col("text").rlike("[\\p{L}\\p{N}]")))
     out = readability_stats(docs, "text")
-    return out.where((F.col("n_words") > 0) & (F.col("n_sentences") > 0)).select(
+    return out.select(
         "doc_id", "n_words", "n_sentences", "n_syllables",
         "fre", "fk_grade", "ari", "cli",
     )

@@ -122,8 +122,9 @@ _SUITE_ALLOW = {
     # text): structurally unpushable, filter-at-scan is the right plan
     "lsh_ann_search": ("filter-not-pushed",),
     "substring_dedup": ("filter-not-pushed",),
-    # n_words/n_sentences are regex-counted from text in the same
-    # projection — the w>0, s>0 validity gate cannot reach parquet
+    # the validity gate is the cheap equivalent scan regex
+    # (text RLIKE [\p{L}\p{N}] ⟺ w>0 AND s>0); rlike cannot be
+    # evaluated by parquet, filter-at-scan is the right plan
     "readability_scores": ("filter-not-pushed",),
 }
 

@@ -204,3 +204,47 @@ def test_duckdb_mirror_on_adversarial_texts(spark):
             doc_id,
             texts[doc_id],
         )
+
+
+def test_validity_gate_rlike_equivalence(spark):
+    """The suite row's validity gate was re-expressed (r13 optimization)
+    as text RLIKE '[\\p{L}\\p{N}]' so it can run as ONE cheap scan
+    regex instead of the full count expressions. Equivalence argument:
+    n_words > 0 ⟺ some whitespace token carries a letter/digit ⟺ text
+    contains a [\\p{L}\\p{N}] char; any such char is non-whitespace and
+    the sentence split consumes only whitespace, so ≥1 non-empty
+    trimmed sentence exists ⟺ n_sentences > 0 is implied. Proven here
+    row-identical on the corpus plus the degenerate boundary texts."""
+    from fenix_spark.functions.readability import readability_stats
+
+    corpus = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (10_001, None),
+            (10_002, ""),
+            (10_003, "   \t\n "),
+            (10_004, "... !!! ——— ???"),
+            (10_005, "a"),
+            (10_006, "7"),
+            (10_007, "¡!… ñ"),
+            (10_008, ". . . x"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = corpus.unionByName(edge)
+    stats = readability_stats(docs, "text")
+    old_gate = set(
+        r["doc_id"]
+        for r in stats.where(
+            (F.col("n_words") > 0) & (F.col("n_sentences") > 0)
+        ).collect()
+    )
+    new_gate = set(
+        r["doc_id"]
+        for r in docs.where(F.col("text").rlike("[\\p{L}\\p{N}]")).collect()
+    )
+    assert old_gate == new_gate
+    assert {10_005, 10_006, 10_007, 10_008} <= new_gate
+    assert not {10_001, 10_002, 10_003, 10_004} & new_gate
