@@ -19,6 +19,7 @@ the DuckDB oracle to well below the 1e-6 output rounding).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column
@@ -33,11 +34,28 @@ def vec_double(vec: Column | str) -> Column:
     return vec.cast("array<double>")
 
 
+def lit_double_array(values: Sequence[float]) -> Column:
+    """array<double> literal built in ONE py4j call.
+
+    ``F.lit(list)`` / ``F.array(*[F.lit(v) ...])`` cost one JVM round
+    trip PER ELEMENT (~0.5 ms each): the residual-IVFPQ LUTs alone are
+    4×1024 doubles, ~2.5 s of driver time per query invocation. One
+    ``F.expr("array(<v>D, ...)")`` parses JVM-side to the identical
+    CreateArray-of-Literal tree: Python ``repr`` is shortest-round-trip
+    and Java's parser is correctly rounded, so every element is the
+    same IEEE double bit pattern. Non-finite values (no SQL literal
+    form) fall back to the per-element path."""
+    vals = [float(v) for v in values]
+    if vals and all(math.isfinite(v) for v in vals):
+        return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
+
+
 def query_literal(target: Sequence[float]) -> Column:
     """Embed a driver-side query vector into the plan as a foldable
     array<double> literal (Catalyst constant — shipped once per task,
     not per row)."""
-    return F.array(*[F.lit(float(v)) for v in target])
+    return lit_double_array(target)
 
 
 def dot(u: Column, v: Column) -> Column:

@@ -119,22 +119,32 @@ def bootstrap_ci(
     # md5 each); the aggregate expressions below only read array slots.
     # The Project stays BELOW the Aggregate (no optimizer rule inlines
     # a project into aggregate expressions), so the array is built
-    # once per row, not once per aggregate column.
-    base = df.where(x.isNotNull()).withColumn(
-        "__bw", _poisson_weights(id_col, n_boot, salt)
+    # once per row, not once per aggregate column. spread() first: the
+    # n_boot md5s per row are the dominant cost, and a one-file input
+    # would otherwise compute them all in a single scan task (the
+    # repartition ships only the projected key/value/id columns and is
+    # a no-op once the input has >= cores files).
+    from fenix_spark.operators.dedup import spread
+
+    # ``__x`` is projected once so the replicate aggregates below can
+    # be rendered as compact SQL strings: building 2B aggregate Columns
+    # through the fluent API costs ~6 py4j round-trips EACH (~0.8 s of
+    # driver time per invocation at B=80, measured) while one
+    # ``F.expr`` per replicate parses JVM-side to the identical
+    # expression tree.
+    base = (
+        spread(df.where(x.isNotNull()))
+        .withColumn("__x", x)
+        .withColumn("__bw", _poisson_weights(id_col, n_boot, salt))
     )
 
-    aggs = []
+    aggs = [F.expr("sum(__x) AS __s_point")]
     if stat == "mean":
-        aggs.append(F.sum(x).alias("__s_point"))
-        aggs.append(F.count(x).alias("__n_point"))
-    else:
-        aggs.append(F.sum(x).alias("__s_point"))
+        aggs.append(F.expr("count(__x) AS __n_point"))
     for b in range(n_boot):
-        w = F.element_at(F.col("__bw"), b + 1)
-        aggs.append(F.sum(w * x).alias(f"__s{b}"))
+        aggs.append(F.expr(f"sum(element_at(__bw, {b + 1}) * __x) AS __s{b}"))
         if stat == "mean":
-            aggs.append(F.sum(w).alias(f"__n{b}"))
+            aggs.append(F.expr(f"sum(element_at(__bw, {b + 1})) AS __n{b}"))
 
     grouped = (
         base.groupBy(*key_list).agg(*aggs)
@@ -143,26 +153,29 @@ def bootstrap_ci(
     )
 
     if stat == "mean":
-        point = F.col("__s_point") / F.col("__n_point")
-        thetas = [
-            F.col(f"__s{b}")
-            / F.when(F.col(f"__n{b}") > 0, F.col(f"__n{b}"))
+        point_sql = "(__s_point / __n_point)"
+        theta_sqls = [
+            f"(__s{b} / (CASE WHEN (__n{b} > 0) THEN __n{b} END))"
             for b in range(n_boot)
         ]
     else:
-        point = F.col("__s_point")
-        thetas = [F.col(f"__s{b}") for b in range(n_boot)]
+        point_sql = "__s_point"
+        theta_sqls = [f"__s{b}" for b in range(n_boot)]
 
     # zero-weight replicates (tiny groups) fall back to the estimate
-    arr = F.sort_array(F.array(*[F.coalesce(t, point) for t in thetas]))
+    arr_sql = (
+        "sort_array(array("
+        + ", ".join(f"coalesce({t}, {point_sql})" for t in theta_sqls)
+        + "))"
+    )
     alpha = 1.0 - confidence
     lo_idx = max(1, math.ceil(n_boot * alpha / 2))
     hi_idx = n_boot - lo_idx + 1
     out_cols = [
         *key_list,
-        point.alias("estimate"),
-        F.element_at(arr, lo_idx).alias("lo"),
-        F.element_at(arr, hi_idx).alias("hi"),
+        F.expr(point_sql).alias("estimate"),
+        F.expr(f"element_at({arr_sql}, {lo_idx})").alias("lo"),
+        F.expr(f"element_at({arr_sql}, {hi_idx})").alias("hi"),
         F.lit(n_boot).alias("n_boot"),
     ]
     return grouped.select(*out_cols)

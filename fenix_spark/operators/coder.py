@@ -113,6 +113,37 @@ def train_coding(
 _CODING_MEMO: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
 
 
+def _local_scan_rows(df: DataFrame):
+    """Rows of ``df`` read driver-locally with pyarrow when — and only
+    when — it is a bare parquet scan over local files. Codebook tables
+    are a handful of rows, but ``collect()`` still pays a full Spark
+    job (~0.1-0.3 s of scheduling); a driver-side footer+page read of
+    the same files is ~ms and reads the identical bytes. Every
+    invocation still reads the parquet inputs — this changes WHO reads
+    the file, never WHEN (no cross-invocation caching; the weak
+    per-instance memo above is unchanged). Returns None for anything
+    that is not a plain local scan — callers fall back to collect()."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — any introspection failure: no fast path
+        return None
+    if not files or not all(f.startswith("file:") for f in files):
+        return None
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    paths = [f[len("file:"):] for f in files]
+    tables = [pq.read_table(p) for p in sorted(paths)]
+    out = []
+    for t in tables:
+        out.extend(t.to_pylist())
+    return out or None
+
+
 def coding_to_numpy(coding: DataFrame) -> tuple[np.ndarray, str, int, int]:
     """Collect a coding table to a (n, k, sub_dim) centroid array +
     (metric, k, n). Codebooks are tiny by design (n·k rows) — this is
@@ -135,7 +166,9 @@ def coding_to_numpy(coding: DataFrame) -> tuple[np.ndarray, str, int, int]:
         hit = None
     if hit is not None:
         return hit
-    rows = coding.collect()
+    rows = _local_scan_rows(coding)
+    if rows is None:
+        rows = coding.collect()
     metric = rows[0]["metric"]
     k = rows[0]["codebook_size"]
     n = rows[0]["num_codebooks"]

@@ -22,7 +22,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fenix_spark.functions.metrics import distance, query_literal, vec_double
+from fenix_spark.functions.metrics import (
+    distance,
+    lit_double_array,
+    query_literal,
+    vec_double,
+)
 from fenix_spark.operators.coder import coding_to_numpy, rank_cells, sub_vector
 from fenix_spark.operators.search import DISTANCE_COL, knn
 
@@ -365,7 +370,7 @@ def adc_dist_expr(
     total = None
     for j, lut in enumerate(luts):
         digit = F.floor(code / F.lit(int(k ** (n - 1 - j)))).cast("bigint") % F.lit(k)
-        term = F.element_at(F.lit([float(v) for v in lut]), (digit + 1).cast("int"))
+        term = F.element_at(lit_double_array(lut), (digit + 1).cast("int"))
         total = term if total is None else total + term
     if metric in ("l2", "euclidean"):
         return F.sqrt(total)
@@ -704,7 +709,7 @@ def ivfpq_residual_search(
     for j in range(fn):
         flat = [float(luts_by_cell[c][j][dd]) for c in range(ck) for dd in range(fk)]
         digit = F.floor(fcode / F.lit(int(fk ** (fn - 1 - j)))).cast("bigint") % F.lit(fk)
-        term = F.element_at(F.lit(flat), (ccode * fk + digit + 1).cast("int"))
+        term = F.element_at(lit_double_array(flat), (ccode * fk + digit + 1).cast("int"))
         total = term if total is None else total + term
     d = F.sqrt(total) if metric in ("l2", "euclidean") else total
     if round_to is not None:

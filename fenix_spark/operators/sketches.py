@@ -269,14 +269,24 @@ def heavy_hitters(
     partials = terms.mapInPandas(summarize, "term string, lb bigint")
     # the NULL-term sentinel row per partition carries that partition's
     # total weight, so N (the completeness bound's numerator) comes out
-    # of the SAME pass — no third scan
-    candidates = (
-        partials.where(F.col("term").isNotNull())
-        .groupBy("term")
+    # of the SAME pass — no third scan. The grouped summary (≤ m·P + 1
+    # rows) feeds TWO consumers (candidate broadcast + the floor row),
+    # so truncate its lineage: the MG Arrow pass runs exactly ONCE per
+    # invocation. (It previously ran twice — an eager .first() at plan-
+    # build time collected N to bake count_floor in as a literal, then
+    # the returned plan recomputed the whole pass for the candidates.)
+    from fenix_spark.checkpoint import checkpoint_lazy
+
+    grouped = (
+        partials.groupBy("term")
         .agg(F.sum("lb").alias("lb"))
+        .transform(checkpoint_lazy)
     )
-    n_total = (
-        partials.where(F.col("term").isNull()).agg(F.sum("lb")).first()[0] or 0
+    candidates = grouped.where(F.col("term").isNotNull())
+    floor_row = grouped.where(F.col("term").isNull()).select(
+        F.expr(f"CAST(coalesce(sum(lb), 0) DIV {mm + 1} AS BIGINT)").alias(
+            "count_floor"
+        )
     )
 
     exact = (
@@ -285,9 +295,7 @@ def heavy_hitters(
         .agg(F.sum("w").alias("count"))
     )
     return (
-        exact.withColumn(
-            "count_floor", F.lit(int(n_total // (mm + 1))).cast("bigint")
-        )
+        exact.join(F.broadcast(floor_row))
         .orderBy(F.col("count").desc(), F.col("term").asc())
         .limit(k)
     )

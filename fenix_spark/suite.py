@@ -19,6 +19,7 @@ Determinism rules (SURVEY.md §7 risks, FIXTURES.md §6):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -168,6 +169,19 @@ def _round_dist(col: Column, n: int = 6) -> Column:
 
 
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    # Driver-local pyarrow read: fetching ONE query vector via a Spark
+    # job costs ~0.2 s of scheduling per invocation (and several knn
+    # rows pay it); filtering the same parquet bytes on the driver is
+    # ~ms and value-identical. Read per invocation — never cached.
+    path = f"{sf_dir}/embeddings.parquet"
+    if os.path.exists(path):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        hit = t.filter(pc.equal(t["vec_id"], vec_id))
+        if hit.num_rows:
+            return [float(x) for x in hit["embedding"][0].as_py()]
     row = (
         table(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") == vec_id)

@@ -56,3 +56,35 @@ def test_identical_vector_distances(spark):
 def test_unknown_metric_raises():
     with pytest.raises(ValueError):
         distance("manhattan", F.col("a"), F.col("b"))
+
+
+def test_lit_double_array_bit_identical(spark):
+    """lit_double_array (r13: one F.expr instead of one py4j lit call
+    per element) must produce bit-identical doubles to the per-element
+    F.lit path — including denormals, -0.0, and full-precision reprs —
+    and fall back cleanly for non-finite values."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from fenix_spark.functions.metrics import lit_double_array
+
+    vals = [
+        0.1, -0.0, 1.5e-307, 4.9e-324, 1e300, 123456789.123456789,
+        2 / 3, -math.pi, 1.0, 0.36787944117144233, float(1 << 60),
+    ]
+    row = (
+        spark.range(1)
+        .select(
+            lit_double_array(vals).alias("a"),
+            F.array(*[F.lit(float(v)) for v in vals]).alias("b"),
+        )
+        .first()
+    )
+    bits = lambda xs: [struct.pack("<d", x) for x in xs]  # noqa: E731
+    assert bits(row["a"]) == bits(row["b"]) == bits([float(v) for v in vals])
+
+    nf = [1.0, float("nan"), float("inf")]
+    got = spark.range(1).select(lit_double_array(nf).alias("a")).first()["a"]
+    assert got[0] == 1.0 and math.isnan(got[1]) and math.isinf(got[2])

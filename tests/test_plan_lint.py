@@ -111,6 +111,7 @@ _SUITE_ALLOW = {
     # 1-row broadcast cross joins (corpus size N / query shingles into
     # a summary frame) — BuildRight over literally one row
     "tfidf_top_terms": ("nested-loop-join",),
+    "heavy_hitters": ("nested-loop-join",),  # 1-row count_floor broadcast
     # deterministic md5 hash-bucket sampling: the predicate is the
     # sample definition; parquet cannot evaluate md5
     "curation_stats": ("filter-not-pushed",),
