@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -151,6 +152,26 @@ def probe_cells_expr(column: str, coding: DataFrame, probes: int, metric: str | 
 _MAX_ENUMERATED_CELLS = 4096
 
 
+def _sql_double(v: float) -> str:
+    return repr(float(v)) + "D"
+
+
+def _sql_distance(metric: str, u: str, v: str) -> str | None:
+    """SQL text for ``functions.metrics.distance`` over array<double>
+    operands — the same fold shapes (zip_with + left-fold aggregate),
+    so values are bit-identical to the Column-built form. Returns None
+    for metrics without a rendering (callers fall back to Columns)."""
+    dot = f"aggregate(zip_with({u}, {v}, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"
+    if metric in ("l2", "euclidean"):
+        return (
+            f"sqrt(aggregate(zip_with({u}, {v}, (a, b) -> (a - b) * (a - b)), "
+            "0.0D, (acc, x) -> acc + x))"
+        )
+    if metric in ("dot", "inner_product"):
+        return f"-({dot})"
+    return None
+
+
 def _probe_cells_from_cents(
     column: str, cents, k: int, n: int, probes: int, metric: str
 ) -> Column:
@@ -168,7 +189,43 @@ def _probe_cells_from_cents(
         )
     sub_dim = cents.shape[2]
 
-    dists = F.array(
+    # The k^n-struct scorer is ~6 py4j round trips per cell built
+    # through the fluent API (~1.7 s of driver time per invocation at
+    # 64 cells); rendering the WHOLE let-bound expression as one SQL
+    # string parses JVM-side to the same tree (see lit_double_array for
+    # the literal-fidelity argument). Fluent fallback for metrics
+    # without a SQL rendering or non-finite centroids.
+    d_sql = _sql_distance(metric, "u", "v")
+    if d_sql is not None and np.isfinite(cents).all() and "`" not in column:
+        col = f"`{column}`"
+
+        def sub(j: int) -> str:
+            return f"CAST(slice({col}, {j * sub_dim + 1}, {sub_dim}) AS ARRAY<DOUBLE>)"
+
+        def cent(j: int, c: int) -> str:
+            return "array(" + ",".join(_sql_double(x) for x in cents[j, c]) + ")"
+
+        dists = "array(" + ",".join(
+            _sql_distance(metric, sub(j), cent(j, c))
+            for j in range(n)
+            for c in range(k)
+        ) + ")"  # flat [j * k + c]
+        structs = ",".join(
+            "struct("
+            + " + ".join(
+                f"element_at(d, {j * k + _digit(joint, j, k, n) + 1})"
+                for j in range(n)
+            )
+            + f" AS score, CAST({joint} AS BIGINT) AS joint)"
+            for joint in range(k**n)
+        )
+        body = (
+            f"transform(slice(array_sort(array({structs})), 1, {probes}), "
+            "s -> s.joint)"
+        )
+        return F.expr(f"element_at(transform(array({dists}), d -> {body}), 1)")
+
+    dists_col = F.array(
         *[
             distance(metric, sub_vector(column, j, sub_dim), query_literal(cents[j, c]))
             for j in range(n)
@@ -193,7 +250,7 @@ def _probe_cells_from_cents(
             F.slice(F.array_sort(scored), 1, probes), lambda s: s["joint"]
         )
 
-    return let(dists, top_probes)
+    return let(dists_col, top_probes)
 
 
 def _digit(joint: int, j: int, k: int, n: int) -> int:
