@@ -71,7 +71,7 @@ def mine_contrastive_pairs(
     signed = sets.select(
         "id",
         "s",
-        minhash_signature_hashed(F.col("s"), num_components).alias("sig"),
+        minhash_signature_hashed("s", num_components).alias("sig"),
     ).transform(_ckpt_lazy)
     cand = lsh_candidates(signed, bands, num_components // bands)
     l = signed.select(F.col("id").alias("id_l"), F.col("s").alias("s_a"))

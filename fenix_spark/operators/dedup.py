@@ -291,7 +291,7 @@ def minhash_neardup_pairs(
         "id",
         "s",
         F.size("s").alias("sz"),
-        minhash_signature_hashed(F.col("s"), num_components).alias("sig"),
+        minhash_signature_hashed("s", num_components).alias("sig"),
     )
     # Length filter (classic lossless prefix-family bound, e.g. Arasu
     # et al. / ppjoin): J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|),
@@ -415,7 +415,7 @@ def minhash_state(
         "sz", F.size("s")
     )
     signed = sets.select(
-        "id", "sz", minhash_signature_hashed(F.col("s"), num_components).alias("sig")
+        "id", "sz", minhash_signature_hashed("s", num_components).alias("sig")
     )
     rows_per_band = num_components // bands
     band_rows = signed.select(
@@ -538,8 +538,11 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str, bits: int = 
     """(id, sim) — classic simhash: per-bit majority vote over the
     document's (non-distinct) token hashes, so term frequency weights
     the vote exactly as in Charikar's original formulation."""
+    from fenix_spark.functions.texthash import tokens_sql
+
+    toks = tokens_sql(text_col) if "`" not in text_col else tokens(F.col(text_col))
     return spread(df).select(
-        F.col(id_col).alias("id"), simhash(tokens(F.col(text_col)), bits).alias("sim")
+        F.col(id_col).alias("id"), simhash(toks, bits).alias("sim")
     )
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 
 from fenix_spark.functions.metrics import distance, query_literal, vec_double
 from fenix_spark.checkpoint import checkpoint_eager as _ckpt_eager
+from fenix_spark.checkpoint import checkpoint_lazy as _ckpt_lazy
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -2767,7 +2768,14 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the document-frequency broadcast side and the
+    # scored join: truncate its lineage so the tokenize+explode+count
+    # pass over the corpus runs once per invocation, not twice.
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(_ckpt_lazy)
+    )
     dfreq = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
