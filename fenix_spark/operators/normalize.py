@@ -48,6 +48,10 @@ def quantile_normalize(
     from fenix_spark.operators.sketches import kll_rollup
 
     key_list = list(keys)
+    # (r13 opt note: spread()-ing one-file inputs here was measured a
+    # WASH at sf0.1 — 1.19 vs 1.21 s — the wall is the sketch pass +
+    # broadcast latency, not the per-row fold; left out to keep the
+    # plan exchange-free.)
     state = sketch if sketch is not None else kll_rollup(df, key_list, value_col, k)
     packed = (
         state.groupBy(*key_list)
@@ -70,10 +74,13 @@ def quantile_normalize(
     else:
         joined = df.crossJoin(F.broadcast(packed))  # one summary row
     x = F.col(value_col).cast("double")
+    # conditional fold, not filter-then-sum: same integer weight total
+    # (exact under any summation order) without materializing a
+    # filtered struct array per row
     below = F.aggregate(
-        F.filter("__kll", lambda s: s["item"] <= x),
+        F.col("__kll"),
         F.lit(0).cast("bigint"),
-        lambda acc, s: acc + s["weight"],
+        lambda acc, s: acc + F.when(s["item"] <= x, s["weight"]).otherwise(F.lit(0).cast("bigint")),
     )
     rank = F.when(
         x.isNotNull() & F.col("__kll_n").isNotNull(),
