@@ -33,17 +33,30 @@ from fenix_spark.functions.texthash import hash60, tokens, word_shingles
 
 
 def doc_gram_hashes(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    spread_input: bool = False,
 ) -> DataFrame:
     """(id, distinct 60-bit n-gram hash) pairs — one row per distinct
     gram per document; hashing happens before the explode so only
-    8-byte values ever widen the plan."""
+    8-byte values ever widen the plan.
+
+    ``spread_input=True`` repartitions one-file inputs across cores
+    before the tokenize+shingle+hash projection (``dedup.spread`` — a
+    no-op once the input has ≥ cores splits). r13 A/B at sf0.1: the
+    CORPUS gram pass is the query's dominant term and was serializing
+    on the single-file input (1.4–2.1 s → 1.0–1.3 s with spread); the
+    benchmark side stays un-spread (it is a small slice and the extra
+    exchange costs more than the parallelism buys)."""
     grams: Column = F.array_distinct(
         F.transform(word_shingles(tokens(F.col(text_col)), n), hash60)
     )
-    # no spread() here: measured no win (the gram hash work is light
-    # relative to the hit-count shuffle) and the plan contract pins the
-    # pipeline at one corpus-sized exchange (tests/test_plans.py)
+    if spread_input:
+        from fenix_spark.operators.dedup import spread
+
+        df = spread(df)
     return df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram"))
 
 
@@ -70,7 +83,7 @@ def contamination_report(
     )
     if broadcast:
         bench_grams = F.broadcast(bench_grams)
-    corpus_grams = doc_gram_hashes(corpus, text_col, id_col, n)
+    corpus_grams = doc_gram_hashes(corpus, text_col, id_col, n, spread_input=True)
     # LEFT broadcast join + ONE aggregation: n_grams = all rows,
     # n_hits = non-null marks. (Two separate aggs re-joined on doc_id
     # would cost three shuffles; this plan's only corpus-sized exchange
