@@ -34,6 +34,14 @@ def vec_double(vec: Column | str) -> Column:
     return vec.cast("array<double>")
 
 
+def sql_double(v: float) -> str:
+    """SQL double literal for a FINITE value: shortest-round-trip repr
+    + D suffix, parsed by Java's correctly-rounded parser to the same
+    IEEE bit pattern (pinned in test_metrics). ONE definition for every
+    SQL-rendering fast path."""
+    return repr(float(v)) + "D"
+
+
 def lit_double_array(values: Sequence[float]) -> Column:
     """array<double> literal built in ONE py4j call.
 
@@ -47,7 +55,7 @@ def lit_double_array(values: Sequence[float]) -> Column:
     form) fall back to the per-element path."""
     vals = [float(v) for v in values]
     if vals and all(math.isfinite(v) for v in vals):
-        return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+        return F.expr("array(" + ",".join(sql_double(v) for v in vals) + ")")
     return F.array(*[F.lit(v) for v in vals])
 
 

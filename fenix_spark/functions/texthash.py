@@ -86,12 +86,30 @@ def tokens(c: Column) -> Column:
     return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
 
 
+def hash32_sql(operand: str) -> str:
+    """SQL text of ``hash32(<operand>)`` — ONE definition shared by
+    every str-operand fast path so the SQL and Column renderings of the
+    hash cannot drift."""
+    return f"CAST(conv(substring(md5({operand}), 1, 8), 16, 10) AS BIGINT)"
+
+
 def tokens_sql(col_name: str) -> str:
     """SQL text of ``tokens(F.col(col_name))`` — for the str-operand
-    fast paths below. Falls back to the caller keeping Columns when the
-    name needs quoting beyond backticks."""
+    fast paths below. Raises ValueError when the rendering cannot be
+    exact: callers catch it and keep the Column path (see
+    ``dedup.simhash_fingerprints``)."""
     if "`" in col_name:
         raise ValueError(f"column name {col_name!r} cannot be backtick-quoted")
+    # Spark SQL single-quoted literals process backslash escapes: a
+    # regex containing \ or ' would silently change meaning inside the
+    # rendered string while the Column path keeps the real regex. The
+    # current TOKEN_SPLIT_RE is literal-safe; refuse loudly if a future
+    # edit makes it not so, instead of diverging from duck_tokens.
+    if any(ch in TOKEN_SPLIT_RE for ch in "\\'"):
+        raise ValueError(
+            f"TOKEN_SPLIT_RE {TOKEN_SPLIT_RE!r} is not SQL-literal-safe; "
+            "use the Column path"
+        )
     return f"filter(split(lower(`{col_name}`), '{TOKEN_SPLIT_RE}'), t -> t != '')"
 
 
@@ -167,10 +185,7 @@ def simhash(toks: Column | str, bits: int = 32) -> Column:
     round trips per bit (~1 s of driver time per invocation at 32
     bits); integer math, values equal by construction."""
     if isinstance(toks, str):
-        hashed_sql = (
-            f"transform({toks}, t -> "
-            "CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT))"
-        )
+        hashed_sql = f"transform({toks}, t -> {hash32_sql('t')})"
         votes = " + ".join(
             "CAST(CASE WHEN (aggregate(hs, 0, (acc, h) -> acc + "
             f"CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END"

@@ -122,22 +122,31 @@ def _local_scan_rows(df: DataFrame):
     invocation still reads the parquet inputs — this changes WHO reads
     the file, never WHEN (no cross-invocation caching; the weak
     per-instance memo above is unchanged). Returns None for anything
-    that is not a plain local scan — callers fall back to collect()."""
+    that is not a plain local parquet scan — non-parquet sources,
+    percent-encoded paths pyarrow can't open, and HIVE-PARTITIONED
+    layouts (whose partition columns live in directory names, not the
+    leaf files — the column check below catches them) all fall back to
+    collect()."""
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() != "LogicalRelation":
             return None
         files = df.inputFiles()
-    except Exception:  # noqa: BLE001 — any introspection failure: no fast path
-        return None
-    if not files or not all(f.startswith("file:") for f in files):
-        return None
-    try:
+        if not files or not all(f.startswith("file:") for f in files):
+            return None
+        from urllib.parse import unquote
+
         import pyarrow.parquet as pq
-    except ImportError:
+
+        paths = [unquote(f[len("file:"):]) for f in files]
+        tables = [pq.read_table(p) for p in sorted(paths)]
+        # every DataFrame column must come from the files themselves —
+        # a partition-directory column would be silently absent here
+        cols = set().union(*(set(t.column_names) for t in tables))
+        if not set(df.columns) <= cols:
+            return None
+    except Exception:  # noqa: BLE001 — any fast-path failure: collect() instead
         return None
-    paths = [f[len("file:"):] for f in files]
-    tables = [pq.read_table(p) for p in sorted(paths)]
     out = []
     for t in tables:
         out.extend(t.to_pylist())

@@ -540,7 +540,10 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str, bits: int = 
     the vote exactly as in Charikar's original formulation."""
     from fenix_spark.functions.texthash import tokens_sql
 
-    toks = tokens_sql(text_col) if "`" not in text_col else tokens(F.col(text_col))
+    try:
+        toks = tokens_sql(text_col)
+    except ValueError:  # unquotable name / unsafe regex: Column path
+        toks = tokens(F.col(text_col))
     return spread(df).select(
         F.col(id_col).alias("id"), simhash(toks, bits).alias("sim")
     )

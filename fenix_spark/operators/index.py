@@ -27,6 +27,7 @@ from fenix_spark.functions.metrics import (
     distance,
     lit_double_array,
     query_literal,
+    sql_double,
     vec_double,
 )
 from fenix_spark.operators.coder import coding_to_numpy, rank_cells, sub_vector
@@ -152,10 +153,6 @@ def probe_cells_expr(column: str, coding: DataFrame, probes: int, metric: str | 
 _MAX_ENUMERATED_CELLS = 4096
 
 
-def _sql_double(v: float) -> str:
-    return repr(float(v)) + "D"
-
-
 def _sql_distance(metric: str, u: str, v: str) -> str | None:
     """SQL text for ``functions.metrics.distance`` over array<double>
     operands — the same fold shapes (zip_with + left-fold aggregate),
@@ -203,7 +200,7 @@ def _probe_cells_from_cents(
             return f"CAST(slice({col}, {j * sub_dim + 1}, {sub_dim}) AS ARRAY<DOUBLE>)"
 
         def cent(j: int, c: int) -> str:
-            return "array(" + ",".join(_sql_double(x) for x in cents[j, c]) + ")"
+            return "array(" + ",".join(sql_double(x) for x in cents[j, c]) + ")"
 
         dists = "array(" + ",".join(
             _sql_distance(metric, sub(j), cent(j, c))

@@ -176,13 +176,16 @@ def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[flo
     # ~ms and value-identical. Read per invocation — never cached.
     path = f"{sf_dir}/embeddings.parquet"
     if os.path.exists(path):
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
+        try:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
 
-        t = pq.read_table(path, columns=["vec_id", "embedding"])
-        hit = t.filter(pc.equal(t["vec_id"], vec_id))
-        if hit.num_rows:
-            return [float(x) for x in hit["embedding"][0].as_py()]
+            t = pq.read_table(path, columns=["vec_id", "embedding"])
+            hit = t.filter(pc.equal(t["vec_id"], vec_id))
+            if hit.num_rows:
+                return [float(x) for x in hit["embedding"][0].as_py()]
+        except Exception:  # noqa: BLE001 — fall back to the Spark job below
+            pass
     row = (
         table(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") == vec_id)

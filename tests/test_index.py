@@ -617,3 +617,34 @@ class TestFilteredProbeSearch:
         assert len(boosted & want) >= len(naive & want)
         # 4/0.25 = 16 probed cells of 64 — strictly more than naive's 4
         assert len(boosted) == 10
+
+
+def test_local_scan_rows_fallbacks(spark, tmp_path):
+    """_local_scan_rows (r13: driver-local pyarrow fast path for bare
+    parquet scans) must refuse — returning None so callers collect() —
+    exactly the shapes it cannot read faithfully: hive-partitioned
+    layouts (partition columns live in directory names, not leaf
+    files), non-parquet sources, and transformed plans; and it must
+    agree with collect() on the plain-scan case."""
+    from fenix_spark.operators.coder import _local_scan_rows
+
+    plain = str(tmp_path / "plain.parquet")
+    spark.range(6).selectExpr("id", "id % 2 AS codebook").write.parquet(plain)
+    df = spark.read.parquet(plain)
+    rows = _local_scan_rows(df)
+    assert rows is not None
+    assert sorted((r["id"], r["codebook"]) for r in rows) == sorted(
+        (r["id"], r["codebook"]) for r in df.collect()
+    )
+
+    part = str(tmp_path / "part.parquet")
+    spark.range(6).selectExpr("id", "id % 2 AS codebook").write.partitionBy(
+        "codebook"
+    ).parquet(part)
+    assert _local_scan_rows(spark.read.parquet(part)) is None  # partition col
+
+    js = str(tmp_path / "rows.json")
+    spark.range(3).write.json(js)
+    assert _local_scan_rows(spark.read.json(js)) is None  # not parquet
+
+    assert _local_scan_rows(df.where("id > 1")) is None  # not a bare scan
