@@ -32,6 +32,47 @@ from pyspark.sql import DataFrame
 __all__ = ["truncate_lineage", "checkpoint_lazy", "checkpoint_eager"]
 
 
+# sizeInBytes beyond this is provably garbage: a real relation is
+# < 2^63 bytes, so even the product of TWO real sizes (what one join's
+# size estimate degrades to) stays under 10^38. Only *compounded*
+# join-of-join estimates exceed it.
+_GARBAGE_STATS_BOUND = 10**40
+
+
+def _clamp_garbage_stats(df: DataFrame) -> DataFrame:
+    """Re-wrap a checkpointed frame whose inherited ``sizeInBytes``
+    statistic is astronomically large.
+
+    ``localCheckpoint``/``checkpoint`` preserve the ORIGIN plan's
+    statistics on the resulting ``LogicalRDD``. Spark's size-only
+    estimator MULTIPLIES child sizes at a join, so in an iterative
+    operator (PageRank, HITS, connected components) the checkpointed
+    stat compounds round over round — the digit count of the BigInt
+    doubles per round and planning time explodes (measured: HITS
+    round cost doubling from round ~14, a driver thread pegged in
+    ``BigInteger.multiply``; 95 digits after ONE round).
+
+    The clamp fires only above ``_GARBAGE_STATS_BOUND``, where the
+    stat is already far past any broadcast/build-side threshold, so
+    re-wrapping (which resets sizeInBytes to
+    ``spark.sql.defaultSizeInBytes``) cannot change a planning
+    decision that a sane estimate would have made. The wrapped RDD is
+    the checkpointed one, so lineage stays truncated and lazy
+    materialization semantics are unchanged."""
+    try:
+        jqe = df._jdf.queryExecution()
+        size = jqe.optimizedPlan().stats().sizeInBytes()
+        if size <= _GARBAGE_STATS_BOUND:
+            return df
+        jspark = df.sparkSession._jsparkSession
+        new_jdf = jspark.internalCreateDataFrame(
+            jqe.toRdd(), jqe.analyzed().schema(), False
+        )
+        return DataFrame(new_jdf, df.sparkSession)
+    except Exception:  # pragma: no cover - internal-API drift safety net
+        return df
+
+
 def truncate_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
     """Truncate ``df``'s lineage: reliable ``checkpoint`` when the
     session has a checkpoint dir configured, else ``localCheckpoint``.
@@ -42,8 +83,8 @@ def truncate_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
     when the INPUT is about to disappear, e.g. a tmp dir removed)."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+        return _clamp_garbage_stats(df.checkpoint(eager=eager))
+    return _clamp_garbage_stats(df.localCheckpoint(eager=eager))
 
 
 def checkpoint_lazy(df: DataFrame) -> DataFrame:

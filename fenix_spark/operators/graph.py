@@ -74,9 +74,13 @@ def pagerank(
         # both consume this join — without materialization each round
         # pays the ranks⋈deg shuffle twice
         with_deg = ranks.join(nd.select("node", "deg"), "node").transform(_ckpt_lazy)
-        dangling = (
-            with_deg.where(F.col("deg").isNull()).agg(F.sum("rank")).head()[0]
-            or 0.0
+        # dangling mass as a 1-row broadcast INSIDE the round's plan
+        # (same arithmetic as the old driver-side collect — r14, guide
+        # §5: the convergence delta is now the round's ONLY driver
+        # action, so each round is one job instead of two)
+        dangling_row = (
+            with_deg.where(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang"))
         )
         contribs = (
             e.join(with_deg.where(F.col("deg").isNotNull()), e["src"] == with_deg["node"])
@@ -86,10 +90,12 @@ def pagerank(
         )
         new_ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling_row))
             .select(
                 "node",
                 (
-                    F.lit(base + damping * dangling / n)
+                    F.lit(base)
+                    + F.lit(damping) * F.col("__dang") / F.lit(float(n))
                     + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
@@ -145,33 +151,53 @@ def triangle_count(
     lower degree, so the hub is every edge's higher-rank endpoint).
     Total wedge rows are O(m^{3/2}) worst case instead of Σ deg² —
     the difference between feasible and not on a power-law graph.
-    Every join is an id-keyed equi-join (ids + one degree long per
-    row, never payloads); the closing probe is a 2-column equi-join
-    that AQE can plan as broadcast when the wedge side is small.
+    Every shuffle carries ids + one degree long per row, never
+    payloads; the closing probe is a 2-column equi-join that AQE can
+    plan as broadcast when the wedge side is small.
+
+    Degree attachment (r14, guide §2.4/§5): the symmetric adjacency
+    (x, y) holds node v as ``x`` in exactly deg(v) rows AND as ``y``
+    in exactly deg(v) rows, so two window counts — partitioned by
+    ``x``, then by ``y`` — put BOTH endpoint degrees on every
+    directed row in two keyed shuffles of (id, id) pairs. That
+    replaces the r13 shape's separate degree aggregation plus two
+    degree-attach joins, and collapses the build's THREE sequential
+    lineage-truncated materializations (und → deg → oriented) into
+    ONE: the whole scan → self-join → distinct → windows → orient
+    pipeline now materializes exactly once, at ``oriented``.
     """
-    und = _undirected_simple(edges, src, dst).transform(_ckpt_lazy)
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .union(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .transform(_ckpt_lazy)
+    from pyspark.sql import Window
+
+    # symmetric simple adjacency: each undirected edge as BOTH directed
+    # rows, self-loops out, duplicates (and reversed duplicates)
+    # collapsed by one distinct over the directed pair
+    adj = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("x"), F.col(dst).alias("y")),
+                    F.struct(F.col(dst).alias("x"), F.col(src).alias("y")),
+                )
+            ).alias("e")
+        )
+        .select("e.x", "e.y")
+        .where(F.col("x") != F.col("y"))
+        .distinct()
     )
-    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
-    # Orient low-rank → high-rank under the total order (deg, id).
-    lower_is_a = (F.col("deg_a") < F.col("deg_b")) | (
-        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    adj = adj.withColumn(
+        "deg_x", F.count(F.lit(1)).over(Window.partitionBy("x"))
+    ).withColumn("deg_y", F.count(F.lit(1)).over(Window.partitionBy("y")))
+    # Orient low-rank → high-rank under the total order (deg, id):
+    # keep the one direction whose source is the lower-rank endpoint.
+    x_below_y = (F.col("deg_x") < F.col("deg_y")) | (
+        (F.col("deg_x") == F.col("deg_y")) & (F.col("x") < F.col("y"))
     )
     oriented = (
-        und.join(da, "a")
-        .join(db, "b")
+        adj.where(x_below_y)
         .select(
-            F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
-            F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
-            F.when(lower_is_a, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
-                "hi_deg"
-            ),
+            F.col("x").alias("lo"),
+            F.col("y").alias("hi"),
+            F.col("deg_y").alias("hi_deg"),
         )
         .transform(_ckpt_lazy)
     )
@@ -195,9 +221,13 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+    # node universe (zero-triangle nodes included): every node with an
+    # edge appears in the oriented frame as lo or hi of that edge
+    nodes = (
+        oriented.select(F.explode(F.array("lo", "hi")).alias("node")).distinct()
+    )
     return (
-        deg.select("node")
-        .join(corner_counts, "node", "left")
+        nodes.join(corner_counts, "node", "left")
         .select("node", F.coalesce("triangles", F.lit(0)).alias("triangles"))
     )
 
@@ -596,6 +626,11 @@ def hits(
         "node", F.lit(init).alias("hub"), F.lit(init).alias("authority")
     )
     for _ in range(max_iter):
+        # Both L2 norms ride the round's plan as 1-row broadcasts (same
+        # doubles as the old driver-side collects; zero-norm guarded
+        # exactly like the old ``or 1.0`` — r14, guide §5): the
+        # convergence delta is the round's ONLY driver action, so each
+        # round is one job instead of three.
         # authority(v) = Σ hub(u) over in-edges (u → v), then L2-norm
         auth_raw = (
             e.join(
@@ -607,9 +642,13 @@ def hits(
         a = nodes.join(auth_raw, "node", "left").select(
             "node", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")
         )
-        a_norm = a.agg(F.sqrt(F.sum(F.col("a_raw") ** 2))).head()[0] or 1.0
-        a = a.select("node", (F.col("a_raw") / a_norm).alias("authority")).transform(
-            _ckpt_lazy
+        a_norm_row = a.agg(F.sqrt(F.sum(F.col("a_raw") ** 2)).alias("__an")).select(
+            F.when(F.col("__an") == 0.0, F.lit(1.0)).otherwise(F.col("__an")).alias("__an")
+        )
+        a = (
+            a.crossJoin(F.broadcast(a_norm_row))
+            .select("node", (F.col("a_raw") / F.col("__an")).alias("authority"))
+            .transform(_ckpt_lazy)
         )
         # hub(u) = Σ authority(v) over out-edges, from the NEW authorities
         hub_raw = (
@@ -620,9 +659,13 @@ def hits(
         h = nodes.join(hub_raw, "node", "left").select(
             "node", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")
         )
-        h_norm = h.agg(F.sqrt(F.sum(F.col("h_raw") ** 2))).head()[0] or 1.0
-        h = h.select("node", (F.col("h_raw") / h_norm).alias("hub")).transform(
-            _ckpt_lazy
+        h_norm_row = h.agg(F.sqrt(F.sum(F.col("h_raw") ** 2)).alias("__hn")).select(
+            F.when(F.col("__hn") == 0.0, F.lit(1.0)).otherwise(F.col("__hn")).alias("__hn")
+        )
+        h = (
+            h.crossJoin(F.broadcast(h_norm_row))
+            .select("node", (F.col("h_raw") / F.col("__hn")).alias("hub"))
+            .transform(_ckpt_lazy)
         )
         new_state = h.join(a, "node").transform(_ckpt_lazy)
         delta = (

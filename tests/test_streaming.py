@@ -7,6 +7,7 @@ the DuckDB oracle can't express (SURVEY.md §2.9 extension).
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -41,6 +42,15 @@ def events_prepared(spark, sf_dir, tmp_path_factory):
 
 
 def _drain(stream_df, name, output_mode):
+    """Run an availableNow query to completion of its AVAILABLE data.
+
+    Most queries self-terminate; a stateful query holding a pending
+    processing-time timeout does NOT (Spark keeps it alive to fire the
+    timeout later), so a bare ``awaitTermination(120)`` burns the full
+    window doing nothing. Poll instead: once the source reports no
+    more data and an empty batch has committed, nothing further can be
+    emitted except timeout firings (which every caller's batch-truth
+    excludes) — stop there."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -48,7 +58,22 @@ def _drain(stream_df, name, output_mode):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        if q.awaitTermination(1):
+            return q
+        status = q.status
+        lp = q.lastProgress
+        # a committed EMPTY batch after the source reports no more
+        # data: everything available has been processed ("cleaning up
+        # state" keeps isTriggerActive True forever, so don't wait on it)
+        if (
+            not status["isDataAvailable"]
+            and lp is not None
+            and lp["numInputRows"] == 0
+        ):
+            break
+    q.stop()
     return q
 
 
