@@ -266,7 +266,63 @@ def heavy_hitters(
             }
         )
 
-    partials = terms.mapInPandas(summarize, "term string, lb bigint")
+    if tokenize:
+        # Pass 1 ships per-doc token ARRAYS across the Arrow boundary,
+        # not exploded token rows (guide §4: boundary rows drop ~100×
+        # — one row per document instead of one per token, and an
+        # Arrow list<string> is one contiguous buffer + offsets).
+        # Tokens are flattened and counted batch-at-a-time in C
+        # (pyarrow list_flatten + value_counts); the running summary
+        # merges and shrinks vectorized. Batch boundaries differ from
+        # the exploded form, so the CANDIDATE SET may differ — the MG
+        # guarantee (any term with count > N/(m+1) survives in some
+        # partition summary) holds under any batching, and pass 2
+        # computes exact counts, so the returned rows are identical
+        # (pinned by tests/test_sketches.py adversarial corpus).
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def summarize_arrays(
+            batches: "Iterator[pa.RecordBatch]",
+        ) -> "Iterator[pa.RecordBatch]":
+            running: pd.Series | None = None
+            total_w = 0
+            for rb in batches:
+                flat = pc.list_flatten(rb.column(0))
+                total_w += len(flat)  # null terms count toward N, as
+                # in the exploded form (groupby dropped them from
+                # counters but their weight stayed in total_w)
+                vc = pc.drop_null(flat).value_counts()
+                s = pd.Series(
+                    vc.field("counts").to_numpy(zero_copy_only=False),
+                    index=vc.field("values").to_pandas(),
+                )
+                running = s if running is None else running.add(s, fill_value=0)
+                if len(running) > mm:
+                    vals = running.to_numpy()
+                    # same invariant as _mg_shrink: subtract the
+                    # (m+1)-th largest, keep strictly-positive
+                    pivot = np.partition(vals, -(mm + 1))[-(mm + 1)]
+                    running = running[vals > pivot] - pivot
+            out_terms = [] if running is None else list(running.index)
+            out_lbs = (
+                []
+                if running is None
+                else [int(x) for x in running.to_numpy()]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_terms + [None], type=pa.string()),
+                    pa.array(out_lbs + [total_w], type=pa.int64()),
+                ],
+                names=["term", "lb"],
+            )
+
+        doc_toks = src.select(tokens(F.col(text_col)).alias("toks"))
+        partials = doc_toks.mapInArrow(summarize_arrays, "term string, lb bigint")
+    else:
+        partials = terms.mapInPandas(summarize, "term string, lb bigint")
     # the NULL-term sentinel row per partition carries that partition's
     # total weight, so N (the completeness bound's numerator) comes out
     # of the SAME pass — no third scan. The grouped summary (≤ m·P + 1
