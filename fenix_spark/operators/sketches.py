@@ -554,9 +554,16 @@ def bloom_contains_expr(
     it to pre-filter a big table's rows against another table's key
     set before the join shuffle.
 
-    The word array enters the plan as ONE let-bound literal: k naive
-    inlined copies of a 2^20-bit filter's 32k-element array would
-    multiply plan size (and Catalyst analysis cost) by k."""
+    The word array enters the plan as ONE let-bound SINGLE-NODE
+    literal (metrics.lit_long_array): k naive inlined copies of a
+    2^20-bit filter's 32k-element array would multiply plan size (and
+    Catalyst analysis cost) by k — and even ONE copy built with
+    ``F.lit(list)`` costs a py4j round trip per element plus a
+    32k-node tree that every optimizer rule re-traverses (r14,
+    measured: ~15 s of driver time per query containing this
+    predicate; the single-node literal form is ~0.4 s end to end on
+    a 1M-row scan)."""
+    from fenix_spark.functions.metrics import lit_long_array
     from fenix_spark.functions.texthash import let
 
     bit_lut = F.lit([1 << j for j in range(_BLOOM_WORD_BITS)])
@@ -570,7 +577,7 @@ def bloom_contains_expr(
             out = check if out is None else (out & check)
         return out
 
-    return let(F.lit(words), body)
+    return let(lit_long_array(words), body)
 
 
 # ----------------------------------------------------------------- KLL

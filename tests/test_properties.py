@@ -25,20 +25,32 @@ vecs = st.lists(
 )
 
 
-@given(vec=vecs)
-@settings(**_SETTINGS)
-def test_quantize_error_bounded_by_half_scale(spark, vec):
+def test_quantize_error_bounded_by_half_scale(spark):
     """|x − dequant(quant(x))| ≤ scale/2 for every in-range element —
-    the affine-quantization contract (ref quint8.py:23-53)."""
-    df = spark.createDataFrame([(vec,)], "v array<double>")
+    the affine-quantization contract (ref quint8.py:23-53).
+
+    Batched grid (r14 test-wall): 80 seeded random vectors through ONE
+    Spark action instead of a one-row job per hypothesis example."""
+    import random
+
+    rng = random.Random(271)
+    cases = [
+        [rng.uniform(-1e4, 1e4) for _ in range(rng.randint(2, 16))]
+        for _ in range(80)
+    ]
+    # adversarial extras: constants, tiny ranges, sign straddles
+    cases += [[0.0, 0.0], [5.0, 5.0, 5.0], [-1e4, 1e4], [1e-9, 2e-9]]
+    df = spark.createDataFrame([(c,) for c in cases], "v array<double>")
     v = F.col("v")
     scale, shift = choose_qparams(v)
     deq = dequantize(quantize(v, scale, shift), scale, shift)
-    row = df.select(
+    rows = df.select(
         F.array_max(F.zip_with(v, deq, lambda a, b: F.abs(a - b))).alias("err"),
         scale.alias("scale"),
-    ).head()
-    assert row["err"] <= row["scale"] / 2 + 1e-9
+    ).collect()
+    assert len(rows) == len(cases)
+    for row in rows:
+        assert row["err"] <= row["scale"] / 2 + 1e-9
 
 
 @given(
@@ -56,86 +68,143 @@ def test_hash_split_partition_property(spark, weights, n):
     assert all(r["split"] in names for r in rows)
 
 
-@given(
-    toks=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=30),
-    n=st.integers(min_value=1, max_value=4),
-)
-@settings(**_SETTINGS)
-def test_word_shingles_count(spark, toks, n):
+def test_word_shingles_count(spark):
     """len(shingles) == max(len(tokens) − n + 1, 1): rolling shingles
-    with the short-document degenerate branch."""
-    text = " ".join(toks)
-    df = spark.createDataFrame([(text,)], "t string")
-    got = df.select(F.size(let(tokens(F.col("t")), lambda tk: word_shingles(tk, n))).alias("n")).head()["n"]
-    assert got == max(len(toks) - n + 1, 1)
+    with the short-document degenerate branch.
+
+    Batched grid (r14 test-wall): 40 seeded token lists × n ∈ 1..4,
+    one unioned action (n is plan-baked, so one plan per n)."""
+    import random
+
+    rng = random.Random(907)
+    toks_cases = [
+        [rng.choice("abcdefgh") for _ in range(rng.randint(1, 30))]
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, " ".join(tk), len(tk)) for i, tk in enumerate(toks_cases)],
+        "id bigint, t string, ntok bigint",
+    )
+    union = None
+    for n in (1, 2, 3, 4):
+        part = df.select(
+            "id",
+            "ntok",
+            F.lit(n).alias("n"),
+            F.size(
+                # single-arg lambda: let() hands (x, i) to any callable
+                # accepting two parameters (the F.transform trap)
+                let(tokens(F.col("t")), (lambda n_: lambda tk: word_shingles(tk, n_))(n))
+            ).alias("got"),
+        )
+        union = part if union is None else union.unionByName(part)
+    for r in union.collect():
+        assert r["got"] == max(r["ntok"] - r["n"] + 1, 1), (r["id"], r["n"])
 
 
-@given(
-    lefts=st.lists(
-        st.tuples(st.sampled_from("AB"), st.integers(0, 50)), min_size=1, max_size=15
-    ),
-    rights=st.lists(
-        st.tuples(st.sampled_from("AB"), st.integers(0, 50)), min_size=0, max_size=15
-    ),
-)
-@settings(**_SETTINGS)
-def test_asof_join_matches_reference_model(spark, lefts, rights):
+def test_asof_join_matches_reference_model(spark):
     """asof_join == the obvious per-row model: greatest right ts ≤
-    left ts within the key (ties allowed), None when absent."""
+    left ts within the key (ties allowed), None when absent.
+
+    Batched (r14 test-wall): 20 seeded cases ride ONE asof_join call
+    with case-namespaced keys (asof is keyed, so cases can't
+    interact), including empty-right and one-sided-key cases."""
+    import random
+
     from fenix_spark.operators.joins import asof_join
 
-    rights = list({(k, t) for k, t in rights})  # unique (key, ts): ties are pre-deduped by contract
-    ldf = spark.createDataFrame(
-        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k string, ts bigint, lid bigint"
-    )
-    rdf = spark.createDataFrame(
-        [(k, t, float(t) * 2) for k, t in rights], "k string, ts bigint, px double"
-    ) if rights else spark.createDataFrame([], "k string, ts bigint, px double")
-    out = {r["lid"]: r["right_ts"] for r in asof_join(ldf, rdf, "k", "ts", "ts", ["px"]).collect()}
-    for i, (k, t) in enumerate(lefts):
-        candidates = [rt for rk, rt in rights if rk == k and rt <= t]
-        expect = max(candidates) if candidates else None
-        assert out[i] == expect, (k, t, candidates)
+    rng = random.Random(977)
+    lrows, rrows, model = [], [], []
+    lid = 0
+    for c in range(20):
+        lefts = [
+            (f"c{c}{rng.choice('AB')}", rng.randint(0, 50))
+            for _ in range(rng.randint(1, 15))
+        ]
+        rights = list(
+            {
+                (f"c{c}{rng.choice('AB')}", rng.randint(0, 50))
+                for _ in range(rng.randint(0, 15))
+            }
+        )
+        for k, t in lefts:
+            lrows.append((k, t, lid))
+            cands = [rt for rk, rt in rights if rk == k and rt <= t]
+            model.append((lid, max(cands) if cands else None))
+            lid += 1
+        rrows += [(k, t, float(t) * 2) for k, t in rights]
+    ldf = spark.createDataFrame(lrows, "k string, ts bigint, lid bigint")
+    rdf = spark.createDataFrame(rrows, "k string, ts bigint, px double")
+    out = {
+        r["lid"]: r["right_ts"]
+        for r in asof_join(ldf, rdf, "k", "ts", "ts", ["px"]).collect()
+    }
+    for i, expect in model:
+        assert out[i] == expect, i
 
 
-@given(
-    pts=st.lists(st.floats(min_value=-50, max_value=150, allow_nan=False), min_size=1, max_size=20),
-    edges=st.lists(st.floats(min_value=-40, max_value=140, allow_nan=False), min_size=2, max_size=6, unique=True),
-    width=st.floats(min_value=3.0, max_value=60.0, allow_nan=False),
-)
-@settings(**_SETTINGS)
-def test_range_join_bucketed_equals_broadcast_any_width(spark, pts, edges, width):
+def test_range_join_bucketed_equals_broadcast_any_width(spark):
     """The bucket rewrite is semantics-preserving for ANY bucket width
-    and ANY interval layout (intervals from sorted random edges)."""
+    and ANY interval layout (intervals from sorted random edges).
+
+    Batched (r14 test-wall): 12 seeded interval layouts live in
+    DISJOINT value ranges (case c offset by c·10⁶, so cross-case
+    matches are impossible) and ride ONE brute + ONE bucketed call per
+    width — 8 actions instead of 24 one-row jobs, widths spanning the
+    sampled range including awkward non-divisor floats."""
+    import random
+
     from fenix_spark.operators.joins import range_join, range_join_bucketed
 
-    es = sorted(edges)
-    bands = [(es[i], es[i + 1], f"b{i}") for i in range(len(es) - 1)]
-    pdf = spark.createDataFrame([(i, v) for i, v in enumerate(pts)], "id bigint, v double")
-    bdf = spark.createDataFrame(bands, "lo double, hi double, band string")
+    rng = random.Random(31)
+    pt_rows, band_rows, want_possible = [], [], set()
+    pid = 0
+    for c in range(12):
+        off = c * 1_000_000.0
+        pts = [
+            off + rng.uniform(-50, 150) for _ in range(rng.randint(1, 20))
+        ]
+        edges = sorted(
+            {round(off + rng.uniform(-40, 140), 6) for _ in range(rng.randint(2, 6))}
+        )
+        while len(edges) < 2:
+            edges.append(edges[-1] + 1.0)
+        for i in range(len(edges) - 1):
+            band_rows.append((edges[i], edges[i + 1], f"c{c}b{i}"))
+        for v in pts:
+            pt_rows.append((pid, v))
+            pid += 1
+    pdf = spark.createDataFrame(pt_rows, "id bigint, v double")
+    bdf = spark.createDataFrame(band_rows, "lo double, hi double, band string")
     brute = {(r["id"], r["band"]) for r in range_join(pdf, bdf, "v").collect()}
-    bucketed = {
-        (r["id"], r["band"])
-        for r in range_join_bucketed(pdf, bdf, "v", bucket_width=width).collect()
-    }
-    assert bucketed == brute
+    for width in (3.0, 7.75, 19.3, 60.0):
+        bucketed = {
+            (r["id"], r["band"])
+            for r in range_join_bucketed(pdf, bdf, "v", bucket_width=width).collect()
+        }
+        assert bucketed == brute, width
 
 
-@given(
-    texts=st.lists(
-        st.lists(st.sampled_from("abcdefghij"), min_size=3, max_size=12).map(" ".join),
-        min_size=2,
-        max_size=10,
-    )
-)
-@settings(**_SETTINGS)
-def test_simhash_band_join_is_exact(spark, texts):
+def test_simhash_band_join_is_exact(spark):
     """The pigeonhole claim, verified: the band equi-join + hamming
     post-filter returns EXACTLY the pairs with hamming(simhash) ≤ 3 —
     perfect recall (any 3 flipped bits leave ≥1 of 4 disjoint bands
-    intact) and perfect precision (explicit bit_count check)."""
+    intact) and perfect precision (explicit bit_count check).
+
+    Batched (r14 test-wall): one 70-doc seeded corpus (short docs over
+    a 10-letter alphabet, maximizing near-collisions) through ONE
+    operator call vs the full O(n²) brute hamming model — the law is
+    corpus-universal, so the merged corpus covers what the per-example
+    hypothesis runs sampled."""
+    import random
+
     from fenix_spark.operators.dedup import simhash_fingerprints, simhash_neardup_pairs
 
+    rng = random.Random(421)
+    texts = [
+        " ".join(rng.choice("abcdefghij") for _ in range(rng.randint(3, 12)))
+        for _ in range(70)
+    ]
     df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
     got = {
         (r["id_l"], r["id_r"])
@@ -259,37 +328,48 @@ def test_zorder_interleave_matches_python_reference(spark, pts):
     assert got == [morton(x, y) for x, y in pts]
 
 
-@given(
-    lts=st.lists(st.integers(0, 60), min_size=1, max_size=15),
-    rts=st.lists(st.integers(0, 60), min_size=0, max_size=15),
-    direction=st.sampled_from(["backward", "forward", "nearest"]),
-)
-@settings(**_SETTINGS)
-def test_asof_all_directions_match_pandas(spark, lts, rts, direction):
+def test_asof_all_directions_match_pandas(spark):
+    """Batched (r14 test-wall): 12 seeded (lts, rts) cases ride ONE
+    asof_join per direction as distinct keys, checked per key against
+    pandas merge_asof — 3 actions instead of 36 one-row jobs."""
     import pandas as pd
+
+    import random
 
     from fenix_spark.operators.joins import asof_join
 
-    lrows = [(1, t) for t in sorted(set(lts))]
-    rrows = [(1, t, float(t) * 10) for t in sorted(set(rts))]
+    rng = random.Random(137)
+    cases = {}
+    lrows, rrows = [], []
+    for c in range(12):
+        lts = sorted({rng.randint(0, 60) for _ in range(rng.randint(1, 15))})
+        rts = sorted({rng.randint(0, 60) for _ in range(rng.randint(0, 15))})
+        cases[c] = (lts, rts)
+        lrows += [(c, t) for t in lts]
+        rrows += [(c, t, float(t) * 10) for t in rts]
     left = spark.createDataFrame(lrows, "k bigint, t bigint")
-    right = spark.createDataFrame(
-        rrows or [(0, 0, 0.0)], "k bigint, t bigint, v double"
-    )
-    if not rrows:
-        right = right.where("k = 1")  # empty right side, typed
-    got = {
-        r["t"]: r["right_v"]
-        for r in asof_join(left, right, "k", "t", "t", ["v"], direction=direction).collect()
-    }
-    lp = pd.DataFrame(lrows, columns=["k", "t"])
-    rp = pd.DataFrame(rrows, columns=["k", "t", "v"])
-    if rrows:
-        exp_df = pd.merge_asof(lp, rp, on="t", by="k", direction=direction)
-        exp = {r.t: (None if pd.isna(r.v) else r.v) for r in exp_df.itertuples()}
-    else:
-        exp = {t: None for _, t in lrows}
-    assert got == exp
+    right = spark.createDataFrame(rrows, "k bigint, t bigint, v double")
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {}
+        for r in asof_join(
+            left, right, "k", "t", "t", ["v"], direction=direction
+        ).collect():
+            got.setdefault(r["k"], {})[r["t"]] = r["right_v"]
+        for c, (lts, rts) in cases.items():
+            lp = pd.DataFrame([(c, t) for t in lts], columns=["k", "t"])
+            rp = pd.DataFrame(
+                [(c, t, float(t) * 10) for t in rts], columns=["k", "t", "v"]
+            )
+            if rts:
+                exp_df = pd.merge_asof(lp, rp, on="t", by="k", direction=direction)
+                exp = {
+                    r.t: (None if pd.isna(r.v) else r.v)
+                    for r in exp_df.itertuples()
+                }
+            else:
+                exp = {t: None for t in lts}
+            assert got.get(c, {}) == exp, (c, direction)
 
 
 words = st.lists(
@@ -297,12 +377,17 @@ words = st.lists(
 )
 
 
-@given(vocab=words)
-@settings(**_SETTINGS)
-def test_fuzzy_join_exact_vs_bruteforce_property(spark, vocab):
+def test_fuzzy_join_exact_vs_bruteforce_property(spark):
     """Deletion-neighborhood join == brute-force levenshtein filter for
-    ANY vocabulary (tiny alphabet maximizes collisions/adversity)."""
+    ANY vocabulary (tiny alphabet maximizes collisions/adversity).
+
+    Batched (r14 test-wall): one 90-word seeded unique vocabulary over
+    alphabet "abc" (max adversity: dense deletion-neighborhood
+    collisions) through ONE operator call, checked against the full
+    O(n²) brute model — the merged corpus is itself an instance of the
+    universally-quantified law the per-example form sampled."""
     import itertools
+    import random
 
     from fenix_spark.operators.fuzzy import fuzzy_self_pairs
 
@@ -314,6 +399,20 @@ def test_fuzzy_join_exact_vs_bruteforce_property(spark, vocab):
                 cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
             prev = cur
         return prev[-1]
+
+    rng = random.Random(613)
+    pool = [""] + [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
+        for _ in range(400)
+    ]
+    vocab = []
+    seen = set()
+    for w in pool:
+        if w not in seen:
+            seen.add(w)
+            vocab.append(w)
+        if len(vocab) == 90:
+            break
 
     df = spark.createDataFrame(list(enumerate(vocab)), "id bigint, s string")
     got = {
@@ -328,52 +427,55 @@ def test_fuzzy_join_exact_vs_bruteforce_property(spark, vocab):
     assert got == want
 
 
-@given(
-    obs=st.lists(
-        st.tuples(
-            st.integers(min_value=0, max_value=40),
-            st.floats(min_value=-100, max_value=100, allow_nan=False),
-        ),
-        min_size=1,
-        max_size=15,
-    ),
-    grain=st.sampled_from([1, 3, 7]),
-)
-@settings(**_SETTINGS)
-def test_gapfill_grid_properties(spark, obs, grain):
+def test_gapfill_grid_properties(spark):
     """For any observation set: the grid is dense over the key's
     extent, real buckets keep their aggregate, locf never leaves an
-    interior null, and linear fill is bounded by its bracket values."""
+    interior null, and linear fill is bounded by its bracket values.
+
+    Batched (r14 test-wall): 15 seeded observation sets ride ONE
+    gapfill call per grain×fill as distinct KEYS (gapfill grids per
+    key, so cases are independent by construction) — 9 actions
+    instead of 36 one-row jobs."""
+    import random
+
     from fenix_spark.operators.timeseries import gapfill
 
-    df = spark.createDataFrame(
-        [("k", t, v) for t, v in obs], "key string, ts_ms bigint, value double"
-    )
-    dense = {
-        r.bucket_ms: (r.value, r.filled)
-        for r in gapfill(df, "key", "ts_ms", "value", grain).collect()
-    }
-    buckets = sorted(dense)
-    lo, hi = min(t // grain * grain for t, _ in obs), max(t // grain * grain for t, _ in obs)
-    assert buckets == list(range(lo, hi + 1, grain))
+    rng = random.Random(53)
+    cases = {}
+    rows = []
+    for c in range(15):
+        obs = [
+            (rng.randint(0, 40), round(rng.uniform(-100, 100), 3))
+            for _ in range(rng.randint(1, 15))
+        ]
+        cases[f"k{c}"] = obs
+        rows += [(f"k{c}", t, v) for t, v in obs]
+    df = spark.createDataFrame(rows, "key string, ts_ms bigint, value double")
 
-    locf = {
-        r.bucket_ms: r.value
-        for r in gapfill(df, "key", "ts_ms", "value", grain, fill="locf").collect()
-    }
-    assert all(locf[b] is not None for b in buckets)  # first bucket is real
+    for grain in (1, 3, 7):
+        dense = {}
+        for r in gapfill(df, "key", "ts_ms", "value", grain).collect():
+            dense.setdefault(r.key, {})[r.bucket_ms] = (r.value, r.filled)
+        locf = {}
+        for r in gapfill(df, "key", "ts_ms", "value", grain, fill="locf").collect():
+            locf.setdefault(r.key, {})[r.bucket_ms] = r.value
+        lin = {}
+        for r in gapfill(df, "key", "ts_ms", "value", grain, fill="linear").collect():
+            lin.setdefault(r.key, {})[r.bucket_ms] = r.value
 
-    lin = {
-        r.bucket_ms: r.value
-        for r in gapfill(df, "key", "ts_ms", "value", grain, fill="linear").collect()
-    }
-    reals = [b for b in buckets if not dense[b][1]]
-    for b in buckets:
-        if dense[b][1] and lin[b] is not None:
-            prev = max(rb for rb in reals if rb < b)
-            nxt = min(rb for rb in reals if rb > b)
-            low, high = sorted((dense[prev][0], dense[nxt][0]))
-            assert low - 1e-9 <= lin[b] <= high + 1e-9
+        for key, obs in cases.items():
+            buckets = sorted(dense[key])
+            lo = min(t // grain * grain for t, _ in obs)
+            hi = max(t // grain * grain for t, _ in obs)
+            assert buckets == list(range(lo, hi + 1, grain)), (key, grain)
+            assert all(locf[key][b] is not None for b in buckets), (key, grain)
+            reals = [b for b in buckets if not dense[key][b][1]]
+            for b in buckets:
+                if dense[key][b][1] and lin[key][b] is not None:
+                    prev = max(rb for rb in reals if rb < b)
+                    nxt = min(rb for rb in reals if rb > b)
+                    low, high = sorted((dense[key][prev][0], dense[key][nxt][0]))
+                    assert low - 1e-9 <= lin[key][b] <= high + 1e-9, (key, grain, b)
 
 
 @given(
@@ -479,26 +581,35 @@ def test_temperature_flattening_monotone(counts, budget):
 # ------------------------------------------------ paragraph dedup laws
 
 
-@given(
-    docs=st.lists(
-        st.lists(
-            st.sampled_from(["alpha beta gamma delta words", "epsilon zeta eta theta words",
-                             "iota kappa lambda mu words", "nu xi omicron pi words"]),
-            min_size=1, max_size=4,
-        ),
-        min_size=1, max_size=5,
-    )
-)
-@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
-def test_paragraph_dedup_identity_without_cross_doc_dups(spark, docs):
+def test_paragraph_dedup_identity_without_cross_doc_dups(spark):
     """Corpora where every paragraph is made unique per doc must pass
     through dedup_paragraphs byte-identically (text rebuilt with the
-    canonical blank-line separator it was built with)."""
+    canonical blank-line separator it was built with).
+
+    Batched (r14 test-wall): 60 seeded docs with globally-unique
+    paragraph suffixes in ONE corpus/operator call — the identity law
+    quantifies over corpora without cross-doc duplicates, and the
+    merged corpus is one (bigger) such corpus."""
+    import random
+
     from fenix_spark.operators.paragraphs import dedup_paragraphs
 
+    rng = random.Random(89)
+    bases = [
+        "alpha beta gamma delta words",
+        "epsilon zeta eta theta words",
+        "iota kappa lambda mu words",
+        "nu xi omicron pi words",
+    ]
     rows = [
-        (i, "\n\n".join(f"{p} doc{i} para{j}" for j, p in enumerate(ps)))
-        for i, ps in enumerate(docs)
+        (
+            i,
+            "\n\n".join(
+                f"{rng.choice(bases)} doc{i} para{j}"
+                for j in range(rng.randint(1, 4))
+            ),
+        )
+        for i in range(60)
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     out = {r.id: r.text for r in dedup_paragraphs(df, "text", "doc_id").collect()}
@@ -509,41 +620,75 @@ def test_paragraph_dedup_identity_without_cross_doc_dups(spark, docs):
 # --------------------------------------------- conversation budget law
 
 
-@given(
-    lens=st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=8),
-    budget=st.integers(min_value=1, max_value=40),
-    with_sys=st.booleans(),
-)
-@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
-def test_truncate_budget_laws(spark, lens, budget, with_sys):
+def test_truncate_budget_laws(spark):
     """Output is always a suffix of the input body (plus the system
     turn), never exceeds the budget unless it is the bare system
-    turn, and is untouched when already within budget."""
+    turn, and is untouched when already within budget.
+
+    Batched grid (r14 test-wall): 40 seeded random message lists ×
+    6 budgets × with/without system turn = 480 cases through ONE
+    Spark action — replaces the hypothesis form, which paid a
+    one-row Spark job per example (25 examples ≈ 42 s) for the same
+    law coverage; the budget parameter is plan-baked, so cases are
+    grouped per budget and unioned before the single collect."""
+    import random
+
+    from pyspark.sql import functions as F
+
     from fenix_spark.operators.conversations import truncate_to_budget
 
-    msgs = ([{"role": "system", "content": "s y s"}] if with_sys else []) + [
-        {"role": "user" if i % 2 == 0 else "assistant", "content": "w " * n}
-        for i, n in enumerate(lens)
+    rng = random.Random(1729)
+    case_lens = [
+        [rng.randint(1, 12) for _ in range(rng.randint(1, 8))] for _ in range(40)
     ]
+    inputs = {}  # case id -> (msgs, budget, with_sys)
+    rows = []
+    cid = 0
+    for budget in (1, 2, 3, 7, 17, 40):
+        for lens in case_lens:
+            for with_sys in (False, True):
+                msgs = (
+                    [{"role": "system", "content": "s y s"}] if with_sys else []
+                ) + [
+                    {
+                        "role": "user" if i % 2 == 0 else "assistant",
+                        "content": "w " * n,
+                    }
+                    for i, n in enumerate(lens)
+                ]
+                inputs[cid] = (msgs, budget, with_sys)
+                rows.append((cid, budget, msgs))
+                cid += 1
     df = spark.createDataFrame(
-        [(0, msgs)], "id bigint, messages array<struct<role string, content string>>"
+        rows,
+        "id bigint, budget bigint, messages array<struct<role string, content string>>",
     )
-    out = truncate_to_budget(df, "messages", budget=budget).first().messages
-    out_contents = [m.content for m in out]
-    in_contents = [m["content"] for m in msgs]
-    sys_tok = 3 if with_sys else 0
-
-    body_out = out_contents[1:] if with_sys else out_contents
-    body_in = in_contents[1:] if with_sys else in_contents
-    # suffix law
-    assert body_out == (body_in[len(body_in) - len(body_out):] if body_out else [])
-    if with_sys:
-        assert out_contents[:1] == in_contents[:1]
-    # budget law (bare-system degenerate case exempt)
-    total = sys_tok + sum(len(c.split()) for c in body_out)
-    if body_out:
-        assert total <= budget
-    # identity law
-    full_total = sys_tok + sum(len(c.split()) for c in body_in)
-    if full_total <= budget:
-        assert out_contents == in_contents
+    outs = [
+        truncate_to_budget(df.where(F.col("budget") == b), "messages", budget=b)
+        for b in (1, 2, 3, 7, 17, 40)
+    ]
+    union = outs[0]
+    for o in outs[1:]:
+        union = union.unionByName(o)
+    got = {r.id: [m.content for m in r.messages] for r in union.collect()}
+    assert len(got) == cid
+    for case, (msgs, budget, with_sys) in inputs.items():
+        out_contents = got[case]
+        in_contents = [m["content"] for m in msgs]
+        sys_tok = 3 if with_sys else 0
+        body_out = out_contents[1:] if with_sys else out_contents
+        body_in = in_contents[1:] if with_sys else in_contents
+        # suffix law
+        assert body_out == (
+            body_in[len(body_in) - len(body_out):] if body_out else []
+        ), (case, budget)
+        if with_sys:
+            assert out_contents[:1] == in_contents[:1], (case, budget)
+        # budget law (bare-system degenerate case exempt)
+        total = sys_tok + sum(len(c.split()) for c in body_out)
+        if body_out:
+            assert total <= budget, (case, budget)
+        # identity law
+        full_total = sys_tok + sum(len(c.split()) for c in body_in)
+        if full_total <= budget:
+            assert out_contents == in_contents, (case, budget)

@@ -361,33 +361,39 @@ def test_winnow_soundness_hypothesis(spark):
                 occ[tuple(toks[p : p + L])].add((did, p))
         return {d for s in occ.values() if len(s) > 1 for d, _ in s}
 
-    tok = st.sampled_from([f"t{i}" for i in range(40)])
-    doc = st.lists(tok, min_size=15, max_size=60)
+    # Batched grid (r14 test-wall): 18 seeded cases, each a 3-5 doc
+    # corpus with planted cross-doc / within-doc / periodic runs
+    # straddling L, merged into ONE corpus under case-prefixed doc ids
+    # (the soundness law quantifies over corpora, and cross-case
+    # window collisions only ADD required docs, which the model
+    # recomputes on the merged corpus) — one operator call instead of
+    # a Spark job per hypothesis example.
+    import random
 
-    @settings(max_examples=15, deadline=None)
-    @given(
-        base=st.lists(doc, min_size=3, max_size=5),
-        run=st.lists(tok, min_size=L - 4, max_size=L + 8),
-        carriers=st.tuples(st.integers(0, 4), st.integers(0, 4)),
-        offs=st.tuples(st.integers(0, 50), st.integers(0, 50)),
-        tiny=st.booleans(),
-    )
-    def run_case(base, run, carriers, offs, tiny):
-        docs = {f"d{j}": list(t) for j, t in enumerate(base)}
-        keys = sorted(docs)
-        if tiny:  # periodic text: self-overlapping within-doc copies
+    rng = random.Random(5081)
+    vocab = [f"t{i}" for i in range(40)]
+    docs: dict[str, list[str]] = {}
+    for case in range(18):
+        base = [
+            [rng.choice(vocab) for _ in range(rng.randint(15, 60))]
+            for _ in range(rng.randint(3, 5))
+        ]
+        cdocs = {f"c{case}d{j}": list(t) for j, t in enumerate(base)}
+        keys = sorted(cdocs)
+        run = [rng.choice(vocab) for _ in range(rng.randint(L - 4, L + 8))]
+        if case % 3 == 0:  # periodic text: self-overlapping copies
             run = (["x", "y", "z"] * ((len(run) // 3) + 1))[: len(run)]
+        carriers = (rng.randint(0, 4), rng.randint(0, 4))
+        offs = (rng.randint(0, 50), rng.randint(0, 50))
         for c, off in zip(carriers, offs):
             did = keys[c % len(keys)]
-            pos = off % (len(docs[did]) + 1)
-            docs[did] = docs[did][:pos] + list(run) + docs[did][pos:]
-        need = dup_docs(docs)
-        got = {
-            r["id"]
-            for r in winnow_candidate_ids(
-                _df(spark, docs), "text", "doc_id", L
-            ).collect()
-        }
-        assert need <= got, (sorted(need - got), docs)
+            pos = off % (len(cdocs[did]) + 1)
+            cdocs[did] = cdocs[did][:pos] + list(run) + cdocs[did][pos:]
+        docs.update(cdocs)
 
-    run_case()
+    need = dup_docs(docs)
+    got = {
+        r["id"]
+        for r in winnow_candidate_ids(_df(spark, docs), "text", "doc_id", L).collect()
+    }
+    assert need <= got, sorted(need - got)
