@@ -174,16 +174,21 @@ def minhash_signature_hashed(
     return F.array(*comps)
 
 
-def simhash(toks: Column | str, bits: int = 32) -> Column:
+def simhash(toks_or_sql: Column | str, bits: int = 32) -> Column:
     """Classic simhash (Charikar): per-bit majority vote over the
     (non-distinct) token hashes — term frequency weights the vote —
     assembled into a ``bits``-wide bigint. Bit ``j`` of the result is
     set iff Σ over tokens of ±1 (by bit ``j`` of hash32(token)) > 0.
 
-    Pass SQL TEXT (str) for the token array to render the whole
-    ``bits``-vote fold as one parsed expression instead of ~10 py4j
-    round trips per bit (~1 s of driver time per invocation at 32
-    bits); integer math, values equal by construction."""
+    A ``str`` argument is RAW SQL TEXT for the token-array expression
+    (NOT a column name — unlike ``minhash_signature_hashed``, which
+    backtick-quotes its str argument; the parameter name carries the
+    contract, ADVICE r13): rendering the whole ``bits``-vote fold as
+    one parsed expression saves ~10 py4j round trips per bit (~1 s of
+    driver time per invocation at 32 bits); integer math, values equal
+    by construction. Never pass unvalidated caller input as the str
+    form — it is spliced into SQL verbatim."""
+    toks = toks_or_sql
     if isinstance(toks, str):
         hashed_sql = f"transform({toks}, t -> {hash32_sql('t')})"
         votes = " + ".join(

@@ -72,8 +72,11 @@ def train_coding(
         *[array_to_vector(sub_vector(column, j, sub_dim)).alias(f"sub{j}") for j in range(n)]
     ).cache()
     try:
-        rows: list[Row] = []
-        for j in range(n):
+        # materialize the cache ONCE so the concurrent fits below read
+        # stored blocks instead of racing to compute the projection
+        slices.count()
+
+        def fit_one(j: int) -> list[Row]:
             km = KMeans(
                 k=k,
                 seed=config.seed + j,
@@ -89,7 +92,7 @@ def train_coding(
                 (np.asarray(c).tolist() for c in model.clusterCenters()),
                 key=lambda c: tuple(c),
             )
-            rows.extend(
+            return [
                 Row(
                     codebook=j,
                     cell=i,
@@ -99,7 +102,19 @@ def train_coding(
                     num_codebooks=n,
                 )
                 for i, c in enumerate(cents)
-            )
+            ]
+
+        # The n per-codebook fits are INDEPENDENT jobs over the same
+        # cached slices — run them concurrently so each fit's stragglers
+        # back-fill with the next fit's tasks (guide §2.6). Each fit is
+        # seeded and its centroids sorted, so results are byte-identical
+        # to the sequential order; rows are assembled in codebook order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        rows: list[Row] = []
+        with ThreadPoolExecutor(max_workers=min(n, 4)) as pool:
+            for part in pool.map(fit_one, range(n)):
+                rows.extend(part)
         _ = vector_to_array  # imported for parity; slices hold vectors
         return spark.createDataFrame(
             rows,
@@ -140,9 +155,14 @@ def _local_scan_rows(df: DataFrame):
 
         paths = [unquote(f[len("file:"):]) for f in files]
         tables = [pq.read_table(p) for p in sorted(paths)]
-        # every DataFrame column must come from the files themselves —
-        # a partition-directory column would be silently absent here
-        cols = set().union(*(set(t.column_names) for t in tables))
+        # EVERY file must contain EVERY DataFrame column (intersection,
+        # not union — ADVICE r13): a partition-directory column is
+        # absent from all leaf files, and a schema-EVOLVED dir (an older
+        # file missing a newer column, readable via mergeSchema) would
+        # pass a union check yet yield rows without the key where
+        # collect() yields None — callers would KeyError instead of
+        # falling back.
+        cols = set.intersection(*(set(t.column_names) for t in tables))
         if not set(df.columns) <= cols:
             return None
     except Exception:  # noqa: BLE001 — any fast-path failure: collect() instead

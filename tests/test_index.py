@@ -647,4 +647,16 @@ def test_local_scan_rows_fallbacks(spark, tmp_path):
     spark.range(3).write.json(js)
     assert _local_scan_rows(spark.read.json(js)) is None  # not parquet
 
+    # schema-evolved dir: an older file lacks a newer column — the fast
+    # path must refuse (collect() yields None for the missing column;
+    # pyarrow rows from the old file would simply LACK the key)
+    ev = str(tmp_path / "evolved.parquet")
+    spark.range(3).selectExpr("id").write.parquet(ev)
+    spark.range(3, 6).selectExpr("id", "id * 2 AS extra").write.mode(
+        "append"
+    ).parquet(ev)
+    evolved = spark.read.option("mergeSchema", "true").parquet(ev)
+    assert set(evolved.columns) == {"id", "extra"}
+    assert _local_scan_rows(evolved) is None
+
     assert _local_scan_rows(df.where("id > 1")) is None  # not a bare scan

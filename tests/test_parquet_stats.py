@@ -100,16 +100,23 @@ def test_layout_determines_pruning_fraction(spark, tmp_path):
 
 
 def test_string_predicate_lexicographic(spark, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     p = str(tmp_path / "t3")
-    rows = [(f"{c}{i:03d}",) for c in "abcdef" for i in range(500)]
-    df = spark.createDataFrame(rows, "s string")
-    # one file per letter, written deterministically — repartitionByRange
+    os.makedirs(p)
+    # one file per letter, written deterministically (pyarrow, driver
+    # side — six sequential Spark coalesce(1) writes cost ~20 s of
+    # pure job latency for the same six files; repartitionByRange
     # SAMPLES its boundaries, which can straddle the 'c' region across
-    # several files and make the skippable fraction layout-dependent
+    # several files and make the skippable fraction layout-dependent)
     for c in "abcdef":
-        df.where(F.col("s").startswith(c)).coalesce(1).write.mode(
-            "append"
-        ).parquet(p)
+        pq.write_table(
+            pa.table({"s": [f"{c}{i:03d}" for i in range(500)]}),
+            os.path.join(p, f"part-{c}.parquet"),
+        )
     rep = pruning_report(spark, p, "s", "c", "c~")
     frac = pruning_fraction(rep)
     assert frac > 0.8  # the five non-'c' files provably skipped

@@ -196,26 +196,36 @@ def test_subset_sum_unbiased_over_salts(spark):
     weighted sum over S, for ANY fixed subset S. Check the full sum
     and a 1/3 subset; the mean over salts must converge."""
     rows = _rows(400, n_grp=1)
-    df = spark.createDataFrame(rows, "grp string, id string, w double")
     true_full = sum(w for _, _, w in rows)
-    subset_ids = {i for _, i, _ in rows if int(i[2:]) % 3 == 0}
-    true_sub = sum(w for _, i, w in rows if i in subset_ids)
+    subset_base = {i for _, i, _ in rows if int(i[2:]) % 3 == 0}
+    true_sub = sum(w for _, i, w in rows if i in subset_base)
     k = 64
-    full_ests, sub_ests = [], []
-    for s in range(24):
-        taken = priority_take(
-            priority_sample(df, ["grp"], "id", "w", k, salt=f"s{s}"),
-            ["grp"],
-            "id",
-            "w",
-            k,
-        ).collect()
-        full_ests.append(sum(r["sample_est"] for r in taken))
-        sub_ests.append(
-            sum(r["sample_est"] for r in taken if r["id"] in subset_ids)
-        )
-    assert np.mean(full_ests) == pytest.approx(true_full, rel=0.08)
-    assert np.mean(sub_ests) == pytest.approx(true_sub, rel=0.15)
+    # 24 independent replicas ride ONE sample/take call (r14
+    # test-wall): priorities hash (id, salt), so distinct per-replica
+    # id prefixes under one salt give independent draws of the SAME
+    # weight multiset, and the per-grp top-k selection keeps replicas
+    # separate — identical law, one Spark action instead of 24.
+    rep_rows = [
+        (f"g{s}", f"s{s}|{i}", w) for s in range(24) for _, i, w in rows
+    ]
+    df = spark.createDataFrame(rep_rows, "grp string, id string, w double")
+    taken = priority_take(
+        priority_sample(df, ["grp"], "id", "w", k, salt="s"),
+        ["grp"],
+        "id",
+        "w",
+        k,
+    ).collect()
+    full_ests = {s: 0.0 for s in range(24)}
+    sub_ests = {s: 0.0 for s in range(24)}
+    for r in taken:
+        s = int(r["grp"][1:])
+        base_id = r["id"].split("|", 1)[1]
+        full_ests[s] += r["sample_est"]
+        if base_id in subset_base:
+            sub_ests[s] += r["sample_est"]
+    assert np.mean(list(full_ests.values())) == pytest.approx(true_full, rel=0.08)
+    assert np.mean(list(sub_ests.values())) == pytest.approx(true_sub, rel=0.15)
 
 
 def test_duckdb_mirror_state_and_take(spark, tmp_path):
