@@ -88,3 +88,26 @@ def test_lit_double_array_bit_identical(spark):
     nf = [1.0, float("nan"), float("inf")]
     got = spark.range(1).select(lit_double_array(nf).alias("a")).first()["a"]
     assert got[0] == 1.0 and math.isnan(got[1]) and math.isinf(got[2])
+
+
+def test_lit_long_array_single_node_and_exact(spark):
+    """lit_long_array (r14: one Catalyst Literal node built in O(1)
+    py4j round trips for big LUTs — the Bloom-filter fix): values must
+    round-trip exactly (including boundary int64s), the plan must NOT
+    contain a per-element CreateArray tree, and the rendered fallback
+    must agree with the fast path."""
+    from pyspark.sql import functions as F
+
+    from fenix_spark.functions.metrics import lit_long_array
+
+    vals = [0, 1, -1, 2**63 - 1, -(2**63), 4294967291] + list(range(200))
+    col = lit_long_array(vals)
+    got = spark.range(1).select(col.alias("v")).head()["v"]
+    assert got == vals
+    # single Literal node: the analyzed plan string stays tiny (a
+    # 206-element CreateArray tree would render every element)
+    plan = spark.range(1).select(col.alias("v"))._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 2000
+    # the rendered fallback agrees
+    fb = F.expr("cast(array(" + ",".join(f"{v}L" for v in vals) + ") as array<bigint>)")
+    assert spark.range(1).select(fb.alias("v")).head()["v"] == vals
