@@ -46,14 +46,6 @@ def strict_codegen(spark):
             spark.conf.set(k, v)
 
 
-def _executed_plan(df) -> str:
-    # executes under codegen.fallback=false: a compile failure of any
-    # whole-stage-generated method raises here instead of silently
-    # flipping to interpreted mode
-    df.write.format("noop").mode("overwrite").save()
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
 def test_probe_cells_compiles_at_max_enumerated_cells(strict_codegen):
     """k^n at the operator's hard bound (4096 joint cells): the rendered
     scorer must still compile under Janino limits."""
@@ -78,10 +70,11 @@ def test_probe_cells_compiles_at_max_enumerated_cells(strict_codegen):
     # the scorer uses higher-order functions (CodegenFallback), so the
     # projection itself is never whole-stage compiled — the pin is that
     # execution under codegen.fallback=false does not throw (Janino
-    # limits) and the surrounding spans still codegen
-    plan = _executed_plan(out)
-    assert "*(" in plan
+    # limits) and the surrounding spans still codegen. ONE execution:
+    # collect() runs the plan under the strict conf and yields the rows
     rows = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in plan
     assert all(len(r["probes"]) == 8 for r in rows)
 
 
@@ -103,10 +96,12 @@ def test_bootstrap_compiles_at_max_replicates(strict_codegen, documents):
     )
     # 1001 aggregate columns exceed spark.sql.codegen.maxFields (100),
     # so Spark skips WSCG on the aggregate BY DESIGN at this size; the
-    # pin is that nothing that IS generated trips Janino limits
-    plan = _executed_plan(out)
-    assert "HashAggregate" in plan
+    # pin is that nothing that IS generated trips Janino limits. ONE
+    # execution via collect() — a separate noop write would run the
+    # whole B=500 aggregation twice
     rows = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
     assert rows and all(r["lo"] <= r["estimate"] <= r["hi"] for r in rows)
 
 
@@ -125,6 +120,6 @@ def test_simhash_and_minhash_renderings_compile(strict_codegen, documents):
     # transform/aggregate HOFs are CodegenFallback → the projection is
     # interpreted by design; the scan span must still codegen and the
     # rendered expressions must not trip Janino under strict fallback
-    plan = _executed_plan(out)
+    assert len(out.collect()) == 64  # ONE full-column execution
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "*(" in plan
-    assert out.count() == 64
